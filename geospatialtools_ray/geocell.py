@@ -1,0 +1,131 @@
+"""Hierarchical lat/lon cell index ("geocell") — the engine's partition key.
+
+Stand-in for H3/S2 (neither library is available in this environment): an
+equal-angle quadtree over the WGS84 lon/lat rectangle. At resolution ``r``
+the globe is divided into ``2**(r+1)`` columns (360 deg of longitude) and
+``2**r`` rows (180 deg of latitude), so cells are square in degrees
+(``180 / 2**r`` per side). Cell ids pack ``(resolution, iy, ix)`` into a
+single uint64, giving H3-like properties the engine relies on:
+
+- vectorized point -> cell assignment (numpy, no Python loop),
+- parent/child hierarchy by bit shifts,
+- k-ring neighborhoods (with longitude wrap) for kNN search,
+- bbox covers for polygon indexing (the spatial-join partition key).
+
+This replaces the reference's implicit "partitioning" (whole-raster arrays,
+``libraries/gdal_tools.py:60-115``) with an explicit, skew-manageable key.
+
+Packing (uint64): bits 58..62 = resolution (0..30), bits 29..57 = iy,
+bits 0..28 = ix.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+MAX_RES = 30
+_RES_SHIFT = np.uint64(58)
+_IY_SHIFT = np.uint64(29)
+_IX_MASK = np.uint64((1 << 29) - 1)
+_IY_MASK = np.uint64((1 << 29) - 1)
+
+
+def ncells(res: int) -> tuple[int, int]:
+    """(n_cols, n_rows) of the grid at resolution ``res``."""
+    return 2 ** (res + 1), 2**res
+
+
+def cell_size_deg(res: int) -> float:
+    """Cell edge length in degrees at resolution ``res``."""
+    return 180.0 / (2**res)
+
+
+def pack(res, iy, ix):
+    res = np.asarray(res, dtype=np.uint64)
+    iy = np.asarray(iy, dtype=np.uint64)
+    ix = np.asarray(ix, dtype=np.uint64)
+    return (res << _RES_SHIFT) | (iy << _IY_SHIFT) | ix
+
+
+def unpack(cell):
+    cell = np.asarray(cell, dtype=np.uint64)
+    res = (cell >> _RES_SHIFT).astype(np.int64)
+    iy = ((cell >> _IY_SHIFT) & _IY_MASK).astype(np.int64)
+    ix = (cell & _IX_MASK).astype(np.int64)
+    return res, iy, ix
+
+
+def cell_of(lon, lat, res: int):
+    """Vectorized point -> cell id. Points outside [-180,180]x[-90,90] are
+    clamped (the reference clamps out-of-bounds station reads to undef at
+    ``libraries/gdal_tools.py:29-30``; callers that need strict bounds
+    filter first)."""
+    nx, ny = ncells(res)
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    ix = np.floor((lon + 180.0) / 360.0 * nx).astype(np.int64)
+    iy = np.floor((lat + 90.0) / 180.0 * ny).astype(np.int64)
+    np.clip(ix, 0, nx - 1, out=ix)
+    np.clip(iy, 0, ny - 1, out=iy)
+    return pack(res, iy, ix)
+
+
+def cell_center(cell):
+    res, iy, ix = unpack(cell)
+    step = 180.0 / (2.0**res)
+    lon = -180.0 + (ix + 0.5) * step
+    lat = -90.0 + (iy + 0.5) * step
+    return lon, lat
+
+
+def cell_bounds(cell):
+    """(lon0, lat0, lon1, lat1) of each cell."""
+    res, iy, ix = unpack(cell)
+    step = 180.0 / (2.0**res)
+    lon0 = -180.0 + ix * step
+    lat0 = -90.0 + iy * step
+    return lon0, lat0, lon0 + step, lat0 + step
+
+
+def parent(cell, parent_res: int):
+    res, iy, ix = unpack(cell)
+    shift = (res - parent_res).astype(np.uint64)
+    return pack(parent_res, np.asarray(iy, np.uint64) >> shift, np.asarray(ix, np.uint64) >> shift)
+
+
+def k_ring(cell: int, k: int) -> np.ndarray:
+    """All cells within Chebyshev distance k of ``cell`` (scalar), with
+    longitude wrap-around; latitude rows are clipped at the poles. Used by
+    the kNN station search (ring expansion, SURVEY.md section 2.4)."""
+    res, iy, ix = unpack(np.uint64(cell))
+    res, iy, ix = int(res), int(iy), int(ix)
+    nx, ny = ncells(res)
+    dys, dxs = np.meshgrid(np.arange(-k, k + 1), np.arange(-k, k + 1), indexing="ij")
+    iys = iy + dys.ravel()
+    ixs = (ix + dxs.ravel()) % nx
+    ok = (iys >= 0) & (iys < ny)
+    return pack(np.full(ok.sum(), res), iys[ok], ixs[ok])
+
+
+def ring_shell(cell: int, k: int) -> np.ndarray:
+    """Only the cells at exactly Chebyshev distance k (the ring border)."""
+    if k == 0:
+        return np.asarray([np.uint64(cell)], dtype=np.uint64)
+    full = k_ring(cell, k)
+    inner = set(k_ring(cell, k - 1).tolist())
+    return np.asarray([c for c in full.tolist() if c not in inner], dtype=np.uint64)
+
+
+def cover_bbox(lon0: float, lat0: float, lon1: float, lat1: float, res: int) -> np.ndarray:
+    """All cells intersecting the bbox — the polygon h3_cover equivalent
+    (SURVEY.md section 1.2 `polygons.h3_cover`). No longitude wrap (input
+    geometries are synthesized within bounds)."""
+    nx, ny = ncells(res)
+    ix0 = max(0, int(np.floor((lon0 + 180.0) / 360.0 * nx)))
+    ix1 = min(nx - 1, int(np.floor((lon1 + 180.0) / 360.0 * nx)))
+    iy0 = max(0, int(np.floor((lat0 + 90.0) / 180.0 * ny)))
+    iy1 = min(ny - 1, int(np.floor((lat1 + 90.0) / 180.0 * ny)))
+    if ix1 < ix0 or iy1 < iy0:
+        return np.empty(0, dtype=np.uint64)
+    ixs, iys = np.meshgrid(np.arange(ix0, ix1 + 1), np.arange(iy0, iy1 + 1))
+    return pack(np.full(ixs.size, res), iys.ravel(), ixs.ravel())

@@ -1,0 +1,71 @@
+"""Stateless, vectorized deterministic hashing for synthesis and sampling.
+
+All synthetic data in this repo is a pure function of (seed, key) through
+splitmix64 (Steele et al., public domain PRNG finalizer), so generation can
+run inside `map_batches` over `ray.data.range(n)` with no driver-side RNG
+state and no cross-task coordination — the property that makes corpus
+synthesis scale to 10^12 docs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_C1 = np.uint64(0x9E3779B97F4A7C15)
+_C2 = np.uint64(0xBF58476D1CE4E5B9)
+_C3 = np.uint64(0x94D049BB133111EB)
+
+
+def splitmix64(x) -> np.ndarray:
+    """Vectorized splitmix64 finalizer: uint64 -> uint64 (wrapping)."""
+    with np.errstate(over="ignore"):
+        z = np.asarray(x, dtype=np.uint64) + _C1
+        z = (z ^ (z >> np.uint64(30))) * _C2
+        z = (z ^ (z >> np.uint64(27))) * _C3
+        return z ^ (z >> np.uint64(31))
+
+
+def h64(key, stream: int = 0) -> np.ndarray:
+    """Hash key array with a stream discriminator (cheap independent streams)."""
+    with np.errstate(over="ignore"):
+        return splitmix64(splitmix64(np.asarray(key, dtype=np.uint64)) + np.uint64(stream) * _C3)
+
+
+def uniform01(key, stream: int = 0) -> np.ndarray:
+    """Deterministic U[0,1) from a key array."""
+    return (h64(key, stream) >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+
+
+def normal01(key, stream: int = 0) -> np.ndarray:
+    """Deterministic standard normal via Box-Muller on two hash streams."""
+    u1 = np.maximum(uniform01(key, stream * 2 + 101), 1e-300)
+    u2 = uniform01(key, stream * 2 + 102)
+    return np.sqrt(-2.0 * np.log(u1)) * np.cos(2.0 * np.pi * u2)
+
+
+def text_hash_u64(texts) -> np.ndarray:
+    """Stable 64-bit content hash of a string sequence. Used for
+    hash-partitioned exact dedup, where shuffling a 64-bit key instead of
+    full document text is the difference between a cheap and an impossible
+    shuffle at 100 TB. Vectorized through polars' Rust hash kernel
+    (deterministic for a fixed polars version, which all workers share);
+    falls back to per-row blake2b (C speed per string) without polars."""
+    try:
+        import polars as pl
+        import pyarrow as pa
+
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        if isinstance(texts, pa.Array):
+            s = pl.from_arrow(texts)
+        else:
+            s = pl.Series(list(texts), dtype=pl.Utf8)
+        return s.hash(seed=0).to_numpy().astype(np.uint64)
+    except ImportError:  # pragma: no cover
+        import hashlib
+
+        return np.fromiter(
+            (int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "little") for t in texts),
+            dtype=np.uint64,
+            count=len(texts),
+        )

@@ -1,0 +1,139 @@
+"""Flagship pipeline: interleaved corpus -> geometry extraction -> polygon
+spatial join -> tile assignment -> resumable partitioned sink with lineage.
+
+This is the workload BASELINE.json measures (docs/sec end-to-end): the
+engine equivalent of the reference's `shapefile2raster` + point-sampling
+flows (libraries/gdal_tools.py:170-192, :9-34) fused over the doc corpus.
+
+Stages (all lazy; the streaming executor pipelines them):
+  1. docs (read_parquet or stateless synthesis)           — source
+  2. explode_geo_points + attach_cell                     — map_batches, Arrow
+  3. SpatialJoin actor pool (broadcast polygon index)     — map_batches(Cls)
+  4. salted partition key (skew-aware, density-estimated) — map_batches
+  5. write_partitioned (+ per-partition lineage)          — groupby/map_groups
+  6. tile stats (per-batch partial counts -> tiny groupby) — aggregate
+
+The only shuffles are (5) keyed by the salted coarse cell and the tiny
+pre-aggregated (6).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .. import geocell, synth
+from ..stages.spans import attach_cell, explode_geo_points
+from ..stages.spatial_join import PolygonIndex, SpatialJoin
+from ..state import lineage
+
+DEFAULT_RES = 6  # join/tile resolution (~2.8 deg cells)
+DEFAULT_PART_RES = 3  # output partition resolution
+
+
+def polygon_index_ref(n_polygons: int, cover_res: int = DEFAULT_RES):
+    """Build + broadcast the polygon index once (ray.put), so every join
+    actor shares one copy through the object store."""
+    import ray
+
+    layer = synth.make_polygons(n_polygons, cover_res=cover_res)
+    return ray.put(PolygonIndex.from_synth(layer, cover_res))
+
+
+def geo_points(docs_ds, res: int = DEFAULT_RES):
+    return docs_ds.map_batches(explode_geo_points, batch_format="pyarrow").map_batches(
+        lambda b: attach_cell(b, res), batch_format="pyarrow"
+    )
+
+
+def estimate_salts(
+    docs_sample_ds, part_res: int, target_rows_per_part: int, sample_rate: float, res: int = DEFAULT_RES
+) -> dict[int, int]:
+    """Cheap density pre-pass on a deterministic hash-sample of docs: per
+    coarse cell estimated row count -> number of salts so no partition group
+    exceeds ~target_rows_per_part. Returns {} when nothing is hot."""
+    pts = geo_points(docs_sample_ds, res)
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        cells = batch["cell"].to_numpy(zero_copy_only=False)
+        parents = geocell.parent(cells, part_res)
+        u, c = np.unique(parents, return_counts=True)
+        return pa.table({"part": pa.array(u, type=pa.uint64()), "n": pa.array(c, type=pa.int64())})
+
+    from ray.data.aggregate import Sum
+
+    agg = pts.map_batches(partial_counts, batch_format="pyarrow").groupby("part").aggregate(Sum("n", alias_name="n"))
+    out: dict[int, int] = {}
+    for row in agg.iter_rows():
+        est = row["n"] / max(sample_rate, 1e-9)
+        s = int(np.ceil(est / target_rows_per_part))
+        if s > 1:
+            out[int(row["part"])] = s
+    return out
+
+
+def run(
+    docs_ds,
+    *,
+    out_dir: str,
+    n_polygons: int = 500,
+    res: int = DEFAULT_RES,
+    part_res: int = DEFAULT_PART_RES,
+    join_concurrency=None,
+    salt_map: dict[int, int] | None = None,
+    target_rows_per_part: int = 2_000_000,
+    resume: bool = True,
+):
+    """Returns the per-partition stats Dataset (small); the bulk join output
+    lands under out_dir as partitioned parquet + lineage records."""
+    import ray
+
+    if join_concurrency is None:
+        # default the actor pool to the session CPU count, autoscaling from 1
+        # so small inputs don't pay full pool startup
+        join_concurrency = (1, max(2, int(ray.cluster_resources().get("CPU", 4))))
+    idx_ref = polygon_index_ref(n_polygons, cover_res=res)
+    pts = geo_points(docs_ds, res)
+    joined = pts.map_batches(
+        SpatialJoin,
+        fn_constructor_kwargs={"index_ref": idx_ref},
+        batch_format="pyarrow",
+        batch_size=32768,
+        concurrency=join_concurrency,
+    )
+
+    salt_ref = ray.put(salt_map or {})
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        smap = ray.get(salt_ref)
+        cells = batch["cell"].to_numpy(zero_copy_only=False)
+        parents = geocell.parent(cells, part_res)
+        if smap:
+            nsalt = np.asarray([smap.get(int(p), 1) for p in parents], dtype=np.uint64)
+            from ..hashing import text_hash_u64
+
+            doc_h = text_hash_u64(batch["doc_id"])
+            salts = (doc_h % np.maximum(nsalt, 1)).astype(np.int64)
+            return lineage.add_part_key(batch, parents, np.where(nsalt > 1, salts, 0))
+        return lineage.add_part_key(batch, parents)
+
+    keyed = joined.map_batches(add_key, batch_format="pyarrow")
+    stats = lineage.write_partitioned(keyed, out_dir, resume=resume)
+    return stats
+
+
+def tile_counts(out_dir: str):
+    """Per-tile join counts, streamed from the written partitioned output
+    (one pass over local parquet; per-batch partial counts -> a tiny global
+    groupby — the pre-aggregate-before-shuffle pattern)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cells = batch["cell"].to_numpy(zero_copy_only=False)
+        u, c = np.unique(cells, return_counts=True)
+        return pa.table({"cell": pa.array(u, type=pa.uint64()), "n_hits": pa.array(c, type=pa.int64())})
+
+    ds = rd.read_parquet(out_dir, columns=["cell"])
+    return ds.map_batches(partial, batch_format="pyarrow").groupby("cell").aggregate(Sum("n_hits", alias_name="n_hits"))

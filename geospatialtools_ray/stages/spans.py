@@ -1,0 +1,90 @@
+"""Span-level operators over the interleaved corpus (input_hint schema).
+
+The per-row invariant the whole engine is gated on (BASELINE.json
+input_hint): the span sequence `(kind, text, media_ref, order)` of every doc
+must pass through every pipeline byte-identical. Stages here therefore never
+rebuild the `spans` column — they only read it (zero-copy Arrow) and attach
+derived columns, or explode to a side table keyed by doc_id.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .. import geocell
+
+_POINT_RE = r"POINT\((?P<lon>[-0-9.eE+]+) (?P<lat>[-0-9.eE+]+)\)"
+
+
+def explode_geo_points(batch: pa.Table) -> pa.Table:
+    """docs batch -> one row per geo span: (doc_id, span_ord, lon, lat).
+
+    Fully vectorized: Arrow list-flatten + regex extract; no Python row
+    loop. This replaces the reference's per-point driver loop in
+    `extract_point_data` (libraries/gdal_tools.py:26-32) with a batch
+    transform.
+    """
+    spans = batch["spans"].combine_chunks()
+    if isinstance(spans, pa.ChunkedArray):  # pragma: no cover
+        spans = spans.combine_chunks()
+    flat = spans.flatten()
+    parent = pc.list_parent_indices(spans)
+    # ordinal of each span within its doc
+    offsets = spans.offsets.to_numpy(zero_copy_only=False)
+    total = len(flat)
+    ords = np.arange(total, dtype=np.int32) - np.repeat(offsets[:-1], np.diff(offsets)).astype(np.int32)
+
+    kind = flat.field("kind")
+    is_geo = pc.equal(kind, "geo")
+    geo_idx = np.flatnonzero(is_geo.to_numpy(zero_copy_only=False))
+    if len(geo_idx) == 0:
+        return pa.table(
+            {
+                "doc_id": pa.array([], type=batch["doc_id"].type),
+                "span_ord": pa.array([], type=pa.int32()),
+                "lon": pa.array([], type=pa.float64()),
+                "lat": pa.array([], type=pa.float64()),
+            }
+        )
+    geo_text = flat.field("text").take(pa.array(geo_idx))
+    m = pc.extract_regex(geo_text, _POINT_RE)
+    lon = pc.struct_field(m, "lon").cast(pa.float64())
+    lat = pc.struct_field(m, "lat").cast(pa.float64())
+    doc_id = batch["doc_id"].take(pa.array(parent.to_numpy(zero_copy_only=False)[geo_idx]))
+    return pa.table(
+        {
+            "doc_id": doc_id,
+            "span_ord": pa.array(ords[geo_idx], type=pa.int32()),
+            "lon": lon,
+            "lat": lat,
+        }
+    )
+
+
+def attach_cell(batch: pa.Table, res: int, lon_col: str = "lon", lat_col: str = "lat") -> pa.Table:
+    """Tile assignment: add the geocell partition key (uint64)."""
+    lon = batch[lon_col].to_numpy(zero_copy_only=False)
+    lat = batch[lat_col].to_numpy(zero_copy_only=False)
+    cells = geocell.cell_of(lon, lat, res)
+    return batch.append_column("cell", pa.array(cells, type=pa.uint64()))
+
+
+def span_signature(batch: pa.Table) -> pa.Table:
+    """Per-doc stable signature of the span sequence (kind,text,media_ref,
+    order) — used by tests and lineage to assert span-sequence equality
+    without shipping span payloads around."""
+    spans = batch["spans"].combine_chunks()
+    flat = spans.flatten()
+    joined = pc.binary_join_element_wise(
+        flat.field("kind"),
+        flat.field("text"),
+        flat.field("media_ref"),
+        pc.cast(flat.field("offset"), pa.string()),
+        "\x1f",
+    )
+    # re-wrap to per-doc list and join with a record separator
+    per_doc = pa.ListArray.from_arrays(spans.offsets, joined)
+    sig = pc.binary_join(per_doc, "\x1e")
+    return pa.table({"doc_id": batch["doc_id"], "span_sig": sig})

@@ -1,0 +1,156 @@
+"""Polygon x point spatial join — the engine's rasterization core.
+
+Replaces the reference's `shapefile2raster` (libraries/gdal_tools.py:170-192),
+which shells out to `ogr2ogr` (clip/reproject) and `gdal_rasterize -init
+-9999 -a field` (burn). Here it is a native Ray Data stage:
+
+- polygons are indexed once per actor (`PolygonIndex` built in `__init__` of
+  the `SpatialJoin` callable — the "STRtree/H3 index actor pool" of
+  BASELINE.json north_star): geocell cover -> candidate lists + bbox filter
+  + vectorized even-odd point-in-polygon,
+- points stream through `map_batches(SpatialJoin, concurrency=...)` in
+  zero-copy Arrow batches,
+- burn semantics (`burn_batch`): last-write-wins by ascending poly_id,
+  matching deterministic GDAL layer order; background (no polygon) = null
+  (the reference's -init -9999).
+
+The polygon side is the SMALL side (10^3-10^6 polygons vs 10^12 docs) so it
+is broadcast via `ray.put` once and shared read-only by every actor — never
+a shuffle join, never re-shipped per batch.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .. import geocell, wkb
+
+
+def points_in_polygon(px: np.ndarray, py: np.ndarray, rings: list[np.ndarray]) -> np.ndarray:
+    """Vectorized even-odd rule over all rings (handles holes). Returns a
+    bool mask over the points. O(npts * nedges) numpy broadcasting."""
+    inside = np.zeros(len(px), dtype=bool)
+    for ring in rings:
+        if not np.array_equal(ring[0], ring[-1]):
+            ring = np.vstack([ring, ring[:1]])
+        x0, y0 = ring[:-1, 0], ring[:-1, 1]
+        x1, y1 = ring[1:, 0], ring[1:, 1]
+        py_c = py[:, None]
+        crosses = (y0 <= py_c) != (y1 <= py_c)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xint = x0 + (py_c - y0) * (x1 - x0) / (y1 - y0)
+        hits = (crosses & (px[:, None] < xint)).sum(axis=1)
+        inside ^= (hits % 2).astype(bool)
+    return inside
+
+
+class PolygonIndex:
+    """Geocell-bucketed polygon index (compiled once per actor).
+
+    cell -> candidate poly ids; bbox prefilter; exact PIP refine. The
+    numpy-native equivalent of an STRtree for this workload, with the index
+    key shared with the dataset partitioning (the spatial-join equi-join key
+    of SURVEY.md section 2.4)."""
+
+    def __init__(self, poly_ids, wkbs, bboxes, field_values, cover_res: int):
+        self.cover_res = cover_res
+        self.poly_ids = np.asarray(poly_ids, dtype=np.int64)
+        self.field_values = np.asarray(field_values, dtype=np.float64)
+        self.bboxes = np.asarray(bboxes, dtype=np.float64).reshape(len(self.poly_ids), 4)
+        self.rings = [wkb.parse_polygon(b) for b in wkbs]
+        buckets: dict[int, list[int]] = {}
+        for i, bb in enumerate(self.bboxes):
+            for c in geocell.cover_bbox(bb[0], bb[1], bb[2], bb[3], cover_res).tolist():
+                buckets.setdefault(c, []).append(i)
+        self.buckets = {c: np.asarray(v, dtype=np.int64) for c, v in buckets.items()}
+
+    @classmethod
+    def from_synth(cls, layer: dict, cover_res: int) -> "PolygonIndex":
+        return cls(layer["poly_id"], layer["geom_wkb"], layer["bbox"], layer["field_value"], cover_res)
+
+    def query(self, lon: np.ndarray, lat: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """All (point_index, polygon_index) containment pairs for a point
+        batch. Candidate gathering is grouped by cell (one dict lookup per
+        DISTINCT cell in the batch, not per point); PIP is vectorized per
+        candidate polygon over all its candidate points."""
+        if len(lon) == 0:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        cells = geocell.cell_of(lon, lat, self.cover_res)
+        order = np.argsort(cells, kind="stable")
+        sc = cells[order]
+        starts = np.flatnonzero(np.r_[True, sc[1:] != sc[:-1]])
+        ends = np.r_[starts[1:], len(sc)]
+        cand_pts: dict[int, list[np.ndarray]] = {}
+        for s, e in zip(starts, ends):
+            plist = self.buckets.get(int(sc[s]))
+            if plist is None:
+                continue
+            pts = order[s:e]
+            for pi in plist.tolist():
+                cand_pts.setdefault(pi, []).append(pts)
+        out_pt, out_poly = [], []
+        for pi, chunks in cand_pts.items():
+            pts = np.concatenate(chunks)
+            bb = self.bboxes[pi]
+            m = (lon[pts] >= bb[0]) & (lon[pts] <= bb[2]) & (lat[pts] >= bb[1]) & (lat[pts] <= bb[3])
+            pts = pts[m]
+            if len(pts) == 0:
+                continue
+            inside = points_in_polygon(lon[pts], lat[pts], self.rings[pi])
+            hit = pts[inside]
+            if len(hit):
+                out_pt.append(hit)
+                out_poly.append(np.full(len(hit), pi, dtype=np.int64))
+        if not out_pt:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        return np.concatenate(out_pt), np.concatenate(out_poly)
+
+
+class SpatialJoin:
+    """Actor-pool stage: inner-join point batches against the broadcast
+    polygon layer. Use with
+    `ds.map_batches(SpatialJoin, fn_constructor_kwargs=..., concurrency=N,
+    batch_format="pyarrow")`.
+
+    `index_ref` is a `ray.ObjectRef` to a prebuilt PolygonIndex (ray.put
+    once on the driver) or a plain PolygonIndex for tests."""
+
+    def __init__(self, index_ref, mode: str = "inner"):
+        import ray
+
+        self.index = ray.get(index_ref) if hasattr(index_ref, "hex") else index_ref
+        self.mode = mode
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lon = batch["lon"].to_numpy(zero_copy_only=False)
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        pt_idx, poly_pos = self.index.query(lon, lat)
+        if self.mode == "semi":  # docs that fall in ANY polygon
+            keep = np.unique(pt_idx)
+            return batch.take(pa.array(keep))
+        if self.mode == "anti":  # background docs (the -init -9999 side)
+            keep = np.setdiff1d(np.arange(len(lon)), pt_idx)
+            return batch.take(pa.array(keep))
+        # inner: one output row per containment pair, deterministic order
+        order = np.lexsort((self.index.poly_ids[poly_pos], pt_idx))
+        pt_idx, poly_pos = pt_idx[order], poly_pos[order]
+        out = batch.take(pa.array(pt_idx))
+        out = out.append_column("poly_id", pa.array(self.index.poly_ids[poly_pos], type=pa.int64()))
+        out = out.append_column(
+            "field_value", pa.array(self.index.field_values[poly_pos], type=pa.float64())
+        )
+        return out
+
+
+def burn_batch(index: PolygonIndex, lon: np.ndarray, lat: np.ndarray) -> np.ndarray:
+    """Rasterize-burn semantics for a batch of cell centers: the
+    `field_value` of the LAST polygon (highest poly_id) containing each
+    point, NaN where none — gdal_rasterize `-init -9999 -a field` with
+    deterministic ascending-id layer order (libraries/gdal_tools.py:189)."""
+    pt_idx, poly_pos = index.query(lon, lat)
+    out = np.full(len(lon), np.nan)
+    if len(pt_idx):
+        order = np.lexsort((index.poly_ids[poly_pos], pt_idx))  # ascending id within point
+        out[pt_idx[order]] = index.field_values[poly_pos[order]]  # later writes win
+    return out

@@ -1,0 +1,105 @@
+"""End-to-end flagship pipeline on Ray: join counts vs oracle, span
+invariant, resumable lineage, salted partitioning."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from geospatialtools_ray import geocell, synth, wkb
+from geospatialtools_ray.pipelines import flagship
+from geospatialtools_ray.stages import spans, spatial_join
+from geospatialtools_ray.state import lineage
+
+N_DOCS = 2000
+N_POLY = 80
+
+
+def oracle_join_count(n_docs, n_poly):
+    t = pa.table(synth.make_docs_batch(np.arange(n_docs, dtype=np.uint64)))
+    g = spans.explode_geo_points(t)
+    lon = g["lon"].to_numpy()
+    lat = g["lat"].to_numpy()
+    layer = synth.make_polygons(n_poly, cover_res=flagship.DEFAULT_RES)
+    total = 0
+    for b in layer["geom_wkb"]:
+        rings = wkb.parse_polygon(b)
+        total += int(spatial_join.points_in_polygon(lon, lat, rings).sum())
+    return total
+
+
+def test_flagship_end_to_end(ray_session, tmp_path):
+    docs = synth.docs_dataset(N_DOCS, override_num_blocks=8)
+    out_dir = str(tmp_path / "flagship")
+    stats = flagship.run(docs, out_dir=out_dir, n_polygons=N_POLY).to_pandas()
+    assert stats["rows_out"].sum() == oracle_join_count(N_DOCS, N_POLY)
+    recs = lineage.read_lineage(out_dir)
+    assert len(recs) == len(stats)
+    assert sum(r["rows_out"] for r in recs) == stats["rows_out"].sum()
+    # tile counts stream from the written output and agree in total
+    tc = flagship.tile_counts(out_dir).to_pandas()
+    assert tc["n_hits"].sum() == stats["rows_out"].sum()
+    # every parquet partition file exists and round-trips
+    import pyarrow.parquet as pq
+
+    files = [f for f in os.listdir(out_dir) if f.endswith(".parquet")]
+    assert len(files) == len(recs)
+    one = pq.read_table(os.path.join(out_dir, files[0]))
+    assert {"doc_id", "span_ord", "lon", "lat", "cell", "poly_id", "field_value"} <= set(one.column_names)
+
+
+def test_flagship_resume_skips_completed(ray_session, tmp_path):
+    docs = synth.docs_dataset(500, override_num_blocks=4)
+    out_dir = str(tmp_path / "resume")
+    s1 = flagship.run(docs, out_dir=out_dir, n_polygons=30).to_pandas()
+    total1 = s1["rows_out"].sum()
+    # delete one partition's data but keep its lineage -> rerun must NOT rewrite it
+    recs = lineage.read_lineage(out_dir)
+    victim = recs[0]
+    os.remove(os.path.join(out_dir, victim["file"]))
+    docs2 = synth.docs_dataset(500, override_num_blocks=4)
+    s2 = flagship.run(docs2, out_dir=out_dir, n_polygons=30).to_pandas()
+    # rerun wrote nothing (all partitions in lineage) -> stats empty or zero rows
+    assert len(s2) == 0 or s2["rows_out"].sum() == 0
+    assert not os.path.exists(os.path.join(out_dir, victim["file"]))
+    # now drop the lineage record too -> rerun rewrites exactly that partition
+    os.remove(os.path.join(out_dir, "_lineage", victim["partition"] + ".json"))
+    docs3 = synth.docs_dataset(500, override_num_blocks=4)
+    s3 = flagship.run(docs3, out_dir=out_dir, n_polygons=30).to_pandas()
+    assert len(s3) == 1 and s3["partition"].iloc[0] == victim["partition"]
+    assert s3["rows_out"].iloc[0] == victim["rows_out"]
+    total2 = sum(r["rows_out"] for r in lineage.read_lineage(out_dir))
+    assert total2 == total1
+
+
+def test_flagship_salting_partitions_hot_cells(ray_session, tmp_path):
+    docs = synth.docs_dataset(N_DOCS, override_num_blocks=8)
+    sample = synth.docs_dataset(N_DOCS, override_num_blocks=8)
+    salts = flagship.estimate_salts(sample, flagship.DEFAULT_PART_RES, target_rows_per_part=200, sample_rate=1.0)
+    assert salts, "hotspot fixture should force salting at this target"
+    out_dir = str(tmp_path / "salted")
+    stats = flagship.run(docs, out_dir=out_dir, n_polygons=N_POLY, salt_map=salts).to_pandas()
+    assert stats["rows_out"].sum() == oracle_join_count(N_DOCS, N_POLY)
+    # hot partitions actually split into multiple salt files
+    assert stats["partition"].str.contains("-s").any()
+
+
+def test_span_sequence_invariant_through_pipeline(ray_session):
+    """input_hint invariant: spans survive a full map_batches chain that
+    attaches and removes derived columns."""
+    docs = synth.docs_dataset(300, override_num_blocks=4)
+    sig_in = pa.concat_tables(
+        [spans.span_signature(b) for b in docs.iter_batches(batch_format="pyarrow")]
+    )
+
+    def enrich(b: pa.Table) -> pa.Table:
+        n = pa.array([len(x) for x in b["spans"].to_pylist()], type=pa.int32())
+        return b.append_column("n_spans", n)
+
+    out = synth.docs_dataset(300, override_num_blocks=4).map_batches(enrich, batch_format="pyarrow")
+    out = out.select_columns(["doc_id", "spans"])
+    sig_out = pa.concat_tables([spans.span_signature(b) for b in out.iter_batches(batch_format="pyarrow")])
+    a = dict(zip(sig_in["doc_id"].to_pylist(), sig_in["span_sig"].to_pylist()))
+    b = dict(zip(sig_out["doc_id"].to_pylist(), sig_out["span_sig"].to_pylist()))
+    assert a == b

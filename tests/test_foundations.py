@@ -1,0 +1,115 @@
+"""Foundations: geocell index, WKB codec, deterministic synthesis, span ops."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from geospatialtools_ray import geocell, synth, wkb
+from geospatialtools_ray.hashing import h64, text_hash_u64, uniform01
+from geospatialtools_ray.stages import spans
+
+
+def test_geocell_roundtrip_and_hierarchy():
+    rng = np.random.default_rng(0)
+    lon = rng.uniform(-180, 180, 1000)
+    lat = rng.uniform(-90, 90, 1000)
+    for res in (0, 3, 8, 15):
+        c = geocell.cell_of(lon, lat, res)
+        lo0, la0, lo1, la1 = geocell.cell_bounds(c)
+        assert ((lon >= lo0) & (lon < lo1) & (lat >= la0) & (lat < la1)).all()
+        r, iy, ix = geocell.unpack(c)
+        assert (r == res).all()
+        assert geocell.pack(r, iy, ix).tolist() == c.tolist()
+    # parent containment
+    c8 = geocell.cell_of(lon, lat, 8)
+    c3 = geocell.cell_of(lon, lat, 3)
+    assert (geocell.parent(c8, 3) == c3).all()
+
+
+def test_geocell_kring_wraps_longitude():
+    # cell on the antimeridian column
+    c = geocell.cell_of(np.array([-179.99]), np.array([0.0]), 5)[0]
+    ring = geocell.k_ring(int(c), 1)
+    assert len(ring) == 9
+    _, _, ixs = geocell.unpack(ring)
+    nx, _ = geocell.ncells(5)
+    assert 0 in ixs and (nx - 1) in ixs  # wrapped
+
+
+def test_wkb_roundtrip():
+    ring = np.array([[0.0, 0.0], [2.0, 0.0], [2.0, 2.0], [0.0, 2.0]])
+    buf = wkb.polygon_wkb([ring])
+    out = wkb.parse_polygon(buf)
+    assert len(out) == 1 and len(out[0]) == 5  # closed
+    assert np.allclose(out[0][:4], ring)
+    assert wkb.polygon_bbox(buf) == (0.0, 0.0, 2.0, 2.0)
+    assert wkb.parse_point(wkb.point_wkb(1.5, -2.5)) == (1.5, -2.5)
+
+
+def test_hashing_deterministic_and_uniform():
+    k = np.arange(10_000, dtype=np.uint64)
+    a, b = h64(k, 1), h64(k, 1)
+    assert (a == b).all()
+    assert (h64(k, 1) != h64(k, 2)).mean() > 0.999
+    u = uniform01(k, 5)
+    assert 0.45 < u.mean() < 0.55 and u.min() >= 0 and u.max() < 1
+
+
+def test_text_hash_stable():
+    t = ["abc", "", "abc", "déjà vu"]
+    h = text_hash_u64(t)
+    assert h[0] == h[2] and h[0] != h[1]
+    assert (h == text_hash_u64(t)).all()
+
+
+def test_docs_schema_and_determinism():
+    t = pa.table(synth.make_docs_batch(np.arange(500, dtype=np.uint64)))
+    assert t.column_names == ["doc_id", "spans"]
+    f = t["spans"].type.value_type
+    assert [f.field(i).name for i in range(4)] == ["kind", "text", "media_ref", "offset"]
+    t2 = pa.table(synth.make_docs_batch(np.arange(500, dtype=np.uint64)))
+    assert t.equals(t2)
+    # offsets strictly increasing within each doc
+    flat = t["spans"].combine_chunks()
+    for row in t["spans"].to_pylist()[:50]:
+        offs = [s["offset"] for s in row]
+        assert offs == sorted(offs) and len(set(offs)) == len(offs)
+
+
+def test_explode_geo_points_matches_python_oracle():
+    t = pa.table(synth.make_docs_batch(np.arange(300, dtype=np.uint64)))
+    got = spans.explode_geo_points(t)
+    # row-by-row oracle
+    exp = []
+    for did, row in zip(t["doc_id"].to_pylist(), t["spans"].to_pylist()):
+        for i, s in enumerate(row):
+            if s["kind"] == "geo":
+                txt = s["text"]
+                lon, lat = map(float, txt[len("POINT(") : -1].split())
+                exp.append((did, i, lon, lat))
+    assert got.num_rows == len(exp)
+    g = got.to_pylist()
+    for grow, erow in zip(g, exp):
+        assert (grow["doc_id"], grow["span_ord"]) == (erow[0], erow[1])
+        assert abs(grow["lon"] - erow[2]) < 1e-9 and abs(grow["lat"] - erow[3]) < 1e-9
+
+
+def test_span_signature_detects_mutation():
+    t = pa.table(synth.make_docs_batch(np.arange(50, dtype=np.uint64)))
+    s1 = spans.span_signature(t)["span_sig"].to_pylist()
+    # mutate one span's text
+    pl = t.to_pylist()
+    pl[7]["spans"][0]["text"] = "MUTATED"
+    t2 = pa.Table.from_pylist(pl, schema=t.schema)
+    s2 = spans.span_signature(t2)["span_sig"].to_pylist()
+    assert s1[7] != s2[7]
+    assert all(a == b for i, (a, b) in enumerate(zip(s1, s2)) if i != 7)
+
+
+def test_hotspot_skew_exists():
+    # the corpus must actually be skewed, or the salting path is untestable
+    ids = np.arange(200_000, dtype=np.uint64)
+    lon, lat = synth.geo_lonlat(ids)
+    c = geocell.cell_of(lon, lat, 6)
+    _, counts = np.unique(c, return_counts=True)
+    assert counts.max() > 20 * np.median(counts)
