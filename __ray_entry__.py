@@ -1,44 +1,78 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship spatial-join + tile-assignment pipeline on a
+deterministic interleaved corpus (BASELINE.json input_hint schema) plus
+sf0.001 sanity reads; ``queries()`` exposes each implemented operator over
+the testdata tables; ``oracle_sql()`` carries the exactly-mirrored DuckDB
+SQL (see geospatialtools_ray/pipelines/relational.py for the
+float-determinism rules).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in the library) calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from geospatialtools_ray.pipelines import relational as R
+from geospatialtools_ray.pipelines import textqueries as T
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline: synthetic interleaved corpus -> geo-span explode ->
+    polygon spatial join -> tile assignment. Returns the joined Dataset."""
+    from geospatialtools_ray import synth
+    from geospatialtools_ray.pipelines import flagship
+
+    docs = synth.docs_dataset(2000, override_num_blocks=8)
+    idx_ref = flagship.polygon_index_ref(100)
+    from geospatialtools_ray.stages.spatial_join import SpatialJoin
+
+    pts = flagship.geo_points(docs)
+    joined = pts.map_batches(
+        SpatialJoin,
+        fn_constructor_kwargs={"index_ref": idx_ref},
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+    return joined
+
+
+_SQL_CHECKED: dict[str, tuple[Callable[[str], Any], str]] = {
+    "q1_pricing_summary": (R.q1_pricing_summary, R.Q1_SQL),
+    "q3_top_orders": (R.q3_top_orders, R.Q3_SQL),
+    "q5_nation_revenue": (R.q5_region_revenue, R.Q5_SQL),
+    "orders_by_status": (R.orders_by_status, R.ORDERS_BY_STATUS_SQL),
+    "events_tumbling_hourly": (R.events_tumbling_hourly, R.EVENTS_TUMBLING_SQL),
+    "metrics_events": (R.metrics_events, R.METRICS_EVENTS_SQL),
+    "docs_exact_dedup": (T.docs_exact_dedup, T.DOCS_EXACT_DEDUP_SQL),
+    "docs_token_stats": (T.docs_token_stats, T.DOCS_TOKEN_STATS_SQL),
+    "lang_token_summary": (T.lang_token_summary, T.LANG_TOKEN_SUMMARY_SQL),
+    "docs_tile_assign": (T.docs_tile_assign, T.DOCS_TILE_ASSIGN_SQL),
+    "docs_rect_join": (T.docs_rect_join, T.DOCS_RECT_JOIN_SQL),
+    "docs_knn_stations": (T.docs_knn_stations, T.DOCS_KNN_STATIONS_SQL),
+    "ann_topk_cosine": (T.ann_topk_cosine, T.ANN_TOPK_SQL),
+    "embed_neardup_pairs": (T.embed_neardup_pairs, T.EMBED_NEARDUP_SQL),
+    "soil_pedotransfer": (T.soil_pedotransfer, T.SOIL_PEDOTRANSFER_SQL),
+}
+
+# rows-only checks (non-SQL-expressible: stateful/iterative/geospatial ops)
+_ROWS_ONLY: dict[str, Callable[[str], Any]] = {}
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[str], Any]] = {}
+    for name, (fn, _sql) in _SQL_CHECKED.items():
+        out[name] = fn
+    out.update(_ROWS_ONLY)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: sql for name, (fn, sql) in _SQL_CHECKED.items()}

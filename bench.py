@@ -1,0 +1,152 @@
+"""Benchmark harness (driver contract).
+
+Headline: the flagship spatial-join + tile-assignment pipeline
+(BASELINE.json metric: docs/sec over the interleaved corpus) — corpus
+pre-written to parquet so the measured window is pure engine work (read ->
+geo explode -> cell assign -> polygon join -> salted partition -> resumable
+sink), plus a set of representative queries over $GRAFT_SF_DIR.
+
+Prints ONE JSON line. `--scaling` runs the headline twice in fresh
+processes (num_cpus=8 vs 32) on the same input and reports both
+throughputs + scaling efficiency (the sandbox stand-in for N vs 4N nodes).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+N_POLYGONS = 2000
+
+
+def corpus_docs_for(sf_dir: str) -> int:
+    import pyarrow.parquet as pq
+
+    n_li = pq.read_metadata(f"{sf_dir}/lineitem.parquet").num_rows
+    return max(20_000, n_li // 3)
+
+
+def ensure_corpus(n_docs: int) -> str:
+    """Write the deterministic interleaved corpus once; reused across runs
+    and parallelism levels so every measurement reads identical input."""
+    path = f"/tmp/graft_corpus_{n_docs}"
+    marker = os.path.join(path, "_SUCCESS")
+    if os.path.exists(marker):
+        return path
+    from geospatialtools_ray import synth
+
+    shutil.rmtree(path, ignore_errors=True)
+    synth.docs_dataset(n_docs, override_num_blocks=max(16, n_docs // 50_000)).write_parquet(path)
+    open(marker, "w").close()
+    return path
+
+
+def run_headline(corpus_path: str, n_docs: int) -> dict:
+    import ray.data as rd
+
+    from geospatialtools_ray.pipelines import flagship
+
+    out_dir = f"/tmp/graft_bench_out_{NUM_CPUS}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    # warm page cache (untimed): one streaming pass over the input
+    rd.read_parquet(corpus_path).count()
+    t0 = time.monotonic()
+    docs = rd.read_parquet(corpus_path)
+    stats = flagship.run(docs, out_dir=out_dir, n_polygons=N_POLYGONS, resume=False).to_pandas()
+    dt = time.monotonic() - t0
+    return {"sec": dt, "docs_per_sec": n_docs / dt, "join_rows": int(stats["rows_out"].sum())}
+
+
+def run_queries() -> dict[str, float]:
+    import __ray_entry__ as entrymod
+
+    picks = [
+        "q1_pricing_summary",
+        "q5_nation_revenue",
+        "events_tumbling_hourly",
+        "docs_exact_dedup",
+        "docs_knn_stations",
+        "ann_topk_cosine",
+        "soil_pedotransfer",
+    ]
+    qs = entrymod.queries()
+    out = {}
+    for name in picks:
+        if name not in qs:
+            continue
+        t0 = time.monotonic()
+        qs[name](SF_DIR)
+        out[name] = round(time.monotonic() - t0, 3)
+    return out
+
+
+def main():
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    n_docs = corpus_docs_for(SF_DIR)
+    corpus = ensure_corpus(n_docs)
+    head = run_headline(corpus, n_docs)
+    queries = run_queries()
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "end-to-end spatial-join + tile-assignment (corpus read -> geo explode -> polygon join -> salted partition -> resumable sink)",
+                "value": round(head["sec"], 3),
+                "unit": "sec",
+                "queries": queries,
+                "sf": float(sf),
+                "num_cpus": NUM_CPUS,
+                "n_docs": n_docs,
+                "docs_per_sec": round(head["docs_per_sec"], 1),
+                "join_rows": head["join_rows"],
+            }
+        )
+    )
+    ray.shutdown()
+
+
+def scaling():
+    lo, hi = 8, 32
+    res = {}
+    for n in (lo, hi):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(n))
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")], env=env, capture_output=True, text=True, check=True
+        ).stdout
+        res[n] = json.loads(out.strip().splitlines()[-1])
+    t_lo, t_hi = res[lo]["value"], res[hi]["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    print(
+        json.dumps(
+            {
+                "sec_8": t_lo,
+                "sec_32": t_hi,
+                "docs_per_sec_8": res[lo]["docs_per_sec"],
+                "docs_per_sec_32": res[hi]["docs_per_sec"],
+                "scaling_efficiency": round(eff, 3),
+                "n_docs": res[lo]["n_docs"],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()

@@ -1,0 +1,424 @@
+"""Driver-contract queries: Ray Data pipelines with exactly-mirrored DuckDB
+oracle SQL (consumed by __ray_entry__.queries()/oracle_sql()).
+
+Float-determinism convention (so order-insensitive value hashing matches):
+- Aggregates are computed over INTEGER-quantized values (e.g. cents), so
+  sums are exact in any summation order on both engines.
+- Derived floats are produced by the SAME IEEE expression tree on both
+  sides (identical operands, identical operation order), so results are
+  bit-identical.
+- Transcendental-heavy outputs (pow/log) are rounded to 6 decimals on both
+  sides.
+
+Every Ray implementation follows the scale rules: column-pruned reads,
+vectorized batch kernels, partial aggregation before any shuffle, broadcast
+small sides (ray.put) instead of shuffle joins, Dataset.join only for the
+genuinely large-large case.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _q100(arr):
+    """Quantize to integer hundredths (exact money math)."""
+    return np.round(np.asarray(arr, dtype=np.float64) * 100.0).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# q1: pricing summary (TPC-H Q1 flavor) — filter + grouped aggregate with
+# per-batch partial aggregation (SURVEY.md 2.5 pattern)
+# ---------------------------------------------------------------------------
+
+def q1_pricing_summary(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_tax", "l_shipdate"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.less_equal(batch["l_shipdate"], pa.scalar(pd.Timestamp("1998-09-02"))))
+        df = pd.DataFrame(
+            {
+                "l_returnflag": batch["l_returnflag"].to_pandas(),
+                "l_linestatus": batch["l_linestatus"].to_pandas(),
+                "qty": _q100(batch["l_quantity"].to_numpy(zero_copy_only=False)),
+                "price": _q100(batch["l_extendedprice"].to_numpy(zero_copy_only=False)),
+                "disc": _q100(batch["l_discount"].to_numpy(zero_copy_only=False)),
+                "tax": _q100(batch["l_tax"].to_numpy(zero_copy_only=False)),
+            }
+        )
+        # disc_price/charge quantized to 1e-6 via integer products (exact):
+        # price_c * (100 - disc_c) and price_c * (100-disc_c) * (100+tax_c)
+        df["disc_price"] = df["price"] * (100 - df["disc"])
+        df["charge"] = df["disc_price"] * (100 + df["tax"])
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty_c=("qty", "sum"),
+            sum_price_c=("price", "sum"),
+            sum_disc_price_c=("disc_price", "sum"),
+            sum_charge_c=("charge", "sum"),
+            sum_disc_c=("disc", "sum"),
+            count_order=("qty", "size"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_qty_c", alias_name="sum_qty_c"),
+            Sum("sum_price_c", alias_name="sum_price_c"),
+            Sum("sum_disc_price_c", alias_name="sum_disc_price_c"),
+            Sum("sum_charge_c", alias_name="sum_charge_c"),
+            Sum("sum_disc_c", alias_name="sum_disc_c"),
+            Sum("count_order", alias_name="count_order"),
+        )
+    )
+    df = agg.to_pandas().sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+    n = df["count_order"].astype("int64")
+    out = pd.DataFrame(
+        {
+            "l_returnflag": df["l_returnflag"],
+            "l_linestatus": df["l_linestatus"],
+            "sum_qty": df["sum_qty_c"].astype("float64") / 100.0,
+            "sum_base_price": df["sum_price_c"].astype("float64") / 100.0,
+            "sum_disc_price": df["sum_disc_price_c"].astype("float64") / 10000.0,
+            "sum_charge": df["sum_charge_c"].astype("float64") / 1000000.0,
+            "avg_qty": (df["sum_qty_c"].astype("float64") / 100.0) / n.astype("float64"),
+            "avg_price": (df["sum_price_c"].astype("float64") / 100.0) / n.astype("float64"),
+            "avg_disc": (df["sum_disc_c"].astype("float64") / 100.0) / n.astype("float64"),
+            "count_order": n,
+        }
+    )
+    return out
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum_qty_c AS DOUBLE)/100.0 AS sum_qty,
+       CAST(sum_price_c AS DOUBLE)/100.0 AS sum_base_price,
+       CAST(sum_disc_price_c AS DOUBLE)/10000.0 AS sum_disc_price,
+       CAST(sum_charge_c AS DOUBLE)/1000000.0 AS sum_charge,
+       (CAST(sum_qty_c AS DOUBLE)/100.0)/CAST(count_order AS DOUBLE) AS avg_qty,
+       (CAST(sum_price_c AS DOUBLE)/100.0)/CAST(count_order AS DOUBLE) AS avg_price,
+       (CAST(sum_disc_c AS DOUBLE)/100.0)/CAST(count_order AS DOUBLE) AS avg_disc,
+       count_order
+FROM (
+  SELECT l_returnflag, l_linestatus,
+         CAST(SUM(qty) AS BIGINT) AS sum_qty_c,
+         CAST(SUM(price) AS BIGINT) AS sum_price_c,
+         CAST(SUM(price*(100-disc)) AS BIGINT) AS sum_disc_price_c,
+         CAST(SUM(price*(100-disc)*(100+tax)) AS BIGINT) AS sum_charge_c,
+         CAST(SUM(disc) AS BIGINT) AS sum_disc_c,
+         COUNT(*) AS count_order
+  FROM (
+    SELECT l_returnflag, l_linestatus,
+           CAST(round(l_quantity*100) AS BIGINT) AS qty,
+           CAST(round(l_extendedprice*100) AS BIGINT) AS price,
+           CAST(round(l_discount*100) AS BIGINT) AS disc,
+           CAST(round(l_tax*100) AS BIGINT) AS tax
+    FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+  ) GROUP BY l_returnflag, l_linestatus
+) ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# q3: top orders by revenue for one market segment — broadcast semi-join of
+# the customer key set, broadcast orders dimension, partial revenue agg
+# ---------------------------------------------------------------------------
+
+def q3_top_orders(sf_dir: str):
+    import ray
+    from ray.data.aggregate import Sum
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    ckeys = cust.map_batches(
+        lambda b: b.filter(pc.equal(b["c_mktsegment"], "BUILDING")).select(["c_custkey"]),
+        batch_format="pyarrow",
+    ).to_pandas()["c_custkey"].to_numpy()
+    ckeys_ref = ray.put(np.sort(ckeys))
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]).to_pandas()
+    cutoff = pd.Timestamp("1995-03-15")
+    omask = orders["o_custkey"].isin(ckeys) & (orders["o_orderdate"] < cutoff)
+    odim = orders[omask]
+    okeys_ref = ray.put(np.sort(odim["o_orderkey"].to_numpy()))
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        okeys = ray.get(okeys_ref)
+        b = batch.filter(pc.greater(batch["l_shipdate"], pa.scalar(cutoff)))
+        ok = b["l_orderkey"].to_numpy(zero_copy_only=False)
+        keep = np.isin(ok, okeys)
+        ok = ok[keep]
+        rev = (
+            _q100(b["l_extendedprice"].to_numpy(zero_copy_only=False)[keep])
+            * (100 - _q100(b["l_discount"].to_numpy(zero_copy_only=False)[keep]))
+        )
+        df = pd.DataFrame({"o_orderkey": ok, "rev": rev}).groupby("o_orderkey", as_index=False)["rev"].sum()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    agg = li.map_batches(partial, batch_format="pyarrow").groupby("o_orderkey").aggregate(Sum("rev", alias_name="rev"))
+    top = agg.sort(["rev", "o_orderkey"], descending=[True, False]).limit(10).to_pandas()
+    top = top.merge(odim[["o_orderkey", "o_orderdate"]], on="o_orderkey", how="left")
+    out = pd.DataFrame(
+        {
+            "o_orderkey": top["o_orderkey"].astype("int64"),
+            "revenue": top["rev"].astype("float64") / 10000.0,
+            "o_orderdate": top["o_orderdate"],
+        }
+    )
+    return out
+
+
+Q3_SQL = """
+SELECT o_orderkey, CAST(rev AS DOUBLE)/10000.0 AS revenue, o_orderdate
+FROM (
+  SELECT l.l_orderkey AS o_orderkey, o.o_orderdate,
+         CAST(SUM(CAST(round(l.l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l.l_discount*100) AS BIGINT))) AS BIGINT) AS rev
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE c.c_mktsegment = 'BUILDING'
+    AND o.o_orderdate < TIMESTAMP '1995-03-15'
+    AND l.l_shipdate > TIMESTAMP '1995-03-15'
+  GROUP BY l.l_orderkey, o.o_orderdate
+) ORDER BY rev DESC, o_orderkey LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# q5: revenue by nation where customer and supplier share the nation —
+# Dataset.join for the large-large lineitem x orders, broadcast dims
+# ---------------------------------------------------------------------------
+
+def q5_region_revenue(sf_dir: str):
+    import ray
+    from ray.data.aggregate import Sum
+
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    c_map = dict(zip(cust["c_custkey"], cust["c_nationkey"]))
+    s_map = dict(zip(supp["s_suppkey"], supp["s_nationkey"]))
+    n_name = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    refs = ray.put((c_map, s_map, n_name))
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+    joined = li.join(orders, join_type="inner", num_partitions=16, on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c_map_, s_map_, n_name_ = ray.get(refs)
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        sk = batch["l_suppkey"].to_numpy(zero_copy_only=False)
+        cn = np.asarray([c_map_.get(int(k), -1) for k in ck], dtype=np.int64)
+        sn = np.asarray([s_map_.get(int(k), -2) for k in sk], dtype=np.int64)
+        keep = cn == sn
+        rev = (
+            _q100(batch["l_extendedprice"].to_numpy(zero_copy_only=False)[keep])
+            * (100 - _q100(batch["l_discount"].to_numpy(zero_copy_only=False)[keep]))
+        )
+        names = np.asarray([n_name_[int(k)] for k in cn[keep]], dtype=object)
+        df = pd.DataFrame({"n_name": names, "rev": rev}).groupby("n_name", as_index=False)["rev"].sum()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    agg = joined.map_batches(partial, batch_format="pyarrow").groupby("n_name").aggregate(Sum("rev", alias_name="rev"))
+    df = agg.to_pandas().sort_values("n_name").reset_index(drop=True)
+    return pd.DataFrame({"n_name": df["n_name"], "revenue": df["rev"].astype("float64") / 10000.0})
+
+
+Q5_SQL = """
+SELECT n_name, CAST(rev AS DOUBLE)/10000.0 AS revenue
+FROM (
+  SELECT n.n_name,
+         CAST(SUM(CAST(round(l.l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l.l_discount*100) AS BIGINT))) AS BIGINT) AS rev
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  WHERE c.c_nationkey = s.s_nationkey
+  GROUP BY n.n_name
+) ORDER BY n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# orders_by_status: plain grouped aggregate
+# ---------------------------------------------------------------------------
+
+def orders_by_status(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "orders", ["o_orderstatus", "o_orderpriority", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "o_orderstatus": batch["o_orderstatus"].to_pandas(),
+                "o_orderpriority": batch["o_orderpriority"].to_pandas(),
+                "tp": _q100(batch["o_totalprice"].to_numpy(zero_copy_only=False)),
+            }
+        )
+        g = df.groupby(["o_orderstatus", "o_orderpriority"], as_index=False).agg(
+            total_c=("tp", "sum"), n_orders=("tp", "size")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["o_orderstatus", "o_orderpriority"])
+        .aggregate(Sum("total_c", alias_name="total_c"), Sum("n_orders", alias_name="n_orders"))
+    )
+    df = agg.to_pandas().sort_values(["o_orderstatus", "o_orderpriority"]).reset_index(drop=True)
+    return pd.DataFrame(
+        {
+            "o_orderstatus": df["o_orderstatus"],
+            "o_orderpriority": df["o_orderpriority"],
+            "total_price": df["total_c"].astype("float64") / 100.0,
+            "n_orders": df["n_orders"].astype("int64"),
+        }
+    )
+
+
+ORDERS_BY_STATUS_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS DOUBLE)/100.0 AS total_price,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY o_orderstatus, o_orderpriority
+ORDER BY o_orderstatus, o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# events tumbling window: hour buckets (the engine's windowed aggregate;
+# Ray Data has no event-time windows — groupby over a derived window key)
+# ---------------------------------------------------------------------------
+
+def events_tumbling_hourly(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.assign(
+            window_start=batch["ts"].dt.floor("h"),
+            v=np.round(batch["value"].to_numpy() * 1000.0).astype(np.int64),
+        )
+        return batch.groupby(["event_type", "window_start"], as_index=False).agg(
+            n_events=("v", "size"), sum_v=("v", "sum")
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["event_type", "window_start"])
+        .aggregate(Sum("n_events", alias_name="n_events"), Sum("sum_v", alias_name="sum_v"))
+    )
+    df = agg.to_pandas().sort_values(["event_type", "window_start"]).reset_index(drop=True)
+    return pd.DataFrame(
+        {
+            "event_type": df["event_type"],
+            "window_start": df["window_start"],
+            "n_events": df["n_events"].astype("int64"),
+            "sum_value": df["sum_v"].astype("float64") / 1000.0,
+        }
+    )
+
+
+EVENTS_TUMBLING_SQL = """
+SELECT event_type, date_trunc('hour', ts) AS window_start,
+       COUNT(*) AS n_events,
+       CAST(CAST(SUM(CAST(round(value*1000) AS BIGINT)) AS BIGINT) AS DOUBLE)/1000.0 AS sum_value
+FROM events
+GROUP BY event_type, date_trunc('hour', ts)
+ORDER BY event_type, window_start
+"""
+
+
+# ---------------------------------------------------------------------------
+# metrics over events: streaming-moments skill metrics, integer-quantized
+# (engine op: functions/metrics.py; reference libraries/metrics.py:5-101)
+# ---------------------------------------------------------------------------
+
+def metrics_events(sf_dir: str):
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        o = np.round(v * 1000.0).astype(np.int64)
+        m = np.round((0.8 * v + ((eid % 100) - 50) * 0.05) * 1000.0).astype(np.int64)
+        return pa.table(
+            {
+                "n": [np.int64(len(o))],
+                "sx": [o.sum()],
+                "sy": [m.sum()],
+                "sxx": [(o * o).sum()],
+                "syy": [(m * m).sum()],
+                "sxy": [(o * m).sum()],
+                "sad": [np.abs(m - o).sum()],
+                "ssd": [((m - o) * (m - o)).sum()],
+                "omin": [o.min()],
+                "omax": [o.max()],
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    tot = parts.aggregate(
+        Sum("n"), Sum("sx"), Sum("sy"), Sum("sxx"), Sum("syy"), Sum("sxy"), Sum("sad"), Sum("ssd"), Min("omin"), Max("omax")
+    )
+    n = float(tot["sum(n)"])
+    sx, sy = float(tot["sum(sx)"]), float(tot["sum(sy)"])
+    sxx, syy, sxy = float(tot["sum(sxx)"]), float(tot["sum(syy)"]), float(tot["sum(sxy)"])
+    sad, ssd = float(tot["sum(sad)"]), float(tot["sum(ssd)"])
+    omin, omax = float(tot["min(omin)"]), float(tot["max(omax)"])
+    r = (n * sxy - sx * sy) / (np.sqrt(n * sxx - sx * sx) * np.sqrt(n * syy - sy * sy))
+    rmse = np.sqrt(ssd / n) / 1000.0
+    mae = (sad / n) / 1000.0
+    bias = ((sy - sx) / n) / 1000.0
+    nse = 1.0 - ssd / (sxx - sx * sx / n)
+    nrmse = 100.0 * np.sqrt(ssd / n) / (omax - omin)
+    return pd.DataFrame(
+        {"n_pairs": [int(n)], "r": [r], "rmse": [rmse], "mae": [mae], "bias": [bias], "nse": [nse], "nrmse": [nrmse]}
+    )
+
+
+METRICS_EVENTS_SQL = """
+SELECT CAST(n AS BIGINT) AS n_pairs,
+       (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+         / (sqrt(CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+            * sqrt(CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))) AS r,
+       sqrt(CAST(ssd AS DOUBLE)/CAST(n AS DOUBLE))/1000.0 AS rmse,
+       (CAST(sad AS DOUBLE)/CAST(n AS DOUBLE))/1000.0 AS mae,
+       ((CAST(sy AS DOUBLE) - CAST(sx AS DOUBLE))/CAST(n AS DOUBLE))/1000.0 AS bias,
+       1.0 - CAST(ssd AS DOUBLE)/(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)/CAST(n AS DOUBLE)) AS nse,
+       100.0*sqrt(CAST(ssd AS DOUBLE)/CAST(n AS DOUBLE))/(CAST(omax AS DOUBLE) - CAST(omin AS DOUBLE)) AS nrmse
+FROM (
+  SELECT COUNT(*) AS n, SUM(o) AS sx, SUM(m) AS sy, SUM(o*o) AS sxx, SUM(m*m) AS syy, SUM(o*m) AS sxy,
+         SUM(abs(m-o)) AS sad, SUM((m-o)*(m-o)) AS ssd, MIN(o) AS omin, MAX(o) AS omax
+  FROM (
+    SELECT CAST(round(value*1000) AS BIGINT) AS o,
+           CAST(round((0.8*value + ((event_id % 100) - 50)*0.05)*1000) AS BIGINT) AS m
+    FROM events
+  )
+)
+"""

@@ -1,0 +1,484 @@
+"""Driver-contract queries over documents/embeddings: dedup, text analysis,
+geo derivation, kNN, ANN — each with an exactly-mirrored DuckDB oracle
+where SQL can express it (see relational.py for the determinism rules).
+
+The geo columns for the docs⋈rects / tile-assign / kNN queries are DERIVED
+deterministically from doc_id by integer arithmetic, so the SQL oracle can
+reproduce them bit-exactly; the real corpus path (WKT geo spans) is
+exercised by the flagship pipeline and pytest.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..hashing import text_hash_u64
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# -- deterministic doc point derivation (mirrored in SQL) --------------------
+
+DOC_LON_SQL = "(CAST((doc_id * 9973) % 36000 AS DOUBLE)/100.0 - 180.0)"
+DOC_LAT_SQL = "(CAST((doc_id * 9941) % 17000 AS DOUBLE)/100.0 - 85.0)"
+
+
+def doc_lonlat(doc_id: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    doc_id = np.asarray(doc_id, dtype=np.int64)
+    lon = ((doc_id * 9973) % 36000).astype(np.float64) / 100.0 - 180.0
+    lat = ((doc_id * 9941) % 17000).astype(np.float64) / 100.0 - 85.0
+    return lon, lat
+
+
+# rectangles / stations derived from nation keys (25 rows, broadcast side)
+def _nation_rects(nation_df: pd.DataFrame) -> pd.DataFrame:
+    k = nation_df["n_nationkey"].to_numpy().astype(np.int64)
+    x0 = ((k * 7919) % 300).astype(np.float64) - 170.0
+    y0 = ((k * 6271) % 140).astype(np.float64) - 80.0
+    w = 20.0 + (k % 7).astype(np.float64) * 5.0
+    h = 15.0 + (k % 5).astype(np.float64) * 4.0
+    return pd.DataFrame({"rect_id": k, "x0": x0, "y0": y0, "x1": x0 + w, "y1": y0 + h})
+
+
+RECTS_SQL = """
+  SELECT CAST(n_nationkey AS BIGINT) AS rect_id,
+         CAST((n_nationkey * 7919) % 300 AS DOUBLE) - 170.0 AS x0,
+         CAST((n_nationkey * 6271) % 140 AS DOUBLE) - 80.0 AS y0,
+         CAST((n_nationkey * 7919) % 300 AS DOUBLE) - 170.0 + 20.0 + CAST(n_nationkey % 7 AS DOUBLE)*5.0 AS x1,
+         CAST((n_nationkey * 6271) % 140 AS DOUBLE) - 80.0 + 15.0 + CAST(n_nationkey % 5 AS DOUBLE)*4.0 AS y1
+  FROM nation
+"""
+
+
+def _nation_stations(nation_df: pd.DataFrame) -> pd.DataFrame:
+    k = nation_df["n_nationkey"].to_numpy().astype(np.int64)
+    lon = ((k * 137) % 360).astype(np.float64) - 180.0 + 0.5
+    lat = ((k * 73) % 170).astype(np.float64) - 85.0 + 0.5
+    return pd.DataFrame({"station_id": k, "slon": lon, "slat": lat})
+
+
+STATIONS_SQL = """
+  SELECT CAST(n_nationkey AS BIGINT) AS station_id,
+         CAST((n_nationkey * 137) % 360 AS DOUBLE) - 180.0 + 0.5 AS slon,
+         CAST((n_nationkey * 73) % 170 AS DOUBLE) - 85.0 + 0.5 AS slat
+  FROM nation
+"""
+
+
+# ---------------------------------------------------------------------------
+# exact dedup: hash-partitioned first-per-content (SURVEY.md 2.7 / guide)
+# ---------------------------------------------------------------------------
+
+def docs_exact_dedup(sf_dir: str):
+    from ray.data.aggregate import Count, Min
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        # shuffle a 64-bit content hash, not the document text (scale rule)
+        h = text_hash_u64(batch["text"])
+        return pa.table({"doc_id": batch["doc_id"], "h": pa.array(h, type=pa.uint64())})
+
+    agg = (
+        ds.map_batches(add_hash, batch_format="pyarrow")
+        .groupby("h")
+        .aggregate(Min("doc_id", alias_name="keep_id"), Count(alias_name="dup_count"))
+    )
+    df = agg.to_pandas().sort_values("keep_id").reset_index(drop=True)
+    return pd.DataFrame({"keep_id": df["keep_id"].astype("int64"), "dup_count": df["dup_count"].astype("int64")})
+
+
+DOCS_EXACT_DEDUP_SQL = """
+SELECT MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
+FROM documents GROUP BY text ORDER BY keep_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# token counting + quality scoring (vectorized Arrow string kernels)
+# ---------------------------------------------------------------------------
+
+def docs_token_stats(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def stats(batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        toks = pc.split_pattern_regex(text, r"\s+")
+        n_tokens = pc.list_value_length(toks).cast(pa.int64())
+        n_chars = pc.utf8_length(text).cast(pa.int64())
+        n_alpha = pc.count_substring_regex(text, "[A-Za-z]").cast(pa.int64())
+        n_spaces = pc.count_substring_regex(text, " ").cast(pa.int64())
+        alpha_ratio = pc.divide(n_alpha.cast(pa.float64()), pc.max_element_wise(n_chars.cast(pa.float64()), 1.0))
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "lang": batch["lang"],
+                "n_tokens": n_tokens,
+                "n_chars": n_chars,
+                "n_alpha": n_alpha,
+                "n_spaces": n_spaces,
+                "alpha_ratio": alpha_ratio,
+            }
+        )
+
+    df = ds.map_batches(stats, batch_format="pyarrow").to_pandas().sort_values("doc_id").reset_index(drop=True)
+    return df
+
+
+DOCS_TOKEN_STATS_SQL = """
+SELECT doc_id, lang,
+       CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha,
+       CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_spaces,
+       CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+         / greatest(CAST(length(text) AS DOUBLE), 1.0) AS alpha_ratio
+FROM documents ORDER BY doc_id
+"""
+
+
+def lang_token_summary(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "documents", ["text", "lang"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.list_value_length(pc.split_pattern_regex(batch["text"], r"\s+")).cast(pa.int64())
+        df = pd.DataFrame({"lang": batch["lang"].to_pandas(), "t": toks.to_pandas()})
+        return pa.Table.from_pandas(
+            df.groupby("lang", as_index=False).agg(total_tokens=("t", "sum"), n_docs=("t", "size")),
+            preserve_index=False,
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("total_tokens", alias_name="total_tokens"), Sum("n_docs", alias_name="n_docs"))
+    )
+    df = agg.to_pandas().sort_values("lang").reset_index(drop=True)
+    df["total_tokens"] = df["total_tokens"].astype("int64")
+    df["n_docs"] = df["n_docs"].astype("int64")
+    return df
+
+
+LANG_TOKEN_SUMMARY_SQL = """
+SELECT lang, CAST(SUM(len(regexp_split_to_array(text, '\\s+'))) AS BIGINT) AS total_tokens,
+       COUNT(*) AS n_docs
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# tile assignment over derived points (integer-exact on both sides)
+# ---------------------------------------------------------------------------
+
+def docs_tile_assign(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def assign(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)
+        lon, lat = doc_lonlat(did)
+        tx = np.floor((lon + 180.0) / 360.0 * 1024.0).astype(np.int64)
+        ty = np.floor((lat + 90.0) / 180.0 * 512.0).astype(np.int64)
+        np.clip(tx, 0, 1023, out=tx)
+        np.clip(ty, 0, 511, out=ty)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "lon": lon,
+                "lat": lat,
+                "tile_x": tx,
+                "tile_y": ty,
+                "tile_id": ty * 1024 + tx,
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow").to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+DOCS_TILE_ASSIGN_SQL = f"""
+SELECT doc_id, lon, lat, tile_x, tile_y, tile_y*1024 + tile_x AS tile_id
+FROM (
+  SELECT doc_id, lon, lat,
+         least(greatest(CAST(floor((lon + 180.0)/360.0*1024.0) AS BIGINT), 0), 1023) AS tile_x,
+         least(greatest(CAST(floor((lat + 90.0)/180.0*512.0) AS BIGINT), 0), 511) AS tile_y
+  FROM (SELECT doc_id, {DOC_LON_SQL} AS lon, {DOC_LAT_SQL} AS lat FROM documents)
+) ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# rect containment join (broadcast small side; SQL mirror = theta join)
+# ---------------------------------------------------------------------------
+
+def docs_rect_join(sf_dir: str):
+    import ray
+
+    nation = _read(sf_dir, "nation", ["n_nationkey"]).to_pandas()
+    rects = _nation_rects(nation)
+    rects_ref = ray.put(rects.to_numpy())  # columns: rect_id,x0,y0,x1,y1
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def join(batch: pa.Table) -> pa.Table:
+        R = ray.get(rects_ref)
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)
+        lon, lat = doc_lonlat(did)
+        # vectorized containment: (npts, nrects) — half-open [x0, x1)
+        inside = (
+            (lon[:, None] >= R[None, :, 1])
+            & (lon[:, None] < R[None, :, 3])
+            & (lat[:, None] >= R[None, :, 2])
+            & (lat[:, None] < R[None, :, 4])
+        )
+        pi, ri = np.nonzero(inside)
+        return pa.table(
+            {
+                "doc_id": pa.array(did[pi], type=pa.int64()),
+                "rect_id": pa.array(R[ri, 0].astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    df = ds.map_batches(join, batch_format="pyarrow").to_pandas()
+    return df.sort_values(["doc_id", "rect_id"]).reset_index(drop=True)
+
+
+DOCS_RECT_JOIN_SQL = f"""
+SELECT d.doc_id, r.rect_id
+FROM (SELECT doc_id, {DOC_LON_SQL} AS lon, {DOC_LAT_SQL} AS lat FROM documents) d
+JOIN ({RECTS_SQL}) r
+  ON d.lon >= r.x0 AND d.lon < r.x1 AND d.lat >= r.y0 AND d.lat < r.y1
+ORDER BY d.doc_id, r.rect_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# kNN: 3 nearest derived stations per doc, squared-degree metric (the
+# SQL-checkable twin of the haversine kNN stage; ties by station_id)
+# ---------------------------------------------------------------------------
+
+def docs_knn_stations(sf_dir: str, k: int = 3):
+    import ray
+
+    nation = _read(sf_dir, "nation", ["n_nationkey"]).to_pandas()
+    st = _nation_stations(nation)
+    st_ref = ray.put(st.to_numpy())
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def nn(batch: pa.Table) -> pa.Table:
+        S = ray.get(st_ref)  # station_id, slon, slat
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)
+        lon, lat = doc_lonlat(did)
+        dx = lon[:, None] - S[None, :, 1]
+        dy = lat[:, None] - S[None, :, 2]
+        d2 = dx * dx + dy * dy
+        sid = S[:, 0].astype(np.int64)
+        order = np.lexsort((np.broadcast_to(sid, d2.shape), d2), axis=1)[:, :k]
+        top_sid = sid[order]
+        top_d2 = np.take_along_axis(d2, order, axis=1)
+        n = len(did)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.repeat(did, k), type=pa.int64()),
+                "knn_rank": pa.array(np.tile(np.arange(1, k + 1, dtype=np.int64), n)),
+                "station_id": pa.array(top_sid.ravel(), type=pa.int64()),
+                "dist2": pa.array(top_d2.ravel(), type=pa.float64()),
+            }
+        )
+
+    df = ds.map_batches(nn, batch_format="pyarrow").to_pandas()
+    return df.sort_values(["doc_id", "knn_rank"]).reset_index(drop=True)
+
+
+DOCS_KNN_STATIONS_SQL = f"""
+SELECT doc_id, CAST(rn AS BIGINT) AS knn_rank, station_id, dist2
+FROM (
+  SELECT d.doc_id, s.station_id,
+         (d.lon - s.slon)*(d.lon - s.slon) + (d.lat - s.slat)*(d.lat - s.slat) AS dist2,
+         row_number() OVER (
+           PARTITION BY d.doc_id
+           ORDER BY (d.lon - s.slon)*(d.lon - s.slon) + (d.lat - s.slat)*(d.lat - s.slat), s.station_id
+         ) AS rn
+  FROM (SELECT doc_id, {DOC_LON_SQL} AS lon, {DOC_LAT_SQL} AS lat FROM documents) d
+  CROSS JOIN ({STATIONS_SQL}) s
+) WHERE rn <= 3 ORDER BY doc_id, rn
+"""
+
+
+# ---------------------------------------------------------------------------
+# ANN: brute-force cosine top-k against a broadcast query vector, with
+# integer-quantized dot products so the SQL oracle is bit-exact
+# ---------------------------------------------------------------------------
+
+def _quantized_embeddings(batch: pa.Table) -> np.ndarray:
+    emb = batch["embedding"].combine_chunks()
+    flat = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(batch)
+    dim = len(flat) // max(n, 1)
+    return np.round(flat * 1_000_000.0).astype(np.int64).reshape(n, dim)
+
+
+def ann_topk_cosine(sf_dir: str, k: int = 10):
+    import ray
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    # query vector = embedding of vec_id 0 (tiny driver-side read)
+    q_tbl = ds.filter(lambda r: r["vec_id"] == 0).take(1)
+    q = np.round(np.asarray(q_tbl[0]["embedding"], dtype=np.float64) * 1_000_000.0).astype(np.int64)
+    q_ref = ray.put(q)
+
+    def score(batch: pa.Table) -> pa.Table:
+        qv = ray.get(q_ref)
+        E = _quantized_embeddings(batch)
+        num = E @ qv  # exact int64
+        den1 = (E * E).sum(axis=1)
+        den0 = int(qv @ qv)
+        cos = num.astype(np.float64) / (np.sqrt(den1.astype(np.float64)) * np.sqrt(np.float64(den0)))
+        return pa.table({"vec_id": batch["vec_id"], "cos_sim": pa.array(cos, type=pa.float64())})
+
+    scored = ds.map_batches(score, batch_format="pyarrow")
+    top = scored.sort(["cos_sim", "vec_id"], descending=[True, False]).limit(k).to_pandas()
+    return top.reset_index(drop=True)
+
+
+ANN_TOPK_SQL = """
+WITH flat AS (
+  SELECT vec_id, i, CAST(round(CAST(embedding[i] AS DOUBLE)*1000000) AS BIGINT) AS v
+  FROM embeddings, range(1, 65) t(i)
+), q AS (
+  SELECT i, v FROM flat WHERE vec_id = 0
+), den0 AS (
+  SELECT SUM(v*v) AS d0 FROM q
+), dots AS (
+  SELECT f.vec_id, SUM(f.v*q.v) AS num, SUM(f.v*f.v) AS den1
+  FROM flat f JOIN q USING (i) GROUP BY f.vec_id
+)
+SELECT vec_id,
+       CAST(num AS DOUBLE)/(sqrt(CAST(den1 AS DOUBLE))*sqrt(CAST(d0 AS DOUBLE))) AS cos_sim
+FROM dots, den0
+ORDER BY cos_sim DESC, vec_id LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# embedding near-dup pairs within label buckets (the LSH-bucketed shape:
+# label plays the bucket role; real LSH variant lives in stages/dedup.py)
+# ---------------------------------------------------------------------------
+
+# threshold chosen from the synthetic embedding geometry: max intra-label
+# cosine is ~0.475, p99 ~0.295 — 0.30 keeps the result non-trivial but small
+NEARDUP_TAU = 0.30
+
+
+def embed_neardup_pairs(sf_dir: str):
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+
+    def per_label(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("vec_id").reset_index(drop=True)
+        E = np.round(np.stack(g["embedding"].to_numpy()).astype(np.float64) * 1_000_000.0).astype(np.int64)
+        num = E @ E.T
+        den = np.sqrt((E * E).sum(axis=1).astype(np.float64))
+        cos = num.astype(np.float64) / (den[:, None] * den[None, :])
+        ii, jj = np.nonzero(np.triu(cos >= NEARDUP_TAU, k=1))
+        vid = g["vec_id"].to_numpy().astype(np.int64)
+        return pd.DataFrame(
+            {
+                "vec_a": vid[ii],
+                "vec_b": vid[jj],
+                "label": g["label"].to_numpy()[ii].astype(np.int64),
+                "cos_sim": cos[ii, jj],
+            }
+        )
+
+    df = ds.groupby("label").map_groups(per_label, batch_format="pandas").to_pandas()
+    if df.empty:
+        df = pd.DataFrame({"vec_a": pd.Series(dtype="int64"), "vec_b": pd.Series(dtype="int64"),
+                           "label": pd.Series(dtype="int64"), "cos_sim": pd.Series(dtype="float64")})
+    return df.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+
+
+EMBED_NEARDUP_SQL = f"""
+WITH flat AS (
+  SELECT vec_id, label, i, CAST(round(CAST(embedding[i] AS DOUBLE)*1000000) AS BIGINT) AS v
+  FROM embeddings, range(1, 65) t(i)
+), dots AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+         SUM(a.v*b.v) AS num
+  FROM flat a JOIN flat b ON a.i = b.i AND a.label = b.label AND a.vec_id < b.vec_id
+  GROUP BY a.vec_id, b.vec_id, a.label
+), dens AS (
+  SELECT vec_id, SUM(v*v) AS den FROM flat GROUP BY vec_id
+)
+SELECT vec_a, vec_b, CAST(label AS BIGINT) AS label,
+       CAST(num AS DOUBLE)/(sqrt(CAST(da.den AS DOUBLE))*sqrt(CAST(db.den AS DOUBLE))) AS cos_sim
+FROM dots JOIN dens da ON dots.vec_a = da.vec_id JOIN dens db ON dots.vec_b = db.vec_id
+WHERE CAST(num AS DOUBLE)/(sqrt(CAST(da.den AS DOUBLE))*sqrt(CAST(db.den AS DOUBLE))) >= {NEARDUP_TAU}
+ORDER BY vec_a, vec_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# pedotransfer over derived soil columns (engine registry stage; rounded to
+# 6 decimals on both sides — pow/log ulp tolerance)
+# ---------------------------------------------------------------------------
+
+def soil_pedotransfer(sf_dir: str):
+    from ..functions.soil import pedotransfer_stage
+
+    ds = _read(sf_dir, "part", ["p_partkey"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        k = batch["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        clay = 0.05 + (k % 80).astype(np.float64) / 100.0
+        sand0 = 0.05 + ((k * 7) % 50).astype(np.float64) / 100.0
+        om = 1.0 + (k % 40).astype(np.float64) / 10.0
+        return pa.table({"p_partkey": batch["p_partkey"], "clay": clay, "sand": sand0, "om": om})
+
+    stage = pedotransfer_stage(["ksat", "thetas", "theta33", "theta1500"])
+    out = ds.map_batches(derive, batch_format="pyarrow").map_batches(stage, batch_format="pyarrow")
+    df = out.to_pandas().sort_values("p_partkey").reset_index(drop=True)
+    for c in ("ksat", "thetas", "theta33", "theta1500"):
+        df[c] = df[c].round(6)
+    return df.drop(columns=["clay", "sand", "om"])
+
+
+SOIL_PEDOTRANSFER_SQL = """
+WITH s AS (
+  SELECT p_partkey,
+         0.05 + CAST(p_partkey % 80 AS DOUBLE)/100.0 AS S,
+         0.05 + CAST((p_partkey*7) % 50 AS DOUBLE)/100.0 AS C,
+         1.0 + CAST(p_partkey % 40 AS DOUBLE)/10.0 AS OM
+  FROM part
+), t AS (
+  SELECT p_partkey, S, C, OM,
+         (0.031 - 0.024*S + 0.487*C + 0.006*OM + 0.005*S*OM - 0.013*C*OM + 0.068*S*C) AS t1500t,
+         (0.299 - 0.251*S + 0.195*C + 0.011*OM + 0.006*S*OM - 0.027*C*OM + 0.452*S*C) AS t33t,
+         (0.078 + 0.278*S + 0.034*C + 0.022*OM - 0.018*S*OM - 0.027*C*OM - 0.584*S*C) AS ts33t
+  FROM s
+), u AS (
+  SELECT p_partkey, S,
+         1.14*t1500t - 0.02 AS theta1500,
+         t33t + 1.283*t33t*t33t - 0.374*t33t - 0.015 AS theta33,
+         1.636*ts33t - 0.107 AS theta_s33
+  FROM t
+), v AS (
+  SELECT p_partkey, theta1500, theta33,
+         theta33 + theta_s33 - 0.097*S + 0.043 AS thetas,
+         (ln(theta33) - ln(theta1500))/(ln(1500.0) - ln(33.0)) AS lam
+  FROM u
+)
+SELECT p_partkey,
+       round(1930.0 * pow(thetas - theta33, 3.0 - lam), 6) AS ksat,
+       round(thetas, 6) AS thetas,
+       round(theta33, 6) AS theta33,
+       round(theta1500, 6) AS theta1500
+FROM v ORDER BY p_partkey
+"""
