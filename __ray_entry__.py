@@ -20,6 +20,7 @@ from typing import Any
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from geospatialtools_ray.pipelines import extraqueries as X
 from geospatialtools_ray.pipelines import relational as R
 from geospatialtools_ray.pipelines import textqueries as T
 
@@ -60,10 +61,20 @@ _SQL_CHECKED: dict[str, tuple[Callable[[str], Any], str]] = {
     "ann_topk_cosine": (T.ann_topk_cosine, T.ANN_TOPK_SQL),
     "embed_neardup_pairs": (T.embed_neardup_pairs, T.EMBED_NEARDUP_SQL),
     "soil_pedotransfer": (T.soil_pedotransfer, T.SOIL_PEDOTRANSFER_SQL),
+    "events_time_average": (X.events_time_average, X.EVENTS_TIME_AVERAGE_SQL),
 }
 
 # rows-only checks (non-SQL-expressible: stateful/iterative/geospatial ops)
-_ROWS_ONLY: dict[str, Callable[[str], Any]] = {}
+_ROWS_ONLY: dict[str, Callable[[str], Any]] = {
+    "docs_minhash_dedup": X.docs_minhash_dedup,
+    "docs_simhash_buckets": X.docs_simhash_buckets,
+    "docs_langid": X.docs_langid,
+    "docs_quality": X.docs_quality,
+    "docs_fingerprint": X.docs_fingerprint,
+    "ann_lsh_topk": X.ann_lsh_topk,
+    "terrain_basin_stats": X.terrain_basin_stats,
+    "flagship_spatial_join": X.flagship_spatial_join,
+}
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

@@ -1,0 +1,208 @@
+"""Second batch of driver-contract queries: time_average (SQL-checked),
+dedup/text/ANN/terrain/flagship entries (rows-only where SQL cannot express
+the op — the driver records a weaker rows-only check for those)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# time_average over per-user event series (reference upscaling_tools.f90:
+# 1-13 truncating block mean; engine functions/timeavg.py). Integer
+# quantization keeps the SQL oracle bit-exact.
+# ---------------------------------------------------------------------------
+
+NT_OUT = 4
+
+
+def events_time_average(sf_dir: str):
+    from ..functions.timeavg import time_average_values
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        v = np.round(g["value"].to_numpy() * 1000.0).astype(np.int64)
+        if len(v) < NT_OUT:
+            return pd.DataFrame()
+        dt = len(v) // NT_OUT
+        sums = v[: NT_OUT * dt].reshape(NT_OUT, dt).sum(axis=1)
+        avgs = sums.astype(np.float64) / (np.float64(dt) * 1000.0)
+        rec = {"user_id": [int(g["user_id"].iloc[0])], "nt_in": [len(v)]}
+        for k in range(NT_OUT):
+            rec[f"avg_{k + 1}"] = [avgs[k]]
+        return pd.DataFrame(rec)
+
+    out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas").to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+EVENTS_TIME_AVERAGE_SQL = f"""
+WITH s AS (
+  SELECT user_id, list(CAST(round(value*1000) AS BIGINT) ORDER BY ts, event_id) AS l
+  FROM events GROUP BY user_id
+), d AS (
+  SELECT user_id, l, len(l) AS nt_in, CAST(floor(len(l)/{NT_OUT}.0) AS BIGINT) AS dt
+  FROM s WHERE len(l) >= {NT_OUT}
+)
+SELECT user_id, CAST(nt_in AS BIGINT) AS nt_in,
+       CAST(list_sum(l[1 : dt]) AS DOUBLE)/(CAST(dt AS DOUBLE)*1000.0) AS avg_1,
+       CAST(list_sum(l[dt+1 : 2*dt]) AS DOUBLE)/(CAST(dt AS DOUBLE)*1000.0) AS avg_2,
+       CAST(list_sum(l[2*dt+1 : 3*dt]) AS DOUBLE)/(CAST(dt AS DOUBLE)*1000.0) AS avg_3,
+       CAST(list_sum(l[3*dt+1 : 4*dt]) AS DOUBLE)/(CAST(dt AS DOUBLE)*1000.0) AS avg_4
+FROM d ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# rows-only: dedup / text / ANN / terrain / flagship
+# ---------------------------------------------------------------------------
+
+def docs_minhash_dedup(sf_dir: str):
+    from ..stages.dedup import minhash_lsh_clusters
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = minhash_lsh_clusters(ds, num_perm=64, bands=16, shingle_k=5, jaccard_threshold=0.7).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def docs_simhash_buckets(sf_dir: str):
+    from ..stages.dedup import simhash_buckets
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return simhash_buckets(ds).to_pandas().sort_values(["doc_id", "band"]).reset_index(drop=True)
+
+
+def docs_langid(sf_dir: str):
+    from ..stages.text import LangId
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    out = ds.map_batches(LangId, batch_format="pandas", concurrency=(1, 4)).to_pandas()
+    out["lang_match"] = out["lang_pred"] == out["lang"]
+    return out[["doc_id", "lang", "lang_pred", "lang_match"]].sort_values("doc_id").reset_index(drop=True)
+
+
+def docs_quality(sf_dir: str):
+    from ..stages.text import QualityScore
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(QualityScore, batch_format="pandas", concurrency=(1, 4)).to_pandas()
+    return out.drop(columns=["text"]).sort_values("doc_id").reset_index(drop=True)
+
+
+def docs_fingerprint(sf_dir: str):
+    from ..stages.text import fingerprint_stage, token_count_stage
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = (
+        ds.map_batches(token_count_stage(), batch_format="pyarrow")
+        .map_batches(fingerprint_stage(), batch_format="pyarrow")
+        .to_pandas()
+    )
+    out["fingerprint"] = out["fingerprint"].astype("uint64").astype("int64")  # driver-friendly dtype
+    return out.drop(columns=["text"]).sort_values("doc_id").reset_index(drop=True)
+
+
+def ann_lsh_topk(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    from ..stages.ann import lsh_partitioned_topk
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    q_tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    Q = np.stack([np.asarray(q_tbl["embedding"][i].as_py()) for i in range(3)]).astype(np.float64)
+    return lsh_partitioned_topk(ds, Q, k=5, n_planes=6)
+
+
+def terrain_basin_stats(sf_dir: str):
+    """Distributed terrain chain (fill -> fdir -> acc -> channels -> basins
+    -> HAND) on the deterministic twovalley DEM, summarized per basin.
+    Non-SQL-expressible (iterative distributed algorithm) -> rows-only."""
+    from .. import synth
+    from ..terrain import dist as D
+    from ..terrain import kernels as K
+    from ..terrain import tiles as T
+
+    N, RES, TILE = 32, 30.0, 16
+    dem, mask = synth.dem_grid("twovalley", N)
+    z = dem.copy()
+    z[~mask] = np.float32(K.UNDEF)
+    ds = T.make_tiles_dataset({"dem": z.astype(np.float32), "landmask": mask.astype(np.int32)}, TILE)
+    filled = D.fill_dist(ds, RES)
+    fd = D.fdir_dist(filled, RES, N, N)
+    ac = D.acc_dist(fd, TILE, N, N)
+    ar = D.area_from_acc(ac, RES)
+    chds, topo = D.channels_dist(ar, 8 * RES * RES, 16 * RES * RES, N, N)
+    bds = D.basins_dist(chds, N, N)
+    hds = D.hand_dist(bds, N, N)
+
+    def stats(batch: pa.Table) -> pa.Table:
+        rows = {"basin": [], "n_cells": [], "sum_hand_mm": []}
+        for r in range(batch.num_rows):
+            b = T.tile_payload(batch, "basins", r)
+            h = T.tile_payload(batch, "hand", r)
+            for bid in np.unique(b[b > 0]):
+                sel = b == bid
+                hv = h[sel]
+                hv = hv[hv != np.float32(K.UNDEF)]
+                rows["basin"].append(int(bid))
+                rows["n_cells"].append(int(sel.sum()))
+                rows["sum_hand_mm"].append(int(np.round(hv.astype(np.float64) * 1000.0).sum()) if len(hv) else 0)
+        return pa.table({k: pa.array(v, type=pa.int64()) for k, v in rows.items()})
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        hds.map_batches(stats, batch_format="pyarrow")
+        .groupby("basin")
+        .aggregate(Sum("n_cells", alias_name="n_cells"), Sum("sum_hand_mm", alias_name="sum_hand_mm"))
+    )
+    df = agg.to_pandas().sort_values("basin").reset_index(drop=True)
+    df["basin"] = df["basin"].astype("int64")
+    df["n_cells"] = df["n_cells"].astype("int64")
+    df["mean_hand"] = df["sum_hand_mm"].astype("float64") / 1000.0 / df["n_cells"]
+    return df
+
+
+def flagship_spatial_join(sf_dir: str):
+    """End-to-end flagship join over the synthetic interleaved corpus
+    (input_hint schema); size scaled by sf. Rows-only (geometry join not
+    expressible over the testdata tables in SQL)."""
+    import pyarrow.parquet as pq
+
+    from .. import synth
+    from ..pipelines import flagship
+    from ..stages.spatial_join import SpatialJoin
+
+    n_li = pq.read_metadata(f"{sf_dir}/lineitem.parquet").num_rows
+    n_docs = max(2000, n_li // 30)
+    docs = synth.docs_dataset(n_docs, override_num_blocks=8)
+    idx_ref = flagship.polygon_index_ref(200)
+    pts = flagship.geo_points(docs)
+    joined = pts.map_batches(
+        SpatialJoin,
+        fn_constructor_kwargs={"index_ref": idx_ref},
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cells = batch["cell"].to_numpy(zero_copy_only=False)
+        u, c = np.unique(cells, return_counts=True)
+        return pa.table({"cell": pa.array(u, type=pa.uint64()), "n_hits": pa.array(c, type=pa.int64())})
+
+    from ray.data.aggregate import Sum
+
+    agg = joined.map_batches(partial, batch_format="pyarrow").groupby("cell").aggregate(Sum("n_hits", alias_name="n_hits"))
+    df = agg.to_pandas()
+    df["cell"] = df["cell"].astype("uint64").astype("int64")
+    return df.sort_values(["cell"]).reset_index(drop=True)

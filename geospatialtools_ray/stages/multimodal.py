@@ -1,0 +1,106 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media payloads are opaque `binary` columns with typed metadata
+(`media_kind`, `media_bytes`, width/height/duration when known). The Ray
+side — schema, batch sizing, actor signatures, output layout — is real and
+tested; the codec kernels are STUBBED behind `NotImplementedError` or a
+deterministic fake because no image/audio libraries exist in this
+container (marked clearly; swap `_decode_*_real` in when PIL/ffmpeg are
+available).
+
+Scale notes (BASELINE.md memory rules): media rows are large, so these
+stages run with SMALL batch_size (payload bytes x batch_size x concurrency
+must fit worker heap) and `batch_format="pyarrow"` so bytes stay zero-copy
+until the decode kernel touches them.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..hashing import h64, uniform01
+
+
+def synth_media_batch(media_refs) -> pa.Table:
+    """Deterministic fake media payloads for tests/bench: ref string ->
+    pseudo-random bytes with a parseable 16-byte header (kind, w, h)."""
+    from ..hashing import text_hash_u64
+
+    refs = list(media_refs)
+    keys = text_hash_u64(refs)
+    kinds = (keys % np.uint64(3)).astype(np.int8)  # 0=image,1=audio,2=video
+    w = (16 + (h64(keys, 1) % np.uint64(48))).astype(np.int32)
+    h = (16 + (h64(keys, 2) % np.uint64(48))).astype(np.int32)
+    blobs = []
+    for i, k in enumerate(keys):
+        n = int(64 + (int(h64(np.uint64(k), 3)) % 192))
+        body = (h64(np.arange(n, dtype=np.uint64) + k, 4) & np.uint64(0xFF)).astype(np.uint8)
+        header = np.array([kinds[i], 0, 0, 0], dtype=np.uint8).tobytes() + np.array([w[i], h[i]], dtype="<i4").tobytes() + b"\x00" * 4
+        blobs.append(header + body.tobytes())
+    return pa.table(
+        {
+            "media_ref": pa.array(refs, type=pa.string()),
+            "media_kind": pa.array(np.where(kinds == 0, "image", np.where(kinds == 1, "audio", "video"))),
+            "media_bytes": pa.array(blobs, type=pa.binary()),
+            "width": pa.array(w),
+            "height": pa.array(h),
+        }
+    )
+
+
+class ImageDecode:
+    """Actor stage: binary image -> fixed-size feature vector.
+
+    STUB: the real kernel would be PIL/turbojpeg decode + resize; this
+    container has neither, so `use_fake=True` derives a deterministic
+    feature vector from the bytes (keeps the pipeline testable end-to-end),
+    and `use_fake=False` raises NotImplementedError to mark the seam."""
+
+    def __init__(self, feature_dim: int = 16, use_fake: bool = True):
+        self.dim = feature_dim
+        self.use_fake = use_fake
+
+    def _decode_real(self, blob: bytes) -> np.ndarray:  # pragma: no cover
+        raise NotImplementedError(
+            "image decode requires PIL/libjpeg — not available in this "
+            "container; plug the real kernel here"
+        )
+
+    def _decode_fake(self, blob: bytes) -> np.ndarray:
+        b = np.frombuffer(blob, dtype=np.uint8)
+        keys = h64(np.arange(self.dim, dtype=np.uint64) + np.uint64(len(b)), int(b[:8].sum()))
+        return (keys >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        blobs = batch["media_bytes"].to_pylist()
+        feats = np.stack([(self._decode_fake if self.use_fake else self._decode_real)(b) for b in blobs])
+        col = pa.FixedSizeListArray.from_arrays(pa.array(feats.ravel(), type=pa.float32()), self.dim)
+        return batch.append_column("image_features", col)
+
+
+class FrameSample:
+    """Actor stage: video -> N deterministic frame offsets (metadata only —
+    real frame extraction is the same NotImplementedError seam)."""
+
+    def __init__(self, n_frames: int = 4):
+        self.n = n_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        refs = batch["media_ref"].to_pylist()
+        from ..hashing import text_hash_u64
+
+        keys = text_hash_u64(refs)
+        offs = np.stack([np.sort(uniform01(np.full(self.n, k, dtype=np.uint64), s)) for s, k in enumerate(keys)])
+        col = pa.FixedSizeListArray.from_arrays(pa.array(offs.ravel(), type=pa.float64()), self.n)
+        return batch.append_column("frame_offsets", col)
+
+
+def decode_pipeline(media_ds, concurrency=(1, 4), batch_size: int = 256):
+    """Reference wiring: small batches, actor pool, Arrow throughout."""
+    return media_ds.map_batches(
+        ImageDecode,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

@@ -362,3 +362,315 @@ def area_from_acc(ds, res: float, mask_col: str = "landmask"):
         return batch.append_column("area", pa.array([x for x in out], type=pa.list_(pa.float32())))
 
     return ds.map_batches(apply, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Flow-path inheritance (basins, HAND): each cell inherits the payload of
+# the first "source" cell strictly downstream. Within-tile pointer
+# compression happens ONCE (each cell's dependency collapses to either a
+# resolved value or one adjacent halo cell); rounds then just gather halo
+# provide-values — one tile-hop per round, log-free and exact.
+# ---------------------------------------------------------------------------
+
+def flow_inherit(ds, setup, N0: int, N1: int, dead_default: float, out_name: str, max_rounds: int = 10000):
+    """setup(tr, arrays) -> src_val float64[n0,n1] (NaN where not a source).
+    A cell's provide-value: src_val if source; dead_default if its chain
+    dead-ends (out-of-grid / fdir nodata); else the provide-value of the
+    first downstream source. Output column `<out_name>` holds each cell's
+    provide-value (callers map it to final semantics)."""
+
+    def init(batch: pa.Table) -> pa.Table:
+        provides, flags, deps = [], [], []
+        for r in range(batch.num_rows):
+            fdir = T.tile_payload(batch, "fdir", r)
+            n0, n1 = fdir.shape
+            i0 = int(batch["i0"][r].as_py())
+            j0 = int(batch["j0"][r].as_py())
+            arrays = {c: T.tile_payload(batch, c, r) for c in batch.column_names if c not in ("tx", "ty", "i0", "j0", "n0", "n1")}
+            src = setup({"i0": i0, "j0": j0, "n0": n0, "n1": n1}, arrays)
+            provide = np.where(np.isnan(src), np.nan, src)
+            flag = (~np.isnan(src)).astype(np.int8)
+            dep = np.full((n0, n1), -1, dtype=np.int32)  # padded flat idx
+            # downstream decomposition
+            k = np.where(fdir >= 0, fdir % 8, 0)
+            has = (fdir >= 0) & (fdir < 8)
+            d0 = np.where(has, np.arange(n0)[:, None] + K.POS_ARR[k, 0], -9)
+            d1 = np.where(has, np.arange(n1)[None, :] + K.POS_ARR[k, 1], -9)
+            gi = i0 + d0
+            gj = j0 + d1
+            terminal = ~has | (gi < 0) | (gi >= N0) | (gj < 0) | (gj >= N1)
+            inside = has & ~terminal & (d0 >= 0) & (d0 < n0) & (d1 >= 0) & (d1 < n1)
+            external = has & ~terminal & ~inside
+            # base cells: sources (flag=1), terminals (resolve to default),
+            # externals (dep on adjacent halo cell)
+            unresolved = flag == 0
+            provide[terminal & unresolved] = dead_default
+            flag[terminal & unresolved] = 1
+            ext_cells = external & (flag == 0)
+            # padded flat index of the adjacent external target
+            dep[ext_cells] = ((d0[ext_cells] + 1) * (n1 + 2) + (d1[ext_cells] + 1)).astype(np.int32)
+            # upstream BFS from all base cells: children inherit resolution
+            flat_down = np.where(inside, d0 * n1 + d1, -1).ravel()
+            up_children: dict[int, list[int]] = {}
+            for c, fd in enumerate(flat_down):
+                if fd >= 0:
+                    up_children.setdefault(int(fd), []).append(c)
+            pf = provide.ravel()
+            ff = flag.ravel()
+            df = dep.ravel()
+            queue = [c for c in range(n0 * n1) if ff[c] == 1 or df[c] >= 0]
+            head = 0
+            while head < len(queue):
+                c = queue[head]
+                head += 1
+                for u in up_children.get(c, []):
+                    if ff[u] == 1 or df[u] >= 0:
+                        continue  # u is its own base (source)
+                    if ff[c] == 1:
+                        pf[u] = pf[c]
+                        ff[u] = 1
+                    else:
+                        df[u] = df[c]
+                    queue.append(u)
+            provides.append(pf)
+            flags.append(ff)
+            deps.append(df)
+        b = batch.append_column("provide", pa.array([x for x in provides], type=pa.list_(pa.float64())))
+        b = b.append_column("pflag", pa.array([x for x in flags], type=pa.list_(pa.int8())))
+        b = b.append_column("pdep", pa.array([x for x in deps], type=pa.list_(pa.int32())))
+        return b
+
+    cur = ds.map_batches(init, batch_format="pyarrow").materialize()
+    for _ in range(max_rounds):
+        def kernel(tr, padded):
+            n0, n1 = int(tr["n0"]), int(tr["n1"])
+            provide = np.asarray(tr["provide"], dtype=np.float64).copy()
+            flag = np.asarray(tr["pflag"], dtype=np.int8).copy()
+            dep = np.asarray(tr["pdep"], dtype=np.int32)
+            halo_p = padded["provide"].ravel()
+            halo_f = padded["pflag"].ravel()
+            pending = (flag == 0) & (dep >= 0)
+            idx = dep[pending]
+            ok = halo_f[idx] == 1
+            vals = halo_p[idx]
+            tgt = np.flatnonzero(pending)[ok]
+            provide[tgt] = vals[ok]
+            flag[tgt] = 1
+            return {
+                "provide": provide,
+                "pflag": flag,
+                "n_changed": np.asarray([int(ok.sum())], dtype=np.int64),
+            }
+
+        nxt = T.halo_map(cur, ["provide", "pflag"], kernel, width=1).materialize()
+        total = sum(int(np.asarray(x)[0]) for x in nxt.select_columns(["n_changed"]).to_pandas()["n_changed"])
+        cur = nxt.drop_columns(["n_changed"]).materialize()
+        if total == 0:
+            break
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        outs = []
+        for r in range(batch.num_rows):
+            provide = T.tile_payload(batch, "provide", r)
+            flag = T.tile_payload(batch, "pflag", r)
+            out = np.where(flag == 1, provide, dead_default)
+            outs.append(out.ravel())
+        b = batch.append_column(out_name, pa.array([x for x in outs], type=pa.list_(pa.float64())))
+        return b.drop_columns(["provide", "pflag", "pdep"])
+
+    return cur.map_batches(finalize, batch_format="pyarrow")
+
+
+def basins_dist(ds, N0: int, N1: int):
+    """Distributed delineate_basins (terrain_tools.f90:1243-1293). Tiles
+    must carry `channels` (int32) and `landmask`. Adds `basins`."""
+
+    def setup(meta, arrays):
+        ch = arrays["channels"].astype(np.int64)
+        m = arrays["landmask"]
+        src = np.full(ch.shape, np.nan)
+        src[ch > 0] = ch[ch > 0].astype(np.float64)  # labeled cells provide their id
+        src[(m == 0) & (ch <= 0)] = 0.0  # unlabeled unmasked cells provide 0
+        return src
+
+    out = flow_inherit(ds, setup, N0, N1, dead_default=0.0, out_name="inherit")
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        res = []
+        for r in range(batch.num_rows):
+            ch = T.tile_payload(batch, "channels", r).astype(np.int64)
+            m = T.tile_payload(batch, "landmask", r)
+            inh = T.tile_payload(batch, "inherit", r)
+            basins = ch.copy()
+            grow = (ch == 0) & (m >= 1)
+            basins[grow] = inh[grow].astype(np.int64)
+            res.append(basins.ravel())
+        b = batch.append_column("basins", pa.array([x for x in res], type=pa.list_(pa.int64())))
+        return b.drop_columns(["inherit"])
+
+    return out.map_batches(finalize, batch_format="pyarrow")
+
+
+def hand_dist(ds, N0: int, N1: int):
+    """Distributed depth2channel / HAND (terrain_tools.f90:1652-1725) with
+    CLEAN dead-end semantics: paths that never reach a positive-depth
+    channel yield undef instead of the reference's stale-cd scan artifact
+    (equal on fixtures where all cells drain to channels — asserted in
+    tests). Tiles carry `channels`, `landmask`, `demns`. Adds `hand`."""
+
+    def setup(meta, arrays):
+        ch = arrays["channels"]
+        m = arrays["landmask"]
+        dem = arrays["demns"].astype(np.float64)
+        cd = np.maximum(dem, 0.0)
+        src = np.full(dem.shape, np.nan)
+        is_src = (ch > 0) & (m >= 1) & (cd > 0)  # zero-depth channels transparent
+        src[is_src] = cd[is_src]
+        src[(m == 0)] = np.inf  # mask dead-end marker -> undef downstream
+        return src
+
+    out = flow_inherit(ds, setup, N0, N1, dead_default=np.inf, out_name="cdval")
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        res = []
+        for r in range(batch.num_rows):
+            dem = T.tile_payload(batch, "demns", r).astype(np.float64)
+            m = T.tile_payload(batch, "landmask", r)
+            ch = T.tile_payload(batch, "channels", r)
+            cdv = T.tile_payload(batch, "cdval", r)
+            cd_own = np.maximum(dem, 0.0)
+            cd = np.where((ch > 0) & (m >= 1) & (cd_own > 0), cd_own, cdv)
+            hand = (dem - cd).astype(np.float32)
+            hand[~np.isfinite(cd)] = np.float32(UNDEF)
+            hand[hand < 0] = np.float32(UNDEF)
+            hand[m <= 0] = np.float32(UNDEF)
+            res.append(hand.ravel())
+        b = batch.append_column("hand", pa.array([x for x in res], type=pa.list_(pa.float32())))
+        return b.drop_columns(["cdval"])
+
+    return out.map_batches(finalize, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Channels: collect the tiny candidate subgraph (area > threshold), trace
+# it with the exact sequential sparse kernel, paint labels back broadcast.
+# Shoreline pseudo-channels (cid >= 999999, terrain_tools.f90:962-980) are
+# computed distributed: a halo pass finds ocean cells adjacent to land, and
+# the reference's scan-order ocid counter is reproduced with global prefix
+# sums of mask-0 counts per (row, tile) — deterministic, no sequential scan.
+# ---------------------------------------------------------------------------
+
+def channels_dist(ds, threshold: float, basin_threshold: float, N0: int, N1: int, with_ocean: bool = True):
+    """Tiles carry `area` (float32), `fdir`, `landmask`. Adds `channels`
+    (int64: 0 land background, >0 segment ids, >=999999 shoreline, -9999
+    outside mask). Returns (dataset, topology dict)."""
+    import ray
+
+    def collect_cand(batch: pa.Table) -> pa.Table:
+        gi_l, gj_l, ar_l, di_l, dj_l = [], [], [], [], []
+        for r in range(batch.num_rows):
+            area = T.tile_payload(batch, "area", r)
+            fdir = T.tile_payload(batch, "fdir", r)
+            i0 = int(batch["i0"][r].as_py())
+            j0 = int(batch["j0"][r].as_py())
+            sel = area > threshold
+            if not sel.any():
+                continue
+            ii, jj = np.nonzero(sel)
+            k = np.where(fdir >= 0, fdir % 8, 0)
+            has = (fdir >= 0) & (fdir < 8)
+            d0 = np.where(has, np.arange(area.shape[0])[:, None] + K.POS_ARR[k, 0], -(10 ** 9))
+            d1 = np.where(has, np.arange(area.shape[1])[None, :] + K.POS_ARR[k, 1], -(10 ** 9))
+            gi_l.append(i0 + ii)
+            gj_l.append(j0 + jj)
+            ar_l.append(area[sel].astype(np.float64))
+            di_l.append(np.where(has[sel], i0 + d0[sel], -(10 ** 9)))
+            dj_l.append(np.where(has[sel], j0 + d1[sel], -(10 ** 9)))
+        if not gi_l:
+            return pa.table({"gi": pa.array([], type=pa.int64()), "gj": pa.array([], type=pa.int64()),
+                             "area": pa.array([], type=pa.float64()), "di": pa.array([], type=pa.int64()),
+                             "dj": pa.array([], type=pa.int64())})
+        return pa.table({
+            "gi": pa.array(np.concatenate(gi_l), type=pa.int64()),
+            "gj": pa.array(np.concatenate(gj_l), type=pa.int64()),
+            "area": pa.array(np.concatenate(ar_l), type=pa.float64()),
+            "di": pa.array(np.concatenate(di_l), type=pa.int64()),
+            "dj": pa.array(np.concatenate(dj_l), type=pa.int64()),
+        })
+
+    cand_tbl = ds.map_batches(collect_cand, batch_format="pyarrow").to_pandas()
+    cand = {(int(r.gi), int(r.gj)): float(r.area) for r in cand_tbl.itertuples()}
+    down = {
+        (int(r.gi), int(r.gj)): ((int(r.di), int(r.dj)) if r.di > -(10 ** 8) else None)
+        for r in cand_tbl.itertuples()
+    }
+    labels, topology = K.calculate_channels_sparse(cand, down, basin_threshold)
+    labels_ref = ray.put(labels)
+
+    # global prefix ranks for the ocean scan-order counter: per (gi, j0)
+    # mask-0 counts -> driver prefix sums (rows x tile-columns, small)
+    prefix_ref = None
+    if with_ocean:
+        def count_mask0(batch: pa.Table) -> pa.Table:
+            gi_l, j0_l, n_l = [], [], []
+            for r in range(batch.num_rows):
+                m = T.tile_payload(batch, "landmask", r)
+                i0 = int(batch["i0"][r].as_py())
+                j0 = int(batch["j0"][r].as_py())
+                cnt = (m == 0).sum(axis=1)
+                for k2 in range(m.shape[0]):
+                    if cnt[k2]:
+                        gi_l.append(i0 + k2)
+                        j0_l.append(j0)
+                        n_l.append(int(cnt[k2]))
+            return pa.table({"gi": pa.array(gi_l, type=pa.int64()), "j0": pa.array(j0_l, type=pa.int64()),
+                             "n": pa.array(n_l, type=pa.int64())})
+
+        cnts = ds.map_batches(count_mask0, batch_format="pyarrow").to_pandas()
+        starts = {}
+        if not cnts.empty:
+            cnts = cnts.sort_values(["gi", "j0"]).reset_index(drop=True)
+            run = 0
+            for r in cnts.itertuples():
+                starts[(int(r.gi), int(r.j0))] = run
+                run += int(r.n)
+        prefix_ref = ray.put(starts)
+
+    # shoreline + paint via one halo pass on landmask
+    def kernel(tr, padded):
+        lab = ray.get(labels_ref)
+        starts = ray.get(prefix_ref) if prefix_ref is not None else {}
+        m_pad = padded["landmask"]
+        i0, j0 = int(tr["i0"]), int(tr["j0"])
+        n0, n1 = int(tr["n0"]), int(tr["n1"])
+        m = m_pad[1:-1, 1:-1]
+        ch = np.zeros((n0, n1), dtype=np.int64)
+        for (gi, gj), cid in lab.items():
+            if i0 <= gi < i0 + n0 and j0 <= gj < j0 + n1:
+                ch[gi - i0, gj - j0] = cid
+        ch_wob = ch.copy()
+        if with_ocean:
+            # 3x3 any-land test, clamped at global borders: the sentinel
+            # ring carries -9999 which never counts as land (>0)
+            land_any = np.zeros((n0, n1), dtype=bool)
+            mp = np.where(m_pad > 0, 1, 0)
+            for di in (-1, 0, 1):
+                for dj in (-1, 0, 1):
+                    land_any |= mp[1 + di : 1 + di + n0, 1 + dj : 1 + dj + n1] > 0
+            # scan-order ocid: 999999 + rank among mask-0 cells
+            mask0 = m == 0
+            ranks = np.zeros((n0, n1), dtype=np.int64)
+            for li in range(n0):
+                row0 = np.flatnonzero(mask0[li])
+                if len(row0) == 0:
+                    continue
+                base = starts.get((i0 + li, j0), 0)
+                ranks[li, row0] = base + np.arange(len(row0))
+            shore = mask0 & land_any
+            ch[shore] = 999999 + ranks[shore]
+            ch[(m == 0) & (ch == 0)] = IUNDEF
+            ch_wob[(m == 0) & (ch_wob == 0)] = IUNDEF
+        return {"channels": ch, "channels_wob": ch_wob}
+
+    painted = T.halo_map(ds, ["landmask"], kernel, width=1)
+    return painted, topology

@@ -686,3 +686,80 @@ def delineate_hillslopes(channels: np.ndarray, area_in: np.ndarray, fdir: np.nda
 def cleanup_labels_inplace_like_reference(labels: np.ndarray) -> np.ndarray:
     """delineate_hillslopes ends with cleanup_hillslopes (f90:1333)."""
     return cleanup_labels(labels)
+
+# ---------------------------------------------------------------------------
+# Sparse channel trace: identical semantics to calculate_channels but over
+# the collected candidate set (area > threshold) only — the distributed
+# engine's sequential core (SURVEY.md 2.8: channel cells are <<1% of the
+# grid, so the subgraph is collected and traced exactly).
+# ---------------------------------------------------------------------------
+
+def calculate_channels_sparse(
+    cand: dict[tuple[int, int], float],
+    down: dict[tuple[int, int], tuple[int, int] | None],
+    basin_threshold: float,
+):
+    """cand: candidate cell -> area; down: candidate -> absolute downstream
+    cell (may be a non-candidate or None). Returns (labels dict, topology).
+    Order semantics match the dense kernel: seeds by (-area, j, i) Fortran
+    maxloc order; neighbor iteration in POS order."""
+    # upstream adjacency among candidates, in POS order per cell
+    ups: dict[tuple[int, int], list[tuple[int, int]]] = {c: [] for c in cand}
+    downset = {c: d for c, d in down.items() if c in cand}
+    for (i, j) in cand:
+        for (di, dj) in POS:
+            nb = (i + di, j + dj)
+            if nb in cand and downset.get(nb) == (i, j):
+                ups[(i, j)].append(nb)
+
+    labels: dict[tuple[int, int], int] = {}
+    topology: dict[int, int] = {}
+    consumed: set[tuple[int, int]] = set()
+    # seed order: (-area, j, i) == Fortran maxloc first-occurrence
+    order = sorted(cand.keys(), key=lambda c: (-cand[c], c[1], c[0]))
+
+    def upcount(c):
+        return sum(1 for u in ups[c] if u not in consumed and cand[u] >= basin_threshold)
+
+    hcid_cell = [0]
+    for seed in order:
+        if seed in consumed:
+            continue
+        hcid_cell[0] += 1
+        cid_cell = [hcid_cell[0]]
+        if cand[seed] >= basin_threshold:
+            labels[seed] = cid_cell[0]
+            topology[cid_cell[0]] = -1
+        consumed.add(seed)
+        # frame machine mirroring _channels_upstream
+        def make_frame(c, fcid_cell):
+            return [c, fcid_cell, [fcid_cell[0]], ups[c], 0, upcount(c)]
+
+        stack = [make_frame(seed, cid_cell)]
+        while stack:
+            fr = stack[-1]
+            c, fcid_cell, org_cell, nbrs, idx, count = fr
+            if idx >= len(nbrs):
+                stack.pop()
+                continue
+            fr[4] += 1
+            u = nbrs[idx]
+            if u in consumed:
+                continue
+            if count <= 1:
+                consumed.add(u)
+                labels[u] = labels.get(c, 0)
+                child_cell = fcid_cell
+            elif cand[u] >= basin_threshold:
+                hcid_cell[0] += 1
+                fcid_cell[0] = hcid_cell[0]
+                consumed.add(u)
+                labels[u] = fcid_cell[0]
+                topology[fcid_cell[0]] = int(org_cell[0])
+                child_cell = fcid_cell
+            else:
+                consumed.add(u)
+                labels[u] = org_cell[0]
+                child_cell = org_cell
+            stack.append(make_frame(u, child_cell))
+    return labels, topology

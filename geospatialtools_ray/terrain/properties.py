@@ -1,0 +1,209 @@
+"""Group analytics over terrain label maps (SURVEY.md 2.5): per-basin /
+per-channel / per-HRU property tables, HRU creation via per-group KMeans.
+
+Execution shapes:
+- commutative stats (means/sums/counts): per-tile PARTIAL aggregation in
+  map_batches -> tiny groupby of partials (never shuffling cells).
+- profile/ecdf/cluster computations whose semantics need the whole group:
+  cells -> groupby(label).map_groups (groups bounded by basin/HRU size).
+- id-offset chains (create_hrus' sequential maxc): per-group local labels
+  + driver-side prefix-sum of group sizes (small), broadcast paint-back.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions.cluster import kmeans_fit, kmeans_predict
+from ..functions.geometry import normalize
+from . import kernels as K
+from . import tiles as T
+
+
+def tiles_to_cells(ds, cols: list[str], drop_undef_col: str | None = None):
+    """Tile dataset -> cell-level dataset (gi, gj, <cols>). Used before
+    label groupbys; the undef filter keeps the exchange small."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        out = {"gi": [], "gj": [], **{c: [] for c in cols}}
+        for r in range(batch.num_rows):
+            i0 = int(batch["i0"][r].as_py())
+            j0 = int(batch["j0"][r].as_py())
+            arrs = {c: T.tile_payload(batch, c, r) for c in cols}
+            n0, n1 = next(iter(arrs.values())).shape
+            gi, gj = np.meshgrid(i0 + np.arange(n0), j0 + np.arange(n1), indexing="ij")
+            keep = np.ones((n0, n1), dtype=bool)
+            if drop_undef_col is not None:
+                v = arrs[drop_undef_col]
+                keep = (v != K.IUNDEF) & (v != np.float32(K.UNDEF))
+            out["gi"].append(gi[keep].astype(np.int64))
+            out["gj"].append(gj[keep].astype(np.int64))
+            for c in cols:
+                out[c].append(arrs[c][keep])
+        if not out["gi"]:
+            return pa.table({"gi": pa.array([], type=pa.int64()), "gj": pa.array([], type=pa.int64()),
+                             **{c: pa.array([]) for c in cols}})
+        return pa.table({k: pa.array(np.concatenate(v)) for k, v in out.items()})
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
+def basin_properties(cells_ds, label_col: str, var_cols: list[str]):
+    """calculate_basin_properties_updated (terrain_tools.py:340-392): per
+    label, the plain mean of each covariate (the reference averages raw
+    values INCLUDING -9999 sentinels — its own filtering is commented out
+    at :379-383; reproduced). Partial sums per batch -> groupby -> finalize."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lab = batch[label_col].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"bid": lab})
+        for c in var_cols:
+            df[f"s_{c}"] = batch[c].to_numpy(zero_copy_only=False).astype(np.float64)
+        df["n"] = 1
+        g = df.groupby("bid", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    aggs = [Sum(f"s_{c}", alias_name=f"s_{c}") for c in var_cols] + [Sum("n", alias_name="n")]
+    out = cells_ds.map_batches(partial, batch_format="pyarrow").groupby("bid").aggregate(*aggs)
+    df = out.to_pandas().sort_values("bid").reset_index(drop=True)
+    res = pd.DataFrame({"bid": df["bid"].astype("int64")})
+    for c in var_cols:
+        res[c] = df[f"s_{c}"].astype("float64") / df["n"].astype("float64")
+    res["n_cells"] = df["n"].astype("int64")
+    return res
+
+
+def channel_properties(cells_ds, topology: dict[int, int], eares: float, slope_col: str = "slope", label_col: str = "channels"):
+    """calculate_channel_properties (terrain_tools.py:1634-1664): per
+    channel mean slope, total length = count*eares, constants manning=0.04,
+    width=30, bankfull=1; topology re-indexed to 0-based."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lab = batch[label_col].to_numpy(zero_copy_only=False)
+        sl = batch[slope_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        keep = (lab > 0) & (lab < 999999)
+        df = pd.DataFrame({"cid": lab[keep], "s_slope": sl[keep], "n": 1})
+        g = df.groupby("cid", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (
+        cells_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("cid")
+        .aggregate(Sum("s_slope", alias_name="s_slope"), Sum("n", alias_name="n"))
+    )
+    df = out.to_pandas().sort_values("cid").reset_index(drop=True)
+    res = pd.DataFrame(
+        {
+            "cid": df["cid"].astype("int64"),
+            "slope": df["s_slope"] / df["n"],
+            "length": df["n"].astype("float64") * eares,
+            "manning": 0.04,
+            "width": 30.0,
+            "bankfull": 1.0,
+        }
+    )
+    res["down_cid"] = [topology.get(int(c), -9999) - 1 if topology.get(int(c), -9999) > 0 else -1 for c in res["cid"]]
+    return res
+
+
+def hru_properties(cells_ds, res: float, nbins: int = 10):
+    """calculate_hru_properties_updated core (terrain_tools.py:1181-1240):
+    per HRU — int-mean hillslope id, area=res^2*count, mean slope, and the
+    10-bin HAND ecdf with sentinel-mean imputation (:1216-1229). Whole-group
+    semantics -> groupby(hru).map_groups."""
+
+    def per_hru(g: pd.DataFrame) -> pd.DataFrame:
+        hand = g["hand"].to_numpy(dtype=np.float64)
+        ok = hand != K.UNDEF
+        if ok.sum() == 0:
+            hand = np.zeros_like(hand)
+        else:
+            hand = np.where(ok, hand, hand[ok].mean())
+        hist, bedges = np.histogram(hand, bins=nbins)
+        ecdf = np.cumsum(hist).astype(np.float32)
+        ecdf = ecdf / ecdf[-1]
+        ecdf = np.append(np.zeros(1, dtype=np.float32), ecdf)
+        return pd.DataFrame(
+            {
+                "hru": [int(g["hrus"].iloc[0])],
+                "hillslope_id": [int(np.mean(g["hillslopes"].to_numpy(dtype=np.float64)))],
+                "area": [np.float64(res * res * len(g))],
+                "hillslope_slope": [np.float64(np.mean(g["slope"].to_numpy(dtype=np.float64)))],
+                "hand_ecdf": [ecdf.tolist()],
+                "hand_bedges": [bedges.tolist()],
+            }
+        )
+
+    out = cells_ds.groupby("hrus").map_groups(per_hru, batch_format="pandas").to_pandas()
+    return out.sort_values("hru").reset_index(drop=True)
+
+
+def create_hrus_grouped(cells_ds, cov_cols: list[str], cov_ranges: dict[str, tuple[float, float]], nclusters: int):
+    """create_hrus semantics (terrain_tools.py:1090-1154): per (hillslope,
+    tile) group, KMeans over globally-normalized covariates; group cluster
+    ids offset by a sequential running max in (hillslope, tile) order.
+
+    Distributed: per-group local labels via map_groups; group max-label
+    table to the driver (small: one row per group); prefix-sum offsets in
+    (hillslope, tile) order; broadcast; final dense-rank cleanup + +1
+    (terrain_tools.py:1147-1149)."""
+    import ray
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        X = []
+        for c in cov_cols:
+            lo, hi = cov_ranges[c]
+            X.append(normalize(g[c].to_numpy(dtype=np.float64), lo, hi))
+        X = np.stack(X, axis=1)
+        # deterministic per-group fit (row order fixed by sorting)
+        order = np.lexsort((g["gj"].to_numpy(), g["gi"].to_numpy()))
+        nc = min(nclusters, len(g))
+        C = kmeans_fit(X[order], nc)
+        lab = kmeans_predict(X, C)
+        return pd.DataFrame(
+            {
+                "gi": g["gi"],
+                "gj": g["gj"],
+                "hillslope": g["hillslopes"].astype("int64"),
+                "tile": g["tiles"].astype("int64"),
+                "local_hru": lab.astype(np.int64),
+            }
+        )
+
+    labeled = cells_ds.groupby(["hillslopes", "tiles"]).map_groups(per_group, batch_format="pandas").materialize()
+
+    from ray.data.aggregate import Max
+
+    gmax = labeled.groupby(["hillslope", "tile"]).aggregate(Max("local_hru", alias_name="mx")).to_pandas()
+    gmax = gmax.sort_values(["hillslope", "tile"]).reset_index(drop=True)
+    offsets = {}
+    run = 1  # reference maxc starts at 1 (terrain_tools.py:1102)
+    for r in gmax.itertuples():
+        offsets[(int(r.hillslope), int(r.tile))] = run
+        run += int(r.mx) + 1
+    off_ref = ray.put(offsets)
+
+    def paint(batch: pa.Table) -> pa.Table:
+        off = ray.get(off_ref)
+        h = batch["hillslope"].to_numpy(zero_copy_only=False)
+        t = batch["tile"].to_numpy(zero_copy_only=False)
+        l = batch["local_hru"].to_numpy(zero_copy_only=False)
+        hru = np.asarray([off[(int(a), int(b))] for a, b in zip(h, t)], dtype=np.int64) + l
+        return pa.table(
+            {
+                "gi": batch["gi"],
+                "gj": batch["gj"],
+                "hru_raw": pa.array(hru),
+            }
+        )
+
+    painted = labeled.map_batches(paint, batch_format="pyarrow").to_pandas()
+    # dense-rank cleanup (terrain_tools.f90:1604-1650 via :1147) + 1
+    ids = np.sort(painted["hru_raw"].unique())
+    rank = {int(v): i for i, v in enumerate(ids)}  # starts at 0
+    painted["hru"] = painted["hru_raw"].map(rank).astype("int64") + 1
+    return painted[["gi", "gj", "hru"]]

@@ -20,9 +20,21 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-SENTINEL = {np.float32: np.float32(-9999.0), np.int32: np.int32(-9999), np.int8: np.int8(-1), np.int64: np.int64(-9999)}
+SENTINEL = {
+    np.float32: np.float32(-9999.0),
+    np.float64: np.float64(np.nan),
+    np.int32: np.int32(-9999),
+    np.int8: np.int8(-1),
+    np.int64: np.int64(-9999),
+}
 
-ARROW_T = {np.float32: pa.float32(), np.int32: pa.int32(), np.int8: pa.int8(), np.int64: pa.int64()}
+ARROW_T = {
+    np.float32: pa.float32(),
+    np.float64: pa.float64(),
+    np.int32: pa.int32(),
+    np.int8: pa.int8(),
+    np.int64: pa.int64(),
+}
 
 
 def grid_to_tiles_table(grids: dict[str, np.ndarray], tile: int) -> pa.Table:

@@ -77,3 +77,82 @@ def test_fdir_acc_dist_matches_oracle(ray_session, name, tile):
     ads = D.acc_dist(fds, tile, N, N)
     got_acc = collect(ads, "acc")
     assert np.array_equal(got_acc, want_count), f"{name} tile={tile} acc"
+
+
+def full_chain_oracle(name):
+    z, mask = fixture_grids(name)
+    w = K.fill_pits(z, RES)
+    area, fdir = K.d8_area(w, mask, RES)
+    thr = 8 * RES * RES
+    bthr = 16 * RES * RES
+    channels, channels_wob, topo = K.calculate_channels(area, thr, bthr, fdir, mask=mask)
+    basins = K.delineate_basins(channels, mask, fdir)
+    hand = K.depth2channel(channels, mask, fdir, w.astype(np.float32))
+    return dict(z=z, mask=mask, w=w, area=area, fdir=fdir, channels=channels,
+                channels_wob=channels_wob, topo=topo, basins=basins, hand=hand)
+
+
+@pytest.mark.parametrize("tile", [16, 8])
+@pytest.mark.parametrize("name", ["twovalley", "masked", "cone"])
+def test_channels_basins_hand_dist_match_oracle(ray_session, name, tile):
+    o = full_chain_oracle(name)
+    ds = T.make_tiles_dataset(
+        {"dem": o["z"], "demns": o["w"], "landmask": o["mask"], "fdir": o["fdir"].astype(np.int8),
+         "area": o["area"]},
+        tile,
+    )
+    thr = 8 * RES * RES
+    bthr = 16 * RES * RES
+    chds, topo = D.channels_dist(ds, thr, bthr, N, N)
+    got_ch = collect(chds, "channels").astype(np.int64)
+    assert np.array_equal(got_ch, o["channels"]), f"{name} tile={tile} channels"
+    assert topo == o["topo"], f"{name} tile={tile} topology"
+    bds = D.basins_dist(chds, N, N)
+    got_b = collect(bds, "basins").astype(np.int64)
+    assert np.array_equal(got_b, o["basins"]), f"{name} tile={tile} basins"
+    hds = D.hand_dist(bds, N, N)
+    got_h = collect(hds, "hand")
+    if name == "masked":
+        # cells draining into the ocean never reach a channel: the oracle
+        # reproduces the reference's stale-cd scan artifact there
+        # (terrain_tools.f90:1678-1724), the distributed op returns undef
+        # (documented clean semantics). Compare only channel-reaching cells.
+        reaches = reaches_channel_mask(o)
+        assert np.array_equal(got_h[reaches], o["hand"][reaches]), f"{name} tile={tile} hand"
+        assert (got_h[~reaches & (o["mask"] == 1)] == K.UNDEF).all()
+    else:
+        assert np.array_equal(got_h, o["hand"]), f"{name} tile={tile} hand"
+
+
+def reaches_channel_mask(o):
+    d0, d1 = K.d8_downstream_index(o["fdir"])
+    ch = o["channels"]
+    out = np.zeros_like(o["mask"], dtype=bool)
+    # positive-depth channel cells on the land mask are sources; chase
+    for (i, j) in np.argwhere(o["mask"] == 1):
+        ci, cj = i, j
+        if ch[ci, cj] > 0 and o["mask"][ci, cj] == 1:
+            out[i, j] = True
+            continue
+        for _ in range(10000):
+            ni, nj = d0[ci, cj], d1[ci, cj]
+            if ni < 0 or o["mask"][ci, cj] == 0:
+                break
+            if ch[ni, nj] > 0 and o["mask"][ni, nj] == 1 and max(o["w"][ni, nj], 0) > 0:
+                out[i, j] = True
+                break
+            ci, cj = ni, nj
+    return out
+
+
+@pytest.mark.parametrize("tile", [16])
+def test_gap_fill_dist_matches_oracle(ray_session, tile):
+    o = full_chain_oracle("twovalley")
+    rng = np.random.default_rng(1)
+    hrus = rng.integers(1, 5, size=(N, N)).astype(np.int64)
+    hrus[o["channels"] > 0] = K.IUNDEF
+    want = K.gap_fill(hrus, o["channels"])
+    ds = T.make_tiles_dataset({"hrus": hrus, "channels": o["channels"]}, tile)
+    out = D.gap_fill_dist(ds)
+    got = collect(out, "hrus").astype(np.int64)
+    assert np.array_equal(got, want)

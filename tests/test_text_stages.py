@@ -1,0 +1,184 @@
+"""Dedup / text analysis / ANN / multimodal stage tests."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from geospatialtools_ray.stages import ann, dedup, multimodal, text
+
+
+def near_dup_corpus():
+    base = [
+        "the quick brown fox jumps over the lazy dog near the river basin today",
+        "rainfall in the upper valley drains through the channel network to the outlet",
+        "soil moisture and clay content determine the saturated hydraulic conductivity",
+        "completely different text about spark and ray data processing engines at scale",
+    ]
+    rows = []
+    did = 0
+    for b in base:
+        rows.append((did, b))
+        did += 1
+        # near-duplicate: one word changed
+        w = b.split()
+        w[3] = "XX"
+        rows.append((did, " ".join(w)))
+        did += 1
+        # exact duplicate of the original
+        rows.append((did, b))
+        did += 1
+    return pd.DataFrame(rows, columns=["doc_id", "text"])
+
+
+@pytest.fixture
+def corpus_ds(ray_session):
+    import ray.data as rd
+
+    return rd.from_pandas(near_dup_corpus()).repartition(3)
+
+
+def test_exact_dedup(corpus_ds):
+    out = dedup.exact_dedup(corpus_ds).to_pandas()
+    # 8 distinct contents (4 base + 4 mutated)
+    assert len(out) == 8
+    assert out["dup_count"].sum() == 12
+    # exact dup groups keep the min id
+    dups = out[out["dup_count"] == 2]
+    assert len(dups) == 4 and (dups["keep_id"] % 3 == 0).all()
+
+
+def test_minhash_lsh_clusters_group_near_dups(corpus_ds):
+    out = dedup.minhash_lsh_clusters(
+        corpus_ds, num_perm=64, bands=32, shingle_k=3, jaccard_threshold=0.3
+    ).to_pandas()
+    cl = dict(zip(out["doc_id"], out["cluster_id"]))
+    # each triple (base, mutated, exact-dup) should share a cluster
+    for g in range(4):
+        ids = [3 * g, 3 * g + 1, 3 * g + 2]
+        assert len({cl[i] for i in ids}) == 1, f"group {g} split: {[cl[i] for i in ids]}"
+    # different base texts stay apart
+    assert len({cl[0], cl[3], cl[6], cl[9]}) == 4
+
+
+def test_minhash_jaccard_estimate_quality():
+    a = "the quick brown fox jumps over the lazy dog " * 5
+    b = "the quick brown fox leaps over the lazy dog " * 5
+    sa = dedup.minhash_signature_batch([a, b], num_perm=256, k=3)
+    est = (sa[0] == sa[1]).mean()
+    true = dedup.jaccard_ngrams(a, b, 3)
+    assert abs(est - true) < 0.15
+
+
+def test_simhash_near_dups_share_band():
+    df = near_dup_corpus()
+    sh = dedup.simhash_batch(list(df["text"]), k=3)
+    # exact dups identical
+    assert sh[0] == sh[2]
+    # simhash needs enough grams for a stable signature: long doc with one
+    # word changed lands within a tight hamming ball
+    a = ("the quick brown fox jumps over the lazy dog near the river basin today and beyond ") * 6
+    w = a.split()
+    w[7] = "XX"
+    b = " ".join(w)
+    s2 = dedup.simhash_batch([a, b], k=3)
+    assert bin(int(s2[0]) ^ int(s2[1])).count("1") <= 12  # <= 3 per 16-bit band
+
+
+def test_simhash_buckets_stage(corpus_ds):
+    out = dedup.simhash_buckets(corpus_ds).to_pandas()
+    assert len(out) == 12 * 4  # 4 bands per doc
+    # exact dup docs share all four band keys
+    a = out[out["doc_id"] == 0].sort_values("band")["band_key"].tolist()
+    b = out[out["doc_id"] == 2].sort_values("band")["band_key"].tolist()
+    assert a == b
+
+
+def test_langid_and_quality(ray_session):
+    import ray.data as rd
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                "the cat and the dog are in the house of the king",
+                "der hund und die katze sind in einem schönen haus",
+                "这是一个中文句子用来测试语言识别",
+                "aaa aaa aaa aaa aaa aaa",
+            ],
+        }
+    )
+    ds = rd.from_pandas(df)
+    out = ds.map_batches(text.LangId, batch_format="pandas", concurrency=1).to_pandas()
+    pred = dict(zip(out["doc_id"], out["lang_pred"]))
+    assert pred[0] == "en" and pred[1] == "de" and pred[2] == "zh"
+    q = ds.map_batches(text.QualityScore, batch_format="pandas", concurrency=1).to_pandas()
+    assert bool(q[q["doc_id"] == 0]["quality_ok"].iloc[0])
+    assert not bool(q[q["doc_id"] == 3]["quality_ok"].iloc[0])  # repetitive
+
+
+def test_token_count_and_fingerprint(corpus_ds):
+    out = corpus_ds.map_batches(text.token_count_stage(), batch_format="pyarrow").to_pandas()
+    assert (out["n_tokens"] > 0).all()
+    fp = corpus_ds.map_batches(text.fingerprint_stage(), batch_format="pyarrow").to_pandas()
+    by_id = dict(zip(fp["doc_id"], fp["fingerprint"]))
+    assert by_id[0] == by_id[2]  # exact dups -> same fingerprint
+    assert by_id[0] != by_id[3]  # different docs differ
+
+
+def test_brute_force_topk_matches_numpy(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(0)
+    E = rng.normal(size=(500, 32))
+    ds = rd.from_arrow(
+        pa.table({"vec_id": np.arange(500, dtype=np.int64), "embedding": [row for row in E.astype(np.float32)]})
+    ).repartition(4)
+    Q = rng.normal(size=(3, 32))
+    got = ann.brute_force_topk(ds, Q, k=5)
+    En = E / np.linalg.norm(E, axis=1, keepdims=True)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    sims = En @ Qn.T
+    for qi in range(3):
+        want = np.lexsort((np.arange(500), -sims[:, qi]))[:5]
+        sub = got[got["query_id"] == qi]
+        assert sub["vec_id"].tolist() == want.tolist()
+
+
+def test_lsh_topk_reasonable_recall(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(1)
+    E = rng.normal(size=(2000, 16))
+    ds = rd.from_arrow(
+        pa.table({"vec_id": np.arange(2000, dtype=np.int64), "embedding": [r for r in E.astype(np.float32)]})
+    ).repartition(4)
+    Q = E[:5] + rng.normal(scale=0.01, size=(5, 16))  # queries near existing points
+    exact = ann.brute_force_topk(ds, Q, k=1)
+    approx = ann.lsh_partitioned_topk(ds, Q, k=1, n_planes=4)
+    hits = 0
+    for qi in range(5):
+        e = exact[exact["query_id"] == qi]["vec_id"].tolist()
+        a = approx[approx["query_id"] == qi]["vec_id"].tolist()
+        hits += bool(e and a and e[0] == a[0])
+    assert hits >= 3  # recall >= 0.6 on near-identical queries
+
+
+def test_multimodal_plumbing(ray_session):
+    import ray.data as rd
+
+    refs = [f"media://blob/{i:08x}" for i in range(50)]
+    media = multimodal.synth_media_batch(refs)
+    assert media.num_rows == 50
+    ds = rd.from_arrow(media)
+    out = multimodal.decode_pipeline(ds, concurrency=1, batch_size=16).to_pandas()
+    assert out["image_features"].map(len).eq(16).all()
+    # deterministic
+    out2 = multimodal.decode_pipeline(rd.from_arrow(media), concurrency=1, batch_size=16).to_pandas()
+    assert np.allclose(np.stack(out["image_features"]), np.stack(out2["image_features"]))
+    # the real-decode seam is an explicit NotImplementedError
+    dec = multimodal.ImageDecode(use_fake=False)
+    with pytest.raises(NotImplementedError):
+        dec(media.slice(0, 2))
+    frames = ds.map_batches(multimodal.FrameSample, batch_format="pyarrow", concurrency=1).to_pandas()
+    assert frames["frame_offsets"].map(len).eq(4).all()
