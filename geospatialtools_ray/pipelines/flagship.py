@@ -110,7 +110,11 @@ def run(
         cells = batch["cell"].to_numpy(zero_copy_only=False)
         parents = geocell.parent(cells, part_res)
         if smap:
-            nsalt = np.asarray([smap.get(int(p), 1) for p in parents], dtype=np.uint64)
+            # vectorized lookup: resolve the salt count once per DISTINCT
+            # parent cell, then broadcast via inverse indices
+            uniq, inv = np.unique(parents, return_inverse=True)
+            nsalt_u = np.asarray([smap.get(int(p), 1) for p in uniq], dtype=np.uint64)
+            nsalt = nsalt_u[inv]
             from ..hashing import text_hash_u64
 
             doc_h = text_hash_u64(batch["doc_id"])

@@ -161,7 +161,7 @@ def fill_dist(ds, res: float, max_rounds: int = 1000):
         total_changed = sum(
             int(np.asarray(x)[0]) for x in nxt.select_columns(["n_changed"]).to_pandas()["n_changed"]
         )
-        cur = nxt.drop_columns(["n_changed"]).materialize()
+        cur = nxt.drop_columns(["n_changed"])
         if total_changed == 0:
             break
     return cur
@@ -328,7 +328,7 @@ def acc_dist(ds, tile_size: int, N0: int, N1: int, max_rounds: int = 1000):
         total_changed = sum(
             int(np.asarray(x)[0]) for x in nxt.select_columns(["n_changed"]).to_pandas()["n_changed"]
         )
-        cur = nxt.drop_columns(["n_changed"]).materialize()
+        cur = nxt.drop_columns(["n_changed"])
         if total_changed == 0:
             break
 
@@ -456,15 +456,18 @@ def flow_inherit(ds, setup, N0: int, N1: int, dead_default: float, out_name: str
             tgt = np.flatnonzero(pending)[ok]
             provide[tgt] = vals[ok]
             flag[tgt] = 1
+            still = int(((flag == 0) & (dep >= 0)).sum())
             return {
                 "provide": provide,
                 "pflag": flag,
-                "n_changed": np.asarray([int(ok.sum())], dtype=np.int64),
+                "n_changed": np.asarray([still], dtype=np.int64),
             }
 
         nxt = T.halo_map(cur, ["provide", "pflag"], kernel, width=1).materialize()
+        # n_changed here counts STILL-PENDING cells: stop as soon as every
+        # chain resolved (no extra confirmation round needed)
         total = sum(int(np.asarray(x)[0]) for x in nxt.select_columns(["n_changed"]).to_pandas()["n_changed"])
-        cur = nxt.drop_columns(["n_changed"]).materialize()
+        cur = nxt.drop_columns(["n_changed"])
         if total == 0:
             break
 
