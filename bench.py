@@ -29,6 +29,8 @@ N_POLYGONS = 2000
 
 
 def corpus_docs_for(sf_dir: str) -> int:
+    if os.environ.get("BENCH_N_DOCS"):
+        return int(os.environ["BENCH_N_DOCS"])
     import pyarrow.parquet as pq
 
     n_li = pq.read_metadata(f"{sf_dir}/lineitem.parquet").num_rows
@@ -45,7 +47,7 @@ def ensure_corpus(n_docs: int) -> str:
     from geospatialtools_ray import synth
 
     shutil.rmtree(path, ignore_errors=True)
-    synth.docs_dataset(n_docs, override_num_blocks=max(16, n_docs // 50_000)).write_parquet(path)
+    synth.docs_dataset(n_docs, override_num_blocks=max(64, n_docs // 12_500)).write_parquet(path)
     open(marker, "w").close()
     return path
 
@@ -60,8 +62,26 @@ def run_headline(corpus_path: str, n_docs: int) -> dict:
     # warm page cache (untimed): one streaming pass over the input
     rd.read_parquet(corpus_path).count()
     t0 = time.monotonic()
+    # skew pre-pass (measured, part of the pipeline): 2% hash-sample density
+    # -> salt map so no partition group exceeds the target; without it the
+    # hotspot cells serialize the shuffle and the writers (urban-hotspot
+    # skew, BASELINE.json north_star)
+    idx_ref = flagship.polygon_index_ref(N_POLYGONS)
+    # file-level sample (docs are hash-distributed across files, so any
+    # file subset is unbiased): reads ~1/40th of the corpus instead of all
+    files = sorted(f for f in os.listdir(corpus_path) if f.endswith(".parquet"))
+    sample_files = [os.path.join(corpus_path, f) for f in files[:: max(len(files) // 2, 1)]][:2] or [
+        os.path.join(corpus_path, files[0])
+    ]
+    salts = flagship.estimate_salts(
+        rd.read_parquet(sample_files), flagship.DEFAULT_PART_RES,
+        target_rows_per_part=1_000_000, sample_rate=len(sample_files) / max(len(files), 1),
+        index_ref=idx_ref, already_sampled=True,
+    )
     docs = rd.read_parquet(corpus_path)
-    stats = flagship.run(docs, out_dir=out_dir, n_polygons=N_POLYGONS, resume=False).to_pandas()
+    stats = flagship.run(
+        docs, out_dir=out_dir, n_polygons=N_POLYGONS, resume=False, salt_map=salts, sink="fragments"
+    )
     dt = time.monotonic() - t0
     return {"sec": dt, "docs_per_sec": n_docs / dt, "join_rows": int(stats["rows_out"].sum())}
 
@@ -100,7 +120,7 @@ def main():
     n_docs = corpus_docs_for(SF_DIR)
     corpus = ensure_corpus(n_docs)
     head = run_headline(corpus, n_docs)
-    queries = run_queries()
+    queries = {} if os.environ.get("BENCH_HEADLINE_ONLY") else run_queries()
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     print(
         json.dumps(
@@ -121,10 +141,20 @@ def main():
 
 
 def scaling():
+    """Two parallelism levels in fresh processes (the sandbox stand-in for
+    N vs 4N nodes). Uses a larger corpus than the plain bench so the job is
+    compute-bound — at the default sf0.1 size the whole pipeline is ~30
+    CPU-seconds and wall time is dominated by fixed startup, which measures
+    overhead, not scaling."""
     lo, hi = 8, 32
     res = {}
     for n in (lo, hi):
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(n))
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(n),
+            BENCH_HEADLINE_ONLY="1",
+            BENCH_N_DOCS=os.environ.get("BENCH_N_DOCS", "8000000"),
+        )
         out = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py")], env=env, capture_output=True, text=True, check=True
         ).stdout

@@ -48,12 +48,37 @@ def geo_points(docs_ds, res: int = DEFAULT_RES):
 
 
 def estimate_salts(
-    docs_sample_ds, part_res: int, target_rows_per_part: int, sample_rate: float, res: int = DEFAULT_RES
+    docs_ds, part_res: int, target_rows_per_part: int, sample_rate: float, res: int = DEFAULT_RES,
+    index_ref=None, already_sampled: bool = False,
 ) -> dict[int, int]:
     """Cheap density pre-pass on a deterministic hash-sample of docs: per
     coarse cell estimated row count -> number of salts so no partition group
-    exceeds ~target_rows_per_part. Returns {} when nothing is hot."""
-    pts = geo_points(docs_sample_ds, res)
+    exceeds ~target_rows_per_part. Returns {} when nothing is hot.
+
+    Pass `index_ref` (broadcast PolygonIndex) to estimate JOIN-OUTPUT rows
+    rather than geo points — hot cells are hot because polygons concentrate
+    there too, so point density alone badly underestimates the skew."""
+    import pyarrow as pa
+
+    from ..hashing import text_hash_u64
+
+    if sample_rate < 1.0 and not already_sampled:
+        # row-level hash sample; when the caller can sample at the FILE /
+        # shard level instead (already_sampled=True with docs_ds = a file
+        # subset), the pre-pass avoids reading the whole corpus entirely
+        denom = max(int(round(1.0 / sample_rate)), 1)
+
+        def sample(batch: pa.Table) -> pa.Table:
+            h = text_hash_u64(batch["doc_id"])
+            return batch.filter(pa.array(h % np.uint64(denom) == 0))
+
+        docs_ds = docs_ds.map_batches(sample, batch_format="pyarrow")
+        sample_rate = 1.0 / denom
+    pts = geo_points(docs_ds, res)
+    if index_ref is not None:
+        from ..stages.spatial_join import join_batch
+
+        pts = pts.map_batches(join_batch, fn_kwargs={"index_ref": index_ref}, batch_format="pyarrow")
 
     def partial_counts(batch: pa.Table) -> pa.Table:
         cells = batch["cell"].to_numpy(zero_copy_only=False)
@@ -84,23 +109,26 @@ def run(
     salt_map: dict[int, int] | None = None,
     target_rows_per_part: int = 2_000_000,
     resume: bool = True,
+    sink: str = "grouped",
 ):
-    """Returns the per-partition stats Dataset (small); the bulk join output
-    lands under out_dir as partitioned parquet + lineage records."""
+    """Returns a per-partition stats DataFrame (small); the bulk join output
+    lands under out_dir as partitioned parquet + lineage records.
+    sink="grouped": one file per partition via a groupby shuffle (strict
+    per-partition mid-run commits). sink="fragments": shuffle-free fragment
+    directories with end-of-run commits (the high-throughput path)."""
     import ray
 
-    if join_concurrency is None:
-        # default the actor pool to the session CPU count, autoscaling from 1
-        # so small inputs don't pay full pool startup
-        join_concurrency = (1, max(2, int(ray.cluster_resources().get("CPU", 4))))
+    from ..stages.spatial_join import join_batch
+
     idx_ref = polygon_index_ref(n_polygons, cover_res=res)
     pts = geo_points(docs_ds, res)
+    # stateless tasks + per-process index cache: elastic across every CPU
+    # with no actor-pool startup tax (index fetched from the object store
+    # once per worker process)
     joined = pts.map_batches(
-        SpatialJoin,
-        fn_constructor_kwargs={"index_ref": idx_ref},
+        join_batch,
+        fn_kwargs={"index_ref": idx_ref},
         batch_format="pyarrow",
-        batch_size=32768,
-        concurrency=join_concurrency,
     )
 
     salt_ref = ray.put(salt_map or {})
@@ -123,8 +151,10 @@ def run(
         return lineage.add_part_key(batch, parents)
 
     keyed = joined.map_batches(add_key, batch_format="pyarrow")
-    stats = lineage.write_partitioned(keyed, out_dir, resume=resume)
-    return stats
+    if sink == "fragments":
+        # shuffle-free fragment sink (the scale path; see lineage.py)
+        return lineage.write_partitioned_fragments(keyed, out_dir, resume=resume)
+    return lineage.write_partitioned(keyed, out_dir, resume=resume).to_pandas()
 
 
 def tile_counts(out_dir: str):

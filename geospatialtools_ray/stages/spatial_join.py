@@ -123,24 +123,54 @@ class SpatialJoin:
         self.mode = mode
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        lon = batch["lon"].to_numpy(zero_copy_only=False)
-        lat = batch["lat"].to_numpy(zero_copy_only=False)
-        pt_idx, poly_pos = self.index.query(lon, lat)
-        if self.mode == "semi":  # docs that fall in ANY polygon
-            keep = np.unique(pt_idx)
-            return batch.take(pa.array(keep))
-        if self.mode == "anti":  # background docs (the -init -9999 side)
-            keep = np.setdiff1d(np.arange(len(lon)), pt_idx)
-            return batch.take(pa.array(keep))
-        # inner: one output row per containment pair, deterministic order
-        order = np.lexsort((self.index.poly_ids[poly_pos], pt_idx))
-        pt_idx, poly_pos = pt_idx[order], poly_pos[order]
-        out = batch.take(pa.array(pt_idx))
-        out = out.append_column("poly_id", pa.array(self.index.poly_ids[poly_pos], type=pa.int64()))
-        out = out.append_column(
-            "field_value", pa.array(self.index.field_values[poly_pos], type=pa.float64())
-        )
-        return out
+        return _join_table(self.index, self.mode, batch)
+
+
+def _join_table(index: PolygonIndex, mode: str, batch: pa.Table) -> pa.Table:
+    lon = batch["lon"].to_numpy(zero_copy_only=False)
+    lat = batch["lat"].to_numpy(zero_copy_only=False)
+    pt_idx, poly_pos = index.query(lon, lat)
+    if mode == "semi":  # docs that fall in ANY polygon
+        keep = np.unique(pt_idx)
+        return batch.take(pa.array(keep))
+    if mode == "anti":  # background docs (the -init -9999 side)
+        keep = np.setdiff1d(np.arange(len(lon)), pt_idx)
+        return batch.take(pa.array(keep))
+    # inner: one output row per containment pair, deterministic order
+    order = np.lexsort((index.poly_ids[poly_pos], pt_idx))
+    pt_idx, poly_pos = pt_idx[order], poly_pos[order]
+    out = batch.take(pa.array(pt_idx))
+    out = out.append_column("poly_id", pa.array(index.poly_ids[poly_pos], type=pa.int64()))
+    out = out.append_column(
+        "field_value", pa.array(index.field_values[poly_pos], type=pa.float64())
+    )
+    return out
+
+
+_INDEX_CACHE: dict = {}
+
+
+def _cached_index(index_ref):
+    """Per-worker-process deserialization cache: the broadcast index is
+    fetched from the object store once per process, not once per task —
+    this lets the join run as stateless TASKS (no actor-pool startup tax)
+    while keeping the amortized state of an actor pool."""
+    if hasattr(index_ref, "hex"):
+        key = index_ref.hex()
+        idx = _INDEX_CACHE.get(key)
+        if idx is None:
+            import ray
+
+            idx = ray.get(index_ref)
+            _INDEX_CACHE.clear()
+            _INDEX_CACHE[key] = idx
+        return idx
+    return index_ref
+
+
+def join_batch(batch: pa.Table, *, index_ref, mode: str = "inner") -> pa.Table:
+    """Stateless-task twin of SpatialJoin (same semantics)."""
+    return _join_table(_cached_index(index_ref), mode, batch)
 
 
 def burn_batch(index: PolygonIndex, lon: np.ndarray, lat: np.ndarray) -> np.ndarray:

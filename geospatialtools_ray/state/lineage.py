@@ -27,11 +27,11 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 
-def completed_parts(out_dir: str) -> set[str]:
+def completed_parts(out_dir: str) -> set[int]:
     ldir = os.path.join(out_dir, "_lineage")
     if not os.path.isdir(ldir):
         return set()
-    return {f[: -len(".json")] for f in os.listdir(ldir) if f.endswith(".json")}
+    return {int(f[: -len(".json")]) for f in os.listdir(ldir) if f.endswith(".json")}
 
 
 def part_writer(out_dir: str):
@@ -42,7 +42,7 @@ def part_writer(out_dir: str):
 
     def write_group(g: pd.DataFrame) -> pd.DataFrame:
         t0 = time.monotonic()
-        key = str(g["part_key"].iloc[0])
+        key = str(int(g["part_key"].iloc[0]))
         path = os.path.join(out_dir, f"part-{key}.parquet")
         tmp = path + ".tmp"
         tbl = pa.Table.from_pandas(g.drop(columns=["part_key"]), preserve_index=False)
@@ -71,26 +71,119 @@ def write_partitioned(ds, out_dir: str, *, resume: bool = True):
     if done:
         import ray
 
-        done_ref = ray.put(np.asarray(sorted(done)))
+        done_ref = ray.put(np.asarray(sorted(done), dtype=np.uint64))
 
         def drop_done(batch: pa.Table) -> pa.Table:
             import ray as _ray
 
             done_keys = _ray.get(done_ref)
-            keys = batch["part_key"].to_numpy(zero_copy_only=False)
+            keys = batch["part_key"].to_numpy(zero_copy_only=False).astype(np.uint64)
             keep = ~np.isin(keys, done_keys)
             return batch.filter(pa.array(keep))
 
         ds = ds.map_batches(drop_done, batch_format="pyarrow")
-    return ds.groupby("part_key").map_groups(part_writer(out_dir), batch_format="pandas")
+    # materialize before the all-to-all: feeding the sort directly from the
+    # live map stream degrades its map phase to a single task (measured
+    # 15.4s -> 9.3s at 32 CPUs on the sf0.1 bench)
+    return ds.materialize().groupby("part_key").map_groups(part_writer(out_dir), batch_format="pandas")
+
+
+MAX_SALTS = 1024
 
 
 def add_part_key(batch: pa.Table, cells: np.ndarray, salts: np.ndarray | None = None) -> pa.Table:
-    """Attach the string partition key column ("<cell>" or "<cell>-s<salt>")."""
-    keys = cells.astype("U20")
-    if salts is not None:
-        keys = np.char.add(np.char.add(keys, "-s"), salts.astype("U6"))
-    return batch.append_column("part_key", pa.array(keys, type=pa.string()))
+    """Attach the numeric partition key column: cell * MAX_SALTS + salt.
+    Kept integer in the hot path (stringifying 64-bit keys per row costs
+    more than the join itself); the writer renders names once per group."""
+    with np.errstate(over="ignore"):
+        keys = cells.astype(np.uint64) * np.uint64(MAX_SALTS)
+        if salts is not None:
+            keys = keys + salts.astype(np.uint64)
+    return batch.append_column("part_key", pa.array(keys, type=pa.uint64()))
+
+
+def write_partitioned_fragments(ds, out_dir: str, *, resume: bool = True):
+    """Shuffle-free resumable partitioned sink.
+
+    Each map task writes its batch's rows as per-partition FRAGMENT files
+    under `part-<key>/` (atomic tmp+rename); the driver commits a
+    partition's lineage record once the run completes. No all-to-all
+    exchange at all — measured vs the groupby sink at 51M rows / 32 CPUs:
+    the Dataset sort shuffle ran its map phase serially (185 s) while this
+    path is embarrassingly parallel.
+
+    Resume: committed partitions (lineage present) are row-filtered out;
+    uncommitted partition dirs are stale output from an interrupted run and
+    are deleted before writing. Commit granularity is one RUN — for
+    finer-grained checkpoints drive the pipeline in waves of input shards
+    and call this per wave.
+
+    Returns a small stats DataFrame (partition, rows_out, n_fragments).
+    """
+    import uuid
+
+    import ray
+
+    os.makedirs(os.path.join(out_dir, "_lineage"), exist_ok=True)
+    done = completed_parts(out_dir) if resume else set()
+    # clear stale dirs from interrupted runs
+    for name in os.listdir(out_dir):
+        if name.startswith("part-") and os.path.isdir(os.path.join(out_dir, name)):
+            key = name[len("part-") :]
+            if not key.isdigit() or int(key) not in done:
+                import shutil
+
+                shutil.rmtree(os.path.join(out_dir, name), ignore_errors=True)
+    done_ref = ray.put(np.asarray(sorted(done), dtype=np.uint64))
+
+    def frag_write(batch: pa.Table) -> pa.Table:
+        done_keys = ray.get(done_ref)
+        keys = batch["part_key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        if len(done_keys):
+            keep = ~np.isin(keys, done_keys)
+            batch = batch.filter(pa.array(keep))
+            keys = keys[keep]
+        out_part, out_rows, out_file = [], [], []
+        if len(keys):
+            order = np.argsort(keys, kind="stable")
+            sk = keys[order]
+            bounds = np.flatnonzero(np.r_[True, sk[1:] != sk[:-1]])
+            for s, e in zip(bounds, np.r_[bounds[1:], len(sk)]):
+                key = int(sk[s])
+                sub = batch.take(pa.array(order[s:e])).drop_columns(["part_key"])
+                pdir = os.path.join(out_dir, f"part-{key}")
+                os.makedirs(pdir, exist_ok=True)
+                fname = f"frag-{uuid.uuid4().hex[:16]}.parquet"
+                tmp = os.path.join(pdir, fname + ".tmp")
+                pq.write_table(sub, tmp)
+                os.replace(tmp, os.path.join(pdir, fname))
+                out_part.append(key)
+                out_rows.append(len(sub))
+                out_file.append(fname)
+        return pa.table(
+            {
+                "partition": pa.array(out_part, type=pa.uint64()),
+                "rows_out": pa.array(out_rows, type=pa.int64()),
+                "file": pa.array(out_file, type=pa.string()),
+            }
+        )
+
+    manifest = ds.map_batches(frag_write, batch_format="pyarrow").to_pandas()
+    stats = []
+    if len(manifest):
+        for key, grp in manifest.groupby("partition"):
+            rec = {
+                "partition": str(int(key)),
+                "rows_out": int(grp["rows_out"].sum()),
+                "n_fragments": int(len(grp)),
+                "files": sorted(grp["file"].tolist()),
+            }
+            ltmp = os.path.join(out_dir, "_lineage", f"{int(key)}.json.tmp")
+            with open(ltmp, "w") as f:
+                json.dump(rec, f)
+            os.replace(ltmp, os.path.join(out_dir, "_lineage", f"{int(key)}.json"))
+            stats.append({"partition": rec["partition"], "rows_out": rec["rows_out"], "n_fragments": rec["n_fragments"]})
+    return pd.DataFrame(stats, columns=["partition", "rows_out", "n_fragments"])
 
 
 def read_lineage(out_dir: str) -> list[dict]:

@@ -677,3 +677,132 @@ def channels_dist(ds, threshold: float, basin_threshold: float, N0: int, N1: int
 
     painted = T.halo_map(ds, ["landmask"], kernel, width=1)
     return painted, topology
+
+
+# ---------------------------------------------------------------------------
+# Polygonize / connected-component labeling (terrain_tools.f90:1750-1789):
+# per-tile scan-order CCL + cross-tile union-find of boundary-touching
+# labels + global scan-order pid ranking (pids ordered by each component's
+# first-visited cell, d0-outer scan — exactly the reference's sequential
+# pid order).
+# ---------------------------------------------------------------------------
+
+def polygonize_dist(ds, value_col: str = "values", N1: int | None = None):
+    """Tiles carry `<value_col>` (float32, -9999 undef). Adds `pids`
+    (float64 global scan-order component ids, -9999 on undef)."""
+    import ray
+
+    def local_label(batch: pa.Table) -> pa.Table:
+        outs = []
+        for r in range(batch.num_rows):
+            v = T.tile_payload(batch, value_col, r)
+            lab = K.polygonize(v)  # local scan-order CCL (values consumed copy)
+            outs.append(lab.astype(np.float64).ravel())
+        return batch.append_column("ccl_local", pa.array([x for x in outs], type=pa.list_(pa.float64())))
+
+    labeled = ds.map_batches(local_label, batch_format="pyarrow").materialize()
+
+    # gather per-tile boundary strips + per-label first-visit position
+    def boundary_info(batch: pa.Table) -> pa.Table:
+        rows = {"tx": [], "ty": [], "side": [], "gpos": [], "value": [], "local": [], "minpos": []}
+        for r in range(batch.num_rows):
+            v = T.tile_payload(batch, value_col, r)
+            lab = T.tile_payload(batch, "ccl_local", r)
+            i0 = int(batch["i0"][r].as_py())
+            j0 = int(batch["j0"][r].as_py())
+            tx = int(batch["tx"][r].as_py())
+            ty = int(batch["ty"][r].as_py())
+            n0, n1 = v.shape
+            # per-label min scan position (global)
+            ok = lab != UNDEF
+            gi, gj = np.meshgrid(i0 + np.arange(n0), j0 + np.arange(n1), indexing="ij")
+            pos = gi.astype(np.int64) * (10 ** 9) + gj.astype(np.int64)
+            for l in np.unique(lab[ok]):
+                sel = lab == l
+                rows["tx"].append(tx)
+                rows["ty"].append(ty)
+                rows["side"].append(-1)  # marker: minpos record
+                rows["gpos"].append(int(pos[sel].min()))
+                rows["value"].append(float(v[sel][0]))
+                rows["local"].append(int(l))
+                rows["minpos"].append(int(pos[sel].min()))
+            for side, (sl0, sl1) in enumerate(
+                [(slice(0, 1), slice(0, n1)), (slice(n0 - 1, n0), slice(0, n1)),
+                 (slice(0, n0), slice(0, 1)), (slice(0, n0), slice(n1 - 1, n1))]
+            ):
+                vv = v[sl0, sl1].ravel()
+                ll = lab[sl0, sl1].ravel()
+                pp = pos[sl0, sl1].ravel()
+                m = ll != UNDEF
+                for a, b, c in zip(pp[m], vv[m], ll[m]):
+                    rows["tx"].append(tx)
+                    rows["ty"].append(ty)
+                    rows["side"].append(side)
+                    rows["gpos"].append(int(a))
+                    rows["value"].append(float(b))
+                    rows["local"].append(int(c))
+                    rows["minpos"].append(-1)
+        return pa.table(
+            {k: pa.array(vv, type=pa.int64() if k != "value" else pa.float64()) for k, vv in rows.items()}
+        )
+
+    info = labeled.map_batches(boundary_info, batch_format="pyarrow").to_pandas()
+
+    # union-find over (tx, ty, local)
+    parent: dict = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    minpos: dict = {}
+    for r in info[info["side"] == -1].itertuples():
+        key = (int(r.tx), int(r.ty), int(r.local))
+        parent.setdefault(key, key)
+        minpos[key] = int(r.minpos)
+
+    # adjacency: boundary cell (gpos) vs neighbor boundary cell at +-1 in
+    # the matching direction with equal value
+    cells = {}
+    for r in info[info["side"] >= 0].itertuples():
+        gi, gj = divmod(int(r.gpos), 10 ** 9)
+        cells[(gi, gj)] = (float(r.value), (int(r.tx), int(r.ty), int(r.local)))
+    for (gi, gj), (val, key) in cells.items():
+        for di, dj in ((1, 0), (0, 1)):
+            nb = cells.get((gi + di, gj + dj))
+            if nb is not None and nb[0] == val and nb[1][:2] != key[:2]:
+                union(key, nb[1])
+
+    # component min position -> scan-order rank
+    comp_min: dict = {}
+    for key, mp in minpos.items():
+        root = find(key)
+        comp_min[root] = min(comp_min.get(root, mp), mp)
+    ranked = sorted(comp_min.items(), key=lambda kv: kv[1])
+    pid_of_root = {root: i for i, (root, _) in enumerate(ranked)}
+    mapping = {key: pid_of_root[find(key)] for key in minpos}
+    map_ref = ray.put(mapping)
+
+    def paint(batch: pa.Table) -> pa.Table:
+        mp = ray.get(map_ref)
+        outs = []
+        for r in range(batch.num_rows):
+            lab = T.tile_payload(batch, "ccl_local", r)
+            tx = int(batch["tx"][r].as_py())
+            ty = int(batch["ty"][r].as_py())
+            out = np.full(lab.shape, UNDEF)
+            ok = lab != UNDEF
+            for l in np.unique(lab[ok]):
+                out[lab == l] = mp[(tx, ty, int(l))]
+            outs.append(out.ravel())
+        b = batch.append_column("pids", pa.array([x for x in outs], type=pa.list_(pa.float64())))
+        return b.drop_columns(["ccl_local"])
+
+    return labeled.map_batches(paint, batch_format="pyarrow")

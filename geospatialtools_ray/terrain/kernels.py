@@ -763,3 +763,179 @@ def calculate_channels_sparse(
                 child_cell = org_cell
             stack.append(make_frame(u, child_cell))
     return labels, topology
+
+# ---------------------------------------------------------------------------
+# MFD accumulation (terrain_tools.f90:517-626): slope^p-weighted fractions
+# to ALL downhill neighbors, diagonals scaled by sqrt(2) (unlike the D8
+# variant). Iterative memoized pull (same evaluation order as the
+# reference's recursion: donors accumulated in positions order).
+# ---------------------------------------------------------------------------
+
+SQRT2 = np.float32(1.41421356237)
+
+
+def mfd_fractions(dem: np.ndarray, res: float, p: float):
+    """fract[k, i, j]: fraction of cell (i,j)'s outflow sent to neighbor k
+    (POS order), reproducing fract_flow_mfd (f90:583-626): slopes to lower
+    neighbors over length (sqrt2*res for diagonals), fraction =
+    slope^p / sum(slopes^p); zero-sum -> 0."""
+    n0, n1 = dem.shape
+    z = dem.astype(np.float32)
+    slopes = np.zeros((8, n0, n1), dtype=np.float32)
+    for k, (di, dj) in enumerate(POS):
+        zi = np.full((n0, n1), np.nan, dtype=np.float32)
+        ii = np.arange(n0) + di
+        jj = np.arange(n1) + dj
+        oki = (ii >= 0) & (ii < n0)
+        okj = (jj >= 0) & (jj < n1)
+        zi[np.ix_(oki, okj)] = z[np.ix_(ii[oki], jj[okj])]
+        length = SQRT2 * np.float32(res) if (di != 0 and dj != 0) else np.float32(res)
+        s = (z - zi) / length
+        slopes[k] = np.where(np.isnan(zi) | (s <= 0), np.float32(0.0), s)
+    sp = slopes ** np.float32(p)
+    sp[slopes <= 0] = 0.0
+    tot = sp.sum(axis=0)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        fract = np.where(tot > 0, sp / tot, 0.0).astype(np.float32)
+    return fract
+
+
+def mfd_accumulate(dem: np.ndarray, res: float, p: float) -> np.ndarray:
+    """catchment(c) = 1 + sum over STRICTLY HIGHER neighbors n of
+    fract(n->c) * catchment(n) (f90:554-580). Memoized DFS with the
+    reference's positions evaluation order (float-order faithful)."""
+    n0, n1 = dem.shape
+    z = dem.astype(np.float32)
+    fract = mfd_fractions(dem, res, p)
+    catch = np.zeros((n0, n1), dtype=np.float32)
+    done = np.zeros((n0, n1), dtype=bool)
+    for si in range(n0):
+        for sj in range(n1):
+            if done[si, sj]:
+                continue
+            stack = [(si, sj, 0, np.float32(1.0))]
+            # frame: (i, j, next position index, acc)
+            while stack:
+                i, j, k, acc = stack.pop()
+                advanced = False
+                while k < 8:
+                    di, dj = POS[k]
+                    ii, jj = i + di, j + dj
+                    k += 1
+                    if ii < 0 or jj < 0 or ii >= n0 or jj >= n1:
+                        continue
+                    if z[ii, jj] > z[i, j]:
+                        if not done[ii, jj]:
+                            # resume at k-1 so the completed neighbor's
+                            # contribution is accumulated on return
+                            stack.append((i, j, k - 1, acc))
+                            stack.append((ii, jj, 0, np.float32(1.0)))
+                            advanced = True
+                            break
+                        # fraction from neighbor's perspective toward (i,j)
+                        back = POS.index((-di, -dj))
+                        acc = np.float32(acc + fract[back, ii, jj] * catch[ii, jj])
+                if advanced:
+                    continue
+                catch[i, j] = acc
+                done[i, j] = True
+    return catch
+
+
+def d8_inflow_neighbors(variable: np.ndarray, fdir: np.ndarray) -> np.ndarray:
+    """calculate_d8_acc_neighbors (f90:443-515): one-hop sum of `variable`
+    over upstream neighbors (cells whose fdir targets this cell).
+    Non-recursive halo stencil."""
+    n0, n1 = fdir.shape
+    out = np.zeros((n0, n1), dtype=np.float64)
+    d0, d1 = d8_downstream_index(fdir)
+    ok = d0 >= 0
+    np.add.at(out, (d0[ok], d1[ok]), variable[ok].astype(np.float64))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Polygon info (terrain_tools.f90:1791-1858 + libraries/terrain_tools.py:
+# 1590-1632): per-polygon centroids (count/sum of cell centers) and the
+# 4-neighbor polygon/cluster adjacency edge list (self-edges included, as
+# the reference emits every in-bounds 4-neighbor pair).
+# ---------------------------------------------------------------------------
+
+def polygon_info(polygons: np.ndarray, clusters: np.ndarray, res: float):
+    n0, n1 = polygons.shape
+    # reference cell centers: xs varies along d1, ys along d0
+    # (terrain_tools.py:1593-1597 meshgrid(y, x))
+    xs = np.tile((np.arange(n1) * res + res / 2.0), (n0, 1))
+    ys = np.tile((np.arange(n0) * res + res / 2.0)[:, None], (1, n1))
+    ok = polygons != IUNDEF
+    npoly = int(polygons[ok].max()) + 1 if ok.any() else 0
+    cnt = np.zeros(npoly)
+    sx = np.zeros(npoly)
+    sy = np.zeros(npoly)
+    ids = polygons[ok].astype(np.int64)
+    np.add.at(cnt, ids, 1.0)
+    np.add.at(sx, ids, xs[ok])
+    np.add.at(sy, ids, ys[ok])
+    with np.errstate(divide="ignore", invalid="ignore"):
+        centroids = np.stack([sx / cnt, sy / cnt], axis=1)
+    edges = set()
+    for di, dj in ((-1, 0), (1, 0), (0, -1), (0, 1)):
+        a0 = slice(max(0, di), n0 + min(0, di))
+        a1 = slice(max(0, dj), n1 + min(0, dj))
+        b0 = slice(max(0, -di), n0 + min(0, -di))
+        b1 = slice(max(0, -dj), n1 + min(0, -dj))
+        src = polygons[a0, a1]
+        dst = polygons[b0, b1]
+        m = (src != IUNDEF) & (dst != IUNDEF)
+        for s, d in zip(src[m].ravel(), dst[m].ravel()):
+            edges.add((int(s), int(d)))
+    adj = np.asarray(sorted(edges), dtype=np.int64).reshape(-1, 2)
+    # centroid distances per adjacency edge (terrain_tools.py:1614-1616)
+    if len(adj):
+        dist = np.sqrt(
+            (centroids[adj[:, 0], 0] - centroids[adj[:, 1], 0]) ** 2
+            + (centroids[adj[:, 0], 1] - centroids[adj[:, 1], 1]) ** 2
+        )
+    else:
+        dist = np.zeros(0)
+    return {"centroid": centroids, "edges": adj, "edge_dist": dist}
+
+
+# ---------------------------------------------------------------------------
+# reduce_basin_number (libraries/terrain_tools.py:293-338): iteratively
+# merge one of the 10 smallest basins into its downstream neighbor, picking
+# the merge that minimizes the area standard deviation, until the goal
+# count; then dense-relabel 1..n and undef non-positive.
+# ---------------------------------------------------------------------------
+
+def reduce_basins(basins: np.ndarray, ids: np.ndarray, nids: np.ndarray, area: np.ndarray, nbasins_goal: int):
+    """ids/nids are 0-based basin ids and downstream ids (-1 = none)."""
+    basins = basins.copy()
+    ids = np.asarray(ids, dtype=np.int64).copy()
+    nids = np.asarray(nids, dtype=np.int64).copy()
+    area = np.asarray(area, dtype=np.float64).copy()
+    while ids.size > nbasins_goal:
+        order = np.argsort(area, kind="stable")[:10]
+        astd = []
+        for ib in order:
+            acp = area.copy()
+            acp[ids == nids[ib]] += acp[ib]
+            astd.append(acp.std())
+        astd = np.asarray(astd)
+        valid = nids[order] >= 0
+        if not valid.any():
+            break
+        tmp = np.argmin(astd[valid])
+        ib = order[np.flatnonzero(astd == astd[valid][tmp])[0]]
+        area[ids == nids[ib]] += area[ib]
+        nids[nids == ids[ib]] = nids[ib]
+        basins[basins == ids[ib] + 1] = nids[ib] + 1
+        keep = np.arange(ids.size) != ib
+        ids, nids, area = ids[keep], nids[keep], area[keep]
+    ub = np.unique(basins)
+    ub = ub[ub > 0]
+    out = basins.copy()
+    for i, b in enumerate(ub):
+        out[basins == b] = i + 1
+    out[out <= 0] = IUNDEF
+    return out

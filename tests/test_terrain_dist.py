@@ -156,3 +156,15 @@ def test_gap_fill_dist_matches_oracle(ray_session, tile):
     out = D.gap_fill_dist(ds)
     got = collect(out, "hrus").astype(np.int64)
     assert np.array_equal(got, want)
+
+
+@pytest.mark.parametrize("tile", [16, 8])
+def test_polygonize_dist_matches_oracle(ray_session, tile):
+    rng = np.random.default_rng(9)
+    vals = rng.integers(0, 4, size=(N, N)).astype(np.float64)
+    vals[rng.random((N, N)) < 0.1] = K.UNDEF
+    want = K.polygonize(vals)
+    ds = T.make_tiles_dataset({"values": vals.astype(np.float32)}, tile)
+    out = D.polygonize_dist(ds, "values")
+    got = collect(out, "pids")
+    assert np.array_equal(got, want), f"tile={tile}"

@@ -1,0 +1,103 @@
+"""MFD accumulation, one-hop inflow, polygon info, reduce_basins."""
+
+import numpy as np
+import pytest
+
+from geospatialtools_ray import synth
+from geospatialtools_ray.terrain import kernels as K
+
+
+def test_mfd_fractions_sum_to_one_or_zero():
+    dem, _ = synth.dem_grid("rough", 16)
+    f = K.mfd_fractions(dem, 30.0, 1.1)
+    tot = f.sum(axis=0)
+    has_down = tot > 0
+    assert np.allclose(tot[has_down], 1.0, atol=1e-6)
+    assert has_down.sum() > 200  # most cells have a downhill neighbor
+
+
+def test_mfd_accumulate_conservation_and_d8_limit():
+    dem, _ = synth.dem_grid("cone", 16)
+    # conservation: total accumulated mass at sinks == number of cells
+    catch = K.mfd_accumulate(dem, 30.0, 1.1)
+    assert catch.min() >= 1.0
+    # on a strictly monotone 1-D slope MFD == D8 (single downhill neighbor)
+    line = (np.arange(8, dtype=np.float32) * 10).reshape(1, 8)
+    c = K.mfd_accumulate(line, 30.0, 1.0)
+    assert np.allclose(c[0], np.arange(8, 0, -1, dtype=np.float32))
+
+
+def test_mfd_matches_bruteforce_recursion_small():
+    rng = np.random.default_rng(6)
+    dem = rng.uniform(0, 50, (9, 9)).astype(np.float32)
+
+    # literal recursive reference implementation (safe at 9x9)
+    import sys
+
+    sys.setrecursionlimit(100000)
+    fract = K.mfd_fractions(dem, 30.0, 1.3)
+    catch = np.zeros((9, 9), dtype=np.float32)
+
+    def rec(i, j):
+        if catch[i, j] > 0:
+            return
+        catch[i, j] = 1.0
+        acc = np.float32(1.0)
+        for k, (di, dj) in enumerate(K.POS):
+            ii, jj = i + di, j + dj
+            if ii < 0 or jj < 0 or ii >= 9 or jj >= 9:
+                continue
+            if dem[ii, jj] > dem[i, j]:
+                rec(ii, jj)
+                back = K.POS.index((-di, -dj))
+                acc = np.float32(acc + fract[back, ii, jj] * catch[ii, jj])
+        catch[i, j] = acc
+
+    for i in range(9):
+        for j in range(9):
+            rec(i, j)
+    got = K.mfd_accumulate(dem, 30.0, 1.3)
+    assert np.array_equal(got, catch)
+
+
+def test_d8_inflow_neighbors():
+    dem, _ = synth.dem_grid("plane", 8)
+    fdir = K.d8_fdir(dem, 30.0)
+    var = np.ones((8, 8))
+    inflow = K.d8_inflow_neighbors(var, fdir)
+    # conservation: total inflow == number of cells with an in-grid target
+    d0, _ = K.d8_downstream_index(fdir)
+    assert inflow.sum() == (d0 >= 0).sum()
+
+
+def test_polygon_info_centroids_and_adjacency():
+    polys = np.array(
+        [
+            [0, 0, 1],
+            [0, -9999, 1],
+            [2, 2, 1],
+        ],
+        dtype=np.int64,
+    )
+    clusters = np.zeros_like(polys)
+    info = K.polygon_info(polys, clusters, res=10.0)
+    # centroid of polygon 0: cells (0,0),(0,1),(1,0): xs = col*10+5
+    assert info["centroid"][0, 0] == pytest.approx((5 + 15 + 5) / 3)
+    assert info["centroid"][0, 1] == pytest.approx((5 + 5 + 15) / 3)
+    e = {tuple(x) for x in info["edges"]}
+    assert (0, 1) in e and (1, 0) in e  # 4-adjacency both directions
+    assert (0, 2) in e and (2, 1) in e
+    assert (0, 0) in e  # self edges included (reference emits them)
+    assert len(info["edge_dist"]) == len(info["edges"])
+
+
+def test_reduce_basins_reaches_goal():
+    # 5 basins in a row, each draining to the next
+    basins = np.repeat(np.arange(1, 6), 4).reshape(5, 4)
+    ids = np.arange(5)
+    nids = np.array([1, 2, 3, 4, -1])
+    area = np.array([1.0, 2.0, 3.0, 4.0, 10.0])
+    out = K.reduce_basins(basins, ids, nids, area, 3)
+    u = np.unique(out)
+    assert len(u[u > 0]) == 3
+    assert set(u[u > 0]) == {1, 2, 3}  # dense relabel 1..n
