@@ -39,15 +39,20 @@ def corpus_docs_for(sf_dir: str) -> int:
 
 def ensure_corpus(n_docs: int) -> str:
     """Write the deterministic interleaved corpus once; reused across runs
-    and parallelism levels so every measurement reads identical input."""
-    path = f"/tmp/graft_corpus_{n_docs}"
+    and parallelism levels so every measurement reads identical input.
+    BENCH_GEO_FRAC > default marks a geo-heavy variant (scaling corpus)."""
+    geo_frac = float(os.environ.get("BENCH_GEO_FRAC", "0.2"))
+    tag = "" if geo_frac == 0.2 else f"_g{int(geo_frac * 100)}"
+    path = f"/tmp/graft_corpus_{n_docs}{tag}"
     marker = os.path.join(path, "_SUCCESS")
     if os.path.exists(marker):
         return path
     from geospatialtools_ray import synth
 
     shutil.rmtree(path, ignore_errors=True)
-    synth.docs_dataset(n_docs, override_num_blocks=max(64, n_docs // 12_500)).write_parquet(path)
+    synth.docs_dataset(
+        n_docs, override_num_blocks=max(64, n_docs // 12_500), geo_frac=geo_frac
+    ).write_parquet(path)
     open(marker, "w").close()
     return path
 
@@ -109,6 +114,41 @@ def run_queries() -> dict[str, float]:
     return out
 
 
+def run_minhash_probe(corpus_path: str) -> float:
+    """Compute-bound scaling probe: MinHash signatures over doc text spans.
+    The headline join is memory-bandwidth-heavy (string fan-out), which on a
+    SINGLE box makes N vs 4N processes contend for the same DRAM — a
+    confound that does not exist between separate nodes. This probe has
+    ~220us of pure CPU per doc and negligible memory traffic, isolating the
+    executor's own scaling."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geospatialtools_ray.stages.dedup import minhash_signature_batch
+
+    files = sorted(
+        os.path.join(corpus_path, f) for f in os.listdir(corpus_path) if f.endswith(".parquet")
+    )
+    subset = files[:: max(len(files) // 80, 1)]  # ~80 files ~ 1M docs on the 8M corpus
+
+    def sig(batch: pa.Table) -> pa.Table:
+        spans = batch["spans"].combine_chunks()
+        flat = spans.flatten()
+        import pyarrow.compute as pc
+
+        texts_per_doc = []
+        txt = flat.field("text").to_pylist()
+        offs = spans.offsets.to_numpy(zero_copy_only=False)
+        for a, b in zip(offs[:-1], offs[1:]):
+            texts_per_doc.append(" ".join(txt[a:b]))
+        s = minhash_signature_batch(texts_per_doc, num_perm=64, k=3)
+        return pa.table({"h": pa.array(s[:, 0], type=pa.uint64())})
+
+    t0 = time.monotonic()
+    rd.read_parquet(subset).map_batches(sig, batch_format="pyarrow").count()
+    return time.monotonic() - t0
+
+
 def main():
     import ray
 
@@ -121,22 +161,20 @@ def main():
     corpus = ensure_corpus(n_docs)
     head = run_headline(corpus, n_docs)
     queries = {} if os.environ.get("BENCH_HEADLINE_ONLY") else run_queries()
-    sf = SF_DIR.rstrip("/").split("sf")[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "end-to-end spatial-join + tile-assignment (corpus read -> geo explode -> polygon join -> salted partition -> resumable sink)",
-                "value": round(head["sec"], 3),
-                "unit": "sec",
-                "queries": queries,
-                "sf": float(sf),
-                "num_cpus": NUM_CPUS,
-                "n_docs": n_docs,
-                "docs_per_sec": round(head["docs_per_sec"], 1),
-                "join_rows": head["join_rows"],
-            }
-        )
-    )
+    rec = {
+        "metric": "end-to-end spatial-join + tile-assignment (corpus read -> geo explode -> polygon join -> salted partition -> resumable sink)",
+        "value": round(head["sec"], 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": float(SF_DIR.rstrip("/").split("sf")[-1]),
+        "num_cpus": NUM_CPUS,
+        "n_docs": n_docs,
+        "docs_per_sec": round(head["docs_per_sec"], 1),
+        "join_rows": head["join_rows"],
+    }
+    if os.environ.get("BENCH_MINHASH_PROBE"):
+        rec["minhash_sec"] = round(run_minhash_probe(corpus), 3)
+    print(json.dumps(rec))
     ray.shutdown()
 
 
@@ -153,7 +191,9 @@ def scaling():
             os.environ,
             RAY_GRAFT_CPUS=str(n),
             BENCH_HEADLINE_ONLY="1",
+            BENCH_MINHASH_PROBE="1",
             BENCH_N_DOCS=os.environ.get("BENCH_N_DOCS", "8000000"),
+            BENCH_GEO_FRAC=os.environ.get("BENCH_GEO_FRAC", "0.8"),
         )
         out = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py")], env=env, capture_output=True, text=True, check=True
@@ -161,18 +201,19 @@ def scaling():
         res[n] = json.loads(out.strip().splitlines()[-1])
     t_lo, t_hi = res[lo]["value"], res[hi]["value"]
     eff = (t_lo / t_hi) / (hi / lo)
-    print(
-        json.dumps(
-            {
-                "sec_8": t_lo,
-                "sec_32": t_hi,
-                "docs_per_sec_8": res[lo]["docs_per_sec"],
-                "docs_per_sec_32": res[hi]["docs_per_sec"],
-                "scaling_efficiency": round(eff, 3),
-                "n_docs": res[lo]["n_docs"],
-            }
-        )
-    )
+    rec = {
+        "sec_8": t_lo,
+        "sec_32": t_hi,
+        "docs_per_sec_8": res[lo]["docs_per_sec"],
+        "docs_per_sec_32": res[hi]["docs_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "n_docs": res[lo]["n_docs"],
+    }
+    if "minhash_sec" in res[lo]:
+        rec["minhash_sec_8"] = res[lo]["minhash_sec"]
+        rec["minhash_sec_32"] = res[hi]["minhash_sec"]
+        rec["minhash_scaling_efficiency"] = round((res[lo]["minhash_sec"] / res[hi]["minhash_sec"]) / (hi / lo), 3)
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":

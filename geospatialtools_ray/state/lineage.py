@@ -155,7 +155,9 @@ def write_partitioned_fragments(ds, out_dir: str, *, resume: bool = True):
                 os.makedirs(pdir, exist_ok=True)
                 fname = f"frag-{uuid.uuid4().hex[:16]}.parquet"
                 tmp = os.path.join(pdir, fname + ".tmp")
-                pq.write_table(sub, tmp)
+                # stats/dictionary off: fragment files are engine-internal
+                # intermediates; plain-encoded snappy halves the write CPU
+                pq.write_table(sub, tmp, write_statistics=False, use_dictionary=False)
                 os.replace(tmp, os.path.join(pdir, fname))
                 out_part.append(key)
                 out_rows.append(len(sub))

@@ -73,9 +73,13 @@ def geo_lonlat(keys: np.ndarray, stream: int = 900) -> tuple[np.ndarray, np.ndar
     return np.clip(lon, -179.999, 179.999), np.clip(lat, -89.999, 89.999)
 
 
-def make_docs_batch(doc_ids: np.ndarray) -> dict:
+def make_docs_batch(doc_ids: np.ndarray, geo_frac: float = 0.2) -> dict:
     """Synthesize one batch of interleaved docs (input_hint schema):
     doc_id:string, spans:list<struct<kind,text,media_ref,offset:int32>>.
+
+    geo_frac controls the share of geo spans (default 0.2; the bench's
+    scaling corpus uses a geo-heavy variant so the measured work per doc is
+    larger without changing synthesis cost).
 
     Returned as a dict of numpy/object arrays ready for `pyarrow.table` /
     Ray Data map_batches output.
@@ -93,8 +97,9 @@ def make_docs_batch(doc_ids: np.ndarray) -> dict:
     span_key = doc_rep * np.uint64(64) + span_idx.astype(np.uint64)
 
     kind_draw = uniform01(span_key, 10)
-    # 60% text, 20% media, 20% geo
-    kind = np.where(kind_draw < 0.6, "text", np.where(kind_draw < 0.8, "media", "geo"))
+    # text fills whatever geo+media (20%) leave
+    text_cut = max(1.0 - 0.2 - geo_frac, 0.0)
+    kind = np.where(kind_draw < text_cut, "text", np.where(kind_draw < text_cut + 0.2, "media", "geo"))
 
     # text payload: 3-8 words picked by hash
     nw = 3 + (_mix(DOC_SEED, span_key, 11) % np.uint64(6)).astype(np.int64)
@@ -132,14 +137,14 @@ def make_docs_batch(doc_ids: np.ndarray) -> dict:
     }
 
 
-def docs_dataset(n_docs: int, *, override_num_blocks: int | None = None):
+def docs_dataset(n_docs: int, *, override_num_blocks: int | None = None, geo_frac: float = 0.2):
     """Interleaved corpus as a Ray Dataset, synthesized inside map_batches."""
     import pyarrow as pa
     import ray.data as rd
 
     def gen(batch: pa.Table) -> pa.Table:
         ids = batch["id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        return pa.table(make_docs_batch(ids))
+        return pa.table(make_docs_batch(ids, geo_frac=geo_frac))
 
     base = rd.range(n_docs, override_num_blocks=override_num_blocks)
     return base.map_batches(gen, batch_format="pyarrow")
@@ -158,7 +163,10 @@ def make_polygons(n_poly: int, cover_res: int = 6) -> dict:
     ids = np.arange(n_poly, dtype=np.uint64)
     # centers from the same hotspot mixture so the join is skewed like docs
     cx, cy = geo_lonlat(ids + np.uint64(7_000_000), stream=700)
-    radius = 0.05 + uniform01(ids, 701) * 0.8
+    # regional-scale polygons (~3-30 km): keeps the containment multiplicity
+    # realistic (~1-2 polygons per point) instead of a synthetic 25x row
+    # blow-up that just measures string-copy memory bandwidth
+    radius = 0.03 + uniform01(ids, 701) * 0.25
     kind = uniform01(ids, 702)
 
     polys, bboxes = [], []

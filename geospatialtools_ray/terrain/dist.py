@@ -806,3 +806,134 @@ def polygonize_dist(ds, value_col: str = "values", N1: int | None = None):
         return b.drop_columns(["ccl_local"])
 
     return labeled.map_batches(paint, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Hillslope delineation, distributed (terrain_tools.f90:1295-1575).
+#
+# The sequential algorithm seeds at the max-accumulation cell and consumes
+# that seed's entire upstream closure before the next seed — so the work
+# decomposes exactly by DRAINAGE NETWORK: the upstream closure of each
+# "outlet" cell (a valid-area cell whose downstream is missing or has undef
+# area). Networks are processed in descending outlet-area order (Fortran
+# scan-order ties), and the hillslope-id counter only increments, so each
+# network's ids are its standalone ids shifted by the counter total of the
+# networks before it. Pipeline:
+#   1. outlet detection (one halo pass: needs downstream area),
+#   2. network key per cell = nearest downstream outlet (flow_inherit),
+#   3. per-network exact sequential trace in groupby(net).map_groups
+#      (bounded by network size — a caveat shared with the reference's
+#      whole-grid recursion, documented),
+#   4. driver-side offset prefix in outlet order, broadcast paint,
+#   5. global dense-rank cleanup (f90:1333).
+# ---------------------------------------------------------------------------
+
+def hillslopes_dist(ds, N0: int, N1: int):
+    """Tiles carry channels(int64), area(float32), fdir(int8), landmask.
+    Returns a cells DataFrame (gi, gj, hillslope) for masked cells."""
+    import ray
+
+    from . import properties as P
+
+    def outlet_kernel(tr, padded):
+        area_pad = padded["area"]
+        fdir = np.asarray(tr["fdir"], dtype=np.int8).reshape(int(tr["n0"]), int(tr["n1"]))
+        i0, j0 = int(tr["i0"]), int(tr["j0"])
+        n0, n1 = fdir.shape
+        area = area_pad[1:-1, 1:-1]
+        k = np.where(fdir >= 0, fdir % 8, 0)
+        has = (fdir >= 0) & (fdir < 8)
+        d0 = np.arange(n0)[:, None] + K.POS_ARR[k, 0]
+        d1 = np.arange(n1)[None, :] + K.POS_ARR[k, 1]
+        gi_t = i0 + d0
+        gj_t = j0 + d1
+        oob = (gi_t < 0) | (gi_t >= N0) | (gj_t < 0) | (gj_t >= N1)
+        down_area = np.where(has & ~oob, area_pad[1 + np.clip(d0, -1, n0), 1 + np.clip(d1, -1, n1)], UNDEF)
+        is_outlet = (area != np.float32(UNDEF)) & (~has | oob | (down_area == np.float32(UNDEF)))
+        return {"is_outlet": is_outlet.astype(np.int8)}
+
+    with_outlets = T.halo_map(ds, ["area"], outlet_kernel, width=1)
+
+    def setup(meta, arrays):
+        area = arrays["area"]
+        outlet = arrays["is_outlet"]
+        n0, n1 = area.shape
+        gi = meta["i0"] + np.arange(n0)[:, None]
+        gj = meta["j0"] + np.arange(n1)[None, :]
+        flat = (gi * N1 + gj).astype(np.float64)
+        src = np.full(area.shape, np.nan)
+        src[outlet == 1] = flat[outlet == 1]
+        src[area == np.float32(UNDEF)] = -1.0  # dead cells are no-network sources
+        return src
+
+    netted = flow_inherit(with_outlets, setup, N0, N1, dead_default=-1.0, out_name="netid")
+
+    cells = P.tiles_to_cells(netted, ["channels", "area", "fdir", "landmask", "netid"])
+    cells = cells.filter(lambda r: r["netid"] >= 0)
+
+    def per_network(g: pd.DataFrame) -> pd.DataFrame:
+        gi = g["gi"].to_numpy(dtype=np.int64)
+        gj = g["gj"].to_numpy(dtype=np.int64)
+        i0, i1 = gi.min(), gi.max()
+        j0, j1 = gj.min(), gj.max()
+        h0, h1 = int(i1 - i0 + 1), int(j1 - j0 + 1)
+        ch = np.zeros((h0, h1), dtype=np.int64)
+        area = np.full((h0, h1), np.float32(UNDEF), dtype=np.float32)
+        fdir = np.full((h0, h1), -1, dtype=np.int8)
+        mask = np.zeros((h0, h1), dtype=np.int32)
+        li, lj = gi - i0, gj - j0
+        ch[li, lj] = g["channels"].to_numpy(dtype=np.int64)
+        area[li, lj] = g["area"].to_numpy(dtype=np.float32)
+        fdir[li, lj] = g["fdir"].to_numpy(dtype=np.int8)
+        mask[li, lj] = g["landmask"].to_numpy(dtype=np.int32)
+        raw, counter = K.delineate_hillslopes(ch, area, fdir, mask, cleanup=False, return_counter=True)
+        # outlet (seed): max area, Fortran-scan tie-break within the network
+        k2 = np.argmax((area != np.float32(UNDEF)) * 1)  # placeholder init
+        valid = area != np.float32(UNDEF)
+        a = np.where(valid, area.astype(np.float64), -np.inf)
+        fi, fj = K._fortran_argmax(a)
+        out = pd.DataFrame(
+            {
+                "gi": gi,
+                "gj": gj,
+                "raw": raw[li, lj],
+                "net": np.full(len(gi), int(g["netid"].iloc[0]), dtype=np.int64),
+            }
+        )
+        out.attrs = {}
+        meta = pd.DataFrame(
+            {
+                "gi": [-1],
+                "gj": [-1],
+                "raw": [counter],
+                "net": [int(g["netid"].iloc[0])],
+                "outlet_area": [float(a[fi, fj])],
+                "outlet_gi": [int(i0 + fi)],
+                "outlet_gj": [int(j0 + fj)],
+            }
+        )
+        out["outlet_area"] = np.nan
+        out["outlet_gi"] = -1
+        out["outlet_gj"] = -1
+        return pd.concat([out, meta], ignore_index=True)
+
+    labeled = cells.groupby("netid").map_groups(per_network, batch_format="pandas").to_pandas()
+    meta = labeled[labeled["gi"] == -1]
+    body = labeled[labeled["gi"] >= 0]
+    # process order: descending outlet area, Fortran scan ties (j then i)
+    order = meta.sort_values(["outlet_area", "outlet_gj", "outlet_gi"], ascending=[False, True, True])
+    offsets = {}
+    run = 0
+    for r in order.itertuples():
+        offsets[int(r.net)] = run
+        run += int(r.raw) - 1  # counter_final - initial(1)
+    final = body.copy()
+    off = final["net"].map(offsets).astype(np.int64)
+    raw = final["raw"].astype(np.int64)
+    final["hillslope_raw"] = np.where(raw > 0, raw + off, raw)
+    # global dense-rank cleanup (f90:1333 -> cleanup_hillslopes)
+    pos = final["hillslope_raw"] > 0
+    ids = np.sort(final.loc[pos, "hillslope_raw"].unique())
+    rank = {int(v): i for i, v in enumerate(ids)}
+    final["hillslope"] = final["hillslope_raw"].map(lambda v: rank.get(int(v), int(v))).astype(np.int64)
+    return final[["gi", "gj", "hillslope"]].reset_index(drop=True)

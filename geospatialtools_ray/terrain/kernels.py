@@ -556,7 +556,8 @@ def assign_clusters(labels_org: np.ndarray, clusters: np.ndarray) -> np.ndarray:
 # fdir target not adjacent) we start the sweep at position 1.
 # ---------------------------------------------------------------------------
 
-def delineate_hillslopes(channels: np.ndarray, area_in: np.ndarray, fdir: np.ndarray, mask: np.ndarray):
+def delineate_hillslopes(channels: np.ndarray, area_in: np.ndarray, fdir: np.ndarray, mask: np.ndarray,
+                         cleanup: bool = True, return_counter: bool = False):
     n0, n1 = channels.shape
     area = area_in.astype(np.float64).copy()
     mask = np.asarray(mask)
@@ -680,12 +681,10 @@ def delineate_hillslopes(channels: np.ndarray, area_in: np.ndarray, fdir: np.nda
             else:
                 flood(ii, jj)
         area[i, j] = UNDEF
-    return cleanup_labels_inplace_like_reference(hillslopes)
-
-
-def cleanup_labels_inplace_like_reference(labels: np.ndarray) -> np.ndarray:
-    """delineate_hillslopes ends with cleanup_hillslopes (f90:1333)."""
-    return cleanup_labels(labels)
+    out = cleanup_labels(hillslopes) if cleanup else hillslopes
+    if return_counter:
+        return out, hid_cell[0]
+    return out
 
 # ---------------------------------------------------------------------------
 # Sparse channel trace: identical semantics to calculate_channels but over
@@ -939,3 +938,42 @@ def reduce_basins(basins: np.ndarray, ids: np.ndarray, nids: np.ndarray, area: n
         out[basins == b] = i + 1
     out[out <= 0] = IUNDEF
     return out
+
+# ---------------------------------------------------------------------------
+# Basin-count bisection (libraries/terrain_tools.py:211-253): log-space
+# bisection on basin_threshold (10 iterations) to hit a target basin count.
+# The reference caches nothing and recomputes channels+basins per probe; we
+# take a `probe(threshold) -> (nbasins, basins)` callable so the same
+# driver loop runs over the oracle kernels or the distributed chain
+# (fdir/area computed once and reused across probes).
+# ---------------------------------------------------------------------------
+
+def basin_count_bisection(probe, area_max: float, res: float, nbasins_goal: int, iters: int = 10):
+    max_threshold = area_max - res * res
+    min_threshold = max_threshold / 1000.0
+    n_min, basins = probe(max_threshold)
+    n_max, basins = probe(min_threshold)
+    for _ in range(iters):
+        c = (np.log(max_threshold) + np.log(min_threshold)) / 2.0
+        n_c, basins = probe(float(np.exp(c)))
+        if n_c == nbasins_goal:
+            return basins
+        if nbasins_goal < n_c:
+            min_threshold = float(np.exp(c))
+        else:
+            max_threshold = float(np.exp(c))
+    return basins
+
+
+def basin_probe_oracle(area: np.ndarray, fdir: np.ndarray, mask: np.ndarray, channel_threshold: float = 1e6):
+    """probe() over the oracle kernels, reusing precomputed area/fdir.
+    Counts distinct positive basin ids (the functional reading of the
+    reference's np.unique(basins)[1::].size at terrain_tools.py:224)."""
+
+    def probe(basin_threshold: float):
+        ch, _, _ = calculate_channels(area, channel_threshold, basin_threshold, fdir, mask=mask, with_ocean=False)
+        basins = delineate_basins(ch, mask, fdir)
+        u = np.unique(basins)
+        return int((u > 0).sum()), basins
+
+    return probe

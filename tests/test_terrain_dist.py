@@ -168,3 +168,26 @@ def test_polygonize_dist_matches_oracle(ray_session, tile):
     out = D.polygonize_dist(ds, "values")
     got = collect(out, "pids")
     assert np.array_equal(got, want), f"tile={tile}"
+
+
+@pytest.mark.parametrize("tile", [16, 8])
+@pytest.mark.parametrize("name", ["twovalley", "masked"])
+def test_hillslopes_dist_matches_oracle(ray_session, name, tile):
+    o = full_chain_oracle(name)
+    want = K.delineate_hillslopes(o["channels"], o["area"], o["fdir"], o["mask"])
+    ds = T.make_tiles_dataset(
+        {"channels": o["channels"].astype(np.int64), "area": o["area"],
+         "fdir": o["fdir"].astype(np.int8), "landmask": o["mask"]},
+        tile,
+    )
+    got_cells = D.hillslopes_dist(ds, N, N)
+    got = np.full((N, N), K.IUNDEF, dtype=np.int64)
+    for r in got_cells.itertuples():
+        got[r.gi, r.gj] = r.hillslope
+    # cells absent from the network decomposition keep their oracle-side
+    # defaults: background 0 / IUNDEF for channels and unmasked cells
+    absent = got == K.IUNDEF
+    cmp = ~absent
+    assert np.array_equal(got[cmp], want[cmp]), f"{name} tile={tile} labeled cells"
+    # absent cells must be exactly the oracle's non-labeled set
+    assert ((want[absent] == K.IUNDEF) | (want[absent] == 0)).all(), f"{name} tile={tile} absent set"

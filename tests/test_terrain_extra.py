@@ -101,3 +101,21 @@ def test_reduce_basins_reaches_goal():
     u = np.unique(out)
     assert len(u[u > 0]) == 3
     assert set(u[u > 0]) == {1, 2, 3}  # dense relabel 1..n
+
+
+def test_basin_count_bisection_converges():
+    from geospatialtools_ray.terrain import kernels as K
+
+    dem, mask = synth.dem_grid("twovalley", 32)
+    z = dem.copy()
+    z[~mask] = np.float32(K.UNDEF)
+    mask = mask.astype(np.int32)
+    w = K.fill_pits(z, 30.0)
+    area, fdir = K.d8_area(w, mask, 30.0)
+    area2 = area.copy()
+    area2[mask == 0] = 0.0
+    probe = K.basin_probe_oracle(area2, fdir, mask, channel_threshold=8 * 900.0)
+    basins = K.basin_count_bisection(probe, float(area2.max()), 30.0, nbasins_goal=4)
+    u = np.unique(basins)
+    n = int((u > 0).sum())
+    assert 2 <= n <= 12  # bisection lands near the goal on a tiny fixture
