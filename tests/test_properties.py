@@ -152,3 +152,110 @@ def test_nd_histogram_assign_matches_histogramdd():
     H, _ = np.histogramdd(np.stack([a, b], axis=1), bins=edges)
     counts = np.bincount(ids, minlength=12).reshape(4, 3)
     assert np.array_equal(counts, H.astype(np.int64))
+
+
+def test_hillslope_profile_machinery(tc):
+    from geospatialtools_ray.terrain import hillslope_props as HP
+
+    hs = K.delineate_hillslopes(tc["channels"], tc["area"], tc["fdir"], tc["mask"])
+    # relabel 0 -> skip: use ids > 0 plus the 0 id by shifting (+1 on labeled)
+    hs2 = np.where(hs >= 0, hs + 1, hs)
+    covs = {"demns": tc["w"], "slope": tc["slope"]}
+    df = HP.hillslope_properties_oracle(hs2, tc["hand"], tc["slope"], covs, RES)
+    assert len(df) == len(np.unique(hs2[hs2 > 0]))
+    assert (df["relief"] > 0).all()
+    assert (df["length"] > 0).all()
+    assert (df["area"] > 0).all()
+    # profile arrays normalized: position/d2c end near 1
+    for r in df.itertuples():
+        p = np.asarray(r.position_array)
+        d = np.asarray(r.d2c_array)
+        assert d[0] == 0.0 and d[-1] == pytest.approx(1.0)
+        assert (np.diff(np.asarray(r.d2c_array)) >= -1e-9).all()
+    # width fit bounds (terrain_tools.py:604-606)
+    assert ((df["width_slope"] <= 99) & (df["width_slope"] >= -0.99)).all()
+    assert ((df["relief_a"] >= 1) & (df["relief_a"] <= 5)).all()
+
+
+def test_hillslope_profile_qc_fallback():
+    from geospatialtools_ray.terrain import hillslope_props as HP
+
+    # all-zero HAND triggers the reference's QC fallback (:514-519)
+    prof = HP.hillslope_profile(np.zeros(5), np.full(5, 0.1), 30.0)
+    assert prof["relief"] == 1.5
+    assert prof["length"] == 20.0
+    assert prof["area"] == 1800.0
+
+
+def test_fit_relief_recovers_known_params():
+    from geospatialtools_ray.terrain import hillslope_props as HP
+
+    x = np.linspace(0.05, 0.95, 40)
+    y = 1 - (1 - x**2.0) ** 3.0
+    a, b = HP.fit_relief(x, y)
+    assert abs(a - 2.0) < 0.05 and abs(b - 3.0) < 0.1
+
+
+def test_hillslope_properties_dist_matches_profile_oracle(ray_session, tc):
+    from geospatialtools_ray.terrain import hillslope_props as HP
+
+    hs = K.delineate_hillslopes(tc["channels"], tc["area"], tc["fdir"], tc["mask"])
+    hs2 = np.where(hs >= 0, hs + 1, hs)
+    grids = {
+        "hillslopes": hs2.astype(np.int64),
+        "hand": tc["hand"],
+        "slope": tc["slope"],
+        "demns": tc["w"],
+    }
+    ds = T.make_tiles_dataset(grids, 16)
+    cells = P.tiles_to_cells(ds, list(grids)).filter(lambda r: r["hillslopes"] > 0)
+    got = HP.hillslope_properties_dist(cells, ["demns"], RES)
+    want = HP.hillslope_properties_oracle(hs2, tc["hand"], tc["slope"], {"demns": tc["w"]}, RES)
+    want = want.sort_values("hid").reset_index(drop=True)
+    # profile columns identical (profile math uses only own cells)
+    # float32 cell payloads mean-reduce in different precision paths
+    # (oracle slices float32 grids; cells arrive upcast) — agree to ~1e-6
+    for c in ("relief", "length", "area", "width_slope", "relief_a", "relief_b"):
+        assert np.allclose(got[c].to_numpy(), want[c].to_numpy(), rtol=1e-5), c
+    for a, b in zip(got["d2c_array"], want["d2c_array"]):
+        assert np.allclose(a, b, rtol=1e-5)
+
+
+def test_cluster_hillslopes_weighted_means(tc):
+    from geospatialtools_ray.terrain import hillslope_props as HP
+
+    hs = K.delineate_hillslopes(tc["channels"], tc["area"], tc["fdir"], tc["mask"])
+    hs2 = np.where(hs >= 0, hs + 1, hs)
+    hp = HP.hillslope_properties_oracle(hs2, tc["hand"], tc["slope"], {"demns": tc["w"]}, RES)
+    clusters = (hp["hid"].to_numpy() % 2).astype(np.int64)
+    out = HP.cluster_hillslopes(hp, clusters, dh=2.0, max_nbands=10, min_nbands=2)
+    assert len(out) == len(np.unique(clusters))
+    assert out["frac"].sum() == pytest.approx(1.0)
+    # weighted mean check for one cluster/column
+    m = clusters == 0
+    frac = hp["area"][m].to_numpy() / hp["area"][m].sum()
+    assert out[out["cluster"] == 0]["relief"].iloc[0] == pytest.approx(float((frac * hp["relief"][m]).sum()))
+    assert ((out["nbins"] >= 2) & (out["nbins"] <= 10)).all()
+    assert ((out["relief_p0"] >= 1) & (out["relief_p0"] <= 5)).all()
+    assert ((out["width_p0"] >= -0.99) & (out["width_p0"] <= 99)).all()
+
+
+def test_create_hillslope_tiles(tc):
+    from geospatialtools_ray.terrain import hillslope_props as HP
+
+    hs = K.delineate_hillslopes(tc["channels"], tc["area"], tc["fdir"], tc["mask"])
+    hs2 = np.where(hs >= 0, hs + 1, hs)
+    hp = HP.hillslope_properties_oracle(hs2, tc["hand"], tc["slope"], {}, RES)
+    clusters01 = (hp["hid"].to_numpy() % 2).astype(np.int64)
+    hpc = HP.cluster_hillslopes(hp, clusters01, dh=2.0, max_nbands=4, min_nbands=2)
+    # paint cluster ids (1-based) onto the map via the hid->cluster lookup
+    lut = dict(zip(hp["hid"].astype(int), clusters01 + 1))
+    hc = np.where(hs2 > 0, np.vectorize(lambda v: lut.get(int(v), K.IUNDEF))(hs2), K.IUNDEF)
+    tiles, new_hand = HP.create_hillslope_tiles(hc, tc["hand"], hs2, hp, hpc)
+    lab = tiles[tiles > 0]
+    u = np.sort(np.unique(lab))
+    assert u[0] == 1 and len(u) <= int(hpc["nbins"].max())
+    assert np.array_equal(u, np.arange(1, len(u) + 1))
+    # new_hand rescaled within [0, cluster relief]
+    ok = (tiles > 0) & (new_hand != K.UNDEF)
+    assert float(new_hand[ok].min()) >= 0.0
