@@ -977,3 +977,208 @@ def basin_probe_oracle(area: np.ndarray, fdir: np.ndarray, mask: np.ndarray, cha
         return int((u > 0).sum()), basins
 
     return probe
+
+# ---------------------------------------------------------------------------
+# D8 variant with sqrt(2) diagonals (terrain_tools.f90:332-347): used by the
+# interest-point accumulation and the simple pit-removal.
+# ---------------------------------------------------------------------------
+
+def d8_fdir_sqrt2(dem: np.ndarray, res: float) -> np.ndarray:
+    n0, n1 = dem.shape
+    z = dem.astype(np.float32)
+    slopes = np.full((8, n0, n1), np.float32(UNDEF), dtype=np.float32)
+    for p, (di, dj) in enumerate(POS):
+        zi = np.full((n0, n1), np.nan, dtype=np.float32)
+        ii = np.arange(n0) + di
+        jj = np.arange(n1) + dj
+        oki = (ii >= 0) & (ii < n0)
+        okj = (jj >= 0) & (jj < n1)
+        zi[np.ix_(oki, okj)] = z[np.ix_(ii[oki], jj[okj])]
+        length = SQRT2 * np.float32(res) if (di != 0 and dj != 0) else np.float32(res)
+        s = (z - zi) / length
+        slopes[p] = np.where(np.isnan(zi), np.float32(UNDEF), s)
+    smax = slopes.max(axis=0)
+    amax = slopes.argmax(axis=0)
+    fdir = np.full((n0, n1), -1, dtype=np.int8)
+    pos_mask = smax > 0
+    fdir[pos_mask] = amax[pos_mask].astype(np.int8)
+    border = ~pos_mask & (slopes.min(axis=0) == UNDEF)
+    first_undef = np.argmax(slopes == UNDEF, axis=0)
+    fdir[border] = (first_undef[border] + 8).astype(np.int8)
+    return fdir
+
+
+def d8_acc_wipoints(dem: np.ndarray, mask: np.ndarray, ipoints: np.ndarray, res: float):
+    """calculate_d8_acc_wipoints (terrain_tools.f90:303-414): fdir with
+    sqrt2 diagonals; accumulation seeded ONLY at interest points, each
+    walking DOWNSTREAM carrying a running path counter; cells already
+    visited stop later walks (first-path-wins — reference recursion
+    semantics, reproduced literally in scan order)."""
+    n0, n1 = dem.shape
+    fdir = d8_fdir_sqrt2(dem, res)
+    d0, d1 = d8_downstream_index(fdir)
+    z = dem.astype(np.float32)
+    catchment = np.zeros((n0, n1), dtype=np.int64)
+    ip = np.asarray(ipoints)
+    for i in range(n0):
+        for j in range(n1):
+            if ip[i, j] == IUNDEF:
+                continue
+            pc = 0
+            ci, cj = i, j
+            while catchment[ci, cj] <= 0:
+                catchment[ci, cj] += pc + 1
+                pc = catchment[ci, cj]
+                ni, nj = d0[ci, cj], d1[ci, cj]
+                if ni < 0 or not (z[ci, cj] > z[ni, nj]):
+                    break
+                ci, cj = ni, nj
+    area = (np.float32(res) ** 2 * catchment).astype(np.float32)
+    area[np.asarray(mask) == 0] = UNDEF
+    area[fdir == -1] = UNDEF
+    return area, fdir
+
+
+def remove_pits_simple(dem: np.ndarray, res: float, max_outer: int = 10000):
+    """The simple pit-removal variant (terrain_tools.f90:56-169): scan the
+    (shrinking) bounding box; any interior cell with no downhill neighbor
+    (sqrt2-length slopes) is raised to its least-bad neighbor + 0.01*res,
+    chaining into that neighbor; repeat until a full clean pass."""
+    n0, n1 = dem.shape
+    demns = dem.astype(np.float32).copy()
+    minslope = np.float32(0.01)
+
+    def fix_cell(i, j, box):
+        count = 0
+        ci, cj = i, j
+        while True:
+            if demns[ci, cj] == np.float32(UNDEF):
+                return count
+            if ci == 0 or ci == n0 - 1 or cj == 0 or cj == n1 - 1:
+                return count
+            best_s = -np.inf
+            best = None
+            for (di, dj) in POS:
+                ii, jj = ci + di, cj + dj
+                if ii < 0 or jj < 0 or ii >= n0 or jj >= n1:
+                    continue
+                length = SQRT2 * np.float32(res) if (di != 0 and dj != 0) else np.float32(res)
+                s = (demns[ci, cj] - demns[ii, jj]) / length
+                if s > best_s:
+                    best_s = s
+                    best = (ii, jj)
+            if best_s > 0:
+                return count
+            box[0] = min(box[0], ci); box[1] = max(box[1], ci)
+            box[2] = min(box[2], cj); box[3] = max(box[3], cj)
+            demns[ci, cj] = demns[best] + minslope * np.float32(res)
+            count += 1
+            ci, cj = best
+
+    i0, i1, j0, j1 = 0, n0 - 1, 0, n1 - 1
+    for _ in range(max_outer):
+        box = [10 ** 9, -1, 10 ** 9, -1]
+        count = 0
+        for i in range(i0, i1 + 1):
+            for j in range(j0, j1 + 1):
+                count += fix_cell(i, j, box)
+        if count == 0:
+            # confirm with a full-grid pass (f90:104-116)
+            box = [10 ** 9, -1, 10 ** 9, -1]
+            count = 0
+            for i in range(n0):
+                for j in range(n1):
+                    count += fix_cell(i, j, box)
+            if count == 0:
+                break
+        i0, i1 = max(box[0], 0), min(max(box[1], 0), n0 - 1)
+        j0, j1 = max(box[2], 0), min(max(box[3], 0), n1 - 1)
+        if box[1] < 0:
+            i0, i1, j0, j1 = 0, n0 - 1, 0, n1 - 1
+    return demns
+
+# ---------------------------------------------------------------------------
+# MFD HAND (terrain_tools.f90:628-746): fraction-weighted mix of downstream
+# channel depths; literal reproduction including -9999 contributions from
+# drainless neighbors and the shared cd threading.
+# ---------------------------------------------------------------------------
+
+def depth2channel_mfd(channels: np.ndarray, mask: np.ndarray, p: int, dem: np.ndarray, res: float):
+    n0, n1 = dem.shape
+    mask = np.asarray(mask)
+    z = dem.astype(np.float32)
+    channeldepth = z.copy()
+    channeldepth[channeldepth < 0] = 0.0
+    channeldepth[(mask <= 0) | (channels <= 0)] = UNDEF
+
+    def slopes_of(i, j):
+        s = np.zeros(8, dtype=np.float32)
+        for k, (di, dj) in enumerate(POS):
+            ii, jj = i + di, j + dj
+            if ii < 0 or jj < 0 or ii >= n0 or jj >= n1 or mask[ii, jj] == 0:
+                continue
+            if z[i, j] > z[ii, jj]:
+                length = SQRT2 * np.float32(res) if (di != 0 and dj != 0) else np.float32(res)
+                s[k] = (z[i, j] - z[ii, jj]) / length
+        return s
+
+    def resolve(si, sj):
+        # frames: [i, j, slopes, angle_sum, ipos]
+        stack = [[si, sj, None, None, 0]]
+        cd_cell = [np.float32(0.0)]
+        while stack:
+            fr = stack[-1]
+            i, j, s, ang, ipos = fr
+            if mask[i, j] == 0:
+                stack.pop()
+                continue
+            if s is None:
+                s = slopes_of(i, j)
+                ang = np.float32((s.astype(np.float32) ** p).sum())
+                fr[2], fr[3] = s, ang
+            advanced = False
+            while fr[4] < 8:
+                k = fr[4]
+                di, dj = POS[k]
+                ii, jj = i + di, j + dj
+                fr[4] += 1
+                if ii < 0 or jj < 0 or ii >= n0 or jj >= n1:
+                    continue
+                if s[k] == 0.0 or mask[ii, jj] == 0:
+                    continue
+                fract = np.float32(s[k] ** p) / ang
+                if channeldepth[ii, jj] >= 0:
+                    cd_cell[0] = channeldepth[ii, jj]
+                    if channeldepth[i, j] == np.float32(UNDEF):
+                        channeldepth[i, j] = 0.0
+                    channeldepth[i, j] = np.float32(channeldepth[i, j] + fract * cd_cell[0])
+                else:
+                    # recurse first; contribution added on return
+                    fr[4] -= 1
+                    fr.append("pending")  # marker: on child completion add
+                    stack.append([ii, jj, None, None, 0])
+                    advanced = True
+                    break
+            if advanced:
+                continue
+            cd_cell[0] = channeldepth[i, j]
+            stack.pop()
+            if stack and len(stack[-1]) == 6 and stack[-1][5] == "pending":
+                parent = stack[-1]
+                parent.pop()  # clear marker
+                pi, pj, ps, pang, pk = parent[0], parent[1], parent[2], parent[3], parent[4]
+                fract = np.float32(ps[pk] ** p) / pang
+                if channeldepth[pi, pj] == np.float32(UNDEF):
+                    channeldepth[pi, pj] = 0.0
+                channeldepth[pi, pj] = np.float32(channeldepth[pi, pj] + fract * cd_cell[0])
+                parent[4] += 1
+
+    for i in range(n0):
+        for j in range(n1):
+            if channeldepth[i, j] == np.float32(UNDEF) and mask[i, j] >= 1:
+                resolve(i, j)
+
+    out = z - channeldepth
+    out[out < 0] = UNDEF
+    out[mask <= 0] = UNDEF
+    return out

@@ -119,3 +119,94 @@ def test_basin_count_bisection_converges():
     u = np.unique(basins)
     n = int((u > 0).sum())
     assert 2 <= n <= 12  # bisection lands near the goal on a tiny fixture
+
+
+def test_d8_acc_wipoints_seeded_walks():
+    line = (np.arange(8, dtype=np.float32) * 10).reshape(1, 8)[::-1]
+    dem = np.tile((np.arange(8, dtype=np.float32)[::-1] * 10), (3, 1))
+    dem += np.array([[0.0], [0.5], [1.0]], dtype=np.float32)
+    ip = np.full((3, 8), K.IUNDEF, dtype=np.int64)
+    ip[0, 0] = 1  # one interest point at the top of row 0
+    area, fdir = K.d8_acc_wipoints(dem, np.ones((3, 8), np.int32), ip, 30.0)
+    counts = area / (30.0 * 30.0)
+    # the walk descends along the row, incrementing 1,2,3,... until the border
+    assert counts[0, 0] == 1
+    assert counts[0, 1] >= 2
+    # unseeded rows carry no accumulation (0 or undef)
+    assert np.all((counts[2] <= 0) | (counts[2] == K.UNDEF / 900.0))
+
+
+def test_remove_pits_simple_drains():
+    dem, _ = synth.dem_grid("pit", 24)
+    out = K.remove_pits_simple(dem, 30.0)
+    # no interior cell is a pit/flat under the sqrt2 slope rule
+    n = 24
+    for i in range(1, n - 1):
+        for j in range(1, n - 1):
+            drops = []
+            for (di, dj) in K.POS:
+                ln = 1.41421356237 * 30.0 if (di and dj) else 30.0
+                drops.append((out[i, j] - out[i + di, j + dj]) / ln)
+            assert max(drops) > 0, (i, j)
+
+
+def test_depth2channel_mfd_matches_literal_recursion():
+    import sys
+
+    sys.setrecursionlimit(100000)
+    o_name = "twovalley"
+    dem, mask = synth.dem_grid(o_name, 12)
+    z = dem.copy()
+    z[~mask] = np.float32(K.UNDEF)
+    mask = mask.astype(np.int32)
+    w = K.fill_pits(z, 30.0)
+    area, fdir = K.d8_area(w, mask, 30.0)
+    ch, _, _ = K.calculate_channels(area, 2 * 900.0, 4 * 900.0, fdir, mask=mask)
+    got = K.depth2channel_mfd(ch, mask, 1, w, 30.0)
+
+    # literal recursive reference implementation
+    n = 12
+    zz = w.astype(np.float32)
+    channeldepth = zz.copy()
+    channeldepth[channeldepth < 0] = 0.0
+    channeldepth[(mask <= 0) | (ch <= 0)] = np.float32(K.UNDEF)
+    cd_box = [np.float32(0.0)]
+
+    def slopes_of(i, j):
+        s = np.zeros(8, dtype=np.float32)
+        for k, (di, dj) in enumerate(K.POS):
+            ii, jj = i + di, j + dj
+            if 0 <= ii < n and 0 <= jj < n and mask[ii, jj] != 0 and zz[i, j] > zz[ii, jj]:
+                ln = np.float32(1.41421356237 * 30.0) if (di and dj) else np.float32(30.0)
+                s[k] = (zz[i, j] - zz[ii, jj]) / ln
+        return s
+
+    def rec(i, j):
+        if mask[i, j] == 0:
+            return
+        s = slopes_of(i, j)
+        ang = np.float32((s ** 1).sum())
+        for k, (di, dj) in enumerate(K.POS):
+            ii, jj = i + di, j + dj
+            if not (0 <= ii < n and 0 <= jj < n):
+                continue
+            if s[k] == 0.0 or mask[ii, jj] == 0:
+                continue
+            fract = np.float32(s[k] ** 1) / ang
+            if channeldepth[ii, jj] >= 0:
+                cd_box[0] = channeldepth[ii, jj]
+            else:
+                rec(ii, jj)
+            if channeldepth[i, j] == np.float32(K.UNDEF):
+                channeldepth[i, j] = 0.0
+            channeldepth[i, j] = np.float32(channeldepth[i, j] + fract * cd_box[0])
+        cd_box[0] = channeldepth[i, j]
+
+    for i in range(n):
+        for j in range(n):
+            if channeldepth[i, j] == np.float32(K.UNDEF) and mask[i, j] >= 1:
+                rec(i, j)
+    want = zz - channeldepth
+    want[want < 0] = K.UNDEF
+    want[mask <= 0] = K.UNDEF
+    assert np.array_equal(got, want)
