@@ -207,3 +207,65 @@ def create_hrus_grouped(cells_ds, cov_cols: list[str], cov_ranges: dict[str, tup
     rank = {int(v): i for i, v in enumerate(ids)}  # starts at 0
     painted["hru"] = painted["hru_raw"].map(rank).astype("int64") + 1
     return painted[["gi", "gj", "hru"]]
+
+
+def curate_hru_properties(hru_df: pd.DataFrame, hp_df: pd.DataFrame) -> pd.DataFrame:
+    """curate_hru_properties (terrain_tools.py:1524-1579): per hillslope,
+    rebuild elevation-tile geometry — equal-length segments scaled so the
+    area fractions f1 are met ((f1/f0)**0.5 correction), linear width
+    profile 1..rwidth, positions/elevations from the hillslope slope, and
+    the per-HRU width split (incl. the reference's concat-order wspec
+    assignment). hp_df: one row per hillslope id (`hid`,`length`,`rwidth`,
+    `slope`); hru_df: hru rows with hillslope_id/tile_id/area/
+    depth2channel columns. Returns the curated copy."""
+    out = hru_df.copy().reset_index(drop=True)
+    for col in ("hillslope_length", "hillslope_position", "width_top", "width_bottom", "wspec"):
+        if col not in out:
+            out[col] = 0.0
+    out["wspec"] = 0.0
+    hp = hp_df.set_index(hp_df["hid"].astype(int))
+    for hid in hp.index:
+        m = (out["hillslope_id"] == hid).to_numpy()
+        if m.sum() == 0:
+            continue
+        d2c, idx = np.unique(out.loc[m, "depth2channel"].to_numpy(), return_inverse=True)
+        hlength = hp.loc[hid, "length"] / d2c.size * np.ones(d2c.size)
+        width = np.linspace(1.0, hp.loc[hid, "rwidth"], d2c.size + 1)
+        w0 = (width[1:] + width[:-1]) / 2.0
+        f0 = hlength * w0 / np.sum(hlength * w0)
+        tids = out.loc[m, "tile_id"].to_numpy()
+        areas = out.loc[m, "area"].to_numpy()
+        utids = np.unique(tids)
+        f1 = np.asarray([areas[tids == t].sum() / areas.sum() for t in utids])
+        # pad/trim to the elevation-tile count (degenerate cases where a
+        # hillslope has fewer distinct tiles than d2c bins)
+        if len(f1) < len(f0):
+            f1 = np.pad(f1, (0, len(f0) - len(f1)), constant_values=0.0)
+        corr = np.sqrt(np.divide(f1[: len(f0)], f0, out=np.ones_like(f0), where=f0 > 0))
+        hlength = corr * hlength
+        w1 = corr * w0
+        hpos = np.cumsum(hlength) - hlength[0] / 2.0
+        helev = hp.loc[hid, "slope"] * hpos
+        slope = hp.loc[hid, "slope"] * np.ones(d2c.size)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ratio = np.where(w0 > 0, w1 / w0, 1.0)
+        twidth = ratio * width[1:]
+        bwidth = ratio * width[:-1]
+        t1, b1 = [], []
+        for it, t in enumerate(utids[: len(twidth)]):
+            m1 = tids == t
+            f = areas[m1] / areas[m1].sum()
+            t1 += list(twidth[it] * f)
+            b1 += list(bwidth[it] * f)
+        wspec = (np.asarray(t1) + np.asarray(b1)) / 2.0
+        rows = np.flatnonzero(m)
+        out.loc[rows, "hillslope_length"] = hlength[idx]
+        out.loc[rows, "slope"] = slope[idx]
+        out.loc[rows, "depth2channel"] = helev[idx]
+        out.loc[rows, "hillslope_position"] = hpos[idx]
+        out.loc[rows, "width_top"] = twidth[idx]
+        out.loc[rows, "width_bottom"] = bwidth[idx]
+        # reference assigns wspec in tid-grouped concat order (:1568)
+        if len(wspec) == len(rows):
+            out.loc[rows, "wspec"] = wspec
+    return out

@@ -259,3 +259,25 @@ def test_create_hillslope_tiles(tc):
     # new_hand rescaled within [0, cluster relief]
     ok = (tiles > 0) & (new_hand != K.UNDEF)
     assert float(new_hand[ok].min()) >= 0.0
+
+
+def test_curate_hru_properties():
+    hru = pd.DataFrame(
+        {
+            "hillslope_id": [1, 1, 1, 1],
+            "tile_id": [1, 1, 2, 2],
+            "area": [100.0, 300.0, 200.0, 200.0],
+            "depth2channel": [0.5, 0.5, 1.5, 1.5],
+            "slope": [0.0] * 4,
+        }
+    )
+    hp = pd.DataFrame({"hid": [1], "length": [100.0], "rwidth": [2.0], "slope": [0.1]})
+    out = P.curate_hru_properties(hru, hp)
+    # two elevation tiles of base length 50, corrected by sqrt(f1/f0)
+    assert out["hillslope_length"].iloc[0] == out["hillslope_length"].iloc[1]
+    assert (out["slope"] == 0.1).all()
+    assert (np.diff(out["hillslope_position"].unique()) > 0).all()
+    assert (out["width_top"] > 0).all() and (out["wspec"] > 0).all()
+    # f1 = (0.5, 0.5); f0 from the width profile (1.25, 1.75)/3 ->
+    # length corrected by sqrt(f1/f0)
+    assert out["hillslope_length"].iloc[0] == pytest.approx(50.0 * np.sqrt(0.5 / (1.25 / 3.0)))
