@@ -62,6 +62,7 @@ _SQL_CHECKED: dict[str, tuple[Callable[[str], Any], str]] = {
     "embed_neardup_pairs": (T.embed_neardup_pairs, T.EMBED_NEARDUP_SQL),
     "soil_pedotransfer": (T.soil_pedotransfer, T.SOIL_PEDOTRANSFER_SQL),
     "events_time_average": (X.events_time_average, X.EVENTS_TIME_AVERAGE_SQL),
+    "events_sessionize": (X.events_sessionize, X.EVENTS_SESSIONIZE_SQL),
 }
 
 # rows-only checks (non-SQL-expressible: stateful/iterative/geospatial ops)
@@ -74,6 +75,7 @@ _ROWS_ONLY: dict[str, Callable[[str], Any]] = {
     "ann_lsh_topk": X.ann_lsh_topk,
     "terrain_basin_stats": X.terrain_basin_stats,
     "flagship_spatial_join": X.flagship_spatial_join,
+    "docs_knn_haversine": X.docs_knn_haversine,
 }
 
 

@@ -206,3 +206,109 @@ def flagship_spatial_join(sf_dir: str):
     df = agg.to_pandas()
     df["cell"] = df["cell"].astype("uint64").astype("int64")
     return df.sort_values(["cell"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# sessionization (stream-shaped op): per-user sessions split on >30 min
+# gaps; Ray Data has no event-time windows, so the engine sorts each user's
+# group and windows in pandas (the guide's documented pattern). The SQL
+# oracle is the classic lag/gap/cumsum window expression — integer
+# microsecond timestamps keep it bit-exact.
+# ---------------------------------------------------------------------------
+
+SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+def events_sessionize(sf_dir: str):
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        us = g["ts"].astype("int64").to_numpy()  # microseconds
+        new = np.ones(len(g), dtype=bool)
+        new[1:] = (us[1:] - us[:-1]) > SESSION_GAP_US
+        sid = np.cumsum(new)
+        v = np.round(g["value"].to_numpy() * 1000.0).astype(np.int64)
+        out = pd.DataFrame({"user_id": g["user_id"], "session": sid, "v": v, "us": us})
+        agg = out.groupby(["user_id", "session"], as_index=False).agg(
+            n_events=("v", "size"),
+            sum_v=("v", "sum"),
+            start_us=("us", "min"),
+            end_us=("us", "max"),
+        )
+        return agg
+
+    df = ds.groupby("user_id").map_groups(per_user, batch_format="pandas").to_pandas()
+    df = df.sort_values(["user_id", "session"]).reset_index(drop=True)
+    return pd.DataFrame(
+        {
+            "user_id": df["user_id"].astype("int64"),
+            "session": df["session"].astype("int64"),
+            "n_events": df["n_events"].astype("int64"),
+            "sum_value": df["sum_v"].astype("float64") / 1000.0,
+            "duration_us": (df["end_us"] - df["start_us"]).astype("int64"),
+        }
+    )
+
+
+EVENTS_SESSIONIZE_SQL = f"""
+WITH t AS (
+  SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS us,
+         CAST(round(value*1000) AS BIGINT) AS v
+  FROM events
+), lagged AS (
+  SELECT *, CASE WHEN us - lag(us) OVER w > {SESSION_GAP_US} OR lag(us) OVER w IS NULL
+                 THEN 1 ELSE 0 END AS is_new
+  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+), sess AS (
+  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session
+  FROM lagged
+)
+SELECT user_id, CAST(session AS BIGINT) AS session, COUNT(*) AS n_events,
+       CAST(CAST(SUM(v) AS BIGINT) AS DOUBLE)/1000.0 AS sum_value,
+       CAST(MAX(us) - MIN(us) AS BIGINT) AS duration_us
+FROM sess GROUP BY user_id, session ORDER BY user_id, session
+"""
+
+
+def docs_knn_haversine(sf_dir: str):
+    """The real haversine kNN stage (stages/knn.KNNBroadcast) over derived
+    doc points and nation stations. Rows-only: libm trig differs in ulps
+    between numpy and DuckDB, so the SQL twin uses squared degrees
+    (docs_knn_stations) and this entry exercises the production metric."""
+    import pyarrow as pa
+
+    from ..stages.knn import KNNBroadcast
+
+    nation = _read(sf_dir, "nation", ["n_nationkey"]).to_pandas()
+    k = nation["n_nationkey"].to_numpy().astype(np.int64)
+    st = {
+        "station_id": k,
+        "lon": ((k * 137) % 360).astype(np.float64) - 180.0 + 0.5,
+        "lat": ((k * 73) % 170).astype(np.float64) - 85.0 + 0.5,
+    }
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def pts(batch: pa.Table) -> pa.Table:
+        from .textqueries import doc_lonlat
+
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)
+        lon, lat = doc_lonlat(did)
+        return pa.table({"doc_id": batch["doc_id"], "lon": lon, "lat": lat})
+
+    import ray
+
+    st_ref = ray.put(st)
+    out = (
+        ds.map_batches(pts, batch_format="pyarrow")
+        .map_batches(
+            KNNBroadcast,
+            fn_constructor_kwargs={"stations_ref": st_ref, "k": 3},
+            batch_format="pyarrow",
+            concurrency=(1, 4),
+        )
+        .to_pandas()
+    )
+    out["station_dist"] = out["station_dist"].round(3)
+    return out.sort_values(["doc_id", "knn_rank"]).reset_index(drop=True)

@@ -53,7 +53,7 @@ def explode_geo_points(batch: pa.Table) -> pa.Table:
     lon = pc.struct_field(m, "lon").cast(pa.float64())
     lat = pc.struct_field(m, "lat").cast(pa.float64())
     doc_id = batch["doc_id"].take(pa.array(parent.to_numpy(zero_copy_only=False)[geo_idx]))
-    return pa.table(
+    out = pa.table(
         {
             "doc_id": doc_id,
             "span_ord": pa.array(ords[geo_idx], type=pa.int32()),
@@ -61,6 +61,11 @@ def explode_geo_points(batch: pa.Table) -> pa.Table:
             "lat": lat,
         }
     )
+    # malformed geo spans (text not matching WKT POINT) extract to null:
+    # drop them here so downstream joins never see null coordinates
+    if lon.null_count:
+        out = out.filter(pc.is_valid(out["lon"]))
+    return out
 
 
 def attach_cell(batch: pa.Table, res: int, lon_col: str = "lon", lat_col: str = "lat") -> pa.Table:

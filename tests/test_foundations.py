@@ -113,3 +113,21 @@ def test_hotspot_skew_exists():
     c = geocell.cell_of(lon, lat, 6)
     _, counts = np.unique(c, return_counts=True)
     assert counts.max() > 20 * np.median(counts)
+
+
+def test_explode_drops_malformed_geo_spans():
+    t = pa.table(synth.make_docs_batch(np.arange(20, dtype=np.uint64)))
+    pl = t.to_pylist()
+    # corrupt the first geo span we find
+    corrupted = 0
+    for row in pl:
+        for s in row["spans"]:
+            if s["kind"] == "geo" and corrupted == 0:
+                s["text"] = "NOT A POINT"
+                corrupted = 1
+    assert corrupted == 1
+    t2 = pa.Table.from_pylist(pl, schema=t.schema)
+    clean = spans.explode_geo_points(t)
+    dirty = spans.explode_geo_points(t2)
+    assert dirty.num_rows == clean.num_rows - 1
+    assert dirty["lon"].null_count == 0
