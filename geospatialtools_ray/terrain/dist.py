@@ -135,9 +135,16 @@ def _tile_fill(z: np.ndarray, ring_z: np.ndarray, ring_w: np.ndarray, eps: np.fl
     return w
 
 
-def fill_dist(ds, res: float, max_rounds: int = 1000):
+def fill_dist(ds, res: float, max_rounds: int = 1000, checkpoint_dir: str | None = None):
     """Iterative distributed Planchon-Darboux fill. Input tiles carry
-    `dem`; output carries `demns`. Rounds ~= inter-tile drainage diameter."""
+    `dem`; output carries `demns`. Rounds ~= inter-tile drainage diameter.
+
+    checkpoint_dir: optional per-round parquet checkpoints (atomic marker
+    per round). A rerun resumes from the newest complete round instead of
+    restarting the fixpoint iteration — the round-checkpoint pattern every
+    iterative terrain loop shares (SURVEY.md section 4 resume rule)."""
+    import os
+
     eps = np.float32(0.0001 * res)
 
     def init(batch: pa.Table) -> pa.Table:
@@ -148,8 +155,21 @@ def fill_dist(ds, res: float, max_rounds: int = 1000):
             w.append(wi.ravel())
         return batch.append_column("demns", pa.array([x for x in w], type=pa.list_(pa.float32())))
 
-    cur = ds.map_batches(init, batch_format="pyarrow").materialize()
-    for _ in range(max_rounds):
+    start_round = 0
+    cur = None
+    if checkpoint_dir and os.path.isdir(checkpoint_dir):
+        done_rounds = sorted(
+            int(d.split("-")[1]) for d in os.listdir(checkpoint_dir)
+            if d.startswith("round-") and os.path.exists(os.path.join(checkpoint_dir, d, "_DONE"))
+        )
+        if done_rounds:
+            import ray.data as rd
+
+            start_round = done_rounds[-1] + 1
+            cur = rd.read_parquet(os.path.join(checkpoint_dir, f"round-{done_rounds[-1]}")).materialize()
+    if cur is None:
+        cur = ds.map_batches(init, batch_format="pyarrow").materialize()
+    for rnd in range(start_round, max_rounds):
         def kernel(tr, padded):
             z = np.asarray(tr["dem"], dtype=np.float32).reshape(int(tr["n0"]), int(tr["n1"]))
             new_w = _tile_fill(z, padded["dem"], padded["demns"], eps)
@@ -162,6 +182,17 @@ def fill_dist(ds, res: float, max_rounds: int = 1000):
             int(np.asarray(x)[0]) for x in nxt.select_columns(["n_changed"]).to_pandas()["n_changed"]
         )
         cur = nxt.drop_columns(["n_changed"])
+        if checkpoint_dir:
+            rdir = os.path.join(checkpoint_dir, f"round-{rnd}")
+            cur = cur.materialize()
+            cur.write_parquet(rdir)
+            open(os.path.join(rdir, "_DONE"), "w").close()
+            # keep only the newest complete round
+            for d in os.listdir(checkpoint_dir):
+                if d.startswith("round-") and d != f"round-{rnd}":
+                    import shutil
+
+                    shutil.rmtree(os.path.join(checkpoint_dir, d), ignore_errors=True)
         if total_changed == 0:
             break
     return cur

@@ -191,3 +191,20 @@ def test_hillslopes_dist_matches_oracle(ray_session, name, tile):
     assert np.array_equal(got[cmp], want[cmp]), f"{name} tile={tile} labeled cells"
     # absent cells must be exactly the oracle's non-labeled set
     assert ((want[absent] == K.IUNDEF) | (want[absent] == 0)).all(), f"{name} tile={tile} absent set"
+
+
+def test_fill_dist_round_checkpoint_resume(ray_session, tmp_path):
+    z, _ = fixture_grids("pit")
+    want = K.fill_pits(z, RES)
+    ck = str(tmp_path / "fill_ck")
+    # partial run: only 1 round allowed, checkpointed
+    ds = tiles_ds({"dem": z}, 16)
+    partial = D.fill_dist(ds, RES, max_rounds=1, checkpoint_dir=ck)
+    import os
+
+    assert any(d.startswith("round-") for d in os.listdir(ck))
+    # resume completes from the checkpoint (fresh input dataset)
+    ds2 = tiles_ds({"dem": z}, 16)
+    out = D.fill_dist(ds2, RES, checkpoint_dir=ck)
+    got = collect(out, "demns")
+    assert np.array_equal(got, want)
