@@ -1,0 +1,58 @@
+"""Declarative pipeline surface + stage-metrics sidecars."""
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from geospatialtools_ray import synth
+from geospatialtools_ray.pipelines.declarative import PipelineStep, build_pipeline
+from geospatialtools_ray.state.metrics import emit_stage_metrics, parse_stats
+
+
+def test_declarative_geo_chain(ray_session):
+    docs = synth.docs_dataset(200, override_num_blocks=2)
+    out = build_pipeline(
+        docs,
+        [
+            PipelineStep("explode", "explode_geo"),
+            PipelineStep("cells", "attach_cell", {"res": 5}),
+        ],
+    )
+    df = out.to_pandas()
+    assert {"doc_id", "lon", "lat", "cell"} <= set(df.columns)
+    assert len(df) > 0
+
+
+def test_declarative_text_chain(ray_session):
+    import ray.data as rd
+
+    ds = rd.from_pandas(pd.DataFrame({"doc_id": [0, 1, 1], "text": ["a b c", "d e", "d e"]}))
+    out = build_pipeline(
+        ds,
+        [
+            PipelineStep("tok", "token_count"),
+            PipelineStep("dedup", "exact_dedup"),
+        ],
+    ).to_pandas()
+    assert len(out) == 2 and out["dup_count"].sum() == 3
+
+
+def test_declarative_unknown_op():
+    with pytest.raises(ValueError, match="unknown op"):
+        build_pipeline(None, [PipelineStep("bad", "nope")])
+
+
+def test_stage_metrics_sidecar(ray_session, tmp_path):
+    docs = synth.docs_dataset(500, override_num_blocks=2)
+    out = build_pipeline(docs, [PipelineStep("explode", "explode_geo")]).materialize()
+    path = emit_stage_metrics(out, str(tmp_path), "testrun")
+    assert path and os.path.exists(path)
+    rec = json.load(open(path))
+    assert rec["stages"], "stats parsed to at least one stage"
+    assert any(s["wall_sec"] >= 0 for s in rec["stages"])
+    # second emit increments the sequence
+    path2 = emit_stage_metrics(out, str(tmp_path), "testrun")
+    assert path2 != path
