@@ -76,6 +76,7 @@ _ROWS_ONLY: dict[str, Callable[[str], Any]] = {
     "terrain_basin_stats": X.terrain_basin_stats,
     "flagship_spatial_join": X.flagship_spatial_join,
     "docs_knn_haversine": X.docs_knn_haversine,
+    "terrain_hillslope_profiles": X.terrain_hillslope_profiles,
 }
 
 

@@ -312,3 +312,40 @@ def docs_knn_haversine(sf_dir: str):
     )
     out["station_dist"] = out["station_dist"].round(3)
     return out.sort_values(["doc_id", "knn_rank"]).reset_index(drop=True)
+
+
+def terrain_hillslope_profiles(sf_dir: str):
+    """Hillslope property profiles over the twovalley fixture (distributed
+    map_groups machinery of terrain/hillslope_props.py). Rows-only."""
+    from .. import synth
+    from ..terrain import hillslope_props as HP
+    from ..terrain import kernels as K
+    from ..terrain import properties as P
+    from ..terrain import tiles as T
+
+    N, RES = 32, 30.0
+    dem, mask = synth.dem_grid("twovalley", N)
+    z = dem.copy()
+    z[~mask] = np.float32(K.UNDEF)
+    z = z.astype(np.float32)
+    mask = mask.astype(np.int32)
+    w = K.fill_pits(z, RES)
+    area, fdir = K.d8_area(w, mask, RES)
+    ch, _, _ = K.calculate_channels(area, 8 * RES * RES, 16 * RES * RES, fdir, mask=mask)
+    hand = K.depth2channel(ch, mask, fdir, w.astype(np.float32))
+    dx = np.full((N, N), RES, dtype=np.float32)
+    slope, _ = K.slope_aspect(w, dx, dx)
+    hs = K.delineate_hillslopes(ch, area, fdir, mask)
+    hs2 = np.where(hs >= 0, hs + 1, hs).astype(np.int64)
+    ds = T.make_tiles_dataset(
+        {"hillslopes": hs2, "hand": hand, "slope": slope, "demns": w}, 16
+    )
+    cells = P.tiles_to_cells(ds, ["hillslopes", "hand", "slope", "demns"]).filter(
+        lambda r: r["hillslopes"] > 0
+    )
+    df = HP.hillslope_properties_dist(cells, ["demns"], RES)
+    out = df.drop(columns=["position_array", "d2c_array", "width_array"])
+    for c in out.columns:
+        if out[c].dtype.kind == "f":
+            out[c] = out[c].round(6)
+    return out

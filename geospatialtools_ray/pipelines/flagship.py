@@ -152,7 +152,8 @@ def run(
 
     keyed = joined.map_batches(add_key, batch_format="pyarrow")
     if sink == "fragments":
-        # shuffle-free fragment sink (the scale path; see lineage.py)
+        # shuffle-free fragment sink (the scale path; see lineage.py);
+        # emits the per-stage metrics sidecar itself
         return lineage.write_partitioned_fragments(keyed, out_dir, resume=resume)
     return lineage.write_partitioned(keyed, out_dir, resume=resume).to_pandas()
 

@@ -170,7 +170,14 @@ def write_partitioned_fragments(ds, out_dir: str, *, resume: bool = True):
             }
         )
 
-    manifest = ds.map_batches(frag_write, batch_format="pyarrow").to_pandas()
+    mds = ds.map_batches(frag_write, batch_format="pyarrow")
+    manifest = mds.to_pandas()
+    try:  # per-stage metrics sidecar (north_rule: lineage + per-stage metrics)
+        from .metrics import emit_stage_metrics
+
+        emit_stage_metrics(mds, out_dir, "sink")
+    except Exception:
+        pass
     stats = []
     if len(manifest):
         for key, grp in manifest.groupby("partition"):
