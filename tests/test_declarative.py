@@ -56,3 +56,19 @@ def test_stage_metrics_sidecar(ray_session, tmp_path):
     # second emit increments the sequence
     path2 = emit_stage_metrics(out, str(tmp_path), "testrun")
     assert path2 != path
+
+
+def test_hash_join_and_semi_join(ray_session):
+    import ray
+    import ray.data as rd
+
+    from geospatialtools_ray.pipelines.joins import broadcast_semi_join, hash_join
+
+    a = rd.from_pandas(pd.DataFrame({"k": [1, 2, 3, 4], "x": ["a", "b", "c", "d"]}))
+    b = rd.from_pandas(pd.DataFrame({"k2": [2, 3, 5], "y": [20, 30, 50]}))
+    out = hash_join(a, b, on="k", right_on="k2", num_partitions=2).to_pandas().sort_values("k")
+    assert out["k"].tolist() == [2, 3] and out["y"].tolist() == [20, 30]
+    keys = ray.put(np.asarray([1, 4]))
+    semi = broadcast_semi_join(a, keys, "k").to_pandas()
+    anti = broadcast_semi_join(a, keys, "k", anti=True).to_pandas()
+    assert sorted(semi["k"]) == [1, 4] and sorted(anti["k"]) == [2, 3]
