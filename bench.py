@@ -114,6 +114,35 @@ def run_queries() -> dict[str, float]:
     return out
 
 
+def host_cpu_ceiling(lo: int, hi: int) -> float:
+    """Measured upper bound on lo->hi process scaling for THIS host,
+    completely outside Ray: identical pure-Python busy loops run in `lo`
+    and `hi` concurrent processes; the per-task slowdown at `hi` is a
+    property of the machine (vCPU throttling / host oversubscription /
+    turbo), not of the engine. Efficiency values should be read against
+    this ceiling."""
+    import multiprocessing as mp
+
+    def wall(nproc: int) -> float:
+        with mp.Pool(nproc) as p:
+            t0 = time.monotonic()
+            p.map(_burn, range(nproc))
+            return time.monotonic() - t0
+
+    wall(2)  # warm pool fork paths
+    t_lo, t_hi = wall(lo), wall(hi)
+    # same per-process work at both levels: ideal wall is equal; the ratio
+    # is the per-task slowdown, i.e. the max attainable efficiency
+    return round(t_lo / t_hi, 3)
+
+
+def _burn(_):
+    x = 0
+    for i in range(20_000_000):
+        x += i * i
+    return x
+
+
 def run_minhash_probe(corpus_path: str) -> float:
     """Compute-bound scaling probe: MinHash signatures over doc text spans.
     The headline join is memory-bandwidth-heavy (string fan-out), which on a
@@ -213,6 +242,7 @@ def scaling():
         rec["minhash_sec_8"] = res[lo]["minhash_sec"]
         rec["minhash_sec_32"] = res[hi]["minhash_sec"]
         rec["minhash_scaling_efficiency"] = round((res[lo]["minhash_sec"] / res[hi]["minhash_sec"]) / (hi / lo), 3)
+    rec["host_cpu_ceiling"] = host_cpu_ceiling(lo, hi)
     print(json.dumps(rec))
 
 
