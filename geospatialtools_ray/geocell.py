@@ -104,7 +104,9 @@ def k_ring(cell: int, k: int) -> np.ndarray:
     iys = iy + dys.ravel()
     ixs = (ix + dxs.ravel()) % nx
     ok = (iys >= 0) & (iys < ny)
-    return pack(np.full(ok.sum(), res), iys[ok], ixs[ok])
+    # unique: when 2k+1 > nx the longitude wrap revisits columns; duplicate
+    # cells would let one station occupy two candidate slots in kNN search
+    return np.unique(pack(np.full(ok.sum(), res), iys[ok], ixs[ok]))
 
 
 def ring_shell(cell: int, k: int) -> np.ndarray:

@@ -224,7 +224,9 @@ def events_sessionize(sf_dir: str):
 
     def per_user(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
-        us = g["ts"].astype("int64").to_numpy()  # microseconds
+        # explicit unit conversion: a datetime64[ns] column would make the
+        # bare int64 view nanoseconds and the 30-min gap silently 1.8 s
+        us = g["ts"].to_numpy().astype("datetime64[us]").astype("int64")
         new = np.ones(len(g), dtype=bool)
         new[1:] = (us[1:] - us[:-1]) > SESSION_GAP_US
         sid = np.cumsum(new)

@@ -120,7 +120,7 @@ def write_partitioned_fragments(ds, out_dir: str, *, resume: bool = True):
 
     Returns a small stats DataFrame (partition, rows_out, n_fragments).
     """
-    import uuid
+    import hashlib
 
     import ray
 
@@ -145,6 +145,20 @@ def write_partitioned_fragments(ds, out_dir: str, *, resume: bool = True):
             keys = keys[keep]
         out_part, out_rows, out_file = [], [], []
         if len(keys):
+            # deterministic fragment name per (batch content, key): a Ray
+            # task retried after a partial write REWRITES the same file
+            # instead of leaving orphan fragments that directory-scanning
+            # readers would double-count. Hash = partition keys + first
+            # payload column buffers (content-identical batch -> same name).
+            bh = hashlib.blake2b(keys.tobytes(), digest_size=8)
+            bh.update(str(batch.num_rows).encode())
+            for cname in batch.column_names:
+                if cname != "part_key":
+                    for buf in batch[cname].combine_chunks().buffers():
+                        if buf is not None:
+                            bh.update(buf)
+                    break
+            batch_tag = bh.hexdigest()
             order = np.argsort(keys, kind="stable")
             sk = keys[order]
             bounds = np.flatnonzero(np.r_[True, sk[1:] != sk[:-1]])
@@ -153,7 +167,7 @@ def write_partitioned_fragments(ds, out_dir: str, *, resume: bool = True):
                 sub = batch.take(pa.array(order[s:e])).drop_columns(["part_key"])
                 pdir = os.path.join(out_dir, f"part-{key}")
                 os.makedirs(pdir, exist_ok=True)
-                fname = f"frag-{uuid.uuid4().hex[:16]}.parquet"
+                fname = f"frag-{batch_tag}.parquet"
                 tmp = os.path.join(pdir, fname + ".tmp")
                 # stats/dictionary off: fragment files are engine-internal
                 # intermediates; plain-encoded snappy halves the write CPU
