@@ -99,42 +99,117 @@ def brute_force_topk(ds, queries: np.ndarray, k: int = 10, id_col: str = "vec_id
     return out
 
 
+def _scored_topk_partials(bucketed, bucket_col, bucket_to_queries_ref, Q, k, id_col, emb_col):
+    """groupby(bucket).map_groups scorer: each bucket group scores ONLY the
+    queries probing that bucket against its own members and emits per-
+    (bucket, query) top-k partials. Distributed — candidate rows never
+    reach the driver; the driver merges k rows per (query, probed bucket)."""
+    import ray
+
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-30)
+    q_ref = ray.put(Qn)
+
+    def score_group(g: pd.DataFrame) -> pd.DataFrame:
+        b2q = ray.get(bucket_to_queries_ref)
+        qn = ray.get(q_ref)
+        qids = b2q.get(int(g[bucket_col].iloc[0]), ())
+        if not qids:
+            return pd.DataFrame({"query_id": pd.Series(dtype="int64"), id_col: pd.Series(dtype="int64"), "cos_sim": pd.Series(dtype="float64")})
+        E = np.stack([np.asarray(e) for e in g[emb_col]]).astype(np.float64)
+        En = E / np.maximum(np.linalg.norm(E, axis=1, keepdims=True), 1e-30)
+        ids = g[id_col].to_numpy()
+        out = []
+        sims = En @ qn[list(qids)].T  # (n, nq_probing)
+        for col, qi in enumerate(qids):
+            s = sims[:, col]
+            kk = min(k, len(ids))
+            top = np.argpartition(-s, kk - 1)[:kk] if kk < len(s) else np.arange(len(s))
+            order = top[np.lexsort((ids[top], -s[top]))]
+            out.append(pd.DataFrame({"query_id": qi, id_col: ids[order], "cos_sim": s[order]}))
+        return pd.concat(out, ignore_index=True)
+
+    partials = bucketed.groupby(bucket_col).map_groups(score_group, batch_format="pandas").to_pandas()
+    if not len(partials):
+        return pd.DataFrame(columns=["query_id", id_col, "cos_sim"])
+    return (
+        partials.sort_values(["query_id", "cos_sim", id_col], ascending=[True, False, True])
+        .groupby("query_id", as_index=False)
+        .head(k)
+        .reset_index(drop=True)
+    )
+
+
 def lsh_partitioned_topk(ds, queries: np.ndarray, k: int = 10, n_planes: int = 8, id_col: str = "vec_id", emb_col: str = "embedding"):
     """LSH-bucketed ANN: bucket = hyperplane sign code (the partition key);
-    each query searches only its bucket. Returns (results_df, recall_probe):
-    results may miss true neighbors in other buckets — benchmark against
-    brute_force_topk for recall."""
+    each query searches only its own bucket. Scoring happens INSIDE a
+    groupby(bucket).map_groups stage (round-2 rewrite — previously all
+    candidate rows were materialized to the driver); only per-bucket top-k
+    partials leave the cluster. Recall < 1 by construction — benchmark
+    against brute_force_topk."""
+    import ray
+
     Q = np.asarray(queries, dtype=np.float64)
-    dim = Q.shape[1]
-    planes = random_hyperplanes(dim, n_planes)
+    planes = random_hyperplanes(Q.shape[1], n_planes)
     qcodes = lsh_codes(Q, planes)
+    b2q: dict[int, tuple[int, ...]] = {}
+    for qi, qc in enumerate(qcodes.tolist()):
+        b2q[qc] = b2q.get(qc, ()) + (qi,)
+    wanted = np.asarray(sorted(b2q), dtype=np.uint64)
 
     def bucketize(batch: pa.Table) -> pa.Table:
         E = _emb_matrix(batch, emb_col)
         codes = lsh_codes(E, planes)
-        return batch.append_column("lsh_bucket", pa.array(codes, type=pa.uint64()))
+        keep = np.isin(codes, wanted)
+        return batch.append_column("lsh_bucket", pa.array(codes, type=pa.uint64())).filter(pa.array(keep))
 
     bucketed = ds.map_batches(bucketize, batch_format="pyarrow")
+    return _scored_topk_partials(bucketed, "lsh_bucket", ray.put(b2q), Q, k, id_col, emb_col)
 
-    wanted = set(qcodes.tolist())
 
-    def in_wanted(batch: pa.Table) -> pa.Table:
-        codes = batch["lsh_bucket"].to_numpy(zero_copy_only=False)
-        keep = np.isin(codes, np.asarray(list(wanted), dtype=np.uint64))
-        return batch.filter(pa.array(keep))
+def ivf_partitioned_topk(
+    ds,
+    queries: np.ndarray,
+    k: int = 10,
+    n_lists: int = 16,
+    nprobe: int = 2,
+    sample_rate: float = 0.25,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+):
+    """IVF-style ANN: deterministic KMeans coarse centroids (fit on a
+    hash-sampled subset), every vector assigned to its nearest list in
+    map_batches, queries probe their `nprobe` nearest lists; scoring is
+    the same distributed per-list map_groups as the LSH path."""
+    import ray
 
-    cand = bucketed.map_batches(in_wanted, batch_format="pyarrow").to_pandas()
-    results = []
-    for qi, qc in enumerate(qcodes):
-        sub = cand[cand["lsh_bucket"] == qc]
-        if sub.empty:
-            continue
-        E = np.stack([np.asarray(e) for e in sub[emb_col]]).astype(np.float64)
-        En = E / np.maximum(np.linalg.norm(E, axis=1, keepdims=True), 1e-30)
-        qn = Q[qi] / max(np.linalg.norm(Q[qi]), 1e-30)
-        s = En @ qn
-        ids = sub[id_col].to_numpy()
-        kk = min(k, len(ids))
-        order = np.lexsort((ids, -s))[:kk]
-        results.append(pd.DataFrame({"query_id": qi, id_col: ids[order], "cos_sim": s[order]}))
-    return pd.concat(results, ignore_index=True) if results else pd.DataFrame(columns=["query_id", id_col, "cos_sim"])
+    from ..functions.cluster import deterministic_sample_mask, kmeans_fit, kmeans_predict
+
+    Q = np.asarray(queries, dtype=np.float64)
+
+    # fit centroids on a deterministic sample (small driver-side matrix)
+    def sample_batch(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        m = deterministic_sample_mask(ids, sample_rate)
+        return batch.filter(pa.array(m))
+
+    sample = ds.map_batches(sample_batch, batch_format="pyarrow").to_pandas()
+    X = np.stack([np.asarray(e) for e in sample[emb_col]]).astype(np.float64)
+    C = kmeans_fit(X, min(n_lists, len(X)))
+    C_ref = ray.put(C)
+
+    qlists = np.argsort(((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2), axis=1)[:, :nprobe]
+    b2q: dict[int, tuple[int, ...]] = {}
+    for qi in range(len(Q)):
+        for l in qlists[qi]:
+            b2q[int(l)] = b2q.get(int(l), ()) + (qi,)
+    wanted = np.asarray(sorted(b2q), dtype=np.int64)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        C_ = ray.get(C_ref)
+        E = _emb_matrix(batch, emb_col)
+        lists = kmeans_predict(E, C_)
+        keep = np.isin(lists, wanted)
+        return batch.append_column("ivf_list", pa.array(lists.astype(np.int64))).filter(pa.array(keep))
+
+    listed = ds.map_batches(assign, batch_format="pyarrow")
+    return _scored_topk_partials(listed, "ivf_list", ray.put(b2q), Q, k, id_col, emb_col)

@@ -1,17 +1,25 @@
 """Deduplication operators for large-scale training-data pipelines.
 
-All variants follow the scale rules: per-batch vectorized sketching, 64-bit
-keys shuffled instead of document text, groupby on band/bucket keys, and
-connected components via iterative min-label propagation (log rounds of
-tiny shuffles), never a driver-side union-find over big data.
+Scale rules (all enforced here, round-2 rewrite):
+- batch-vectorized sketching (stages/sketch.py — flat gram arrays +
+  reduceat, no per-document Python loops),
+- only 64-bit keys and id pairs are shuffled, never document text,
+- candidate-pair verification is a hash JOIN of pairs against per-doc
+  shingle sets (Dataset.join), not a driver-side text fetch,
+- connected components is iterative min-label propagation over Datasets
+  (join + groupby-min rounds), not a driver union-find,
+- final cluster assignment is a left-outer hash join, not a broadcast dict.
+
+Reference intent: SURVEY.md section 2.7 (distinct/dedup = hash-partition +
+first, np.unique census at libraries/terrain_tools.py:259,740,871
+generalized to content identity).
 
 - exact_dedup: content-hash partition + first-per-group.
-- minhash_lsh: shingle -> minhash -> banded LSH buckets -> candidate pairs
-  -> exact Jaccard verify -> min-label connected components.
-- simhash: 64-bit simhash + hamming-ball bucketing (4 rotations).
-- ngram_jaccard_pairs: exact n-gram Jaccard for candidate pairs.
-- embedding near-dup lives in pipelines/textqueries.py (label buckets) and
-  stages/ann.py (LSH buckets).
+- minhash_lsh_clusters: shingle -> minhash -> banded LSH buckets ->
+  candidate pairs (star + chain pairing inside buckets) -> join-verify
+  with exact gram Jaccard -> distributed min-label connected components.
+- simhash_buckets: 64-bit simhash + 16-bit band bucketing.
+- jaccard_ngrams: exact gram Jaccard for one pair (test helper).
 """
 
 from __future__ import annotations
@@ -20,50 +28,22 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from ..hashing import h64, splitmix64, text_hash_u64
-
-
-def _shingle_hashes(text: str, k: int = 5) -> np.ndarray:
-    """Word k-gram 64-bit hashes for one document (vectorized over grams)."""
-    words = text.split()
-    if len(words) < k:
-        grams = [" ".join(words)] if words else [""]
-    else:
-        grams = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
-    return text_hash_u64(grams)
+from ..hashing import text_hash_u64
+from .sketch import gram_hash_flat, minhash_batch, simhash_batch
 
 
 def minhash_signature_batch(texts, num_perm: int = 64, k: int = 5) -> np.ndarray:
-    """(n_docs, num_perm) uint64 minhash signatures. Universal-hash family
-    h_i(x) = splitmix64(x + i*GOLDEN); vectorized per doc over grams."""
-    out = np.empty((len(texts), num_perm), dtype=np.uint64)
-    seeds = (np.arange(num_perm, dtype=np.uint64) + 1) * np.uint64(0x9E3779B97F4A7C15)
-    for i, t in enumerate(texts):
-        g = _shingle_hashes(t, k)
-        with np.errstate(over="ignore"):
-            m = splitmix64(g[:, None] + seeds[None, :])
-        out[i] = m.min(axis=0)
-    return out
+    """(n_docs, num_perm) uint64 minhash signatures (vectorized batch)."""
+    return minhash_batch(texts, num_perm, k)
 
 
 def jaccard_ngrams(a: str, b: str, k: int = 5) -> float:
-    sa = set(_shingle_hashes(a, k).tolist())
-    sb = set(_shingle_hashes(b, k).tolist())
+    g, go, _ = gram_hash_flat([a, b], k)
+    sa = set(g[go[0] : go[1]].tolist())
+    sb = set(g[go[1] : go[2]].tolist())
     if not sa and not sb:
         return 1.0
     return len(sa & sb) / max(len(sa | sb), 1)
-
-
-def simhash_batch(texts, k: int = 3) -> np.ndarray:
-    """64-bit simhash over word k-gram hashes (sign aggregation of hash
-    bits), vectorized with bit unpacking."""
-    out = np.empty(len(texts), dtype=np.uint64)
-    for i, t in enumerate(texts):
-        g = _shingle_hashes(t, k)
-        bits = ((g[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
-        score = (2 * bits - 1).sum(axis=0)
-        out[i] = np.packbits((score > 0)[::-1]).view(">u8")[0]
-    return out
 
 
 def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
@@ -82,6 +62,185 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
     )
 
 
+def _shingle_sets(ds, text_col: str, id_col: str, k: int):
+    """Dataset of (id, grams: list<uint64> sorted unique) per doc — the
+    join payload for pair verification (ids + hashes only, no text)."""
+
+    def apply(batch: pa.Table) -> pa.Table:
+        g, go, _ = gram_hash_flat(batch[text_col], k)
+        # binary blob of sorted-unique u64 per doc: Acero joins don't carry
+        # list-typed payload columns, binary passes through fine
+        blobs = [np.unique(g[go[d] : go[d + 1]]).tobytes() for d in range(len(go) - 1)]
+        return pa.table({id_col: batch[id_col], "grams": pa.array(blobs, type=pa.large_binary())})
+
+    return ds.map_batches(apply, batch_format="pyarrow")
+
+
+def _bucket_pairs_fn(id_col: str):
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.unique(g[id_col].to_numpy())
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": ids[:0], "id_b": ids[:0]})
+        # star (rep = min id) PLUS chain (consecutive sorted ids): if the
+        # representative fails verification against two true near-dups,
+        # the chain edge between them still carries connectivity (the
+        # round-1 advice finding on silent recall loss of star-only)
+        a = np.concatenate([np.full(len(ids) - 1, ids[0]), ids[:-1]])
+        b = np.concatenate([ids[1:], ids[1:]])
+        keep = a != b
+        df = pd.DataFrame({"id_a": a[keep], "id_b": b[keep]})
+        return df.drop_duplicates()
+
+    return bucket_pairs
+
+
+def minhash_lsh_candidate_pairs(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+):
+    """Dataset of distinct candidate pairs (id_a < id_b) from banded LSH."""
+    from ray.data.aggregate import Count
+
+    rows_per_band = num_perm // bands
+
+    def bandify(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col]
+        sig = minhash_batch(batch[text_col], num_perm, shingle_k)
+        n = len(ids)
+        from ..hashing import splitmix64
+
+        band_hashes = np.empty((n, bands), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for b in range(bands):
+                seg = sig[:, b * rows_per_band : (b + 1) * rows_per_band]
+                acc = np.zeros(n, dtype=np.uint64)
+                for c in range(rows_per_band):
+                    acc = splitmix64(acc + seg[:, c])
+                band_hashes[:, b] = acc
+        rep = pa.array(np.repeat(np.arange(n), bands))
+        return pa.table(
+            {
+                id_col: ids.combine_chunks().take(rep) if isinstance(ids, pa.ChunkedArray) else ids.take(rep),
+                "band": pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
+                "band_hash": pa.array(band_hashes.ravel(), type=pa.uint64()),
+            }
+        )
+
+    banded = ds.map_batches(bandify, batch_format="pyarrow")
+    pairs = banded.groupby(["band", "band_hash"]).map_groups(_bucket_pairs_fn(id_col), batch_format="pandas")
+    # distinct pairs across bands: tiny groupby shuffle on the pair key
+    return pairs.groupby(["id_a", "id_b"]).aggregate(Count(alias_name="_n")).drop_columns(["_n"])
+
+
+def verify_pairs_jaccard(
+    pairs,
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 5,
+    jaccard_threshold: float = 0.7,
+    num_partitions: int = 8,
+):
+    """Hash-join each candidate pair with both docs' shingle sets and keep
+    pairs with exact gram Jaccard >= threshold. Text never moves — only
+    sorted-unique gram hash lists of INVOLVED docs."""
+    shingles = _shingle_sets(ds, text_col, id_col, shingle_k)
+
+    def rename(side: str):
+        def f(batch: pa.Table) -> pa.Table:
+            return batch.rename_columns([f"id_{side}", f"grams_{side}"])
+
+        return f
+
+    sa = shingles.map_batches(rename("a"), batch_format="pyarrow")
+    sb = shingles.map_batches(rename("b"), batch_format="pyarrow")
+    j = pairs.join(sa, join_type="inner", num_partitions=num_partitions, on=("id_a",))
+    j = j.join(sb, join_type="inner", num_partitions=num_partitions, on=("id_b",))
+
+    def verify(batch: pa.Table) -> pa.Table:
+        ga = batch["grams_a"]
+        gb = batch["grams_b"]
+        keep = np.zeros(batch.num_rows, dtype=bool)
+        for i in range(batch.num_rows):
+            a = np.frombuffer(ga[i].as_py(), dtype=np.uint64)
+            b = np.frombuffer(gb[i].as_py(), dtype=np.uint64)
+            if len(a) == 0 and len(b) == 0:
+                keep[i] = True
+                continue
+            inter = np.isin(a, b, assume_unique=True).sum()
+            union = len(a) + len(b) - inter
+            keep[i] = inter / max(union, 1) >= jaccard_threshold
+        return batch.filter(pa.array(keep)).select(["id_a", "id_b"])
+
+    return j.map_batches(verify, batch_format="pyarrow")
+
+
+def connected_components_minlabel(edges, max_rounds: int = 25, num_partitions: int = 8):
+    """Distributed connected components: iterative min-label propagation.
+
+    edges: Dataset (id_a, id_b). Returns Dataset (node, cluster_id) for
+    every node that appears in an edge; cluster_id = min node id of the
+    component. Each round is one join (labels onto edge endpoints) + one
+    groupby-min + one join back — O(E) shuffled per round, rounds ~
+    component diameter (near-dup clusters are shallow).
+    """
+    from ray.data.aggregate import Min
+
+    def symmetrize(batch: pa.Table) -> pa.Table:
+        src = pa.concat_arrays([batch["id_a"].combine_chunks(), batch["id_b"].combine_chunks()])
+        dst = pa.concat_arrays([batch["id_b"].combine_chunks(), batch["id_a"].combine_chunks()])
+        return pa.table({"src": src, "dst": dst})
+
+    sym = edges.map_batches(symmetrize, batch_format="pyarrow").materialize()
+
+    def init_labels(batch: pa.Table) -> pa.Table:
+        return pa.table({"node": batch["src"], "label": batch["src"]})
+
+    labels = (
+        sym.map_batches(init_labels, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Min("label", alias_name="label"))
+        .materialize()
+    )
+
+    for _ in range(max_rounds):
+        # candidate label for dst = min over neighbors of label(src)
+        lab_src = labels.map_batches(
+            lambda b: b.rename_columns(["src", "label"]), batch_format="pyarrow"
+        )
+        cand = (
+            sym.join(lab_src, join_type="inner", num_partitions=num_partitions, on=("src",))
+            .map_batches(lambda b: b.select(["dst", "label"]).rename_columns(["node", "cand"]), batch_format="pyarrow")
+            .groupby("node")
+            .aggregate(Min("cand", alias_name="cand"))
+        )
+        merged = labels.join(cand, join_type="left_outer", num_partitions=num_partitions, on=("node",)).materialize()
+
+        def apply_min(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            lab = batch["label"]
+            cnd = batch["cand"]
+            new = pc.min_element_wise(lab, pc.coalesce(cnd, lab))
+            changed = pc.sum(pc.cast(pc.less(new, lab), pa.int64())).as_py() or 0
+            return pa.table(
+                {"node": batch["node"], "label": new, "_changed": pa.array(np.full(batch.num_rows, changed, dtype=np.int64))}
+            )
+
+        upd = merged.map_batches(apply_min, batch_format="pyarrow").materialize()
+        from ray.data.aggregate import Sum
+
+        total_changed = upd.aggregate(Sum("_changed", alias_name="c"))["c"] or 0
+        labels = upd.drop_columns(["_changed"])
+        if total_changed == 0:
+            break
+    return labels.map_batches(lambda b: b.rename_columns(["node", "cluster_id"]), batch_format="pyarrow")
+
+
 def minhash_lsh_clusters(
     ds,
     text_col: str = "text",
@@ -90,135 +249,56 @@ def minhash_lsh_clusters(
     bands: int = 16,
     shingle_k: int = 5,
     jaccard_threshold: float = 0.7,
-    max_cc_rounds: int = 20,
+    max_cc_rounds: int = 25,
+    num_partitions: int = 8,
 ):
-    """MinHash-LSH near-duplicate clustering.
+    """MinHash-LSH near-duplicate clustering, Datasets end-to-end.
 
-    Stages (each a Dataset op):
-    1. map_batches: minhash signatures -> explode (band_id, band_hash, id).
-    2. groupby(band key) -> candidate pairs within buckets (adjacent ids
-       paired via min-id representative to bound pair blowup).
-    3. verify candidates with exact n-gram Jaccard (recompute shingles for
-       the pair's texts, fetched via broadcast of the SMALL candidate set
-       joined back to text — at production scale, a hash join on id).
-    4. connected components by iterative min-label propagation.
     Returns a Dataset (id, cluster_id) where cluster_id = min doc id of the
-    near-dup group (singletons map to themselves).
+    verified near-dup component (singletons map to themselves). No stage
+    materializes documents to the driver.
     """
-    import ray
-    import ray.data as rd
-    from ray.data.aggregate import Min
+    import pyarrow.compute as pc
 
-    rows_per_band = num_perm // bands
-
-    def bandify(batch: pa.Table) -> pa.Table:
-        texts = batch[text_col].to_pylist()
-        ids = batch[id_col].to_numpy(zero_copy_only=False)
-        sig = minhash_signature_batch(texts, num_perm, shingle_k)
-        n = len(ids)
-        band_hashes = np.empty((n, bands), dtype=np.uint64)
-        for b in range(bands):
-            seg = sig[:, b * rows_per_band : (b + 1) * rows_per_band]
-            acc = np.zeros(n, dtype=np.uint64)
-            with np.errstate(over="ignore"):
-                for c in range(rows_per_band):
-                    acc = splitmix64(acc + seg[:, c])
-            band_hashes[:, b] = acc
-        return pa.table(
-            {
-                id_col: pa.array(np.repeat(ids, bands)),
-                "band": pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
-                "band_hash": pa.array(band_hashes.ravel(), type=pa.uint64()),
-            }
-        )
-
-    banded = ds.map_batches(bandify, batch_format="pyarrow")
-
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64")})
-        ids = np.sort(g[id_col].to_numpy())
-        # star pairing with the bucket representative (min id): enough for
-        # connectivity, avoids O(n^2) pair blowup in huge buckets
-        return pd.DataFrame({"id_a": np.full(len(ids) - 1, ids[0]), "id_b": ids[1:]})
-
-    pairs = (
-        banded.groupby(["band", "band_hash"])
-        .map_groups(bucket_pairs, batch_format="pandas")
-        .to_pandas()
-        .drop_duplicates()
+    pairs = minhash_lsh_candidate_pairs(ds, text_col, id_col, num_perm, bands, shingle_k)
+    verified = verify_pairs_jaccard(
+        pairs, ds, text_col, id_col, shingle_k, jaccard_threshold, num_partitions
     )
+    labels = connected_components_minlabel(verified, max_cc_rounds, num_partitions)
+    lab_nodes = labels.map_batches(
+        lambda b: b.rename_columns([id_col, "cluster_id"]), batch_format="pyarrow"
+    )
+    ids_only = ds.map_batches(lambda b: b.select([id_col]), batch_format="pyarrow")
+    out = ids_only.join(lab_nodes, join_type="left_outer", num_partitions=num_partitions, on=(id_col,))
 
-    # verify with exact jaccard: fetch texts of involved docs (small set)
-    involved = np.unique(np.concatenate([pairs["id_a"].to_numpy(), pairs["id_b"].to_numpy()])) if len(pairs) else np.array([], dtype=np.int64)
-    inv_ref = ray.put(set(involved.tolist()))
+    def finalize(batch: pa.Table) -> pa.Table:
+        cl = pc.coalesce(batch["cluster_id"], batch[id_col])
+        return pa.table({id_col: batch[id_col], "cluster_id": cl})
 
-    def pick(batch: pa.Table) -> pa.Table:
-        want = ray.get(inv_ref)
-        ids = batch[id_col].to_numpy(zero_copy_only=False)
-        keep = np.asarray([int(x) in want for x in ids], dtype=bool)
-        return batch.filter(pa.array(keep))
-
-    texts_df = ds.map_batches(pick, batch_format="pyarrow").to_pandas() if len(involved) else pd.DataFrame(columns=[id_col, text_col])
-    text_of = dict(zip(texts_df[id_col], texts_df[text_col]))
-    verified = [
-        (a, b)
-        for a, b in zip(pairs.get("id_a", []), pairs.get("id_b", []))
-        if jaccard_ngrams(text_of[a], text_of[b], shingle_k) >= jaccard_threshold
-    ]
-
-    # connected components: iterative min-label propagation on the pair
-    # edge list (tiny here; at scale this is a Dataset groupby loop)
-    label: dict[int, int] = {}
-    for a, b in verified:
-        label.setdefault(int(a), int(a))
-        label.setdefault(int(b), int(b))
-    for _ in range(max_cc_rounds):
-        changed = False
-        for a, b in verified:
-            ra, rb = label[int(a)], label[int(b)]
-            m = min(ra, rb)
-            if label[int(a)] != m or label[int(b)] != m:
-                label[int(a)] = m
-                label[int(b)] = m
-                changed = True
-        if not changed:
-            break
-    label_ref = ray.put(label)
-
-    def assign(batch: pa.Table) -> pa.Table:
-        lab = ray.get(label_ref)
-        ids = batch[id_col].to_numpy(zero_copy_only=False)
-        cluster = np.asarray([lab.get(int(x), int(x)) for x in ids], dtype=np.int64)
-        return pa.table({id_col: batch[id_col], "cluster_id": pa.array(cluster)})
-
-    return ds.map_batches(assign, batch_format="pyarrow")
+    return out.map_batches(finalize, batch_format="pyarrow")
 
 
 def simhash_buckets(ds, text_col: str = "text", id_col: str = "doc_id", band_bits: int = 16):
     """SimHash near-dup bucketing: 64-bit simhash split into 4 bands of
     `band_bits`; docs sharing any band land in the same candidate bucket
-    (catches Hamming distance <= 3)."""
+    (catches Hamming distance <= 3). Sketching is batch-vectorized."""
 
     def apply(batch: pa.Table) -> pa.Table:
-        texts = batch[text_col].to_pylist()
-        ids = batch[id_col].to_numpy(zero_copy_only=False)
-        sh = simhash_batch(texts)
+        ids = batch[id_col].combine_chunks() if isinstance(batch[id_col], pa.ChunkedArray) else batch[id_col]
+        sh = simhash_batch(batch[text_col])
         nbands = 64 // band_bits
         mask = np.uint64((1 << band_bits) - 1)
-        out_id, out_band, out_key, out_sim = [], [], [], []
-        for b in range(nbands):
-            key = (sh >> np.uint64(b * band_bits)) & mask
-            out_id.append(ids)
-            out_band.append(np.full(len(ids), b, dtype=np.int32))
-            out_key.append(key)
-            out_sim.append(sh)
+        n = len(sh)
+        rep = pa.array(np.repeat(np.arange(n), nbands))
+        bands_col = np.tile(np.arange(nbands, dtype=np.int32), n)
+        shifts = (bands_col.astype(np.uint64)) * np.uint64(band_bits)
+        keys = (np.repeat(sh, nbands) >> shifts) & mask
         return pa.table(
             {
-                id_col: pa.array(np.concatenate(out_id)),
-                "band": pa.array(np.concatenate(out_band)),
-                "band_key": pa.array(np.concatenate(out_key), type=pa.uint64()),
-                "simhash": pa.array(np.concatenate(out_sim), type=pa.uint64()),
+                id_col: ids.take(rep),
+                "band": pa.array(bands_col),
+                "band_key": pa.array(keys, type=pa.uint64()),
+                "simhash": pa.array(np.repeat(sh, nbands), type=pa.uint64()),
             }
         )
 

@@ -164,6 +164,61 @@ def test_lsh_topk_reasonable_recall(ray_session):
     assert hits >= 3  # recall >= 0.6 on near-identical queries
 
 
+def test_ivf_topk_reasonable_recall(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(2)
+    E = rng.normal(size=(2000, 16))
+    ds = rd.from_arrow(
+        pa.table({"vec_id": np.arange(2000, dtype=np.int64), "embedding": [r for r in E.astype(np.float32)]})
+    ).repartition(4)
+    Q = E[10:15] + rng.normal(scale=0.01, size=(5, 16))
+    exact = ann.brute_force_topk(ds, Q, k=1)
+    approx = ann.ivf_partitioned_topk(ds, Q, k=1, n_lists=8, nprobe=2)
+    hits = 0
+    for qi in range(5):
+        e = exact[exact["query_id"] == qi]["vec_id"].tolist()
+        a = approx[approx["query_id"] == qi]["vec_id"].tolist()
+        hits += bool(e and a and e[0] == a[0])
+    assert hits >= 3
+
+
+def test_sketches_match_perdoc_oracles():
+    from geospatialtools_ray import oracles as O
+    from geospatialtools_ray.stages import sketch
+
+    texts = list(near_dup_corpus()["text"]) + ["", "one", "a b c"]
+    mh = sketch.minhash_batch(texts, 32, 5)
+    sh = sketch.simhash_batch(texts, 3)
+    fp = sketch.fingerprint_batch(texts)
+    for d, t in enumerate(texts):
+        assert mh[d].tolist() == O.minhash_one(t, 32, 5)
+        assert int(sh[d]) == O.simhash_one(t, 3)
+        assert int(fp[d]) == O.fingerprint_one(t)
+
+
+def test_text_stages_match_perdoc_oracles():
+    from geospatialtools_ray import oracles as O
+
+    texts = [
+        "The cat and the dog are in the house of the king.",
+        "这是一个中文句子用来测试语言识别",
+        "",
+        "Mixed 123 numbers & sym!bols here... don't stop",
+    ]
+    arr = pa.array(texts, type=pa.string())
+    pred = text.langid_predict(arr)
+    q = text.QualityScore()(pd.DataFrame({"text": texts}))
+    tc = text.token_count_stage()(pa.table({"text": arr}))
+    for i, t in enumerate(texts):
+        assert pred[i] == O.langid_one(t)
+        assert tc["n_tokens"][i].as_py() == O.token_count_one(t)
+        want = O.quality_one(t)
+        for kcol, v in want.items():
+            got = q[kcol].iloc[i]
+            assert (abs(got - v) < 1e-12) if isinstance(v, float) else got == v
+
+
 def test_multimodal_plumbing(ray_session):
     import ray.data as rd
 
