@@ -21,6 +21,7 @@ from typing import Any
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from geospatialtools_ray.pipelines import extraqueries as X
+from geospatialtools_ray.pipelines import oracle_fixtures as OF
 from geospatialtools_ray.pipelines import relational as R
 from geospatialtools_ray.pipelines import textqueries as T
 
@@ -63,21 +64,24 @@ _SQL_CHECKED: dict[str, tuple[Callable[[str], Any], str]] = {
     "soil_pedotransfer": (T.soil_pedotransfer, T.SOIL_PEDOTRANSFER_SQL),
     "events_time_average": (X.events_time_average, X.EVENTS_TIME_AVERAGE_SQL),
     "events_sessionize": (X.events_sessionize, X.EVENTS_SESSIONIZE_SQL),
+    # round 2: previously rows-only — now checked against single-process
+    # oracle fixtures staged by the query callables themselves
+    # (pipelines/oracle_fixtures.py; SQL reads the staged parquet and, for
+    # the terrain chain, mirrors the per-basin aggregation)
+    "docs_minhash_dedup": (X.docs_minhash_dedup, OF.DOCS_MINHASH_DEDUP_SQL),
+    "docs_simhash_buckets": (X.docs_simhash_buckets, OF.DOCS_SIMHASH_BUCKETS_SQL),
+    "docs_langid": (X.docs_langid, OF.DOCS_LANGID_SQL),
+    "docs_quality": (X.docs_quality, OF.DOCS_QUALITY_SQL),
+    "docs_fingerprint": (X.docs_fingerprint, OF.DOCS_FINGERPRINT_SQL),
+    "ann_lsh_topk": (X.ann_lsh_topk, OF.ANN_LSH_TOPK_SQL),
+    "terrain_basin_stats": (X.terrain_basin_stats, OF.TERRAIN_BASIN_STATS_SQL),
+    "flagship_spatial_join": (X.flagship_spatial_join, OF.FLAGSHIP_SPATIAL_JOIN_SQL),
+    "docs_knn_haversine": (X.docs_knn_haversine, OF.DOCS_KNN_HAVERSINE_SQL),
+    "terrain_hillslope_profiles": (X.terrain_hillslope_profiles, OF.TERRAIN_HILLSLOPE_PROFILES_SQL),
 }
 
-# rows-only checks (non-SQL-expressible: stateful/iterative/geospatial ops)
-_ROWS_ONLY: dict[str, Callable[[str], Any]] = {
-    "docs_minhash_dedup": X.docs_minhash_dedup,
-    "docs_simhash_buckets": X.docs_simhash_buckets,
-    "docs_langid": X.docs_langid,
-    "docs_quality": X.docs_quality,
-    "docs_fingerprint": X.docs_fingerprint,
-    "ann_lsh_topk": X.ann_lsh_topk,
-    "terrain_basin_stats": X.terrain_basin_stats,
-    "flagship_spatial_join": X.flagship_spatial_join,
-    "docs_knn_haversine": X.docs_knn_haversine,
-    "terrain_hillslope_profiles": X.terrain_hillslope_profiles,
-}
+# rows-only checks (none left — every query has an oracle)
+_ROWS_ONLY: dict[str, Callable[[str], Any]] = {}
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

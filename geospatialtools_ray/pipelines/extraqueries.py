@@ -64,27 +64,42 @@ FROM d ORDER BY user_id
 
 
 # ---------------------------------------------------------------------------
-# rows-only: dedup / text / ANN / terrain / flagship
+# dedup / text / ANN / terrain / flagship — each stages a single-process
+# oracle fixture (pipelines/oracle_fixtures.py) before running the Ray
+# pipeline; the matching oracle_sql reads the fixture via read_parquet, so
+# the driver's rows+schema+hash compare proves distributed == oracle
 # ---------------------------------------------------------------------------
 
 def docs_minhash_dedup(sf_dir: str):
     from ..stages.dedup import minhash_lsh_clusters
+    from . import oracle_fixtures as OF
 
+    OF.stage_docs_minhash_dedup(sf_dir)
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     out = minhash_lsh_clusters(ds, num_perm=64, bands=16, shingle_k=5, jaccard_threshold=0.7).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["cluster_id"] = out["cluster_id"].astype("int64")
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
 def docs_simhash_buckets(sf_dir: str):
     from ..stages.dedup import simhash_buckets
+    from . import oracle_fixtures as OF
 
+    OF.stage_docs_simhash_buckets(sf_dir)
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return simhash_buckets(ds).to_pandas().sort_values(["doc_id", "band"]).reset_index(drop=True)
+    out = simhash_buckets(ds).to_pandas().sort_values(["doc_id", "band"]).reset_index(drop=True)
+    # reinterpret the u64 sketches as i64 (driver/DuckDB-friendly dtype)
+    out["band_key"] = out["band_key"].to_numpy().astype(np.uint64).view(np.int64)
+    out["simhash"] = out["simhash"].to_numpy().astype(np.uint64).view(np.int64)
+    return out
 
 
 def docs_langid(sf_dir: str):
     from ..stages.text import LangId
+    from . import oracle_fixtures as OF
 
+    OF.stage_docs_langid(sf_dir)
     ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
     out = ds.map_batches(LangId, batch_format="pandas", concurrency=(1, 4)).to_pandas()
     out["lang_match"] = out["lang_pred"] == out["lang"]
@@ -93,7 +108,9 @@ def docs_langid(sf_dir: str):
 
 def docs_quality(sf_dir: str):
     from ..stages.text import QualityScore
+    from . import oracle_fixtures as OF
 
+    OF.stage_docs_quality(sf_dir)
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     out = ds.map_batches(QualityScore, batch_format="pandas", concurrency=(1, 4)).to_pandas()
     return out.drop(columns=["text"]).sort_values("doc_id").reset_index(drop=True)
@@ -101,14 +118,16 @@ def docs_quality(sf_dir: str):
 
 def docs_fingerprint(sf_dir: str):
     from ..stages.text import fingerprint_stage, token_count_stage
+    from . import oracle_fixtures as OF
 
+    OF.stage_docs_fingerprint(sf_dir)
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     out = (
         ds.map_batches(token_count_stage(), batch_format="pyarrow")
         .map_batches(fingerprint_stage(), batch_format="pyarrow")
         .to_pandas()
     )
-    out["fingerprint"] = out["fingerprint"].astype("uint64").astype("int64")  # driver-friendly dtype
+    out["fingerprint"] = out["fingerprint"].to_numpy().astype(np.uint64).view(np.int64)
     return out.drop(columns=["text"]).sort_values("doc_id").reset_index(drop=True)
 
 
@@ -116,17 +135,27 @@ def ann_lsh_topk(sf_dir: str):
     import pyarrow.parquet as pq
 
     from ..stages.ann import lsh_partitioned_topk
+    from . import oracle_fixtures as OF
 
+    OF.stage_ann_lsh_topk(sf_dir)
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     q_tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     Q = np.stack([np.asarray(q_tbl["embedding"][i].as_py()) for i in range(3)]).astype(np.float64)
-    return lsh_partitioned_topk(ds, Q, k=5, n_planes=6)
+    out = lsh_partitioned_topk(ds, Q, k=5, n_planes=6)
+    out["query_id"] = out["query_id"].astype("int64")
+    out["vec_id"] = out["vec_id"].astype("int64")
+    out["cos_sim"] = out["cos_sim"].round(6)
+    return out.sort_values(["query_id", "vec_id"]).reset_index(drop=True)
 
 
 def terrain_basin_stats(sf_dir: str):
     """Distributed terrain chain (fill -> fdir -> acc -> channels -> basins
     -> HAND) on the deterministic twovalley DEM, summarized per basin.
-    Non-SQL-expressible (iterative distributed algorithm) -> rows-only."""
+    Oracle: the single-node kernels chain stages a per-cell fixture and the
+    SQL mirrors this aggregation over it (round-2 upgrade from rows-only)."""
+    from . import oracle_fixtures as OF
+
+    OF.stage_terrain_basin_cells(sf_dir)
     from .. import synth
     from ..terrain import dist as D
     from ..terrain import kernels as K
@@ -169,14 +198,18 @@ def terrain_basin_stats(sf_dir: str):
     df = agg.to_pandas().sort_values("basin").reset_index(drop=True)
     df["basin"] = df["basin"].astype("int64")
     df["n_cells"] = df["n_cells"].astype("int64")
+    df["sum_hand_mm"] = df["sum_hand_mm"].astype("int64")
     df["mean_hand"] = df["sum_hand_mm"].astype("float64") / 1000.0 / df["n_cells"]
     return df
 
 
 def flagship_spatial_join(sf_dir: str):
     """End-to-end flagship join over the synthetic interleaved corpus
-    (input_hint schema); size scaled by sf. Rows-only (geometry join not
-    expressible over the testdata tables in SQL)."""
+    (input_hint schema); size scaled by sf. Oracle: independent scalar
+    point-in-polygon sweep staged as a fixture (oracle_fixtures.py)."""
+    from . import oracle_fixtures as OF
+
+    OF.stage_flagship_spatial_join(sf_dir)
     import pyarrow.parquet as pq
 
     from .. import synth
@@ -276,11 +309,14 @@ FROM sess GROUP BY user_id, session ORDER BY user_id, session
 
 def docs_knn_haversine(sf_dir: str):
     """The real haversine kNN stage (stages/knn.KNNBroadcast) over derived
-    doc points and nation stations. Rows-only: libm trig differs in ulps
-    between numpy and DuckDB, so the SQL twin uses squared degrees
-    (docs_knn_stations) and this entry exercises the production metric."""
+    doc points and nation stations. DuckDB's own trig differs in ulps from
+    numpy, so the oracle is a staged single-process numpy kNN fixture
+    (same IEEE expression tree; distances rounded to mm on both sides)."""
     import pyarrow as pa
 
+    from . import oracle_fixtures as OF
+
+    OF.stage_docs_knn_haversine(sf_dir)
     from ..stages.knn import KNNBroadcast
 
     nation = _read(sf_dir, "nation", ["n_nationkey"]).to_pandas()
@@ -318,7 +354,12 @@ def docs_knn_haversine(sf_dir: str):
 
 def terrain_hillslope_profiles(sf_dir: str):
     """Hillslope property profiles over the twovalley fixture (distributed
-    map_groups machinery of terrain/hillslope_props.py). Rows-only."""
+    map_groups machinery of terrain/hillslope_props.py). Oracle: the same
+    profile math applied per hillslope single-process over the single-node
+    kernel chain's cells, staged as a fixture."""
+    from . import oracle_fixtures as OF
+
+    OF.stage_terrain_hillslope_profiles(sf_dir)
     from .. import synth
     from ..terrain import hillslope_props as HP
     from ..terrain import kernels as K

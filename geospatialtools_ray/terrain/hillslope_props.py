@@ -201,14 +201,19 @@ def hillslope_properties_dist(cells_ds, cov_cols: list[str], res: float) -> pd.D
     MASK (see module docstring for the bbox divergence)."""
 
     def per_hillslope(g: pd.DataFrame) -> pd.DataFrame:
-        prof = hillslope_profile(
-            g["hand"].to_numpy(dtype=np.float64), g["slope"].to_numpy(dtype=np.float64), res
-        )
+        hand = g["hand"].to_numpy(dtype=np.float64)
+        slope = g["slope"].to_numpy(dtype=np.float64)
+        # canonical (hand, slope) order: group arrival order differs between
+        # tilings/parallelism, and float means are order-sensitive in the
+        # last ulp — sorting makes the result identical bit-for-bit to the
+        # single-process oracle regardless of partitioning
+        order = np.lexsort((slope, hand))
+        prof = hillslope_profile(hand[order], slope[order], res)
         rec = {"hid": [int(g["hillslopes"].iloc[0])]}
         for k, v in prof.items():
             rec[k] = [v.tolist() if isinstance(v, np.ndarray) else v]
         for c in cov_cols:
-            vals = g[c].to_numpy(dtype=np.float64)
+            vals = g[c].to_numpy(dtype=np.float64)[order]
             ok = vals != K.UNDEF
             rec[c] = [float(vals[ok].mean()) if ok.any() else float(K.UNDEF)]
         return pd.DataFrame(rec)
