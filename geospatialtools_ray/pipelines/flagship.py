@@ -41,10 +41,13 @@ def polygon_index_ref(n_polygons: int, cover_res: int = DEFAULT_RES):
     return ray.put(PolygonIndex.from_synth(layer, cover_res))
 
 
-def geo_points(docs_ds, res: int = DEFAULT_RES):
-    return docs_ds.map_batches(explode_geo_points, batch_format="pyarrow").map_batches(
-        lambda b: attach_cell(b, res), batch_format="pyarrow"
-    )
+def geo_points(docs_ds, res: int = DEFAULT_RES, key_mode: str = "string"):
+    """key_mode="u64" ships an 8-byte packed doc key through the join
+    instead of the string id (see spans.doc_key_u64) — the scale default
+    for the bench; "string" preserves the raw id column."""
+    return docs_ds.map_batches(
+        explode_geo_points, fn_kwargs={"key_mode": key_mode}, batch_format="pyarrow"
+    ).map_batches(lambda b: attach_cell(b, res), batch_format="pyarrow")
 
 
 def estimate_salts(
@@ -110,6 +113,9 @@ def run(
     target_rows_per_part: int = 2_000_000,
     resume: bool = True,
     sink: str = "grouped",
+    key_mode: str = "string",
+    compression: str = "snappy",
+    sink_batch_rows: int | None = None,
 ):
     """Returns a per-partition stats DataFrame (small); the bulk join output
     lands under out_dir as partitioned parquet + lineage records.
@@ -121,7 +127,7 @@ def run(
     from ..stages.spatial_join import join_batch
 
     idx_ref = polygon_index_ref(n_polygons, cover_res=res)
-    pts = geo_points(docs_ds, res)
+    pts = geo_points(docs_ds, res, key_mode=key_mode)
     # stateless tasks + per-process index cache: elastic across every CPU
     # with no actor-pool startup tax (index fetched from the object store
     # once per worker process)
@@ -143,9 +149,14 @@ def run(
             uniq, inv = np.unique(parents, return_inverse=True)
             nsalt_u = np.asarray([smap.get(int(p), 1) for p in uniq], dtype=np.uint64)
             nsalt = nsalt_u[inv]
-            from ..hashing import text_hash_u64
+            if "doc_key" in batch.column_names:
+                from ..hashing import h64
 
-            doc_h = text_hash_u64(batch["doc_id"])
+                doc_h = h64(batch["doc_key"].to_numpy(zero_copy_only=False))
+            else:
+                from ..hashing import text_hash_u64
+
+                doc_h = text_hash_u64(batch["doc_id"])
             salts = (doc_h % np.maximum(nsalt, 1)).astype(np.int64)
             return lineage.add_part_key(batch, parents, np.where(nsalt > 1, salts, 0))
         return lineage.add_part_key(batch, parents)
@@ -154,7 +165,9 @@ def run(
     if sink == "fragments":
         # shuffle-free fragment sink (the scale path; see lineage.py);
         # emits the per-stage metrics sidecar itself
-        return lineage.write_partitioned_fragments(keyed, out_dir, resume=resume)
+        return lineage.write_partitioned_fragments(
+            keyed, out_dir, resume=resume, compression=compression, sink_batch_rows=sink_batch_rows
+        )
     return lineage.write_partitioned(keyed, out_dir, resume=resume).to_pandas()
 
 

@@ -18,7 +18,24 @@ from .. import geocell
 _POINT_RE = r"POINT\((?P<lon>[-0-9.eE+]+) (?P<lat>[-0-9.eE+]+)\)"
 
 
-def explode_geo_points(batch: pa.Table) -> pa.Table:
+def doc_key_u64(doc_id: pa.Array) -> pa.Array:
+    """Pack string doc ids into uint64 join keys. `doc-%09d` ids parse to
+    their numeric suffix (invertible); anything else falls back to a
+    64-bit content hash. Shipping an 8-byte key through a 10^11-row join
+    instead of a 13-byte string + offsets is a measured ~15% cut in the
+    fan-out's memory traffic (BENCH round 2)."""
+    try:
+        num = pc.cast(pc.utf8_slice_codeunits(doc_id, start=4, stop=64), pa.int64())
+        return pc.cast(num, pa.uint64())
+    except pa.ArrowInvalid:
+        from ..hashing import text_hash_u64
+
+        import numpy as np
+
+        return pa.array(text_hash_u64(doc_id), type=pa.uint64())
+
+
+def explode_geo_points(batch: pa.Table, key_mode: str = "string") -> pa.Table:
     """docs batch -> one row per geo span: (doc_id, span_ord, lon, lat).
 
     Fully vectorized: Arrow list-flatten + regex extract; no Python row
@@ -39,10 +56,12 @@ def explode_geo_points(batch: pa.Table) -> pa.Table:
     kind = flat.field("kind")
     is_geo = pc.equal(kind, "geo")
     geo_idx = np.flatnonzero(is_geo.to_numpy(zero_copy_only=False))
+    key_col = "doc_key" if key_mode == "u64" else "doc_id"
+    key_src = doc_key_u64(batch["doc_id"]) if key_mode == "u64" else batch["doc_id"]
     if len(geo_idx) == 0:
         return pa.table(
             {
-                "doc_id": pa.array([], type=batch["doc_id"].type),
+                key_col: pa.array([], type=pa.uint64() if key_mode == "u64" else batch["doc_id"].type),
                 "span_ord": pa.array([], type=pa.int32()),
                 "lon": pa.array([], type=pa.float64()),
                 "lat": pa.array([], type=pa.float64()),
@@ -52,10 +71,10 @@ def explode_geo_points(batch: pa.Table) -> pa.Table:
     m = pc.extract_regex(geo_text, _POINT_RE)
     lon = pc.struct_field(m, "lon").cast(pa.float64())
     lat = pc.struct_field(m, "lat").cast(pa.float64())
-    doc_id = batch["doc_id"].take(pa.array(parent.to_numpy(zero_copy_only=False)[geo_idx]))
+    keys = key_src.take(pa.array(parent.to_numpy(zero_copy_only=False)[geo_idx]))
     out = pa.table(
         {
-            "doc_id": doc_id,
+            key_col: keys,
             "span_ord": pa.array(ords[geo_idx], type=pa.int32()),
             "lon": lon,
             "lat": lat,

@@ -102,7 +102,9 @@ def add_part_key(batch: pa.Table, cells: np.ndarray, salts: np.ndarray | None = 
     return batch.append_column("part_key", pa.array(keys, type=pa.uint64()))
 
 
-def write_partitioned_fragments(ds, out_dir: str, *, resume: bool = True):
+def write_partitioned_fragments(
+    ds, out_dir: str, *, resume: bool = True, compression: str = "snappy", sink_batch_rows: int | None = None
+):
     """Shuffle-free resumable partitioned sink.
 
     Each map task writes its batch's rows as per-partition FRAGMENT files
@@ -170,8 +172,11 @@ def write_partitioned_fragments(ds, out_dir: str, *, resume: bool = True):
                 fname = f"frag-{batch_tag}.parquet"
                 tmp = os.path.join(pdir, fname + ".tmp")
                 # stats/dictionary off: fragment files are engine-internal
-                # intermediates; plain-encoded snappy halves the write CPU
-                pq.write_table(sub, tmp, write_statistics=False, use_dictionary=False)
+                # intermediates; plain encoding halves the write CPU.
+                # compression="zstd" trades (scalable) CPU for (shared,
+                # non-scalable) disk bandwidth — the right default when all
+                # writers share one device, as in the single-node bench
+                pq.write_table(sub, tmp, write_statistics=False, use_dictionary=False, compression=compression)
                 os.replace(tmp, os.path.join(pdir, fname))
                 out_part.append(key)
                 out_rows.append(len(sub))
@@ -184,7 +189,12 @@ def write_partitioned_fragments(ds, out_dir: str, *, resume: bool = True):
             }
         )
 
-    mds = ds.map_batches(frag_write, batch_format="pyarrow")
+    # sink_batch_rows coalesces several upstream blocks per write task:
+    # with K partitions alive, fragment count ~ n_batches x K, and at small
+    # block sizes the sink becomes file-open/close bound (measured: 11k
+    # sub-100KB fragments on the 111M-row bench). ~2M rows/batch keeps
+    # batches x concurrency well inside worker heaps at ~50 B/row.
+    mds = ds.map_batches(frag_write, batch_format="pyarrow", batch_size=sink_batch_rows)
     manifest = mds.to_pandas()
     try:  # per-stage metrics sidecar (north_rule: lineage + per-stage metrics)
         from .metrics import emit_stage_metrics

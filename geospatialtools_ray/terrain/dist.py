@@ -37,6 +37,18 @@ IUNDEF = K.IUNDEF
 PENDING = np.int64(-123456789)
 
 
+def _rebound(nxt_mat, dropped, cap: int = 64):
+    """Iterative halo/frontier rounds build each round's input from a UNION
+    of two branches of the previous round, and the groupby that follows
+    preserves input block count — so blocks double every round (measured:
+    per-round wall tripling on a 4-tile fixture by round 8). Repartition
+    whenever the materialized round output exceeds `cap` blocks to keep
+    per-round cost flat."""
+    if nxt_mat.num_blocks() > cap:
+        return dropped.repartition(cap)
+    return dropped
+
+
 # ---------------------------------------------------------------------------
 # stencils
 # ---------------------------------------------------------------------------
@@ -169,6 +181,7 @@ def fill_dist(ds, res: float, max_rounds: int = 1000, checkpoint_dir: str | None
             cur = rd.read_parquet(os.path.join(checkpoint_dir, f"round-{done_rounds[-1]}")).materialize()
     if cur is None:
         cur = ds.map_batches(init, batch_format="pyarrow").materialize()
+    cap = max(16, 2 * cur.num_blocks())
     for rnd in range(start_round, max_rounds):
         def kernel(tr, padded):
             z = np.asarray(tr["dem"], dtype=np.float32).reshape(int(tr["n0"]), int(tr["n1"]))
@@ -181,7 +194,7 @@ def fill_dist(ds, res: float, max_rounds: int = 1000, checkpoint_dir: str | None
         total_changed = sum(
             int(np.asarray(x)[0]) for x in nxt.select_columns(["n_changed"]).to_pandas()["n_changed"]
         )
-        cur = nxt.drop_columns(["n_changed"])
+        cur = _rebound(nxt, nxt.drop_columns(["n_changed"]), cap)
         if checkpoint_dir:
             rdir = os.path.join(checkpoint_dir, f"round-{rnd}")
             cur = cur.materialize()
@@ -280,6 +293,7 @@ def acc_dist(ds, tile_size: int, N0: int, N1: int, max_rounds: int = 1000):
         return batch.append_column("ext_in", pa.array([x for x in e], type=pa.list_(pa.int64())))
 
     cur = ds.map_batches(init, batch_format="pyarrow").materialize()
+    cap = max(16, 2 * cur.num_blocks())
     for _ in range(max_rounds):
         def emit(batch: pa.Table) -> pa.Table:
             rows = {"tx": [], "ty": [], "tag": [], "e_idx": [], "e_cnt": []}
@@ -359,7 +373,7 @@ def acc_dist(ds, tile_size: int, N0: int, N1: int, max_rounds: int = 1000):
         total_changed = sum(
             int(np.asarray(x)[0]) for x in nxt.select_columns(["n_changed"]).to_pandas()["n_changed"]
         )
-        cur = nxt.drop_columns(["n_changed"])
+        cur = _rebound(nxt, nxt.drop_columns(["n_changed"]), cap)
         if total_changed == 0:
             break
 
@@ -472,6 +486,7 @@ def flow_inherit(ds, setup, N0: int, N1: int, dead_default: float, out_name: str
         return b
 
     cur = ds.map_batches(init, batch_format="pyarrow").materialize()
+    cap = max(16, 2 * cur.num_blocks())
     for _ in range(max_rounds):
         def kernel(tr, padded):
             n0, n1 = int(tr["n0"]), int(tr["n1"])
@@ -498,7 +513,7 @@ def flow_inherit(ds, setup, N0: int, N1: int, dead_default: float, out_name: str
         # n_changed here counts STILL-PENDING cells: stop as soon as every
         # chain resolved (no extra confirmation round needed)
         total = sum(int(np.asarray(x)[0]) for x in nxt.select_columns(["n_changed"]).to_pandas()["n_changed"])
-        cur = nxt.drop_columns(["n_changed"])
+        cur = _rebound(nxt, nxt.drop_columns(["n_changed"]), cap)
         if total == 0:
             break
 
@@ -968,3 +983,265 @@ def hillslopes_dist(ds, N0: int, N1: int):
     rank = {int(v): i for i, v in enumerate(ids)}
     final["hillslope"] = final["hillslope_raw"].map(lambda v: rank.get(int(v), int(v))).astype(np.int64)
     return final[["gi", "gj", "hillslope"]].reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# MFD accumulation + MFD HAND (terrain_tools.f90:517-626, :628-746),
+# distributed on the halo-round engine: per-tile fraction planes, then
+# iterative "ready-cell" relaxation over the strictly-monotone dem DAG.
+# Per-cell contributions fold in POS order with float32 steps, so results
+# are bit-identical to kernels.mfd_accumulate / depth2channel_mfd under
+# any tiling (asserted in tests; the one documented divergence is MFD
+# HAND's re-entrant negative-value quirk, see hand_mfd_dist).
+# ---------------------------------------------------------------------------
+
+def _oob_ring_to(pad: np.ndarray, tr: dict, N0: int, N1: int, value) -> np.ndarray:
+    """Mark padded-ring positions OUTSIDE the global grid with `value`
+    (tile-interior ring positions keep their exchanged strip values)."""
+    i0, j0, n0, n1 = (int(tr[k]) for k in ("i0", "j0", "n0", "n1"))
+    out = pad.copy()
+    if i0 == 0:
+        out[0, :] = value
+    if i0 + n0 == N0:
+        out[-1, :] = value
+    if j0 == 0:
+        out[:, 0] = value
+    if j0 + n1 == N1:
+        out[:, -1] = value
+    return out
+
+
+def mfd_fract_dist(ds, res: float, p: float, N0: int, N1: int, dem_col: str = "demns"):
+    """Per-tile MFD outflow-fraction planes (fract_flow_mfd, f90:583-626):
+    one halo pass; out-of-global ring positions become NaN exactly like the
+    oracle's out-of-range lookups. Adds columns mfdf0..mfdf7 (float32)."""
+
+    def kernel(tr, padded):
+        z = _oob_ring_to(padded[dem_col].astype(np.float32), tr, N0, N1, np.nan)
+        fract = K.mfd_fractions(z, res, p)
+        return {f"mfdf{k}": fract[k, 1:-1, 1:-1] for k in range(8)}
+
+    return T.halo_map(ds, [dem_col], kernel, width=1)
+
+
+_BACK = None
+
+
+def _back_idx():
+    global _BACK
+    if _BACK is None:
+        _BACK = [K.POS.index((-di, -dj)) for (di, dj) in K.POS]
+    return _BACK
+
+
+def _oob_pad_to(pad: np.ndarray, tr: dict, N0: int, N1: int, width: int, value) -> np.ndarray:
+    """Mark padded positions OUTSIDE the global grid with `value` (pad
+    positions inside the grid keep their exchanged strip values)."""
+    i0, j0 = int(tr["i0"]), int(tr["j0"])
+    P0, P1 = pad.shape
+    gi = i0 - width + np.arange(P0)[:, None]
+    gj = j0 - width + np.arange(P1)[None, :]
+    out = pad.copy()
+    out[(gi < 0) | (gi >= N0) | (gj < 0) | (gj >= N1)] = value
+    return out
+
+
+def mfd_acc_dist(
+    ds, res: float, p: float, N0: int, N1: int, dem_col: str = "demns",
+    halo: int = 4, max_rounds: int = 10000,
+):
+    """Distributed MFD accumulation: catch(c) = 1 + sum over strictly
+    higher neighbors n of fract(n->c) * catch(n), folded per cell in POS
+    order with float32 steps — bit-identical to kernels.mfd_accumulate
+    under any tiling (asserted in tests).
+
+    A cell is computable when every higher neighbor is. Each round runs
+    the local topological relaxation to fixpoint over the tile PLUS its
+    width-`halo` pad band (band cells are resolved redundantly by both
+    neighbors — deterministic, so both get identical values), then
+    exchanges band values. Rounds = (max tile-boundary crossings on any
+    dependency chain) / ~halo: unlike acc_dist's commutative integer
+    counts, the ordered float fold cannot absorb out-of-order partial
+    sums, so boundary zigzags cost rounds; the wide halo amortizes them
+    (measured 51 -> 8 rounds on the 32^2/16 fixture at halo=4).
+    Adds `mfdacc` (float32)."""
+    fract_ds = mfd_fract_dist(ds, res, p, N0, N1, dem_col)
+
+    def init(batch: pa.Table) -> pa.Table:
+        vals = []
+        for r in range(batch.num_rows):
+            n0 = batch["n0"][r].as_py()
+            n1 = batch["n1"][r].as_py()
+            vals.append(np.full(n0 * n1, np.nan, dtype=np.float32))
+        return batch.append_column("mfdacc", pa.array([x for x in vals], type=pa.list_(pa.float32())))
+
+    cur = fract_ds.map_batches(init, batch_format="pyarrow").materialize()
+    cap = max(16, 2 * cur.num_blocks())
+    fcols = [f"mfdf{k}" for k in range(8)]
+    halo_cols = [dem_col, "mfdacc"] + fcols
+    back = _back_idx()
+    w = halo
+
+    for _ in range(max_rounds):
+
+        def kernel(tr, padded):
+            n0, n1 = int(tr["n0"]), int(tr["n1"])
+            z = _oob_pad_to(padded[dem_col].astype(np.float32), tr, N0, N1, w, np.nan)
+            catp = padded["mfdacc"].astype(np.float32).copy()
+            P0, P1 = z.shape
+            m0, m1 = P0 - 2, P1 - 2  # pad interior: every cell with all 8 nbrs in-array
+            own = z[1:-1, 1:-1]
+            cat = catp[1:-1, 1:-1]
+            nbz = [z[1 + di : 1 + di + m0, 1 + dj : 1 + dj + m1] for (di, dj) in K.POS]
+            nbf = [
+                padded[f"mfdf{back[k]}"].astype(np.float32)[1 + di : 1 + di + m0, 1 + dj : 1 + dj + m1]
+                for k, (di, dj) in enumerate(K.POS)
+            ]
+            dep = [nbz[k] > own for k in range(8)]  # NaN compares False
+            while True:
+                done = ~np.isnan(cat)
+                nbc = [catp[1 + di : 1 + di + m0, 1 + dj : 1 + dj + m1] for (di, dj) in K.POS]
+                blocked = np.zeros((m0, m1), dtype=bool)
+                for k in range(8):
+                    blocked |= dep[k] & np.isnan(nbc[k])
+                ready = ~done & ~blocked
+                if not ready.any():
+                    break
+                acc = np.ones((m0, m1), dtype=np.float32)
+                for k in range(8):  # POS-order float32 fold (oracle order)
+                    m = ready & dep[k]
+                    if m.any():
+                        acc[m] = (acc[m] + nbf[k][m] * nbc[k][m]).astype(np.float32)
+                cat[ready] = acc[ready]
+            tile_out = catp[w : w + n0, w : w + n1]
+            return {
+                "mfdacc": tile_out,
+                "n_unres": np.asarray([int(np.isnan(tile_out).sum())], dtype=np.int64),
+            }
+
+        nxt = T.halo_map(cur, halo_cols, kernel, width=w).materialize()
+        total = sum(int(np.asarray(x)[0]) for x in nxt.select_columns(["n_unres"]).to_pandas()["n_unres"])
+        cur = _rebound(nxt, nxt.drop_columns(["n_unres"]), cap)
+        if total == 0:
+            break
+    return cur
+
+
+def hand_mfd_dist(
+    ds, p: int, res: float, N0: int, N1: int, dem_col: str = "demns",
+    halo: int = 4, max_rounds: int = 10000,
+):
+    """Distributed MFD HAND (depth2channel_mfd, f90:628-746): each in-mask
+    non-channel cell mixes its downhill in-mask neighbors' channel depths
+    by slope^p fraction, folded in POS order with float32 steps. Same
+    wide-halo ready-cell engine as mfd_acc_dist, on the downhill DAG.
+    Drainless cells resolve to UNDEF and contribute -9999 to their upslope
+    mix (the reference quirk) ONCE; the reference's re-entrant
+    re-resolution of negative-valued cells (possible only after a -9999
+    contribution) is NOT reproduced — tests assert bit-equality on
+    fixtures where every in-mask cell drains. Adds `handmfd` (float32)."""
+
+    # stage A: own outgoing fraction planes (slopes_of + ang, f90-literal)
+    def fkernel(tr, padded):
+        n0, n1 = int(tr["n0"]), int(tr["n1"])
+        z = _oob_pad_to(padded[dem_col].astype(np.float32), tr, N0, N1, 1, np.nan)
+        mk = _oob_pad_to(padded["landmask"].astype(np.int32), tr, N0, N1, 1, 0)
+        own = z[1:-1, 1:-1]
+        s = np.zeros((8, n0, n1), dtype=np.float32)
+        for k, (di, dj) in enumerate(K.POS):
+            nb = z[1 + di : 1 + di + n0, 1 + dj : 1 + dj + n1]
+            nbm = mk[1 + di : 1 + di + n0, 1 + dj : 1 + dj + n1]
+            length = K.SQRT2 * np.float32(res) if (di != 0 and dj != 0) else np.float32(res)
+            ok = (nbm != 0) & (own > nb)
+            with np.errstate(invalid="ignore"):
+                sv = (own - nb) / length
+            s[k] = np.where(ok, sv, np.float32(0.0))
+        sp = (s ** p).astype(np.float32)
+        # the oracle sums the LEN-8 1-D slope vector per cell, and numpy's
+        # pairwise tree for n=8 is ((a0+a1)+(a2+a3))+((a4+a5)+(a6+a7));
+        # axis-0 reduce over stacked planes folds SEQUENTIALLY instead and
+        # differs in the last ulp — replicate the tree explicitly
+        ang = ((sp[0] + sp[1]) + (sp[2] + sp[3])) + ((sp[4] + sp[5]) + (sp[6] + sp[7]))
+        out = {}
+        with np.errstate(divide="ignore", invalid="ignore"):
+            for k in range(8):
+                out[f"mhf{k}"] = np.where(s[k] > 0, sp[k] / ang, np.float32(0.0)).astype(np.float32)
+        return out
+
+    fds = T.halo_map(ds, [dem_col, "landmask"], fkernel, width=1)
+
+    def init(batch: pa.Table) -> pa.Table:
+        vals = []
+        for r in range(batch.num_rows):
+            z = T.tile_payload(batch, dem_col, r).astype(np.float32)
+            m = T.tile_payload(batch, "landmask", r)
+            ch = T.tile_payload(batch, "channels", r)
+            cd = np.where(z < 0, np.float32(0.0), z)
+            cdv = np.full(z.shape, np.nan, dtype=np.float32)
+            src = (m > 0) & (ch > 0)
+            cdv[src] = cd[src]
+            cdv[m <= 0] = np.float32(UNDEF)  # resolved, never a dependency
+            vals.append(cdv.ravel())
+        return batch.append_column("mhcd", pa.array([x for x in vals], type=pa.list_(pa.float32())))
+
+    cur = fds.map_batches(init, batch_format="pyarrow").materialize()
+    cap = max(16, 2 * cur.num_blocks())
+    halo_cols = ["mhcd"] + [f"mhf{k}" for k in range(8)]
+    w = halo
+
+    for _ in range(max_rounds):
+
+        def kernel(tr, padded):
+            n0, n1 = int(tr["n0"]), int(tr["n1"])
+            cdp = padded["mhcd"].astype(np.float32).copy()
+            P0, P1 = cdp.shape
+            m0, m1 = P0 - 2, P1 - 2
+            cd = cdp[1:-1, 1:-1]
+            # own outgoing fractions; pad fill (-9999) never exceeds 0
+            myf = [padded[f"mhf{k}"].astype(np.float32)[1:-1, 1:-1] for k in range(8)]
+            dep = [myf[k] > 0 for k in range(8)]
+            anydep = np.zeros((m0, m1), dtype=bool)
+            for k in range(8):
+                anydep |= dep[k]
+            while True:
+                done = ~np.isnan(cd)
+                nbc = [cdp[1 + di : 1 + di + m0, 1 + dj : 1 + dj + m1] for (di, dj) in K.POS]
+                blocked = np.zeros((m0, m1), dtype=bool)
+                for k in range(8):
+                    blocked |= dep[k] & np.isnan(nbc[k])
+                ready = ~done & ~blocked
+                if not ready.any():
+                    break
+                v = np.zeros((m0, m1), dtype=np.float32)
+                for k in range(8):  # POS-order float32 fold (oracle order)
+                    m = ready & dep[k]
+                    if m.any():
+                        v[m] = (v[m] + myf[k][m] * nbc[k][m]).astype(np.float32)
+                v[ready & ~anydep] = np.float32(UNDEF)  # drainless stays UNDEF
+                cd[ready] = v[ready]
+            tile_out = cdp[w : w + n0, w : w + n1]
+            return {
+                "mhcd": tile_out,
+                "n_unres": np.asarray([int(np.isnan(tile_out).sum())], dtype=np.int64),
+            }
+
+        nxt = T.halo_map(cur, halo_cols, kernel, width=w).materialize()
+        total = sum(int(np.asarray(x)[0]) for x in nxt.select_columns(["n_unres"]).to_pandas()["n_unres"])
+        cur = _rebound(nxt, nxt.drop_columns(["n_unres"]), cap)
+        if total == 0:
+            break
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        res_ = []
+        for r in range(batch.num_rows):
+            z = T.tile_payload(batch, dem_col, r).astype(np.float32)
+            m = T.tile_payload(batch, "landmask", r)
+            cd = T.tile_payload(batch, "mhcd", r).astype(np.float32)
+            out = z - cd
+            out[out < 0] = np.float32(UNDEF)
+            out[m <= 0] = np.float32(UNDEF)
+            res_.append(out.ravel())
+        b = batch.append_column("handmfd", pa.array([x for x in res_], type=pa.list_(pa.float32())))
+        return b.drop_columns(["mhcd"] + [f"mhf{k}" for k in range(8)])
+
+    return cur.map_batches(finalize, batch_format="pyarrow")

@@ -208,3 +208,38 @@ def test_fill_dist_round_checkpoint_resume(ray_session, tmp_path):
     out = D.fill_dist(ds2, RES, checkpoint_dir=ck)
     got = collect(out, "demns")
     assert np.array_equal(got, want)
+
+
+# ---------------------------------------------------------------------------
+# MFD accumulation + MFD HAND: distributed == single-node oracle, bit-exact
+# at every tiling (round-2 addition; VERDICT item 4)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("name,tile", [("twovalley", 32), ("twovalley", 16), ("cone", 8)])
+def test_mfd_acc_dist_bitexact(ray_session, name, tile):
+    N, RES = 32, 30.0
+    dem, _ = synth.dem_grid(name, N)
+    dem = dem.astype(np.float32)
+    want = K.mfd_accumulate(dem, RES, 1.1)
+    ds = T.make_tiles_dataset({"demns": dem}, tile)
+    out = D.mfd_acc_dist(ds, RES, 1.1, N, N)
+    got = T.collect_grid(out, "mfdacc", dtype=np.float32)
+    assert np.array_equal(got, want), f"{name} tile={tile}"
+
+
+@pytest.mark.parametrize("tile", [32, 16])
+def test_hand_mfd_dist_bitexact(ray_session, tile):
+    N, RES = 32, 30.0
+    dem, mask = synth.dem_grid("twovalley", N)
+    z = dem.copy()
+    z[~mask] = np.float32(K.UNDEF)
+    z = z.astype(np.float32)
+    maski = mask.astype(np.int32)
+    w = K.fill_pits(z, RES)
+    area, fdir = K.d8_area(w, maski, RES)
+    ch, _, _ = K.calculate_channels(area, 8 * RES * RES, 16 * RES * RES, fdir, mask=maski)
+    want = K.depth2channel_mfd(ch, maski, 1, w, RES)
+    ds = T.make_tiles_dataset({"demns": w, "landmask": maski, "channels": ch}, tile)
+    out = D.hand_mfd_dist(ds, 1, RES, N, N)
+    got = T.collect_grid(out, "handmfd", dtype=np.float32)
+    assert np.array_equal(got, want), f"tile={tile}: {(got != want).sum()} cells differ"
