@@ -116,6 +116,7 @@ def run(
     key_mode: str = "string",
     compression: str = "snappy",
     sink_batch_rows: int | None = None,
+    wave: int | None = None,
 ):
     """Returns a per-partition stats DataFrame (small); the bulk join output
     lands under out_dir as partitioned parquet + lineage records.
@@ -166,9 +167,61 @@ def run(
         # shuffle-free fragment sink (the scale path; see lineage.py);
         # emits the per-stage metrics sidecar itself
         return lineage.write_partitioned_fragments(
-            keyed, out_dir, resume=resume, compression=compression, sink_batch_rows=sink_batch_rows
+            keyed, out_dir, resume=resume, compression=compression,
+            sink_batch_rows=sink_batch_rows, wave=wave,
         )
     return lineage.write_partitioned(keyed, out_dir, resume=resume).to_pandas()
+
+
+def run_waves(
+    input_files: list[str],
+    *,
+    out_dir: str,
+    wave_size: int = 8,
+    n_polygons: int = 500,
+    res: int = DEFAULT_RES,
+    part_res: int = DEFAULT_PART_RES,
+    salt_map: dict[int, int] | None = None,
+    key_mode: str = "string",
+    compression: str = "snappy",
+):
+    """Wave-driven flagship run: the input shard list is processed in waves
+    of `wave_size` files, each wave committed atomically to the fragment
+    sink (lineage.write_partitioned_fragments(wave=...)). A mid-run failure
+    loses at most the wave in flight: committed waves are skipped at the
+    INPUT level (their shards are never re-read), and the interrupted
+    wave's partial fragments are wiped before it reruns. This is the
+    100-TB default drive loop (VERDICT round 1, flagship audit note).
+
+    Returns (stats_df, n_waves_run)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from ..state.lineage import clean_wave_fragments, wave_committed, write_partitioned_fragments
+
+    waves = [input_files[i : i + wave_size] for i in range(0, len(input_files), wave_size)]
+    all_stats = []
+    n_run = 0
+    for w, files in enumerate(waves):
+        if wave_committed(out_dir, w):
+            continue
+        clean_wave_fragments(out_dir, w)
+        stats = run(
+            rd.read_parquet(files),
+            out_dir=out_dir,
+            n_polygons=n_polygons,
+            res=res,
+            part_res=part_res,
+            salt_map=salt_map,
+            resume=False,
+            sink="fragments",
+            key_mode=key_mode,
+            compression=compression,
+            wave=w,
+        )
+        all_stats.append(stats)
+        n_run += 1
+    return (pd.concat(all_stats, ignore_index=True) if all_stats else pd.DataFrame()), n_run
 
 
 def tile_counts(out_dir: str):

@@ -145,42 +145,85 @@ def q3_top_orders(sf_dir: str):
     import ray
     from ray.data.aggregate import Sum
 
+    from .joins import broadcast_semi_join, hash_join, should_broadcast
+
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
     ckeys = cust.map_batches(
         lambda b: b.filter(pc.equal(b["c_mktsegment"], "BUILDING")).select(["c_custkey"]),
         batch_format="pyarrow",
     ).to_pandas()["c_custkey"].to_numpy()
     ckeys_ref = ray.put(np.sort(ckeys))
-
-    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]).to_pandas()
     cutoff = pd.Timestamp("1995-03-15")
-    omask = orders["o_custkey"].isin(ckeys) & (orders["o_orderdate"] < cutoff)
-    odim = orders[omask]
-    okeys_ref = ray.put(np.sort(odim["o_orderkey"].to_numpy()))
 
+    # filtered order dimension as a DATASET (no full-orders driver
+    # materialization); the broadcast-vs-shuffle decision is measured
+    odim_ds = broadcast_semi_join(
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+            lambda b: b.filter(pc.less(b["o_orderdate"], pa.scalar(cutoff))), batch_format="pyarrow"
+        ),
+        ckeys_ref,
+        "o_custkey",
+    )
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
 
-    def partial(batch: pa.Table) -> pa.Table:
-        okeys = ray.get(okeys_ref)
-        b = batch.filter(pc.greater(batch["l_shipdate"], pa.scalar(cutoff)))
-        ok = b["l_orderkey"].to_numpy(zero_copy_only=False)
-        keep = np.isin(ok, okeys)
-        ok = ok[keep]
-        rev = (
-            _q100(b["l_extendedprice"].to_numpy(zero_copy_only=False)[keep])
-            * (100 - _q100(b["l_discount"].to_numpy(zero_copy_only=False)[keep]))
-        )
-        df = pd.DataFrame({"o_orderkey": ok, "rev": rev}).groupby("o_orderkey", as_index=False)["rev"].sum()
-        return pa.Table.from_pandas(df, preserve_index=False)
+    if should_broadcast(f"{sf_dir}/orders.parquet", ["o_orderkey", "o_custkey", "o_orderdate"]):
+        odim = odim_ds.to_pandas()  # the FILTERED dimension only
+        okeys_ref = ray.put(np.sort(odim["o_orderkey"].to_numpy()))
 
-    agg = li.map_batches(partial, batch_format="pyarrow").groupby("o_orderkey").aggregate(Sum("rev", alias_name="rev"))
-    top = agg.sort(["rev", "o_orderkey"], descending=[True, False]).limit(10).to_pandas()
-    top = top.merge(odim[["o_orderkey", "o_orderdate"]], on="o_orderkey", how="left")
+        def partial(batch: pa.Table) -> pa.Table:
+            okeys = ray.get(okeys_ref)
+            b = batch.filter(pc.greater(batch["l_shipdate"], pa.scalar(cutoff)))
+            ok = b["l_orderkey"].to_numpy(zero_copy_only=False)
+            keep = np.isin(ok, okeys)
+            ok = ok[keep]
+            rev = (
+                _q100(b["l_extendedprice"].to_numpy(zero_copy_only=False)[keep])
+                * (100 - _q100(b["l_discount"].to_numpy(zero_copy_only=False)[keep]))
+            )
+            df = pd.DataFrame({"o_orderkey": ok, "rev": rev}).groupby("o_orderkey", as_index=False)["rev"].sum()
+            return pa.Table.from_pandas(df, preserve_index=False)
+
+        agg = (
+            li.map_batches(partial, batch_format="pyarrow")
+            .groupby("o_orderkey")
+            .aggregate(Sum("rev", alias_name="rev"))
+        )
+        top = agg.sort(["rev", "o_orderkey"], descending=[True, False]).limit(10).to_pandas()
+        top = top.merge(odim[["o_orderkey", "o_orderdate"]], on="o_orderkey", how="left")
+    else:
+        li_f = li.map_batches(
+            lambda b: b.filter(pc.greater(b["l_shipdate"], pa.scalar(cutoff))).select(
+                ["l_orderkey", "l_extendedprice", "l_discount"]
+            ),
+            batch_format="pyarrow",
+        )
+        joined = hash_join(li_f, odim_ds, on="l_orderkey", right_on="o_orderkey")
+
+        def partial_j(batch: pa.Table) -> pa.Table:
+            rev = (
+                _q100(batch["l_extendedprice"].to_numpy(zero_copy_only=False))
+                * (100 - _q100(batch["l_discount"].to_numpy(zero_copy_only=False)))
+            )
+            df = pd.DataFrame(
+                {
+                    "o_orderkey": batch["l_orderkey"].to_numpy(zero_copy_only=False),
+                    "o_orderdate": batch["o_orderdate"].to_pandas(),
+                    "rev": rev,
+                }
+            ).groupby(["o_orderkey", "o_orderdate"], as_index=False)["rev"].sum()
+            return pa.Table.from_pandas(df, preserve_index=False)
+
+        agg = (
+            joined.map_batches(partial_j, batch_format="pyarrow")
+            .groupby(["o_orderkey", "o_orderdate"])
+            .aggregate(Sum("rev", alias_name="rev"))
+        )
+        top = agg.sort(["rev", "o_orderkey"], descending=[True, False]).limit(10).to_pandas()
     out = pd.DataFrame(
         {
             "o_orderkey": top["o_orderkey"].astype("int64"),
             "revenue": top["rev"].astype("float64") / 10000.0,
-            "o_orderdate": top["o_orderdate"],
+            "o_orderdate": top["o_orderdate"].astype("datetime64[us]"),
         }
     )
     return out
@@ -211,20 +254,15 @@ def q5_region_revenue(sf_dir: str):
     import ray
     from ray.data.aggregate import Sum
 
+    from .joins import hash_join, should_broadcast
+
     nation = _read(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
     cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
     supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
-    # orders is a dimension at this scale (o_orderkey -> o_custkey, two
-    # int64 columns): broadcast as SORTED arrays and map via searchsorted
-    # inside map_batches — the small-side broadcast rule. For genuinely
-    # large-large joins the engine uses Dataset.join (hash-partitioned);
-    # this query previously demonstrated it and the capability remains,
-    # but a 16-partition hash shuffle of lineitem cost ~14 s where the
-    # broadcast map costs ~1 s at sf0.1.
-    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).to_pandas().sort_values("o_orderkey")
-    okeys = orders["o_orderkey"].to_numpy()
-    ocust = orders["o_custkey"].to_numpy()
-    # nation key per customer / supplier as dense lookup arrays
+    # nation key per customer / supplier as dense lookup arrays (always the
+    # small side); orders is the MEASURED decision: broadcast-searchsorted
+    # while its projected columns fit a worker, Dataset.join (hash shuffle)
+    # beyond — selection by parquet metadata, not hard-coded
     cmax = int(cust["c_custkey"].max())
     c_arr = np.full(cmax + 1, -1, dtype=np.int64)
     c_arr[cust["c_custkey"].to_numpy()] = cust["c_nationkey"].to_numpy()
@@ -233,30 +271,49 @@ def q5_region_revenue(sf_dir: str):
     s_arr[supp["s_suppkey"].to_numpy()] = supp["s_nationkey"].to_numpy()
     n_name_arr = np.empty(int(nation["n_nationkey"].max()) + 1, dtype=object)
     n_name_arr[nation["n_nationkey"].to_numpy()] = nation["n_name"].to_numpy()
-    refs = ray.put((okeys, ocust, c_arr, s_arr, n_name_arr))
 
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+    dims_ref = ray.put((c_arr, s_arr, n_name_arr))
 
-    def partial(batch: pa.Table) -> pa.Table:
-        okeys_, ocust_, c_arr_, s_arr_, n_name_ = ray.get(refs)
-        lk = batch["l_orderkey"].to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(okeys_, lk)
-        pos = np.clip(pos, 0, len(okeys_) - 1)
-        ok = okeys_[pos] == lk
-        ck = np.where(ok, ocust_[pos], -1)
-        cn = np.where(ck >= 0, c_arr_[np.clip(ck, 0, len(c_arr_) - 1)], -1)
+    def rev_partial(batch: pa.Table, ck: np.ndarray) -> pa.Table:
+        """Shared scoring: given each row's customer key (-1 = no order
+        match), keep rows whose customer and supplier share a nation."""
+        _c_arr, _s_arr, _n_name = ray.get(dims_ref)
+        cn = np.where(ck >= 0, _c_arr[np.clip(ck, 0, len(_c_arr) - 1)], -1)
         sk = batch["l_suppkey"].to_numpy(zero_copy_only=False)
-        sn = s_arr_[np.clip(sk, 0, len(s_arr_) - 1)]
-        keep = ok & (cn == sn) & (cn >= 0)
+        sn = _s_arr[np.clip(sk, 0, len(_s_arr) - 1)]
+        keep = (cn == sn) & (cn >= 0)
         rev = (
             _q100(batch["l_extendedprice"].to_numpy(zero_copy_only=False)[keep])
             * (100 - _q100(batch["l_discount"].to_numpy(zero_copy_only=False)[keep]))
         )
-        names = n_name_[cn[keep]]
+        names = _n_name[cn[keep]]
         df = pd.DataFrame({"n_name": names, "rev": rev}).groupby("n_name", as_index=False)["rev"].sum()
         return pa.Table.from_pandas(df, preserve_index=False)
 
-    agg = li.map_batches(partial, batch_format="pyarrow").groupby("n_name").aggregate(Sum("rev", alias_name="rev"))
+    if should_broadcast(f"{sf_dir}/orders.parquet", ["o_orderkey", "o_custkey"]):
+        orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).to_pandas().sort_values("o_orderkey")
+        refs = ray.put((orders["o_orderkey"].to_numpy(), orders["o_custkey"].to_numpy()))
+
+        def partial(batch: pa.Table) -> pa.Table:
+            okeys_, ocust_ = ray.get(refs)
+            lk = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+            pos = np.clip(np.searchsorted(okeys_, lk), 0, len(okeys_) - 1)
+            ck = np.where(okeys_[pos] == lk, ocust_[pos], -1)
+            return rev_partial(batch, ck)
+
+        scored = li.map_batches(partial, batch_format="pyarrow")
+    else:
+        orders_ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+        joined = hash_join(li, orders_ds, on="l_orderkey", right_on="o_orderkey")
+
+        def partial_j(batch: pa.Table) -> pa.Table:
+            ck = batch["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return rev_partial(batch, ck)
+
+        scored = joined.map_batches(partial_j, batch_format="pyarrow")
+
+    agg = scored.groupby("n_name").aggregate(Sum("rev", alias_name="rev"))
     df = agg.to_pandas().sort_values("n_name").reset_index(drop=True)
     return pd.DataFrame({"n_name": df["n_name"], "revenue": df["rev"].astype("float64") / 10000.0})
 

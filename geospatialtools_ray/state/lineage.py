@@ -31,7 +31,11 @@ def completed_parts(out_dir: str) -> set[int]:
     ldir = os.path.join(out_dir, "_lineage")
     if not os.path.isdir(ldir):
         return set()
-    return {int(f[: -len(".json")]) for f in os.listdir(ldir) if f.endswith(".json")}
+    return {
+        int(f[: -len(".json")])
+        for f in os.listdir(ldir)
+        if f.endswith(".json") and f[: -len(".json")].isdigit()
+    }
 
 
 def part_writer(out_dir: str):
@@ -102,8 +106,34 @@ def add_part_key(batch: pa.Table, cells: np.ndarray, salts: np.ndarray | None = 
     return batch.append_column("part_key", pa.array(keys, type=pa.uint64()))
 
 
+def wave_committed(out_dir: str, wave: int) -> bool:
+    return os.path.exists(os.path.join(out_dir, "_lineage", f"wave-{wave}.json"))
+
+
+def clean_wave_fragments(out_dir: str, wave: int) -> int:
+    """Delete fragments of an uncommitted (interrupted) wave."""
+    n = 0
+    if not os.path.isdir(out_dir):
+        return 0
+    pref = f"frag-w{wave}-"
+    for name in os.listdir(out_dir):
+        pdir = os.path.join(out_dir, name)
+        if name.startswith("part-") and os.path.isdir(pdir):
+            for f in os.listdir(pdir):
+                if f.startswith(pref):
+                    os.unlink(os.path.join(pdir, f))
+                    n += 1
+    return n
+
+
 def write_partitioned_fragments(
-    ds, out_dir: str, *, resume: bool = True, compression: str = "snappy", sink_batch_rows: int | None = None
+    ds,
+    out_dir: str,
+    *,
+    resume: bool = True,
+    compression: str = "snappy",
+    sink_batch_rows: int | None = None,
+    wave: int | None = None,
 ):
     """Shuffle-free resumable partitioned sink.
 
@@ -114,11 +144,16 @@ def write_partitioned_fragments(
     the Dataset sort shuffle ran its map phase serially (185 s) while this
     path is embarrassingly parallel.
 
-    Resume: committed partitions (lineage present) are row-filtered out;
-    uncommitted partition dirs are stale output from an interrupted run and
-    are deleted before writing. Commit granularity is one RUN — for
-    finer-grained checkpoints drive the pipeline in waves of input shards
-    and call this per wave.
+    Two commit granularities:
+    - wave=None (single-shot): committed partitions (per-partition lineage
+      present) are row-filtered out on resume; uncommitted partition dirs
+      are stale output from an interrupted run and are deleted first.
+    - wave=<int> (wave-driven, the 100-TB default via flagship.run_waves):
+      fragments are tagged `frag-w<wave>-...` and the commit unit is one
+      WAVE (`_lineage/wave-<w>.json`). A mid-run failure loses only the
+      wave in flight; the caller skips committed waves at the input-shard
+      level and `clean_wave_fragments` removes the interrupted wave's
+      partial output before rerunning it.
 
     Returns a small stats DataFrame (partition, rows_out, n_fragments).
     """
@@ -127,16 +162,20 @@ def write_partitioned_fragments(
     import ray
 
     os.makedirs(os.path.join(out_dir, "_lineage"), exist_ok=True)
-    done = completed_parts(out_dir) if resume else set()
-    # clear stale dirs from interrupted runs
-    for name in os.listdir(out_dir):
-        if name.startswith("part-") and os.path.isdir(os.path.join(out_dir, name)):
-            key = name[len("part-") :]
-            if not key.isdigit() or int(key) not in done:
-                import shutil
+    if wave is None:
+        done = completed_parts(out_dir) if resume else set()
+        # clear stale dirs from interrupted runs
+        for name in os.listdir(out_dir):
+            if name.startswith("part-") and os.path.isdir(os.path.join(out_dir, name)):
+                key = name[len("part-") :]
+                if not key.isdigit() or int(key) not in done:
+                    import shutil
 
-                shutil.rmtree(os.path.join(out_dir, name), ignore_errors=True)
+                    shutil.rmtree(os.path.join(out_dir, name), ignore_errors=True)
+    else:
+        done = set()  # partitions stay open across waves
     done_ref = ray.put(np.asarray(sorted(done), dtype=np.uint64))
+    frag_prefix = "frag-" if wave is None else f"frag-w{wave}-"
 
     def frag_write(batch: pa.Table) -> pa.Table:
         done_keys = ray.get(done_ref)
@@ -169,7 +208,7 @@ def write_partitioned_fragments(
                 sub = batch.take(pa.array(order[s:e])).drop_columns(["part_key"])
                 pdir = os.path.join(out_dir, f"part-{key}")
                 os.makedirs(pdir, exist_ok=True)
-                fname = f"frag-{batch_tag}.parquet"
+                fname = f"{frag_prefix}{batch_tag}.parquet"
                 tmp = os.path.join(pdir, fname + ".tmp")
                 # stats/dictionary off: fragment files are engine-internal
                 # intermediates; plain encoding halves the write CPU.
@@ -203,6 +242,26 @@ def write_partitioned_fragments(
     except Exception:
         pass
     stats = []
+    if wave is not None:
+        # wave commit: ONE manifest for the whole wave, written atomically
+        # AFTER every fragment landed — the wave either exists completely
+        # or (on rerun) is wiped and redone
+        rec = {
+            "wave": int(wave),
+            "rows_out": int(manifest["rows_out"].sum()) if len(manifest) else 0,
+            "n_fragments": int(len(manifest)),
+            "partitions": sorted(int(k) for k in manifest["partition"].unique()) if len(manifest) else [],
+        }
+        ltmp = os.path.join(out_dir, "_lineage", f"wave-{wave}.json.tmp")
+        with open(ltmp, "w") as f:
+            json.dump(rec, f)
+        os.replace(ltmp, os.path.join(out_dir, "_lineage", f"wave-{wave}.json"))
+        if len(manifest):
+            for key, grp in manifest.groupby("partition"):
+                stats.append(
+                    {"partition": str(int(key)), "rows_out": int(grp["rows_out"].sum()), "n_fragments": int(len(grp))}
+                )
+        return pd.DataFrame(stats, columns=["partition", "rows_out", "n_fragments"])
     if len(manifest):
         for key, grp in manifest.groupby("partition"):
             rec = {

@@ -72,3 +72,21 @@ def test_hash_join_and_semi_join(ray_session):
     semi = broadcast_semi_join(a, keys, "k").to_pandas()
     anti = broadcast_semi_join(a, keys, "k", anti=True).to_pandas()
     assert sorted(semi["k"]) == [1, 4] and sorted(anti["k"]) == [2, 3]
+
+
+def test_q3_q5_join_strategy_selection(ray_session, monkeypatch):
+    """Broadcast vs hash-shuffle selection (measured, not hard-coded):
+    forcing the shuffle path via GRAFT_BROADCAST_LIMIT must give identical
+    results to the broadcast path."""
+    import pandas as pd
+
+    from geospatialtools_ray.pipelines import relational as R
+
+    sf = "/root/testdata/sf0.001"
+    b3 = R.q3_top_orders(sf)
+    b5 = R.q5_region_revenue(sf)
+    monkeypatch.setenv("GRAFT_BROADCAST_LIMIT", "1")
+    s3 = R.q3_top_orders(sf)
+    s5 = R.q5_region_revenue(sf)
+    pd.testing.assert_frame_equal(b3.reset_index(drop=True), s3.reset_index(drop=True))
+    pd.testing.assert_frame_equal(b5.reset_index(drop=True), s5.reset_index(drop=True))

@@ -281,3 +281,57 @@ def test_curate_hru_properties():
     # f1 = (0.5, 0.5); f0 from the width profile (1.25, 1.75)/3 ->
     # length corrected by sqrt(f1/f0)
     assert out["hillslope_length"].iloc[0] == pytest.approx(50.0 * np.sqrt(0.5 / (1.25 / 3.0)))
+
+
+def test_pelletier_paint_down():
+    """assign_hillslope_properties_to_hrus: the reference paint-down rule
+    (terrain_tools.py:1242-1307) incl. the Pelletier upland/lowland soil
+    split — hand-checkable case: relief fit (1,1) makes frelief_inv the
+    identity (equal segments), width_p0=0 makes every width 1."""
+    hru = pd.DataFrame(
+        {
+            "hru": np.arange(6),
+            "hillslope_id": [1, 1, 1, 2, 2, 2],
+            "tile_id": [1, 2, 2, 1, 2, 3],
+            "area": [100.0, 60.0, 40.0, 50.0, 50.0, 50.0],
+        }
+    )
+    hp = pd.DataFrame(
+        {
+            "hid": [1, 2],
+            "length": [300.0, 900.0],
+            "relief": [30.0, 90.0],
+            "relief_p0": [1.0, 1.0],
+            "relief_p1": [1.0, 1.0],
+            "width_p0": [0.0, 0.0],
+            "frac": [0.4, 0.6],
+            "ul_mask": [2.0, 1.0],  # hid 1 lowland, hid 2 upland
+            "lt_uvt": [5.0, 4.0],
+            "uhst": [3.0, 8.0],
+            "uhrt": [0.0, 20.0],
+        }
+    )
+    out = P.assign_hillslope_properties_to_hrus(hru, hp)
+    h1 = out[out["hillslope_id"] == 1]
+    h2 = out[out["hillslope_id"] == 2]
+    # lowland: soil 2.0, bedrock = lt_uvt (5.0 > 2.0)
+    assert np.allclose(h1["soil_depth"], 2.0)
+    assert np.allclose(h1["depth_to_bedrock"], 5.0)
+    # upland: linspace(2, 8, 3) / linspace(4, 20, 3) indexed by tile rank
+    assert np.allclose(h2["soil_depth"], [2.0, 5.0, 8.0])
+    assert np.allclose(h2["depth_to_bedrock"], [4.0, 12.0, 20.0])
+    # identity relief fit -> equal segment lengths; unit widths
+    assert np.allclose(h1["hillslope_length"], 300.0 / 2)
+    assert np.allclose(h2["hillslope_length"], 900.0 / 3)
+    assert np.allclose(out["hillslope_width"], 1.0)
+    # segment hand = relief * midpoint of the normalized-relief band
+    assert np.allclose(h1["hillslope_hand"].iloc[0], 30.0 * 0.25)
+    assert np.allclose(h2["hillslope_hand"].to_numpy(), 90.0 * np.array([1, 3, 5]) / 6.0)
+    # per-hillslope fractions: hillslope_frac sums to 1, frac to hp.frac
+    assert np.isclose(h1["hillslope_frac"].sum(), 1.0)
+    assert np.isclose(h2["hillslope_frac"].sum(), 1.0)
+    assert np.isclose(h1["frac"].sum(), 0.4)
+    assert np.isclose(h2["frac"].sum(), 0.6)
+    # within a tile, hillslope_frac splits by HRU area share
+    t2 = h1[h1["tile_id"] == 2]
+    assert np.isclose(t2["hillslope_frac"].iloc[0] / t2["hillslope_frac"].iloc[1], 60.0 / 40.0)

@@ -180,7 +180,7 @@ def test_hillslopes_dist_matches_oracle(ray_session, name, tile):
          "fdir": o["fdir"].astype(np.int8), "landmask": o["mask"]},
         tile,
     )
-    got_cells = D.hillslopes_dist(ds, N, N)
+    got_cells = D.hillslopes_dist(ds, N, N).to_pandas()
     got = np.full((N, N), K.IUNDEF, dtype=np.int64)
     for r in got_cells.itertuples():
         got[r.gi, r.gj] = r.hillslope
