@@ -392,17 +392,17 @@ def events_tumbling_hourly(sf_dir: str):
 
     ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        batch = batch.assign(
-            window_start=batch["ts"].dt.floor("h"),
-            v=np.round(batch["value"].to_numpy() * 1000.0).astype(np.int64),
-        )
-        return batch.groupby(["event_type", "window_start"], as_index=False).agg(
-            n_events=("v", "size"), sum_v=("v", "sum")
-        )
+    def partial(batch: pa.Table) -> pa.Table:
+        # Arrow-native tumbling window: floor_temporal + group_by, no
+        # pandas conversion in the hot path (VERDICT minor #8)
+        ws = pc.floor_temporal(batch["ts"], unit="hour")
+        v = pc.cast(pc.round(pc.multiply(batch["value"], 1000.0)), pa.int64())
+        t = pa.table({"event_type": batch["event_type"], "window_start": ws, "v": v})
+        g = t.group_by(["event_type", "window_start"]).aggregate([("v", "count"), ("v", "sum")])
+        return g.rename_columns(["event_type", "window_start", "n_events", "sum_v"])
 
     agg = (
-        ds.map_batches(partial, batch_format="pandas")
+        ds.map_batches(partial, batch_format="pyarrow")
         .groupby(["event_type", "window_start"])
         .aggregate(Sum("n_events", alias_name="n_events"), Sum("sum_v", alias_name="sum_v"))
     )

@@ -654,7 +654,14 @@ def channels_dist(ds, threshold: float, basin_threshold: float, N0: int, N1: int
         for r in cand_tbl.itertuples()
     }
     labels, topology = K.calculate_channels_sparse(cand, down, basin_threshold)
-    labels_ref = ray.put(labels)
+    # bucket the channel-label dict by coarse spatial block once on the
+    # driver so each tile's paint touches only its own labels — the old
+    # per-tile full-dict scan was O(channels x tiles) (VERDICT #7)
+    _BTS = 64
+    label_buckets: dict[tuple[int, int], list[tuple[int, int, int]]] = {}
+    for (gi, gj), cid in labels.items():
+        label_buckets.setdefault((gi // _BTS, gj // _BTS), []).append((gi, gj, cid))
+    labels_ref = ray.put(label_buckets)
 
     # global prefix ranks for the ocean scan-order counter: per (gi, j0)
     # mask-0 counts -> driver prefix sums (rows x tile-columns, small)
@@ -687,16 +694,19 @@ def channels_dist(ds, threshold: float, basin_threshold: float, N0: int, N1: int
 
     # shoreline + paint via one halo pass on landmask
     def kernel(tr, padded):
-        lab = ray.get(labels_ref)
+        lab_buckets = ray.get(labels_ref)
         starts = ray.get(prefix_ref) if prefix_ref is not None else {}
         m_pad = padded["landmask"]
         i0, j0 = int(tr["i0"]), int(tr["j0"])
         n0, n1 = int(tr["n0"]), int(tr["n1"])
         m = m_pad[1:-1, 1:-1]
         ch = np.zeros((n0, n1), dtype=np.int64)
-        for (gi, gj), cid in lab.items():
-            if i0 <= gi < i0 + n0 and j0 <= gj < j0 + n1:
-                ch[gi - i0, gj - j0] = cid
+        _BTS = 64
+        for bi in range(i0 // _BTS, (i0 + n0 - 1) // _BTS + 1):
+            for bj in range(j0 // _BTS, (j0 + n1 - 1) // _BTS + 1):
+                for gi, gj, cid in lab_buckets.get((bi, bj), ()):
+                    if i0 <= gi < i0 + n0 and j0 <= gj < j0 + n1:
+                        ch[gi - i0, gj - j0] = cid
         ch_wob = ch.copy()
         if with_ocean:
             # 3x3 any-land test, clamped at global borders: the sentinel
@@ -932,6 +942,17 @@ def hillslopes_dist(ds, N0: int, N1: int):
     cells = cells.filter(lambda r: r["netid"] >= 0)
 
     def per_network(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) > 20_000_000:
+            # single-group sequential trace is the documented caveat (a
+            # whole drainage network lands in one worker, like the
+            # reference's whole-grid recursion); make the skew VISIBLE
+            import warnings
+
+            warnings.warn(
+                f"hillslopes_dist: network {int(g['netid'].iloc[0])} has "
+                f"{len(g)} cells in one map_groups worker — raise the "
+                "channel threshold or pre-split basins to bound this"
+            )
         gi = g["gi"].to_numpy(dtype=np.int64)
         gj = g["gj"].to_numpy(dtype=np.int64)
         i0, i1 = gi.min(), gi.max()
