@@ -392,3 +392,22 @@ def terrain_hillslope_profiles(sf_dir: str):
         if out[c].dtype.kind == "f":
             out[c] = out[c].round(6)
     return out
+
+
+def ann_ivf_topk(sf_dir: str):
+    """IVF-partitioned ANN (deterministic-KMeans coarse lists, nprobe=2)
+    over the embeddings table; oracle = single-process twin fixture."""
+    import pyarrow.parquet as pq
+
+    from ..stages.ann import ivf_partitioned_topk
+    from . import oracle_fixtures as OF
+
+    OF.stage_ann_ivf_topk(sf_dir)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    q_tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    Q = np.stack([np.asarray(q_tbl["embedding"][i].as_py()) for i in range(3)]).astype(np.float64)
+    out = ivf_partitioned_topk(ds, Q, k=5, n_lists=8, nprobe=2)
+    out["query_id"] = out["query_id"].astype("int64")
+    out["vec_id"] = out["vec_id"].astype("int64")
+    out["cos_sim"] = out["cos_sim"].round(6)
+    return out.sort_values(["query_id", "vec_id"]).reset_index(drop=True)

@@ -429,3 +429,36 @@ def stage_flagship_spatial_join(sf_dir: str, res: int = 6) -> str:
 
 
 FLAGSHIP_SPATIAL_JOIN_SQL = O.fixture_sql("flagship_spatial_join", "cell")
+
+
+def stage_ann_ivf_topk(sf_dir: str, k: int = 5, n_lists: int = 8, nprobe: int = 2, sample_rate: float = 0.25) -> str:
+    """Single-process IVF ANN twin: same deterministic KMeans coarse lists
+    (shared, order-stable given row order), independent single-process
+    assignment + probing + scoring."""
+    from ..functions.cluster import deterministic_sample_mask, kmeans_fit, kmeans_predict
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]).to_pandas()
+    E = np.stack([np.asarray(e) for e in tbl["embedding"]]).astype(np.float64)
+    ids = tbl["vec_id"].astype("int64").to_numpy()
+    Q = E[:3].copy()
+    X = E[deterministic_sample_mask(ids, sample_rate)]
+    C = kmeans_fit(X, min(n_lists, len(X)))
+    lists = kmeans_predict(E, C)
+    qlists = np.argsort(((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2), axis=1)[:, :nprobe]
+    rows = []
+    for qi in range(len(Q)):
+        m = np.isin(lists, qlists[qi])
+        sub, sid = E[m], ids[m]
+        En = sub / np.maximum(np.linalg.norm(sub, axis=1, keepdims=True), 1e-30)
+        qn = Q[qi] / max(np.linalg.norm(Q[qi]), 1e-30)
+        s = En @ qn
+        kk = min(k, len(sid))
+        order = np.lexsort((sid, -s))[:kk]
+        for j in order:
+            rows.append((qi, int(sid[j]), round(float(s[j]), 6)))
+    out = pd.DataFrame(rows, columns=["query_id", "vec_id", "cos_sim"])
+    out["query_id"] = out["query_id"].astype("int64")
+    return O.stage_fixture("ann_ivf_topk", out)
+
+
+ANN_IVF_TOPK_SQL = O.fixture_sql("ann_ivf_topk", "query_id, vec_id")

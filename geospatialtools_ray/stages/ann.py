@@ -192,7 +192,10 @@ def ivf_partitioned_topk(
         m = deterministic_sample_mask(ids, sample_rate)
         return batch.filter(pa.array(m))
 
-    sample = ds.map_batches(sample_batch, batch_format="pyarrow").to_pandas()
+    # sort by id: Ray does not preserve block order by default, and the
+    # deterministic KMeans init is order-sensitive — the fit must see the
+    # sample in one canonical order under any parallelism
+    sample = ds.map_batches(sample_batch, batch_format="pyarrow").to_pandas().sort_values(id_col)
     X = np.stack([np.asarray(e) for e in sample[emb_col]]).astype(np.float64)
     C = kmeans_fit(X, min(n_lists, len(X)))
     C_ref = ray.put(C)

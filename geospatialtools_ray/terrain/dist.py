@@ -215,7 +215,11 @@ def fill_dist(ds, res: float, max_rounds: int = 1000, checkpoint_dir: str | None
 # D8 flow direction (one halo pass, global-border aware)
 # ---------------------------------------------------------------------------
 
-def fdir_dist(ds, res: float, N0: int, N1: int, dem_col: str = "demns"):
+def fdir_dist(ds, res: float, N0: int, N1: int, dem_col: str = "demns", diag_sqrt2: bool = False):
+    """D8 flow direction, one halo pass. diag_sqrt2=False reproduces the
+    reference's no-sqrt2 quirk (terrain_tools.f90:210-215); True the sqrt2
+    variant (:343-347, used by the interest-point accumulation)."""
+
     def kernel(tr, padded):
         wp = padded[dem_col].astype(np.float32)
         i0, j0, n0, n1 = (int(tr[k]) for k in ("i0", "j0", "n0", "n1"))
@@ -226,7 +230,8 @@ def fdir_dist(ds, res: float, N0: int, N1: int, dem_col: str = "demns"):
         for p, (di, dj) in enumerate(K.POS):
             nb = wp[1 + di : 1 + di + n0, 1 + dj : 1 + dj + n1]
             oob = (gi + di < 0) | (gi + di >= N0) | (gj + dj < 0) | (gj + dj >= N1)
-            s = (z - nb) / np.float32(res)
+            length = K.SQRT2 * np.float32(res) if (diag_sqrt2 and di != 0 and dj != 0) else np.float32(res)
+            s = (z - nb) / length
             slopes[p] = np.where(oob, np.float32(UNDEF), s)
         smax = slopes.max(axis=0)
         amax = slopes.argmax(axis=0)
@@ -1327,3 +1332,176 @@ def hand_mfd_dist(
         return b.drop_columns(["mhcd"] + [f"mhf{k}" for k in range(8)])
 
     return cur.map_batches(finalize, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Interest-point accumulation (calculate_d8_acc_wipoints,
+# terrain_tools.f90:303-414): sqrt2-diagonal fdir; seeds walk DOWNSTREAM in
+# scan order carrying a running counter; first-path-wins. The walks are
+# globally sequential, but they only ever touch the downstream CLOSURE of
+# the seed set — typically a sliver of the grid (seeds are sparse by
+# construction). Engine shape: distributed closure expansion (iterative
+# frontier, like acc_dist) -> collect the sparse closure subgraph -> literal
+# sequential walks on it -> bucketed broadcast paint-back (same pattern as
+# channels_dist for id-order-faithful sequential cores).
+# ---------------------------------------------------------------------------
+
+def acc_wipoints_dist(ds, res: float, N0: int, N1: int, dem_col: str = "dem", max_rounds: int = 10000):
+    """Tiles carry `<dem_col>` (float32), `landmask` (int32), `ipoints`
+    (int64, IUNDEF where not a seed). Adds `area_wip` (float32) and
+    `fdir` (sqrt2 variant, int8)."""
+    import ray
+
+    fds = fdir_dist(ds, res, N0, N1, dem_col=dem_col, diag_sqrt2=True)
+
+    # 1. downstream closure of the seed set (strictly-descending walks),
+    # iterative frontier rounds: touched cells chase their fdir in-tile,
+    # cross-tile continuations exchanged per round
+    def init(batch: pa.Table) -> pa.Table:
+        t = []
+        for r in range(batch.num_rows):
+            ip = T.tile_payload(batch, "ipoints", r)
+            t.append((ip != IUNDEF).astype(np.int8).ravel())
+        return batch.append_column("wip_touch", pa.array([x for x in t], type=pa.list_(pa.int8())))
+
+    cur = fds.map_batches(init, batch_format="pyarrow").materialize()
+    cap = max(16, 2 * cur.num_blocks())
+    for _ in range(max_rounds):
+
+        def kernel(tr, padded):
+            n0, n1 = int(tr["n0"]), int(tr["n1"])
+            z = _oob_pad_to(padded[dem_col].astype(np.float32), tr, N0, N1, 1, np.nan)
+            touch = padded["wip_touch"].astype(np.int8).copy()
+            fd = np.asarray(tr["fdir"], dtype=np.int8).reshape(n0, n1)
+            d0, d1 = K.d8_downstream_index(fd)
+            own_t = touch[1:-1, 1:-1]
+            zc = z[1:-1, 1:-1]
+            before = int(own_t.sum())
+            # the pad ring carries neighbors' touched state; walks continue
+            # from any touched cell (ring or interior) through the tile
+            while True:
+                # a cell becomes touched if any of its 8 neighbors is
+                # touched AND that neighbor's downstream step lands here
+                # with strict descent. In-tile: vectorized chase of own
+                # touched cells' downstream.
+                src = np.argwhere(own_t == 1)
+                new = 0
+                for (ci, cj) in src:
+                    ni, nj = int(d0[ci, cj]), int(d1[ci, cj])
+                    if ni < 0 or ni >= n0 or nj < 0 or nj >= n1:
+                        continue
+                    if zc[ci, cj] > zc[ni, nj] and own_t[ni, nj] == 0:
+                        own_t[ni, nj] = 1
+                        new += 1
+                if new == 0:
+                    break
+            # ring-driven entries: ring touched cells whose descent lands
+            # in this tile — handled by receiving neighbors' strips: the
+            # ring cell's own downstream step is known only to ITS tile,
+            # so tiles emit exits instead: mark the first in-tile cell of
+            # any entering walk next round via the ring's touched state
+            # plus local dem comparison on the 8-neighborhood
+            ring_t = touch.copy()
+            ring_t[1:-1, 1:-1] = 0
+            for k, (di, dj) in enumerate(K.POS):
+                nb_t = ring_t[1 + di : 1 + di + n0, 1 + dj : 1 + dj + n1]
+                nb_z = z[1 + di : 1 + di + n0, 1 + dj : 1 + dj + n1]
+                # conservative superset: ring touched neighbor strictly
+                # higher -> this cell may be its descent target
+                m = (nb_t == 1) & (nb_z > zc) & (own_t == 0)
+                if m.any():
+                    own_t[m] = 1
+            changed = int(own_t.sum()) - before
+            return {"wip_touch": own_t, "n_changed": np.asarray([changed], dtype=np.int64)}
+
+        nxt = T.halo_map(cur, [dem_col, "wip_touch"], kernel, width=1).materialize()
+        total = sum(int(np.asarray(x)[0]) for x in nxt.select_columns(["n_changed"]).to_pandas()["n_changed"])
+        cur = _rebound(nxt, nxt.drop_columns(["n_changed"]), cap)
+        if total == 0:
+            break
+
+    # 2. collect the closure subgraph (gi, gj, z, downstream, seed flag)
+    def collect(batch: pa.Table) -> pa.Table:
+        gi_l, gj_l, z_l, di_l, dj_l, sd_l = [], [], [], [], [], []
+        for r in range(batch.num_rows):
+            t = T.tile_payload(batch, "wip_touch", r)
+            sel = t == 1
+            if not sel.any():
+                continue
+            z = T.tile_payload(batch, dem_col, r).astype(np.float32)
+            fd = T.tile_payload(batch, "fdir", r)
+            ip = T.tile_payload(batch, "ipoints", r)
+            i0 = int(batch["i0"][r].as_py())
+            j0 = int(batch["j0"][r].as_py())
+            d0, d1 = K.d8_downstream_index(fd)
+            ii, jj = np.nonzero(sel)
+            gi_l.append(i0 + ii)
+            gj_l.append(j0 + jj)
+            z_l.append(z[sel])
+            has = d0[sel] >= 0
+            di_l.append(np.where(has, i0 + d0[sel], -(10 ** 9)))
+            dj_l.append(np.where(has, j0 + d1[sel], -(10 ** 9)))
+            sd_l.append((ip[sel] != IUNDEF).astype(np.int8))
+        if not gi_l:
+            return pa.table({"gi": pa.array([], pa.int64()), "gj": pa.array([], pa.int64()),
+                             "z": pa.array([], pa.float32()), "di": pa.array([], pa.int64()),
+                             "dj": pa.array([], pa.int64()), "seed": pa.array([], pa.int8())})
+        return pa.table({
+            "gi": pa.array(np.concatenate(gi_l), type=pa.int64()),
+            "gj": pa.array(np.concatenate(gj_l), type=pa.int64()),
+            "z": pa.array(np.concatenate(z_l), type=pa.float32()),
+            "di": pa.array(np.concatenate(di_l), type=pa.int64()),
+            "dj": pa.array(np.concatenate(dj_l), type=pa.int64()),
+            "seed": pa.array(np.concatenate(sd_l), type=pa.int8()),
+        })
+
+    sub = cur.map_batches(collect, batch_format="pyarrow").to_pandas()
+    zmap = {(int(r.gi), int(r.gj)): np.float32(r.z) for r in sub.itertuples()}
+    dmap = {
+        (int(r.gi), int(r.gj)): ((int(r.di), int(r.dj)) if r.di > -(10 ** 8) else None)
+        for r in sub.itertuples()
+    }
+    seeds = sorted((int(r.gi), int(r.gj)) for r in sub.itertuples() if r.seed == 1)
+    # 3. literal sequential walks in scan order (f90:372-414 semantics)
+    catch: dict[tuple[int, int], int] = {}
+    for s in seeds:
+        pc = 0
+        c = s
+        while catch.get(c, 0) <= 0:
+            catch[c] = catch.get(c, 0) + pc + 1
+            pc = catch[c]
+            nxt_c = dmap.get(c)
+            if nxt_c is None or nxt_c not in zmap or not (zmap[c] > zmap[nxt_c]):
+                break
+            c = nxt_c
+    # 4. bucketed broadcast paint-back
+    _BTS = 64
+    buckets: dict[tuple[int, int], list[tuple[int, int, int]]] = {}
+    for (gi, gj), v in catch.items():
+        buckets.setdefault((gi // _BTS, gj // _BTS), []).append((gi, gj, v))
+    cref = ray.put(buckets)
+
+    def paint(batch: pa.Table) -> pa.Table:
+        bks = ray.get(cref)
+        outs = []
+        for r in range(batch.num_rows):
+            n0 = int(batch["n0"][r].as_py())
+            n1 = int(batch["n1"][r].as_py())
+            i0 = int(batch["i0"][r].as_py())
+            j0 = int(batch["j0"][r].as_py())
+            m = T.tile_payload(batch, "landmask", r)
+            fd = T.tile_payload(batch, "fdir", r)
+            cm = np.zeros((n0, n1), dtype=np.int64)
+            for bi in range(i0 // _BTS, (i0 + n0 - 1) // _BTS + 1):
+                for bj in range(j0 // _BTS, (j0 + n1 - 1) // _BTS + 1):
+                    for gi, gj, v in bks.get((bi, bj), ()):
+                        if i0 <= gi < i0 + n0 and j0 <= gj < j0 + n1:
+                            cm[gi - i0, gj - j0] = v
+            area = (np.float32(res) ** 2 * cm).astype(np.float32)
+            area[m == 0] = np.float32(UNDEF)
+            area[fd == -1] = np.float32(UNDEF)
+            outs.append(area.ravel())
+        b = batch.append_column("area_wip", pa.array([x for x in outs], type=pa.list_(pa.float32())))
+        return b.drop_columns(["wip_touch"])
+
+    return cur.map_batches(paint, batch_format="pyarrow")

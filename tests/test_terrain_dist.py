@@ -243,3 +243,25 @@ def test_hand_mfd_dist_bitexact(ray_session, tile):
     out = D.hand_mfd_dist(ds, 1, RES, N, N)
     got = T.collect_grid(out, "handmfd", dtype=np.float32)
     assert np.array_equal(got, want), f"tile={tile}: {(got != want).sum()} cells differ"
+
+
+@pytest.mark.parametrize("tile", [32, 16])
+def test_acc_wipoints_dist_bitexact(ray_session, tile):
+    """Interest-point accumulation (sqrt2 fdir + sequential seed walks):
+    distributed closure-collect == literal kernel at every tiling."""
+    N_, RES_ = 32, 30.0
+    dem, mask = synth.dem_grid("rough", N_)
+    dem = dem.astype(np.float32)
+    maski = mask.astype(np.int32)
+    ip = np.full((N_, N_), K.IUNDEF, dtype=np.int64)
+    # deterministic sparse seeds
+    rng_cells = [(3, 5), (10, 20), (17, 8), (25, 28), (30, 2), (12, 12)]
+    for k2, (i, j) in enumerate(rng_cells):
+        ip[i, j] = k2
+    want_area, want_fdir = K.d8_acc_wipoints(dem, maski, ip, RES_)
+    ds = T.make_tiles_dataset({"dem": dem, "landmask": maski, "ipoints": ip}, tile)
+    out = D.acc_wipoints_dist(ds, RES_, N_, N_)
+    got_area = T.collect_grid(out, "area_wip", dtype=np.float32)
+    got_fdir = T.collect_grid(out, "fdir", dtype=np.int8)
+    assert np.array_equal(got_fdir, want_fdir), f"tile={tile} fdir"
+    assert np.array_equal(got_area, want_area), f"tile={tile}: {(got_area != want_area).sum()} differ"
