@@ -235,7 +235,13 @@ def connected_components_minlabel(edges, max_rounds: int = 25, num_partitions: i
         from ray.data.aggregate import Sum
 
         total_changed = upd.aggregate(Sum("_changed", alias_name="c"))["c"] or 0
-        labels = upd.drop_columns(["_changed"])
+        # plan cut (see terrain.dist._rebound): each round's plan embeds
+        # the previous round's plan through the join, so without rebuilding
+        # from materialized block refs the driver-side plan work doubles
+        # per round
+        import ray.data as rd
+
+        labels = rd.from_arrow_refs(upd.drop_columns(["_changed"]).materialize().to_arrow_refs())
         if total_changed == 0:
             break
     return labels.map_batches(lambda b: b.rename_columns(["node", "cluster_id"]), batch_format="pyarrow")
