@@ -60,6 +60,15 @@ def kmeans_predict(X: np.ndarray, C: np.ndarray) -> np.ndarray:
     return d2.argmin(axis=1).astype(np.int32)
 
 
+def effective_sample_rate(n_rows: int, rate: float, max_rows: int) -> float:
+    """Cap a fractional sample at an absolute row budget: the driver-side
+    fit matrix must stay bounded regardless of dataset size (a fraction is
+    a linear driver-memory term at 100 TB). Both the engine and its oracle
+    fixtures compute this with the SAME float expression so the hash-based
+    sample masks agree exactly."""
+    return min(float(rate), float(max_rows) / float(max(n_rows, 1)))
+
+
 def deterministic_sample_mask(n_or_keys, rate: float, stream: int = 55) -> np.ndarray:
     """Hash-based sample (replaces np.random.choice at
     terrain_tools.py:71-73 — same intent, reproducible without RNG-state
@@ -84,11 +93,16 @@ class KMeansScorer:
         return batch.append_column(self.out_col, pa.array(kmeans_predict(X, self.C), type=pa.int32()))
 
 
-def cluster_data_stage(ds, cols: list[str], nc: int, sample_rate: float = 0.1, id_col: str | None = None, concurrency=(1, 8)):
+def cluster_data_stage(
+    ds, cols: list[str], nc: int, sample_rate: float = 0.1, max_sample_rows: int = 100_000, id_col: str | None = None, concurrency=(1, 8)
+):
     """cluster_data semantics (terrain_tools.py:67-95): subsample -> fit ->
-    predict everything. The sample is collected driver-side (bounded by
-    rate x rows; the reference caps at 1e5), centroids broadcast."""
+    predict everything. The sample is collected driver-side, bounded by an
+    ABSOLUTE row budget (matching the reference's own 1e5 cap) so the
+    driver matrix stays fixed-size at any input scale; centroids broadcast."""
     import ray
+
+    rate = effective_sample_rate(ds.count(), sample_rate, max_sample_rows)
 
     def sample(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -96,7 +110,7 @@ def cluster_data_stage(ds, cols: list[str], nc: int, sample_rate: float = 0.1, i
             keys = batch[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
         else:
             keys = np.arange(n, dtype=np.uint64)  # per-batch; fine for sampling
-        keep = deterministic_sample_mask(keys, sample_rate)
+        keep = deterministic_sample_mask(keys, rate)
         return batch.filter(pa.array(keep)).select(cols)
 
     sampled = ds.map_batches(sample, batch_format="pyarrow").to_pandas()

@@ -431,17 +431,20 @@ def stage_flagship_spatial_join(sf_dir: str, res: int = 6) -> str:
 FLAGSHIP_SPATIAL_JOIN_SQL = O.fixture_sql("flagship_spatial_join", "cell")
 
 
-def stage_ann_ivf_topk(sf_dir: str, k: int = 5, n_lists: int = 8, nprobe: int = 2, sample_rate: float = 0.25) -> str:
+def stage_ann_ivf_topk(
+    sf_dir: str, k: int = 5, n_lists: int = 8, nprobe: int = 2, sample_rate: float = 0.25, max_sample_rows: int = 200_000
+) -> str:
     """Single-process IVF ANN twin: same deterministic KMeans coarse lists
     (shared, order-stable given row order), independent single-process
-    assignment + probing + scoring."""
-    from ..functions.cluster import deterministic_sample_mask, kmeans_fit, kmeans_predict
+    assignment + probing + scoring. Mirrors the engine's absolute-row
+    sample cap (same float expression -> same hash mask)."""
+    from ..functions.cluster import deterministic_sample_mask, effective_sample_rate, kmeans_fit, kmeans_predict
 
     tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]).to_pandas()
     E = np.stack([np.asarray(e) for e in tbl["embedding"]]).astype(np.float64)
     ids = tbl["vec_id"].astype("int64").to_numpy()
     Q = E[:3].copy()
-    X = E[deterministic_sample_mask(ids, sample_rate)]
+    X = E[deterministic_sample_mask(ids, effective_sample_rate(len(ids), sample_rate, max_sample_rows))]
     C = kmeans_fit(X, min(n_lists, len(X)))
     lists = kmeans_predict(E, C)
     qlists = np.argsort(((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2), axis=1)[:, :nprobe]

@@ -173,23 +173,32 @@ def ivf_partitioned_topk(
     n_lists: int = 16,
     nprobe: int = 2,
     sample_rate: float = 0.25,
+    max_sample_rows: int = 200_000,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
 ):
     """IVF-style ANN: deterministic KMeans coarse centroids (fit on a
     hash-sampled subset), every vector assigned to its nearest list in
     map_batches, queries probe their `nprobe` nearest lists; scoring is
-    the same distributed per-list map_groups as the LSH path."""
+    the same distributed per-list map_groups as the LSH path.
+
+    The fit sample is capped at an ABSOLUTE row budget (`max_sample_rows`),
+    not just a fraction — a fractional sample is a linear driver-memory
+    term at 100 TB. Recall impact: coarse centroids fit on <=200k rows are
+    statistically indistinguishable for n_lists<<200k (KMeans sample
+    complexity ~ O(k·dim)); only list *balance* drifts slightly."""
     import ray
 
-    from ..functions.cluster import deterministic_sample_mask, kmeans_fit, kmeans_predict
+    from ..functions.cluster import effective_sample_rate, deterministic_sample_mask, kmeans_fit, kmeans_predict
 
     Q = np.asarray(queries, dtype=np.float64)
 
-    # fit centroids on a deterministic sample (small driver-side matrix)
+    # fit centroids on a deterministic sample (bounded driver-side matrix)
+    rate = effective_sample_rate(ds.count(), sample_rate, max_sample_rows)
+
     def sample_batch(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False)
-        m = deterministic_sample_mask(ids, sample_rate)
+        m = deterministic_sample_mask(ids, rate)
         return batch.filter(pa.array(m))
 
     # sort by id: Ray does not preserve block order by default, and the

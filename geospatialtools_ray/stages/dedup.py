@@ -162,18 +162,36 @@ def verify_pairs_jaccard(
     j = j.join(sb, join_type="inner", num_partitions=num_partitions, on=("id_b",))
 
     def verify(batch: pa.Table) -> pa.Table:
-        ga = batch["grams_a"]
-        gb = batch["grams_b"]
-        keep = np.zeros(batch.num_rows, dtype=bool)
-        for i in range(batch.num_rows):
-            a = np.frombuffer(ga[i].as_py(), dtype=np.uint64)
-            b = np.frombuffer(gb[i].as_py(), dtype=np.uint64)
-            if len(a) == 0 and len(b) == 0:
-                keep[i] = True
-                continue
-            inter = np.isin(a, b, assume_unique=True).sum()
-            union = len(a) + len(b) - inter
-            keep[i] = inter / max(union, 1) >= jaccard_threshold
+        n = batch.num_rows
+        if n == 0:
+            return batch.select(["id_a", "id_b"])
+        # flat zero-copy view over both blob columns: per-pair gram counts
+        # from the binary offsets, union sizes from ONE global lexsort over
+        # (pair, gram) — no per-row Python, no .as_py()
+        flats = []
+        for col in ("grams_a", "grams_b"):
+            arr = batch[col].combine_chunks()
+            offs = np.frombuffer(arr.buffers()[1], dtype=np.int64)[arr.offset : arr.offset + n + 1]
+            dbuf = arr.buffers()[2]
+            data = (
+                np.frombuffer(dbuf, dtype=np.uint64, count=len(dbuf) // 8)
+                if dbuf is not None and len(dbuf) >= 8
+                else np.empty(0, dtype=np.uint64)
+            )
+            o8 = offs // 8  # every blob is a whole number of u64 grams
+            flats.append((data[o8[0] : o8[-1]], (o8[1:] - o8[:-1])))
+        (fa, la), (fb, lb) = flats
+        pair = np.concatenate([np.repeat(np.arange(n, dtype=np.int64), la), np.repeat(np.arange(n, dtype=np.int64), lb)])
+        gram = np.concatenate([fa, fb])
+        order = np.lexsort((gram, pair))
+        p, g = pair[order], gram[order]
+        newv = np.ones(len(p), dtype=bool)
+        if len(p) > 1:
+            newv[1:] = (p[1:] != p[:-1]) | (g[1:] != g[:-1])
+        union = np.bincount(p[newv], minlength=n).astype(np.int64)
+        inter = la + lb - union
+        # same IEEE expression as the single-process oracle: inter/union >= t
+        keep = (union == 0) | (inter.astype(np.float64) / np.maximum(union, 1) >= jaccard_threshold)
         return batch.filter(pa.array(keep)).select(["id_a", "id_b"])
 
     return j.map_batches(verify, batch_format="pyarrow")
