@@ -148,6 +148,12 @@ def verify_pairs_jaccard(
     """Hash-join each candidate pair with both docs' shingle sets and keep
     pairs with exact gram Jaccard >= threshold. Text never moves — only
     sorted-unique gram hash lists of INVOLVED docs."""
+    # materialize the (small) pair list once: the count sizes the join
+    # partitioning (see connected_components_minlabel's note on empty
+    # hash-join partitions) and the two joins below would otherwise
+    # re-execute the whole LSH pipeline twice
+    pairs = pairs.materialize()
+    num_partitions = int(max(1, min(num_partitions, (pairs.count() + 9_999) // 10_000)))
     shingles = _shingle_sets(ds, text_col, id_col, shingle_k)
 
     def rename(side: str):
@@ -205,6 +211,12 @@ def connected_components_minlabel(edges, max_rounds: int = 25, num_partitions: i
     component. Each round is one join (labels onto edge endpoints) + one
     groupby-min + one join back — O(E) shuffled per round, rounds ~
     component diameter (near-dup clusters are shallow).
+
+    num_partitions is a CEILING: the effective partition count is scaled
+    down so each join partition sees >=10k rows — Ray's hash-shuffle join
+    delivers an EMPTY (schema-less) pyarrow table for a partition that
+    received no rows, and Acero then fails with "No match for FieldRef";
+    small inputs must collapse to few partitions.
     """
     from ray.data.aggregate import Min
 
@@ -214,6 +226,13 @@ def connected_components_minlabel(edges, max_rounds: int = 25, num_partitions: i
         return pa.table({"src": src, "dst": dst})
 
     sym = edges.map_batches(symmetrize, batch_format="pyarrow").materialize()
+    if sym.count() == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table({"node": pa.array([], pa.int64()), "cluster_id": pa.array([], pa.int64())})
+        )
+    num_partitions = int(max(1, min(num_partitions, (sym.count() + 9_999) // 10_000)))
 
     def init_labels(batch: pa.Table) -> pa.Table:
         return pa.table({"node": batch["src"], "label": batch["src"]})
@@ -289,11 +308,20 @@ def minhash_lsh_clusters(
         pairs, ds, text_col, id_col, shingle_k, jaccard_threshold, num_partitions
     )
     labels = connected_components_minlabel(verified, max_cc_rounds, num_partitions)
+    labels = labels.materialize()
+    ids_only = ds.map_batches(lambda b: b.select([id_col]), batch_format="pyarrow")
+    if labels.count() == 0:
+        # no verified near-dups anywhere: every doc is its own cluster
+        return ids_only.map_batches(
+            lambda b: b.append_column("cluster_id", b[id_col]), batch_format="pyarrow"
+        )
     lab_nodes = labels.map_batches(
         lambda b: b.rename_columns([id_col, "cluster_id"]), batch_format="pyarrow"
     )
-    ids_only = ds.map_batches(lambda b: b.select([id_col]), batch_format="pyarrow")
-    out = ids_only.join(lab_nodes, join_type="left_outer", num_partitions=num_partitions, on=(id_col,))
+    # scale the final join's partitioning to the LABELED side (the small
+    # one) — empty hash-join partitions are schema-less and crash Acero
+    nparts = int(max(1, min(num_partitions, (labels.count() + 9_999) // 10_000)))
+    out = ids_only.join(lab_nodes, join_type="left_outer", num_partitions=nparts, on=(id_col,))
 
     def finalize(batch: pa.Table) -> pa.Table:
         cl = pc.coalesce(batch["cluster_id"], batch[id_col])

@@ -872,48 +872,109 @@ def polygonize_dist(ds, value_col: str = "values", N1: int | None = None):
             }
         )
 
-    info = labeled.map_batches(boundary_info, batch_format="pyarrow").to_pandas()
+    info = labeled.map_batches(boundary_info, batch_format="pyarrow").materialize()
 
-    # union-find over (tx, ty, local)
-    parent: dict = {}
+    # Cross-tile merge, distributed (round-3 rewrite — previously a driver
+    # union-find over O(perimeter) collected boundary rows): the node is a
+    # packed (tx, ty, local) int64 key; adjacency is a keyed self-join of
+    # boundary cells on neighbor gpos (+1 row / +1 col probes); components
+    # come from the same min-label propagation the dedup path uses
+    # (stages/dedup.connected_components_minlabel). Only the per-LABEL
+    # table (node, cluster, minpos) — O(#local labels), not O(perimeter
+    # cells) — ever reaches the driver, for the scan-order pid ranking and
+    # the broadcast paint map.
+    from ..stages.dedup import connected_components_minlabel
 
-    def find(x):
-        while parent.get(x, x) != x:
-            parent[x] = parent.get(parent[x], parent[x])
-            x = parent[x]
-        return x
+    def _pack(tx, ty, local):
+        return (tx.astype(np.int64) << 42) | (ty.astype(np.int64) << 21) | local.astype(np.int64)
 
-    def union(a, b):
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
+    def minpos_rows(batch: pa.Table) -> pa.Table:
+        side = batch["side"].to_numpy(zero_copy_only=False)
+        m = side == -1
+        tx = batch["tx"].to_numpy(zero_copy_only=False)[m]
+        ty = batch["ty"].to_numpy(zero_copy_only=False)[m]
+        lo = batch["local"].to_numpy(zero_copy_only=False)[m]
+        mp = batch["minpos"].to_numpy(zero_copy_only=False)[m]
+        return pa.table({"node": pa.array(_pack(tx, ty, lo)), "minpos": pa.array(mp, type=pa.int64())})
 
-    minpos: dict = {}
-    for r in info[info["side"] == -1].itertuples():
-        key = (int(r.tx), int(r.ty), int(r.local))
-        parent.setdefault(key, key)
-        minpos[key] = int(r.minpos)
+    def cell_rows(shift: int):
+        # shift: 0 = the cell itself keyed by its own gpos (right side);
+        # >0 = probe rows keyed by the DOWN/RIGHT neighbor position
+        def f(batch: pa.Table) -> pa.Table:
+            side = batch["side"].to_numpy(zero_copy_only=False)
+            m = side >= 0
+            tx = batch["tx"].to_numpy(zero_copy_only=False)[m]
+            ty = batch["ty"].to_numpy(zero_copy_only=False)[m]
+            lo = batch["local"].to_numpy(zero_copy_only=False)[m]
+            gp = batch["gpos"].to_numpy(zero_copy_only=False)[m]
+            vv = batch["value"].to_numpy(zero_copy_only=False)[m]
+            node = _pack(tx, ty, lo)
+            if shift == 0:
+                return pa.table({"gpos": pa.array(gp), "value_b": pa.array(vv), "id_b": pa.array(node)})
+            # two probe rows per cell: neighbor at (gi+1, gj) and (gi, gj+1)
+            gpos_n = np.concatenate([gp + 10 ** 9, gp + 1])
+            return pa.table(
+                {
+                    "gpos": pa.array(gpos_n),
+                    "value_a": pa.array(np.tile(vv, 2)),
+                    "id_a": pa.array(np.tile(node, 2)),
+                }
+            )
 
-    # adjacency: boundary cell (gpos) vs neighbor boundary cell at +-1 in
-    # the matching direction with equal value
-    cells = {}
-    for r in info[info["side"] >= 0].itertuples():
-        gi, gj = divmod(int(r.gpos), 10 ** 9)
-        cells[(gi, gj)] = (float(r.value), (int(r.tx), int(r.ty), int(r.local)))
-    for (gi, gj), (val, key) in cells.items():
-        for di, dj in ((1, 0), (0, 1)):
-            nb = cells.get((gi + di, gj + dj))
-            if nb is not None and nb[0] == val and nb[1][:2] != key[:2]:
-                union(key, nb[1])
+        return f
 
-    # component min position -> scan-order rank
-    comp_min: dict = {}
-    for key, mp in minpos.items():
-        root = find(key)
-        comp_min[root] = min(comp_min.get(root, mp), mp)
-    ranked = sorted(comp_min.items(), key=lambda kv: kv[1])
-    pid_of_root = {root: i for i, (root, _) in enumerate(ranked)}
-    mapping = {key: pid_of_root[find(key)] for key in minpos}
+    probes = info.map_batches(cell_rows(1), batch_format="pyarrow")
+    anchors = info.map_batches(cell_rows(0), batch_format="pyarrow")
+    # partition ceiling scaled to the boundary-row count (empty hash-join
+    # partitions arrive schema-less and crash Acero — see dedup.py note)
+    nparts = int(max(1, min(8, (info.count() + 9_999) // 10_000)))
+    joined = probes.join(anchors, join_type="inner", num_partitions=nparts, on=("gpos",))
+
+    def make_edges(batch: pa.Table) -> pa.Table:
+        va = batch["value_a"].to_numpy(zero_copy_only=False)
+        vb = batch["value_b"].to_numpy(zero_copy_only=False)
+        ia = batch["id_a"].to_numpy(zero_copy_only=False)
+        ib = batch["id_b"].to_numpy(zero_copy_only=False)
+        # equal value, different TILE (same-tile merges were done by the
+        # local CCL; >>21 strips the local-label bits)
+        keep = (va == vb) & ((ia >> 21) != (ib >> 21))
+        return pa.table({"id_a": pa.array(ia[keep]), "id_b": pa.array(ib[keep])})
+
+    edges = joined.map_batches(make_edges, batch_format="pyarrow").materialize()
+    minpos_ds = info.map_batches(minpos_rows, batch_format="pyarrow")
+    if edges.count() > 0:
+        # rounds ~ component diameter in TILE space (a component spanning
+        # t tiles resolves in <= t rounds; early-exits on convergence)
+        labels = connected_components_minlabel(edges, max_rounds=100)
+        lab = labels.map_batches(lambda b: b.rename_columns(["node", "cluster"]), batch_format="pyarrow")
+
+        def coalesce_cluster(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            # coalesce in Arrow: a pandas int64+null column silently turns
+            # float64, which corrupts packed keys past 2^53
+            return pa.table(
+                {"node": b["node"], "minpos": b["minpos"], "cluster": pc.coalesce(b["cluster"], b["node"])}
+            )
+
+        merged = (
+            minpos_ds.join(lab, join_type="left_outer", num_partitions=nparts, on=("node",))
+            .map_batches(coalesce_cluster, batch_format="pyarrow")
+            .to_pandas()
+        )
+    else:
+        merged = minpos_ds.to_pandas()
+        merged["cluster"] = merged["node"]
+
+    # scan-order pid ranking over the small per-component min-position table
+    comp_min = merged.groupby("cluster", as_index=False)["minpos"].min()
+    comp_min = comp_min.sort_values("minpos").reset_index(drop=True)
+    pid_of_cluster = dict(zip(comp_min["cluster"].astype(np.int64), range(len(comp_min))))
+    nodes = merged["node"].to_numpy(dtype=np.int64)
+    mapping = {
+        (int(nd >> 42), int((nd >> 21) & ((1 << 21) - 1)), int(nd & ((1 << 21) - 1))): pid_of_cluster[int(cl)]
+        for nd, cl in zip(nodes, merged["cluster"].to_numpy(dtype=np.int64))
+    }
     map_ref = ray.put(mapping)
 
     def paint(batch: pa.Table) -> pa.Table:
@@ -1431,23 +1492,26 @@ def acc_wipoints_dist(ds, res: float, N0: int, N1: int, dem_col: str = "dem", ma
             zc = z[1:-1, 1:-1]
             before = int(own_t.sum())
             # the pad ring carries neighbors' touched state; walks continue
-            # from any touched cell (ring or interior) through the tile
-            while True:
-                # a cell becomes touched if any of its 8 neighbors is
-                # touched AND that neighbor's downstream step lands here
-                # with strict descent. In-tile: vectorized chase of own
-                # touched cells' downstream.
-                src = np.argwhere(own_t == 1)
-                new = 0
-                for (ci, cj) in src:
-                    ni, nj = int(d0[ci, cj]), int(d1[ci, cj])
-                    if ni < 0 or ni >= n0 or nj < 0 or nj >= n1:
-                        continue
-                    if zc[ci, cj] > zc[ni, nj] and own_t[ni, nj] == 0:
-                        own_t[ni, nj] = 1
-                        new += 1
-                if new == 0:
-                    break
+            # from any touched cell (ring or interior) through the tile.
+            # In-tile chase: flat pointer-hop fixpoint over the frontier
+            # (the flow_inherit pattern) — each hop is one np.take, no
+            # per-cell Python loop.
+            flat_t = own_t.ravel()
+            zf = zc.ravel()
+            di_f, dj_f = d0.ravel(), d1.ravel()
+            inb = (di_f >= 0) & (di_f < n0) & (dj_f >= 0) & (dj_f < n1)
+            tgt = np.where(inb, di_f * n1 + dj_f, 0)
+            with np.errstate(invalid="ignore"):
+                desc = inb & (zf > zf[tgt])  # strict descent, NaN -> False
+            step = np.where(desc, tgt, -1)
+            frontier = np.nonzero(flat_t == 1)[0]
+            while frontier.size:
+                t = step[frontier]
+                t = t[t >= 0]
+                t = np.unique(t[flat_t[t] == 0])
+                flat_t[t] = 1
+                frontier = t
+            own_t[:, :] = flat_t.reshape(n0, n1)  # ravel() of a view copies
             # ring-driven entries: ring touched cells whose descent lands
             # in this tile — handled by receiving neighbors' strips: the
             # ring cell's own downstream step is known only to ITS tile,
@@ -1509,6 +1573,18 @@ def acc_wipoints_dist(ds, res: float, N0: int, N1: int, dem_col: str = "dem", ma
         })
 
     sub = cur.map_batches(collect, batch_format="pyarrow").to_pandas()
+    if len(sub) > 20_000_000:
+        # the sequential walk core is the documented caveat (seed walks are
+        # globally order-dependent, like the reference's whole-grid scan);
+        # make the driver collect VISIBLE when the closure stops being a
+        # sliver — sparser seeds or per-watershed runs bound this
+        import warnings
+
+        warnings.warn(
+            f"acc_wipoints_dist: downstream closure has {len(sub)} cells "
+            "collected to the driver for the sequential walk core — thin "
+            "the seed set or split the domain by watershed to bound this"
+        )
     zmap = {(int(r.gi), int(r.gj)): np.float32(r.z) for r in sub.itertuples()}
     dmap = {
         (int(r.gi), int(r.gj)): ((int(r.di), int(r.dj)) if r.di > -(10 ** 8) else None)

@@ -237,3 +237,23 @@ def test_multimodal_plumbing(ray_session):
         dec(media.slice(0, 2))
     frames = ds.map_batches(multimodal.FrameSample, batch_format="pyarrow", concurrency=1).to_pandas()
     assert frames["frame_offsets"].map(len).eq(4).all()
+
+
+def test_connected_components_tiny_and_empty(ray_session):
+    """Regression: Ray's hash-shuffle join hands Acero a schema-less table
+    for partitions that received no rows; tiny edge sets must collapse to
+    fewer partitions, and an empty edge set must yield an empty labeling."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geospatialtools_ray.stages.dedup import connected_components_minlabel
+
+    edges = rd.from_arrow(
+        pa.table({"id_a": pa.array([1, 2, 5], pa.int64()), "id_b": pa.array([2, 3, 6], pa.int64())})
+    )
+    lab = connected_components_minlabel(edges).to_pandas().sort_values("node").reset_index(drop=True)
+    assert lab["node"].tolist() == [1, 2, 3, 5, 6]
+    assert lab["cluster_id"].tolist() == [1, 1, 1, 5, 5]
+
+    empty = rd.from_arrow(pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}))
+    assert connected_components_minlabel(empty).count() == 0
