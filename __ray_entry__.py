@@ -23,6 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from geospatialtools_ray.pipelines import extraqueries as X
 from geospatialtools_ray.pipelines import oracle_fixtures as OF
 from geospatialtools_ray.pipelines import relational as R
+from geospatialtools_ray.pipelines import terrainqueries as TQ
 from geospatialtools_ray.pipelines import textqueries as T
 
 
@@ -79,6 +80,20 @@ _SQL_CHECKED: dict[str, tuple[Callable[[str], Any], str]] = {
     "flagship_spatial_join": (X.flagship_spatial_join, OF.FLAGSHIP_SPATIAL_JOIN_SQL),
     "docs_knn_haversine": (X.docs_knn_haversine, OF.DOCS_KNN_HAVERSINE_SQL),
     "terrain_hillslope_profiles": (X.terrain_hillslope_profiles, OF.TERRAIN_HILLSLOPE_PROFILES_SQL),
+    # round 3: driver-green coverage for the previously pytest-only ops
+    # (single-process twin fixtures, pipelines/terrainqueries.py) plus two
+    # pure-SQL-oracled scalar ops (FAO texture, min-max normalize)
+    "terrain_mfd_stats": (TQ.terrain_mfd_stats, OF.TERRAIN_MFD_STATS_SQL),
+    "terrain_polygonize": (TQ.terrain_polygonize, OF.TERRAIN_POLYGONIZE_SQL),
+    "terrain_acc_wipoints": (TQ.terrain_acc_wipoints, OF.TERRAIN_ACC_WIPOINTS_SQL),
+    "terrain_slope_aspect": (TQ.terrain_slope_aspect, OF.TERRAIN_SLOPE_ASPECT_SQL),
+    "terrain_gap_fill": (TQ.terrain_gap_fill, OF.TERRAIN_GAP_FILL_SQL),
+    "terrain_basin_props": (TQ.terrain_basin_props, OF.TERRAIN_BASIN_PROPS_SQL),
+    "terrain_channel_props": (TQ.terrain_channel_props, OF.TERRAIN_CHANNEL_PROPS_SQL),
+    "terrain_hru_properties": (TQ.terrain_hru_properties, OF.TERRAIN_HRU_PROPERTIES_SQL),
+    "events_nd_histogram": (TQ.events_nd_histogram, OF.EVENTS_ND_HISTOGRAM_SQL),
+    "soil_fao_texture": (TQ.soil_fao_texture, TQ.SOIL_FAO_TEXTURE_SQL),
+    "docs_normalize": (TQ.docs_normalize, TQ.DOCS_NORMALIZE_SQL),
 }
 
 # rows-only checks (none left — every query has an oracle)

@@ -10,9 +10,9 @@ import pyarrow as pa
 
 
 def _read(sf_dir: str, table: str, columns=None):
-    import ray.data as rd
+    from .. import io
 
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    return io.read_named(sf_dir, table, columns=columns)
 
 
 # ---------------------------------------------------------------------------

@@ -20,6 +20,8 @@ pre-aggregated (6).
 from __future__ import annotations
 
 import numpy as np
+
+from .. import io
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -207,7 +209,7 @@ def run_waves(
             continue
         clean_wave_fragments(out_dir, w)
         stats = run(
-            rd.read_parquet(files),
+            io.read_table(files),
             out_dir=out_dir,
             n_polygons=n_polygons,
             res=res,
@@ -236,5 +238,5 @@ def tile_counts(out_dir: str):
         u, c = np.unique(cells, return_counts=True)
         return pa.table({"cell": pa.array(u, type=pa.uint64()), "n_hits": pa.array(c, type=pa.int64())})
 
-    ds = rd.read_parquet(out_dir, columns=["cell"])
+    ds = io.read_table(out_dir, columns=["cell"])
     return ds.map_batches(partial, batch_format="pyarrow").groupby("cell").aggregate(Sum("n_hits", alias_name="n_hits"))

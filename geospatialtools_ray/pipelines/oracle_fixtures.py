@@ -465,3 +465,381 @@ def stage_ann_ivf_topk(
 
 
 ANN_IVF_TOPK_SQL = O.fixture_sql("ann_ivf_topk", "query_id, vec_id")
+
+
+# ---------------------------------------------------------------------------
+# round 3: single-process twins for the previously pytest-only operators
+# (VERDICT r2 item 1). Shared input constructions; the COMPUTE under test is
+# independent (single-node kernels / naive loops) unless noted.
+# ---------------------------------------------------------------------------
+
+def _grid_ij(N: int):
+    gi, gj = np.meshgrid(np.arange(N), np.arange(N), indexing="ij")
+    return gi.ravel().astype(np.int64), gj.ravel().astype(np.int64)
+
+
+def _q_mm(v: np.ndarray) -> np.ndarray:
+    """float32 grid -> integer millis (both sides share bit-identical f32)."""
+    return np.round(np.asarray(v, dtype=np.float64) * 1000.0).astype(np.int64)
+
+
+def stage_terrain_mfd_cells(sf_dir: str) -> str:
+    """MFD accumulation + MFD HAND over the twovalley chain, single-node
+    kernels (src/terrain_tools.f90:517-746 semantics; the distributed ops
+    are bit-identical per tests/test_terrain_dist.py)."""
+    from ..terrain import kernels as K
+
+    N, RES = 32, 30.0
+    w, _, _, ch, _, _, maski = _terrain_single_node(N, RES)
+    w32 = w.astype(np.float32)
+    mfd = K.mfd_accumulate(w32, RES, 1.1)
+    hmfd = K.depth2channel_mfd(ch, maski, 1, w32, RES)
+    gi, gj = _grid_ij(N)
+    hv = hmfd.ravel()
+    valid = hv != np.float32(K.UNDEF)
+    out = pd.DataFrame(
+        {
+            "gi": gi,
+            "gj": gj,
+            "mfd_mm": _q_mm(mfd.ravel()),
+            "handmfd_mm": np.where(valid, _q_mm(hv), 0),
+            "hand_valid": valid.astype(np.int64),
+        }
+    ).sort_values(["gi", "gj"]).reset_index(drop=True)
+    return O.stage_fixture("terrain_mfd_cells", out)
+
+
+TERRAIN_MFD_STATS_SQL = O.fixture_sql("terrain_mfd_cells", "gi, gj")
+
+
+def polygonize_values_grid(N: int = 32):
+    """Shared input: quantized twovalley elevations (UNDEF off-mask)."""
+    from .. import synth
+    from ..terrain import kernels as K
+
+    dem, mask = synth.dem_grid("twovalley", N)
+    return np.where(mask, np.round(dem.astype(np.float64) / 20.0), float(K.UNDEF)).astype(np.float32)
+
+
+def stage_terrain_polygonize(sf_dir: str) -> str:
+    """Whole-grid scan-order CCL (terrain_tools.f90:1750-1789)."""
+    from ..terrain import kernels as K
+
+    N = 32
+    v = polygonize_values_grid(N)
+    pids = K.polygonize(v.copy())
+    gi, gj = _grid_ij(N)
+    p = pids.ravel()
+    out = pd.DataFrame(
+        {"gi": gi, "gj": gj, "pid": np.where(p == K.UNDEF, -1, p).astype(np.int64)}
+    ).sort_values(["gi", "gj"]).reset_index(drop=True)
+    return O.stage_fixture("terrain_polygonize", out)
+
+
+TERRAIN_POLYGONIZE_SQL = O.fixture_sql("terrain_polygonize", "gi, gj")
+
+
+WIPOINT_SEEDS = [(2, 7), (9, 3), (14, 22), (21, 30), (28, 11), (31, 31), (5, 16)]
+
+
+def stage_terrain_acc_wipoints(sf_dir: str) -> str:
+    """Interest-point accumulation, literal sequential walks
+    (terrain_tools.f90:303-414)."""
+    from .. import synth
+    from ..terrain import kernels as K
+
+    N, RES = 32, 30.0
+    dem, mask = synth.dem_grid("rough", N)
+    dem = dem.astype(np.float32)
+    maski = mask.astype(np.int32)
+    ip = np.full((N, N), K.IUNDEF, dtype=np.int64)
+    for k2, (i, j) in enumerate(WIPOINT_SEEDS):
+        ip[i, j] = k2
+    area, fdir = K.d8_acc_wipoints(dem, maski, ip, RES)
+    gi, gj = _grid_ij(N)
+    av = area.ravel()
+    valid = av != np.float32(K.UNDEF)
+    out = pd.DataFrame(
+        {
+            "gi": gi,
+            "gj": gj,
+            "area_mm": np.where(valid, _q_mm(av), -1),
+            "fdir": fdir.ravel().astype(np.int64),
+        }
+    ).sort_values(["gi", "gj"]).reset_index(drop=True)
+    return O.stage_fixture("terrain_acc_wipoints", out)
+
+
+TERRAIN_ACC_WIPOINTS_SQL = O.fixture_sql("terrain_acc_wipoints", "gi, gj")
+
+
+def stage_terrain_slope_aspect(sf_dir: str) -> str:
+    """Slope/aspect with border clamping (terrain_tools.f90:13-54)."""
+    from .. import synth
+    from ..terrain import kernels as K
+
+    N = 32
+    z, _ = synth.dem_grid("rough", N)
+    z = z.astype(np.float32)
+    dx = np.full((N, N), 30.0, dtype=np.float32)
+    dy = np.full((N, N), 31.0, dtype=np.float32)
+    s, a = K.slope_aspect(z, dx, dy)
+    gi, gj = _grid_ij(N)
+    out = pd.DataFrame(
+        {
+            "gi": gi,
+            "gj": gj,
+            "slope_um": np.round(s.ravel().astype(np.float64) * 1e6).astype(np.int64),
+            "aspect_um": np.round(a.ravel().astype(np.float64) * 1e6).astype(np.int64),
+        }
+    ).sort_values(["gi", "gj"]).reset_index(drop=True)
+    return O.stage_fixture("terrain_slope_aspect", out)
+
+
+TERRAIN_SLOPE_ASPECT_SQL = O.fixture_sql("terrain_slope_aspect", "gi, gj")
+
+
+def gap_fill_inputs(N: int = 32):
+    """Shared input: deterministic HRU labels with channel gaps punched."""
+    from ..hashing import h64
+    from ..terrain import kernels as K
+
+    _, _, _, ch, _, _, _ = _terrain_single_node(N, 30.0)
+    hr = (h64(np.arange(N * N, dtype=np.uint64), 77) % np.uint64(4)).astype(np.int64) + 1
+    hrus = hr.reshape(N, N)
+    hrus[ch > 0] = K.IUNDEF
+    return hrus, ch
+
+
+def stage_terrain_gap_fill(sf_dir: str) -> str:
+    """3x3 mode gap-fill (terrain_tools.f90:825-876)."""
+    from ..terrain import kernels as K
+
+    N = 32
+    hrus, ch = gap_fill_inputs(N)
+    want = K.gap_fill(hrus.copy(), ch)
+    gi, gj = _grid_ij(N)
+    out = pd.DataFrame(
+        {"gi": gi, "gj": gj, "hru": want.ravel().astype(np.int64)}
+    ).sort_values(["gi", "gj"]).reset_index(drop=True)
+    return O.stage_fixture("terrain_gap_fill", out)
+
+
+TERRAIN_GAP_FILL_SQL = O.fixture_sql("terrain_gap_fill", "gi, gj")
+
+
+def hru_chain_inputs(N: int = 32, RES: float = 30.0):
+    """Shared input construction for the HRU chain (twovalley): filled DEM,
+    slope, hillslope stand-ins (basins), HAND-band elevation tiles."""
+    from ..terrain import kernels as K
+
+    w, _, _, ch, basins, hand, maski = _terrain_single_node(N, RES)
+    dx = np.full((N, N), RES, dtype=np.float32)
+    slope, _ = K.slope_aspect(w, dx, dx)
+    hillslopes = basins.astype(np.int64)
+    htiles = np.where(hand != np.float32(K.UNDEF), (hand > 1.0).astype(np.int64), -9999)
+    return w, slope, hand, hillslopes, htiles
+
+
+def hru_hp_tables(hillslopes: np.ndarray, hand: np.ndarray):
+    """Deterministic per-hillslope parameter tables for the Pelletier
+    paint-down (assign) and curate steps — shared by fixture and query.
+    relief = max valid HAND per hillslope (order-independent exact)."""
+    from ..terrain import kernels as K
+
+    hids = np.sort(np.unique(hillslopes[hillslopes > 0])).astype(np.int64)
+    relief = []
+    for h in hids:
+        hv = hand[hillslopes == h]
+        hv = hv[hv != np.float32(K.UNDEF)]
+        relief.append(float(hv.astype(np.float64).max()) if len(hv) else 1.0)
+    hp1 = pd.DataFrame(
+        {
+            "hid": hids,
+            "length": 100.0 + 10.0 * hids,
+            "relief": np.asarray(relief, dtype=np.float64),
+            "relief_p0": 2.0,
+            "relief_p1": 3.0,
+            "width_p0": 0.5,
+            "frac": 1.0 / len(hids),
+            "ul_mask": 2.0 * (hids % 2).astype(np.float64),
+            "lt_uvt": 4.0,
+            "uhst": 1.0,
+            "uhrt": 6.0,
+        }
+    )
+    hp2 = pd.DataFrame({"hid": hids, "length": 100.0 + 10.0 * hids, "rwidth": 2.0, "slope": 0.1})
+    return hp1, hp2
+
+
+HRU_FLOAT_COLS = (
+    "area", "hillslope_slope", "hillslope_length", "hillslope_hand",
+    "hillslope_position", "hillslope_width", "hillslope_frac", "frac",
+    "soil_depth", "depth_to_bedrock", "slope", "depth2channel",
+    "width_top", "width_bottom", "wspec",
+)
+
+
+def finalize_hru_table(props: pd.DataFrame, hillslopes: np.ndarray, hand: np.ndarray) -> pd.DataFrame:
+    """assign (Pelletier) + curate over a per-HRU property table, then the
+    rounded flat output table — shared single-process post-steps (the
+    distribution claim lives upstream: HRU labels + per-HRU stats)."""
+    from ..terrain import properties as P
+
+    hp1, hp2 = hru_hp_tables(hillslopes, hand)
+    df = props.sort_values("hru").reset_index(drop=True)
+    assigned = P.assign_hillslope_properties_to_hrus(df, hp1)
+    assigned["depth2channel"] = assigned["hillslope_hand"]
+    curated = P.curate_hru_properties(assigned, hp2)
+    out = curated.copy()
+    # flatten the ecdf/bedges list columns into e0..e10 / b0..b10
+    for i in range(11):
+        out[f"e{i}"] = [float(np.asarray(v)[i]) for v in out["hand_ecdf"]]
+        out[f"b{i}"] = [float(np.asarray(v)[i]) for v in out["hand_bedges"]]
+    out = out.drop(columns=["hand_ecdf", "hand_bedges"])
+    for c in list(HRU_FLOAT_COLS) + [f"e{i}" for i in range(11)] + [f"b{i}" for i in range(11)]:
+        out[c] = out[c].astype("float64").round(6)
+    out["hru"] = out["hru"].astype("int64")
+    out["hillslope_id"] = out["hillslope_id"].astype("int64")
+    out["tile_id"] = out["tile_id"].astype("int64")
+    return out.sort_values("hru").reset_index(drop=True)
+
+
+def stage_terrain_hru_properties(sf_dir: str, nclusters: int = 2) -> str:
+    """Single-process HRU chain twin (terrain_tools.py:1090-1313,1524-1579):
+    per-(hillslope, elevation-tile) KMeans HRUs with sequential offsets +
+    dense rank, per-HRU property table with the 10-bin HAND ecdf, then the
+    shared assign (Pelletier upland/lowland) + curate post-steps. The HRU
+    labeling and per-HRU stats here are an independent scan-order loop (no
+    Ray, no map_groups)."""
+    from ..functions.cluster import kmeans_fit, kmeans_predict
+    from ..functions.geometry import normalize
+    from ..terrain import kernels as K
+
+    N, RES = 32, 30.0
+    w, slope, hand, hillslopes, htiles = hru_chain_inputs(N, RES)
+    sel = (hillslopes > 0) & (htiles != -9999)
+    gi, gj = np.nonzero(sel)  # scan order == (gi, gj) lexsort
+    hs = hillslopes[sel]
+    ht = htiles[sel]
+    wv = w[sel].astype(np.float64)
+    sv = slope[sel].astype(np.float64)
+    hv = hand[sel]
+    lo_w, hi_w = float(wv.min()), float(wv.max())
+    hi_s = float(sv.max())
+    hru_raw = np.zeros(len(gi), dtype=np.int64)
+    run = 1  # reference maxc starts at 1 (terrain_tools.py:1102)
+    for (h, t) in sorted(set(zip(hs.tolist(), ht.tolist()))):
+        m = (hs == h) & (ht == t)
+        X = np.stack([normalize(wv[m], lo_w, hi_w), normalize(sv[m], 0.0, hi_s)], axis=1)
+        C = kmeans_fit(X, min(nclusters, int(m.sum())))
+        lab = kmeans_predict(X, C).astype(np.int64)
+        hru_raw[m] = run + lab
+        run += int(lab.max()) + 1
+    ids = np.sort(np.unique(hru_raw))
+    rank = {int(v): i for i, v in enumerate(ids)}
+    hru = np.asarray([rank[int(v)] for v in hru_raw], dtype=np.int64) + 1
+
+    rows = []
+    for u in np.sort(np.unique(hru)):
+        m = hru == u
+        handv = hv[m].astype(np.float64)
+        ok = handv != K.UNDEF
+        if ok.sum() == 0:
+            handv = np.zeros_like(handv)
+        else:
+            handv = np.where(ok, handv, handv[ok].mean())
+        hist, bedges = np.histogram(handv, bins=10)
+        ecdf = np.cumsum(hist).astype(np.float32)
+        ecdf = ecdf / ecdf[-1]
+        ecdf = np.append(np.zeros(1, dtype=np.float32), ecdf)
+        rows.append(
+            {
+                "hru": int(u),
+                "hillslope_id": int(np.mean(hs[m].astype(np.float64))),
+                "tile_id": int(ht[m][0]),
+                "area": float(RES * RES * int(m.sum())),
+                "hillslope_slope": float(np.mean(sv[m])),
+                "hand_ecdf": ecdf.tolist(),
+                "hand_bedges": bedges.tolist(),
+            }
+        )
+    out = finalize_hru_table(pd.DataFrame(rows), hillslopes, hand)
+    return O.stage_fixture("terrain_hru_properties", out)
+
+
+TERRAIN_HRU_PROPERTIES_SQL = O.fixture_sql("terrain_hru_properties", "hru")
+
+
+def stage_terrain_basin_props(sf_dir: str) -> str:
+    """Per-basin raw means INCLUDING sentinels (terrain_tools.py:340-392,
+    whose own filtering is commented out) over the twovalley chain."""
+    N, RES = 32, 30.0
+    w, slope, _, hillslopes, _ = hru_chain_inputs(N, RES)
+    rows = []
+    for b in np.sort(np.unique(hillslopes[hillslopes > 0])):
+        m = hillslopes == b
+        rows.append(
+            {
+                "bid": int(b),
+                "demns": round(float(w[m].astype(np.float64).mean()), 6),
+                "slope": round(float(slope[m].astype(np.float64).mean()), 6),
+                "n_cells": int(m.sum()),
+            }
+        )
+    return O.stage_fixture("terrain_basin_props", pd.DataFrame(rows))
+
+
+TERRAIN_BASIN_PROPS_SQL = O.fixture_sql("terrain_basin_props", "bid")
+
+
+def stage_terrain_channel_props(sf_dir: str) -> str:
+    """Per-channel mean slope / length / constants + 0-based topology
+    (terrain_tools.py:1634-1664)."""
+    from ..terrain import kernels as K
+
+    N, RES = 32, 30.0
+    w, _, _, ch, _, _, maski = _terrain_single_node(N, RES)
+    area, fdir = K.d8_area(w, maski, RES)
+    ch2, _, topo = K.calculate_channels(area, 8 * RES * RES, 16 * RES * RES, fdir, mask=maski)
+    dx = np.full((N, N), RES, dtype=np.float32)
+    slope, _ = K.slope_aspect(w, dx, dx)
+    rows = []
+    for c in np.sort(np.unique(ch2[(ch2 > 0) & (ch2 < 999999)])):
+        m = ch2 == c
+        down = topo.get(int(c), -9999)
+        rows.append(
+            {
+                "cid": int(c),
+                "slope": round(float(slope[m].astype(np.float64).mean()), 6),
+                "length": float(m.sum()) * RES * RES,
+                "manning": 0.04,
+                "width": 30.0,
+                "bankfull": 1.0,
+                "down_cid": down - 1 if down > 0 else -1,
+            }
+        )
+    return O.stage_fixture("terrain_channel_props", pd.DataFrame(rows))
+
+
+TERRAIN_CHANNEL_PROPS_SQL = O.fixture_sql("terrain_channel_props", "cid")
+
+
+def stage_events_nd_histogram(sf_dir: str, nbins=(8, 6)) -> str:
+    """n-d histogram twin: np.histogramdd over (value, user_id) with the
+    same equal-width edges (terrain_tools.py:789-859 generalized); the
+    engine's bin-assign + groupby-count must agree on every non-empty bin."""
+    from ..functions.cluster import nd_histogram_bins
+
+    df = pq.read_table(f"{sf_dir}/events.parquet", columns=["value", "user_id"]).to_pandas()
+    a = df["value"].to_numpy(dtype=np.float64)
+    b = df["user_id"].to_numpy(dtype=np.float64)
+    edges = nd_histogram_bins([a, b], list(nbins))
+    H, _ = np.histogramdd(np.stack([a, b], axis=1), bins=edges)
+    flat = H.ravel().astype(np.int64)  # C-order == nd_histogram_assign ids
+    nz = np.nonzero(flat)[0]
+    out = pd.DataFrame({"bin_id": nz.astype(np.int64), "n": flat[nz]})
+    return O.stage_fixture("events_nd_histogram", out)
+
+
+EVENTS_ND_HISTOGRAM_SQL = O.fixture_sql("events_nd_histogram", "bin_id")

@@ -25,9 +25,9 @@ import pyarrow.compute as pc
 
 
 def _read(sf_dir: str, table: str, columns=None):
-    import ray.data as rd
+    from .. import io
 
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    return io.read_named(sf_dir, table, columns=columns)
 
 
 def _q100(arr):

@@ -1,0 +1,349 @@
+"""Round-3 driver queries: the previously pytest-only operators get
+driver-green coverage (VERDICT r2 item 1). Each query runs the DISTRIBUTED
+operator over the deterministic terrain fixtures (or the testdata tables)
+and compares against a single-process twin staged by
+pipelines/oracle_fixtures.py — or, where SQL can express the op exactly
+(FAO texture, min-max normalize), against pure DuckDB SQL.
+
+Reference parity: src/terrain_tools.f90:13-54 (slope/aspect), :303-414
+(acc_wipoints), :517-746 (MFD), :825-876 (gap fill), :1750-1789 (CCL);
+libraries/terrain_tools.py:340-392 (basin props), :1090-1313 (HRU chain),
+:1634-1664 (channel props), :789-859 (nd histogram);
+libraries/pedotransfer.py:85-114 (FAO texture).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from . import oracle_fixtures as OF
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    from .. import io
+
+    return io.read_named(sf_dir, table, columns=columns)
+
+
+N, RES, TILE = 32, 30.0, 16
+
+
+def _cells_df(tiles_ds, cols):
+    from ..terrain import properties as P
+
+    return P.tiles_to_cells(tiles_ds, cols).to_pandas().sort_values(["gi", "gj"]).reset_index(drop=True)
+
+
+def terrain_mfd_stats(sf_dir: str):
+    """Full distributed chain (fill -> fdir -> acc -> channels) feeding MFD
+    accumulation + MFD HAND; per-cell quantized table (bit-identical f32
+    on both sides -> exact integer compare)."""
+    OF.stage_terrain_mfd_cells(sf_dir)
+    from .. import synth
+    from ..terrain import dist as D
+    from ..terrain import kernels as K
+    from ..terrain import tiles as T
+
+    dem, mask = synth.dem_grid("twovalley", N)
+    z = dem.copy()
+    z[~mask] = np.float32(K.UNDEF)
+    ds = T.make_tiles_dataset({"dem": z.astype(np.float32), "landmask": mask.astype(np.int32)}, TILE)
+    filled = D.fill_dist(ds, RES)
+    fd = D.fdir_dist(filled, RES, N, N)
+    ac = D.acc_dist(fd, TILE, N, N)
+    ar = D.area_from_acc(ac, RES)
+    chds, _ = D.channels_dist(ar, 8 * RES * RES, 16 * RES * RES, N, N)
+    mfd = D.mfd_acc_dist(chds, RES, 1.1, N, N)
+    out = D.hand_mfd_dist(mfd, 1, RES, N, N)
+    df = _cells_df(out, ["mfdacc", "handmfd"])
+    hv = df["handmfd"].to_numpy(dtype=np.float64)
+    valid = df["handmfd"].to_numpy(dtype=np.float32) != np.float32(K.UNDEF)
+    return pd.DataFrame(
+        {
+            "gi": df["gi"].astype("int64"),
+            "gj": df["gj"].astype("int64"),
+            "mfd_mm": np.round(df["mfdacc"].to_numpy(dtype=np.float64) * 1000.0).astype(np.int64),
+            "handmfd_mm": np.where(valid, np.round(hv * 1000.0), 0).astype(np.int64),
+            "hand_valid": valid.astype(np.int64),
+        }
+    )
+
+
+def terrain_polygonize(sf_dir: str):
+    """Distributed CCL (per-tile scan labels + join/min-label cross-tile
+    merge) vs the whole-grid scan-order kernel."""
+    OF.stage_terrain_polygonize(sf_dir)
+    from ..terrain import dist as D
+    from ..terrain import kernels as K
+    from ..terrain import tiles as T
+
+    v = OF.polygonize_values_grid(N)
+    ds = T.make_tiles_dataset({"values": v}, TILE)
+    out = D.polygonize_dist(ds, "values")
+    df = _cells_df(out, ["pids"])
+    p = df["pids"].to_numpy(dtype=np.float64)
+    return pd.DataFrame(
+        {
+            "gi": df["gi"].astype("int64"),
+            "gj": df["gj"].astype("int64"),
+            "pid": np.where(p == K.UNDEF, -1, p).astype(np.int64),
+        }
+    )
+
+
+def terrain_acc_wipoints(sf_dir: str):
+    """Distributed interest-point accumulation (closure expansion +
+    sequential core) vs the literal kernel."""
+    OF.stage_terrain_acc_wipoints(sf_dir)
+    from .. import synth
+    from ..terrain import dist as D
+    from ..terrain import kernels as K
+    from ..terrain import tiles as T
+
+    dem, mask = synth.dem_grid("rough", N)
+    dem = dem.astype(np.float32)
+    maski = mask.astype(np.int32)
+    ip = np.full((N, N), K.IUNDEF, dtype=np.int64)
+    for k2, (i, j) in enumerate(OF.WIPOINT_SEEDS):
+        ip[i, j] = k2
+    ds = T.make_tiles_dataset({"dem": dem, "landmask": maski, "ipoints": ip}, TILE)
+    out = D.acc_wipoints_dist(ds, RES, N, N)
+    df = _cells_df(out, ["area_wip", "fdir"])
+    av = df["area_wip"].to_numpy(dtype=np.float64)
+    valid = df["area_wip"].to_numpy(dtype=np.float32) != np.float32(K.UNDEF)
+    return pd.DataFrame(
+        {
+            "gi": df["gi"].astype("int64"),
+            "gj": df["gj"].astype("int64"),
+            "area_mm": np.where(valid, np.round(av * 1000.0), -1).astype(np.int64),
+            "fdir": df["fdir"].astype("int64"),
+        }
+    )
+
+
+def terrain_slope_aspect(sf_dir: str):
+    """Distributed slope/aspect (1-halo, global-border clamp) vs kernel."""
+    OF.stage_terrain_slope_aspect(sf_dir)
+    from .. import synth
+    from ..terrain import dist as D
+    from ..terrain import tiles as T
+
+    z, _ = synth.dem_grid("rough", N)
+    z = z.astype(np.float32)
+    dx = np.full((N, N), 30.0, dtype=np.float32)
+    dy = np.full((N, N), 31.0, dtype=np.float32)
+    ds = T.make_tiles_dataset({"dem": z, "dxg": dx, "dyg": dy}, TILE)
+    out = D.slope_aspect_dist(ds, N, N)
+    df = _cells_df(out, ["slope", "aspect"])
+    return pd.DataFrame(
+        {
+            "gi": df["gi"].astype("int64"),
+            "gj": df["gj"].astype("int64"),
+            "slope_um": np.round(df["slope"].to_numpy(dtype=np.float64) * 1e6).astype(np.int64),
+            "aspect_um": np.round(df["aspect"].to_numpy(dtype=np.float64) * 1e6).astype(np.int64),
+        }
+    )
+
+
+def terrain_gap_fill(sf_dir: str):
+    """Distributed 3x3 mode gap-fill (1-halo) vs kernel."""
+    OF.stage_terrain_gap_fill(sf_dir)
+    from ..terrain import dist as D
+    from ..terrain import tiles as T
+
+    hrus, ch = OF.gap_fill_inputs(N)
+    ds = T.make_tiles_dataset({"hrus": hrus, "channels": ch}, TILE)
+    out = D.gap_fill_dist(ds)
+    df = _cells_df(out, ["hrus"])
+    return pd.DataFrame(
+        {
+            "gi": df["gi"].astype("int64"),
+            "gj": df["gj"].astype("int64"),
+            "hru": df["hrus"].astype("int64"),
+        }
+    )
+
+
+def terrain_basin_props(sf_dir: str):
+    """Distributed per-basin raw means (partial sums in map_batches ->
+    small groupby) vs single-process means."""
+    OF.stage_terrain_basin_props(sf_dir)
+    from ..terrain import properties as P
+    from ..terrain import tiles as T
+
+    w, slope, _, hillslopes, _ = OF.hru_chain_inputs(N, RES)
+    ds = T.make_tiles_dataset({"basins": hillslopes, "demns": w, "slope": slope}, TILE)
+    cells = P.tiles_to_cells(ds, ["basins", "demns", "slope"]).filter(lambda r: r["basins"] > 0)
+    got = P.basin_properties(cells, "basins", ["demns", "slope"])
+    got["demns"] = got["demns"].round(6)
+    got["slope"] = got["slope"].round(6)
+    return got.sort_values("bid").reset_index(drop=True)
+
+
+def terrain_channel_props(sf_dir: str):
+    """Distributed per-channel aggregation + topology re-index vs the
+    reference formula applied single-process."""
+    OF.stage_terrain_channel_props(sf_dir)
+    from ..terrain import kernels as K
+    from ..terrain import properties as P
+    from ..terrain import tiles as T
+
+    w, _, _, ch, _, _, maski = OF._terrain_single_node(N, RES)
+    area, fdir = K.d8_area(w, maski, RES)
+    ch2, _, topo = K.calculate_channels(area, 8 * RES * RES, 16 * RES * RES, fdir, mask=maski)
+    dx = np.full((N, N), RES, dtype=np.float32)
+    slope, _ = K.slope_aspect(w, dx, dx)
+    ds = T.make_tiles_dataset({"channels": ch2.astype(np.int64), "slope": slope}, TILE)
+    cells = P.tiles_to_cells(ds, ["channels", "slope"])
+    got = P.channel_properties(cells, topo, eares=RES * RES)
+    got["slope"] = got["slope"].round(6)
+    got["down_cid"] = got["down_cid"].astype("int64")
+    return got.sort_values("cid").reset_index(drop=True)
+
+
+def terrain_hru_properties(sf_dir: str):
+    """Full HRU chain: per-(hillslope, elevation-tile) KMeans HRUs
+    (groupby.map_groups + sequential offsets), per-HRU properties with the
+    HAND ecdf (map_groups), then the shared Pelletier assign + curate
+    post-steps. Oracle: independent scan-order single-process twin."""
+    OF.stage_terrain_hru_properties(sf_dir)
+    import ray.data as rd
+    from ray.data.aggregate import Max, Min
+
+    from ..terrain import properties as P
+    from ..terrain import tiles as T
+
+    w, slope, hand, hillslopes, htiles = OF.hru_chain_inputs(N, RES)
+    grids = {"hillslopes": hillslopes, "tiles": htiles, "slope": slope, "hand": hand, "demns": w}
+    ds = T.make_tiles_dataset(grids, TILE)
+    cells = P.tiles_to_cells(ds, list(grids)).filter(
+        lambda r: r["hillslopes"] > 0 and r["tiles"] != -9999
+    )
+    agg = cells.aggregate(Min("demns"), Max("demns"), Max("slope"))
+    ranges = {
+        "demns": (float(agg["min(demns)"]), float(agg["max(demns)"])),
+        "slope": (0.0, float(agg["max(slope)"])),
+    }
+    hrus_df = P.create_hrus_grouped(cells, ["demns", "slope"], ranges, nclusters=2)
+    # paint HRU ids back onto the cell covariates (driver-side merge at
+    # this fixture scale; the 100-TB shape is a Dataset hash join on
+    # (gi, gj) — see stages/dedup.py's verified-pair join for the pattern)
+    cdf = cells.to_pandas()
+    m = cdf.merge(hrus_df, on=["gi", "gj"], how="inner")
+    cells2 = rd.from_pandas(
+        m[["hru", "hillslopes", "slope", "hand"]].rename(columns={"hru": "hrus"})
+    )
+    props = P.hru_properties(cells2, RES)
+    tile_of = m.groupby("hru")["tiles"].first()
+    props["tile_id"] = props["hru"].map(tile_of).astype("int64")
+    return OF.finalize_hru_table(props, hillslopes, hand)
+
+
+def events_nd_histogram(sf_dir: str, nbins=(8, 6)):
+    """Distributed n-d histogram: global min/max aggregate -> broadcast
+    equal-width edges -> vectorized bin-assign + partial counts -> tiny
+    groupby. Oracle: np.histogramdd twin."""
+    OF.stage_events_nd_histogram(sf_dir, nbins)
+    from ray.data.aggregate import Max, Min, Sum
+
+    from ..functions.cluster import nd_histogram_assign
+
+    ds = _read(sf_dir, "events", ["value", "user_id"])
+    agg = ds.aggregate(Min("value"), Max("value"), Min("user_id"), Max("user_id"))
+    edges = []
+    for lo, hi, nb in (
+        (float(agg["min(value)"]), float(agg["max(value)"]), nbins[0]),
+        (float(agg["min(user_id)"]), float(agg["max(user_id)"]), nbins[1]),
+    ):
+        if lo == hi:
+            hi = lo + 1.0
+        edges.append(np.linspace(lo, hi, nb + 1))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        a = batch["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        b = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.float64)
+        ids = nd_histogram_assign([a, b], edges)
+        u, c = np.unique(ids, return_counts=True)
+        return pa.table({"bin_id": pa.array(u, type=pa.int64()), "n": pa.array(c, type=pa.int64())})
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bin_id")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    out["bin_id"] = out["bin_id"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("bin_id").reset_index(drop=True)
+
+
+def soil_fao_texture(sf_dir: str):
+    """FAO nearest-centroid texture class over derived (sand, clay, silt);
+    oracle = the same argmin expressed in pure SQL (cross join + window)."""
+    from ..functions.soil import fao_soil_texture
+
+    ds = _read(sf_dir, "part", ["p_partkey"])
+
+    def apply(batch: pa.Table) -> pa.Table:
+        k = batch["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sand = (k % 101).astype(np.float64)
+        clay = ((k * 7) % 89).astype(np.float64)
+        silt = ((k * 13) % 97).astype(np.float64)
+        cls = fao_soil_texture(sand, clay, silt)
+        return pa.table(
+            {
+                "p_partkey": batch["p_partkey"],
+                "texture_class": pa.array(cls.astype(np.int64)),
+            }
+        )
+
+    df = ds.map_batches(apply, batch_format="pyarrow").to_pandas()
+    return df.sort_values("p_partkey").reset_index(drop=True)
+
+
+SOIL_FAO_TEXTURE_SQL = """
+WITH s AS (
+  SELECT p_partkey,
+         CAST(p_partkey % 101 AS DOUBLE) AS sand,
+         CAST((p_partkey*7) % 89 AS DOUBLE) AS clay,
+         CAST((p_partkey*13) % 97 AS DOUBLE) AS silt
+  FROM part
+), c(id, csand, cclay, csilt) AS (
+  VALUES (1, 83.0, 9.0, 8.0), (2, 37.0, 30.0, 33.0), (3, 17.0, 67.0, 17.0),
+         (4, 60.0, 20.0, 20.0), (5, 50.0, 38.0, 12.0), (6, 27.0, 48.0, 25.0),
+         (7, 46.0, 35.0, 19.0)
+), d AS (
+  SELECT p_partkey, id,
+         (sand-csand)*(sand-csand) + (clay-cclay)*(clay-cclay) + (silt-csilt)*(silt-csilt) AS d2
+  FROM s CROSS JOIN c
+), r AS (
+  SELECT p_partkey, id, ROW_NUMBER() OVER (PARTITION BY p_partkey ORDER BY d2, id) AS rn
+  FROM d
+)
+SELECT p_partkey, CAST(id AS BIGINT) AS texture_class
+FROM r WHERE rn = 1 ORDER BY p_partkey
+"""
+
+
+def docs_normalize(sf_dir: str):
+    """Global min-max normalize of a column (normalize_variable): two-phase
+    Min/Max aggregate -> broadcast -> vectorized map; oracle = the same
+    IEEE expression as a SQL window."""
+    from ..functions.geometry import normalize_stage
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    out = normalize_stage(ds, "n_chars")
+    df = out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    df["doc_id"] = df["doc_id"].astype("int64")
+    df["n_chars"] = df["n_chars"].astype("int64")
+    return df[["doc_id", "n_chars", "n_chars_norm"]]
+
+
+DOCS_NORMALIZE_SQL = """
+SELECT doc_id, n_chars,
+       (CAST(n_chars AS DOUBLE) - CAST(MIN(n_chars) OVER () AS DOUBLE))
+       / (CAST(MAX(n_chars) OVER () AS DOUBLE) - CAST(MIN(n_chars) OVER () AS DOUBLE)) AS n_chars_norm
+FROM documents ORDER BY doc_id
+"""

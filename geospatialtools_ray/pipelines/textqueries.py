@@ -19,9 +19,9 @@ from ..hashing import text_hash_u64
 
 
 def _read(sf_dir: str, table: str, columns=None):
-    import ray.data as rd
+    from .. import io
 
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    return io.read_named(sf_dir, table, columns=columns)
 
 
 # -- deterministic doc point derivation (mirrored in SQL) --------------------

@@ -139,21 +139,54 @@ def _scored_topk_partials(bucketed, bucket_col, bucket_to_queries_ref, Q, k, id_
     )
 
 
-def lsh_partitioned_topk(ds, queries: np.ndarray, k: int = 10, n_planes: int = 8, id_col: str = "vec_id", emb_col: str = "embedding"):
+def multiprobe_codes(Q: np.ndarray, planes: np.ndarray, n_probes: int) -> list[list[int]]:
+    """Per-query probe sequence: the query's own bucket first, then the
+    buckets reached by flipping the LOWEST-MARGIN hyperplane bits —
+    perturbations ranked by summed |projection| of the flipped planes
+    (single-bit then pair flips; standard multi-probe LSH ordering). A
+    near-zero projection means the true neighbors straddle that plane, so
+    those flips recover most of the recall lost to single-probe."""
+    proj = Q @ planes.T  # (nq, n_planes)
+    base = ((proj > 0).astype(np.uint64) << np.arange(planes.shape[0], dtype=np.uint64)[None, :]).sum(axis=1)
+    npl = planes.shape[0]
+    margins = np.abs(proj)
+    out = []
+    for qi in range(Q.shape[0]):
+        perturbs: list[tuple[float, int]] = [(margins[qi, b], 1 << b) for b in range(npl)]
+        perturbs += [
+            (margins[qi, b1] + margins[qi, b2], (1 << b1) | (1 << b2))
+            for b1 in range(npl)
+            for b2 in range(b1 + 1, npl)
+        ]
+        perturbs.sort()
+        probes = [int(base[qi])]
+        for _, flip in perturbs[: max(0, n_probes - 1)]:
+            probes.append(int(base[qi]) ^ flip)
+        out.append(probes)
+    return out
+
+
+def lsh_partitioned_topk(
+    ds, queries: np.ndarray, k: int = 10, n_planes: int = 8, id_col: str = "vec_id",
+    emb_col: str = "embedding", n_probes: int = 1,
+):
     """LSH-bucketed ANN: bucket = hyperplane sign code (the partition key);
-    each query searches only its own bucket. Scoring happens INSIDE a
+    each query searches its own bucket plus, with ``n_probes > 1``, the
+    ``n_probes - 1`` nearest perturbation buckets (lowest-margin bit flips
+    — see multiprobe_codes). Scoring happens INSIDE a
     groupby(bucket).map_groups stage (round-2 rewrite — previously all
     candidate rows were materialized to the driver); only per-bucket top-k
-    partials leave the cluster. Recall < 1 by construction — benchmark
-    against brute_force_topk."""
+    partials leave the cluster, so multiprobe multiplies probed-bucket
+    count (driver merge rows), never shipped candidate rows. Recall < 1 by
+    construction — benchmark against brute_force_topk."""
     import ray
 
     Q = np.asarray(queries, dtype=np.float64)
     planes = random_hyperplanes(Q.shape[1], n_planes)
-    qcodes = lsh_codes(Q, planes)
     b2q: dict[int, tuple[int, ...]] = {}
-    for qi, qc in enumerate(qcodes.tolist()):
-        b2q[qc] = b2q.get(qc, ()) + (qi,)
+    for qi, probes in enumerate(multiprobe_codes(Q, planes, n_probes)):
+        for code in probes:
+            b2q[code] = b2q.get(code, ()) + (qi,)
     wanted = np.asarray(sorted(b2q), dtype=np.uint64)
 
     def bucketize(batch: pa.Table) -> pa.Table:

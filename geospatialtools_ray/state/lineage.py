@@ -26,6 +26,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 
+from .. import io
+
 
 def completed_parts(out_dir: str) -> set[int]:
     ldir = os.path.join(out_dir, "_lineage")
@@ -50,7 +52,7 @@ def part_writer(out_dir: str):
         path = os.path.join(out_dir, f"part-{key}.parquet")
         tmp = path + ".tmp"
         tbl = pa.Table.from_pandas(g.drop(columns=["part_key"]), preserve_index=False)
-        pq.write_table(tbl, tmp)
+        io.write_fragment(tbl, tmp)
         os.replace(tmp, path)  # atomic: readers never see partial files
         rec = {
             "partition": key,
@@ -215,7 +217,7 @@ def write_partitioned_fragments(
                 # compression="zstd" trades (scalable) CPU for (shared,
                 # non-scalable) disk bandwidth — the right default when all
                 # writers share one device, as in the single-node bench
-                pq.write_table(sub, tmp, write_statistics=False, use_dictionary=False, compression=compression)
+                io.write_fragment(sub, tmp, write_statistics=False, use_dictionary=False, compression=compression)
                 os.replace(tmp, os.path.join(pdir, fname))
                 out_part.append(key)
                 out_rows.append(len(sub))

@@ -37,6 +37,27 @@ IUNDEF = K.IUNDEF
 PENDING = np.int64(-123456789)
 
 
+def _loop_cap(cur, rows_per_block: int = 4) -> int:
+    """Block budget for an iterative halo/frontier loop, derived from the
+    ROW (tile) count — never from the inherited block count. Upstream
+    groupby/sort stages can hand the loop a handful of rows spread over
+    hundreds of near-empty blocks (measured: a 4-tile fixture arriving in
+    128 blocks made every MFD round pay ~250 no-op task launches, 23 s/round
+    vs 0.9 s after consolidation). One tile row is a full grid tile (MBs at
+    production tile sizes), so a few rows per block keeps blocks in the
+    object-store sweet spot while bounding per-round task count."""
+    nrows = cur.count()
+    return int(max(1, min(nrows, max(16, (nrows + rows_per_block - 1) // rows_per_block))))
+
+
+def _loop_enter(cur, cap: int):
+    """Consolidate loop state to <= cap blocks before round 0 so the first
+    round doesn't pay the bloated upstream block layout."""
+    if cur.num_blocks() > cap:
+        return _rebound(cur, cur, cap)
+    return cur
+
+
 def _rebound(nxt_mat, dropped, cap: int = 64):
     """Round-state stabilizer for every iterative halo/frontier loop.
 
@@ -226,7 +247,8 @@ def fill_dist(ds, res: float, max_rounds: int = 1000, checkpoint_dir: str | None
             cur = rd.read_parquet(os.path.join(checkpoint_dir, f"round-{done_rounds[-1]}")).materialize()
     if cur is None:
         cur = ds.map_batches(init, batch_format="pyarrow").materialize()
-    cap = max(16, 2 * cur.num_blocks())
+    cap = _loop_cap(cur)
+    cur = _loop_enter(cur, cap)
     for rnd in range(start_round, max_rounds):
         def kernel(tr, padded):
             z = np.asarray(tr["dem"], dtype=np.float32).reshape(int(tr["n0"]), int(tr["n1"]))
@@ -343,7 +365,8 @@ def acc_dist(ds, tile_size: int, N0: int, N1: int, max_rounds: int = 1000):
         return batch.append_column("ext_in", pa.array([x for x in e], type=pa.list_(pa.int64())))
 
     cur = ds.map_batches(init, batch_format="pyarrow").materialize()
-    cap = max(16, 2 * cur.num_blocks())
+    cap = _loop_cap(cur)
+    cur = _loop_enter(cur, cap)
     for _ in range(max_rounds):
         def emit(batch: pa.Table) -> pa.Table:
             rows = {"tx": [], "ty": [], "tag": [], "e_idx": [], "e_cnt": []}
@@ -489,7 +512,7 @@ def flow_inherit(ds, setup, N0: int, N1: int, dead_default: float, out_name: str
             n0, n1 = fdir.shape
             i0 = int(batch["i0"][r].as_py())
             j0 = int(batch["j0"][r].as_py())
-            arrays = {c: T.tile_payload(batch, c, r) for c in batch.column_names if c not in ("tx", "ty", "i0", "j0", "n0", "n1")}
+            arrays = {c: T.tile_payload(batch, c, r) for c in batch.column_names if c not in ("tx", "ty", "i0", "j0", "n0", "n1", "ntx", "nty")}
             src = setup({"i0": i0, "j0": j0, "n0": n0, "n1": n1}, arrays)
             provide = np.where(np.isnan(src), np.nan, src)
             flag = (~np.isnan(src)).astype(np.int8)
@@ -544,7 +567,8 @@ def flow_inherit(ds, setup, N0: int, N1: int, dead_default: float, out_name: str
         return b
 
     cur = ds.map_batches(init, batch_format="pyarrow").materialize()
-    cap = max(16, 2 * cur.num_blocks())
+    cap = _loop_cap(cur)
+    cur = _loop_enter(cur, cap)
     for _ in range(max_rounds):
         def kernel(tr, padded):
             n0, n1 = int(tr["n0"]), int(tr["n1"])
@@ -1277,7 +1301,8 @@ def mfd_acc_dist(
         return batch.append_column("mfdacc", pa.array([x for x in vals], type=pa.list_(pa.float32())))
 
     cur = fract_ds.map_batches(init, batch_format="pyarrow").materialize()
-    cap = max(16, 2 * cur.num_blocks())
+    cap = _loop_cap(cur)
+    cur = _loop_enter(cur, cap)
     fcols = [f"mfdf{k}" for k in range(8)]
     halo_cols = [dem_col, "mfdacc"] + fcols
     back = _back_idx()
@@ -1386,7 +1411,8 @@ def hand_mfd_dist(
         return batch.append_column("mhcd", pa.array([x for x in vals], type=pa.list_(pa.float32())))
 
     cur = fds.map_batches(init, batch_format="pyarrow").materialize()
-    cap = max(16, 2 * cur.num_blocks())
+    cap = _loop_cap(cur)
+    cur = _loop_enter(cur, cap)
     halo_cols = ["mhcd"] + [f"mhf{k}" for k in range(8)]
     w = halo
 
@@ -1479,7 +1505,8 @@ def acc_wipoints_dist(ds, res: float, N0: int, N1: int, dem_col: str = "dem", ma
         return batch.append_column("wip_touch", pa.array([x for x in t], type=pa.list_(pa.int8())))
 
     cur = fds.map_batches(init, batch_format="pyarrow").materialize()
-    cap = max(16, 2 * cur.num_blocks())
+    cap = _loop_cap(cur)
+    cur = _loop_enter(cur, cap)
     for _ in range(max_rounds):
 
         def kernel(tr, padded):

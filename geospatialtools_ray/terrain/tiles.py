@@ -42,7 +42,9 @@ def grid_to_tiles_table(grids: dict[str, np.ndarray], tile: int) -> pa.Table:
     shapes = {g.shape for g in grids.values()}
     assert len(shapes) == 1
     N0, N1 = shapes.pop()
-    rows = {k: [] for k in ("tx", "ty", "i0", "j0", "n0", "n1")}
+    ntx = (N0 + tile - 1) // tile
+    nty = (N1 + tile - 1) // tile
+    rows = {k: [] for k in ("tx", "ty", "i0", "j0", "n0", "n1", "ntx", "nty")}
     payload: dict[str, list] = {k: [] for k in grids}
     for ti, i0 in enumerate(range(0, N0, tile)):
         for tj, j0 in enumerate(range(0, N1, tile)):
@@ -54,6 +56,8 @@ def grid_to_tiles_table(grids: dict[str, np.ndarray], tile: int) -> pa.Table:
             rows["j0"].append(j0)
             rows["n0"].append(n0)
             rows["n1"].append(n1)
+            rows["ntx"].append(ntx)
+            rows["nty"].append(nty)
             for k, g in grids.items():
                 payload[k].append(g[i0 : i0 + n0, j0 : j0 + n1].ravel())
     cols = {k: pa.array(v, type=pa.int32()) for k, v in rows.items()}
@@ -126,6 +130,12 @@ def emit_halo_strips(batch: pa.Table, cols: list[str], width: int = 1) -> pa.Tab
     n = batch.num_rows
     txs = batch["tx"].to_numpy(zero_copy_only=False)
     tys = batch["ty"].to_numpy(zero_copy_only=False)
+    # grid extent in tiles (when tagged by grid_to_tiles_table): strips
+    # addressed off-grid would otherwise create empty groupby groups —
+    # one wasted task each, per round, and a schema-polluting empty block
+    have_ext = "ntx" in batch.column_names
+    ntxs = batch["ntx"].to_numpy(zero_copy_only=False) if have_ext else None
+    ntys = batch["nty"].to_numpy(zero_copy_only=False) if have_ext else None
     for r in range(n):
         arrs = {c: tile_payload(batch, c, r) for c in cols}
         n0, n1 = next(iter(arrs.values())).shape
@@ -133,10 +143,15 @@ def emit_halo_strips(batch: pa.Table, cols: list[str], width: int = 1) -> pa.Tab
             for d1 in (-1, 0, 1):
                 if d0 == 0 and d1 == 0:
                     continue
+                rx, ry = txs[r] + d0, tys[r] + d1
+                if rx < 0 or ry < 0:
+                    continue
+                if have_ext and (rx >= ntxs[r] or ry >= ntys[r]):
+                    continue
                 s0 = slice(0, width) if d0 < 0 else (slice(n0 - width, n0) if d0 > 0 else slice(0, n0))
                 s1 = slice(0, width) if d1 < 0 else (slice(n1 - width, n1) if d1 > 0 else slice(0, n1))
-                out["tx"].append(txs[r] + d0)
-                out["ty"].append(tys[r] + d1)
+                out["tx"].append(rx)
+                out["ty"].append(ry)
                 out["dir0"].append(-d0)  # direction relative to receiver
                 out["dir1"].append(-d1)
                 strip0 = arrs[cols[0]][s0, s1]
@@ -221,7 +236,7 @@ def rows_to_table(recs: list[dict]) -> pa.Table:
         vals = [r[c] for r in recs]
         if isinstance(vals[0], np.ndarray):
             cols[c] = pa.array([np.asarray(v).ravel() for v in vals], type=pa.list_(pa.from_numpy_dtype(np.asarray(vals[0]).dtype)))
-        elif c in ("tx", "ty", "i0", "j0", "n0", "n1"):
+        elif c in ("tx", "ty", "i0", "j0", "n0", "n1", "ntx", "nty"):
             cols[c] = pa.array([int(v) for v in vals], type=pa.int32())
         else:
             cols[c] = pa.array(vals)

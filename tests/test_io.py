@@ -1,0 +1,58 @@
+"""Storage-backend seam tests: all table IO routes through
+geospatialtools_ray.io and the backend is swappable (VERDICT r2 item 7)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from geospatialtools_ray import io
+
+
+@pytest.fixture(autouse=True)
+def _restore_backend():
+    prev = io.backend()
+    yield
+    io.set_backend(prev)
+
+
+def test_default_backend_parquet_roundtrip(ray_session, tmp_path):
+    assert io.backend() == "parquet"
+    df = pd.DataFrame({"a": np.arange(10, dtype=np.int64), "b": np.arange(10) * 0.5})
+    import ray.data as rd
+
+    io.write_table(rd.from_pandas(df), str(tmp_path / "t"))
+    got = io.read_table(str(tmp_path / "t")).to_pandas().sort_values("a").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, df)
+    # column pruning reaches the format layer
+    only_a = io.read_table(str(tmp_path / "t"), columns=["a"])
+    assert only_a.schema().names == ["a"]
+
+
+def test_named_table_path_follows_backend():
+    assert io.table_path("/d", "documents").endswith("documents.parquet")
+    io.set_backend("lance")
+    assert io.table_path("/d", "documents").endswith("documents.lance")
+
+
+def test_lance_backend_declared_seam(tmp_path):
+    """No lance wheel in this sandbox: the switch must fail loudly with an
+    actionable message, not silently fall back."""
+    io.set_backend("lance")
+    with pytest.raises(ImportError, match="pylance"):
+        io.read_table(str(tmp_path / "x.lance"))
+    with pytest.raises(ImportError, match="pylance"):
+        io.write_fragment(pa.table({"a": [1]}), str(tmp_path / "f.lance"))
+
+
+def test_invalid_backend_rejected():
+    with pytest.raises(ValueError):
+        io.set_backend("orc")
+
+
+def test_fragment_write_is_parquet_on_default_backend(tmp_path):
+    p = str(tmp_path / "frag.parquet")
+    io.write_fragment(pa.table({"a": [1, 2, 3]}), p)
+    import pyarrow.parquet as pq
+
+    assert pq.read_table(p)["a"].to_pylist() == [1, 2, 3]
