@@ -28,6 +28,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from . import kernels as K
 from . import tiles as T
@@ -1041,12 +1042,27 @@ def polygonize_dist(ds, value_col: str = "values", N1: int | None = None):
 #   5. global dense-rank cleanup (f90:1333).
 # ---------------------------------------------------------------------------
 
-def hillslopes_dist(ds, N0: int, N1: int):
+def hillslopes_dist(ds, N0: int, N1: int, max_network_cells: int | None = None):
     """Tiles carry channels(int64), area(float32), fdir(int8), landmask.
-    Returns a cells Dataset (gi, gj, hillslope) for masked cells."""
+    Returns a cells Dataset (gi, gj, hillslope) for masked cells.
+
+    ``max_network_cells``: when set, any drainage network larger than this
+    is traced on its CHANNEL + SEED-RING subgraph only (channel cells plus
+    the non-channel cells whose fdir target is a channel cell) instead of
+    materializing the whole network in one map_groups worker. This is
+    bit-identical to the full trace: the hid-counter walk in
+    kernels.delineate_hillslopes advances only on channel-graph state
+    (sweep order, inflow counts, branch events), and each flood is the
+    disjoint upstream closure of one ring seed, so every interior cell's id
+    equals its entry seed's id — recovered here by a flow_inherit of the
+    seed position and a seed->hid lookup. Worker memory drops from
+    O(network area) to O(channel length). Asserted bit-equal to the
+    unsplit path in tests/test_terrain_dist.py."""
     import ray
 
     from . import properties as P
+
+    presplit = max_network_cells is not None
 
     def outlet_kernel(tr, padded):
         area_pad = padded["area"]
@@ -1063,9 +1079,16 @@ def hillslopes_dist(ds, N0: int, N1: int):
         oob = (gi_t < 0) | (gi_t >= N0) | (gj_t < 0) | (gj_t >= N1)
         down_area = np.where(has & ~oob, area_pad[1 + np.clip(d0, -1, n0), 1 + np.clip(d1, -1, n1)], UNDEF)
         is_outlet = (area != np.float32(UNDEF)) & (~has | oob | (down_area == np.float32(UNDEF)))
-        return {"is_outlet": is_outlet.astype(np.int8)}
+        out = {"is_outlet": is_outlet.astype(np.int8)}
+        if "channels" in padded:
+            ch = np.asarray(tr["channels"], dtype=np.int64).reshape(n0, n1)
+            down_ch = np.where(
+                has & ~oob, padded["channels"][1 + np.clip(d0, -1, n0), 1 + np.clip(d1, -1, n1)], 0
+            )
+            out["is_chseed"] = ((ch <= 0) & (area != np.float32(UNDEF)) & (down_ch > 0)).astype(np.int8)
+        return out
 
-    with_outlets = T.halo_map(ds, ["area"], outlet_kernel, width=1)
+    with_outlets = T.halo_map(ds, ["area"] + (["channels"] if presplit else []), outlet_kernel, width=1)
 
     def setup(meta, arrays):
         area = arrays["area"]
@@ -1081,8 +1104,36 @@ def hillslopes_dist(ds, N0: int, N1: int):
 
     netted = flow_inherit(with_outlets, setup, N0, N1, dead_default=-1.0, out_name="netid")
 
-    cells = P.tiles_to_cells(netted, ["channels", "area", "fdir", "landmask", "netid"])
+    cell_cols = ["channels", "area", "fdir", "landmask", "netid"]
+    if presplit:
+        # entry seed per cell: the last non-channel cell on its downstream
+        # path before the flow enters a channel — i.e. the flood root whose
+        # hillslope id the cell shares. Seeds are their own source; channel
+        # cells are barriers (-2) so seed positions never cross a channel.
+        def setup_entry(meta, arrays):
+            area = arrays["area"]
+            ch = arrays["channels"]
+            seed = arrays["is_chseed"]
+            n0, n1 = area.shape
+            gi = meta["i0"] + np.arange(n0)[:, None]
+            gj = meta["j0"] + np.arange(n1)[None, :]
+            flat = (gi * N1 + gj).astype(np.float64)
+            src = np.full(area.shape, np.nan)
+            src[ch > 0] = -2.0
+            src[seed == 1] = flat[seed == 1]
+            src[area == np.float32(UNDEF)] = -1.0
+            return src
+
+        netted = flow_inherit(netted, setup_entry, N0, N1, dead_default=-1.0, out_name="entryseed")
+        cell_cols += ["is_chseed", "entryseed"]
+
+    cells = P.tiles_to_cells(netted, cell_cols)
     cells = cells.filter(lambda r: r["netid"] >= 0)
+    if presplit:
+        # consumed by sizes, the outlet audit, and up to three pick()
+        # branches — pin the blocks once instead of re-running the
+        # inherit chain per consumer
+        cells = cells.materialize()
 
     def per_network(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) > 20_000_000:
@@ -1139,14 +1190,179 @@ def hillslopes_dist(ds, N0: int, N1: int):
         out["outlet_area"] = np.nan
         out["outlet_gi"] = -1
         out["outlet_gj"] = -1
+        out["kind"] = 0
+        meta["kind"] = 0
         return pd.concat([out, meta], ignore_index=True)
 
-    labeled = cells.groupby("netid").map_groups(per_network, batch_format="pandas").materialize()
+    COLS = ["gi", "gj", "raw", "net", "outlet_area", "outlet_gi", "outlet_gj", "kind"]
+
+    def per_network_sparse(g: pd.DataFrame) -> pd.DataFrame:
+        """Exact trace on the channel + seed-ring subgraph of one oversized
+        network. Emits the network's CHANNEL cell rows (raw = IUNDEF, kind
+        0), one seed->hid row per ring seed (kind 1 — consumed by the
+        interior paint, not part of the cell body), and the meta row."""
+        net = int(g["netid"].iloc[0])
+        gi = g["gi"].to_numpy(dtype=np.int64)
+        gj = g["gj"].to_numpy(dtype=np.int64)
+        i0, i1 = gi.min(), gi.max()
+        j0, j1 = gj.min(), gj.max()
+        h0, h1 = int(i1 - i0 + 1), int(j1 - j0 + 1)
+        ch = np.zeros((h0, h1), dtype=np.int64)
+        area = np.full((h0, h1), np.float32(UNDEF), dtype=np.float32)
+        fdir = np.full((h0, h1), -1, dtype=np.int8)
+        mask = np.zeros((h0, h1), dtype=np.int32)
+        li, lj = gi - i0, gj - j0
+        chv = g["channels"].to_numpy(dtype=np.int64)
+        ch[li, lj] = chv
+        area[li, lj] = g["area"].to_numpy(dtype=np.float32)
+        fdir[li, lj] = g["fdir"].to_numpy(dtype=np.int8)
+        mask[li, lj] = g["landmask"].to_numpy(dtype=np.int32)
+        raw, counter = K.delineate_hillslopes(ch, area, fdir, mask, cleanup=False, return_counter=True)
+        out = pd.DataFrame(
+            {
+                "gi": gi,
+                "gj": gj,
+                "raw": raw[li, lj],
+                "net": np.full(len(gi), net, dtype=np.int64),
+                "outlet_area": np.nan,
+                "outlet_gi": -1,
+                "outlet_gj": -1,
+                # channel rows are final cells (IUNDEF); seed rows carry the
+                # flood id their whole interior closure shares
+                "kind": np.where(chv > 0, 0, 1),
+            }
+        )
+        ogi, ogj = net // N1, net % N1
+        at_outlet = (gi == ogi) & (gj == ogj)
+        meta = pd.DataFrame(
+            {
+                "gi": [-1],
+                "gj": [-1],
+                "raw": [counter],
+                "net": [net],
+                "outlet_area": [float(g["area"].to_numpy(dtype=np.float64)[at_outlet][0])],
+                "outlet_gi": [int(ogi)],
+                "outlet_gj": [int(ogj)],
+                "kind": [0],
+            }
+        )
+        return pd.concat([out[COLS], meta[COLS]], ignore_index=True)
+
+    if presplit:
+        from ray.data.aggregate import Count
+
+        sizes = cells.groupby("netid").aggregate(Count(alias_name="n_cells")).to_pandas()
+        big_nets = sizes.loc[sizes["n_cells"] > max_network_cells, "netid"].to_numpy()
+        big_nets = np.sort(big_nets.astype(np.int64))
+    else:
+        big_nets = np.asarray([], dtype=np.int64)
+
+    if len(big_nets):
+        # the sparse trace requires a channel outlet (true for any network
+        # whose size came from real accumulation); verify, and route the
+        # exceptions through the full path with the skew warning
+        def outlet_rows(batch: pa.Table) -> pa.Table:
+            gi_ = batch["gi"].to_numpy(zero_copy_only=False).astype(np.int64)
+            gj_ = batch["gj"].to_numpy(zero_copy_only=False).astype(np.int64)
+            net_ = batch["netid"].to_numpy(zero_copy_only=False).astype(np.int64)
+            keep = (gi_ * N1 + gj_ == net_) & np.isin(net_, big_nets)
+            return pa.table(
+                {
+                    "netid": pa.array(net_[keep]),
+                    "ch_at_outlet": pa.array(batch["channels"].to_numpy(zero_copy_only=False).astype(np.int64)[keep]),
+                }
+            )
+
+        odf = cells.map_batches(outlet_rows, batch_format="pyarrow").to_pandas()
+        bad = odf.loc[odf["ch_at_outlet"] <= 0, "netid"].to_numpy(dtype=np.int64)
+        if len(bad):
+            import warnings
+
+            warnings.warn(
+                f"hillslopes_dist: {len(bad)} oversized network(s) have a "
+                "non-channel outlet; falling back to the full single-worker trace for them"
+            )
+            big_nets = np.setdiff1d(big_nets, bad)
+
+    if len(big_nets):
+        big_ref = ray.put(big_nets)
+
+        def pick(batch: pa.Table, want_big: bool, reduced: bool = False) -> pa.Table:
+            nets = batch["netid"].to_numpy(zero_copy_only=False).astype(np.int64)
+            m = np.isin(nets, ray.get(big_ref))
+            if not want_big:
+                return batch.filter(pa.array(~m))
+            if reduced:
+                chs = batch["channels"].to_numpy(zero_copy_only=False).astype(np.int64)
+                seeds = batch["is_chseed"].to_numpy(zero_copy_only=False).astype(np.int64)
+                m = m & ((chs > 0) | (seeds == 1))
+            else:
+                m = m & (batch["channels"].to_numpy(zero_copy_only=False).astype(np.int64) <= 0)
+            return batch.filter(pa.array(m))
+
+        labeled_small = (
+            cells.map_batches(lambda b: pick(b, False), batch_format="pyarrow")
+            .groupby("netid")
+            .map_groups(per_network, batch_format="pandas")
+        )
+        labeled_sparse = (
+            cells.map_batches(lambda b: pick(b, True, reduced=True), batch_format="pyarrow")
+            .groupby("netid")
+            .map_groups(per_network_sparse, batch_format="pandas")
+            .materialize()
+        )
+        seed_df = (
+            labeled_sparse.map_batches(
+                lambda b: b.filter(pc.equal(b["kind"], 1)).select(["gi", "gj", "raw", "net"]),
+                batch_format="pyarrow",
+            ).to_pandas()
+        )
+        if len(seed_df) > 5_000_000:
+            import warnings
+
+            warnings.warn(
+                f"hillslopes_dist: broadcasting {len(seed_df)} seed->hid rows; "
+                "beyond ~1e7 switch the interior paint to a Dataset hash join on (net, entryseed)"
+            )
+        smap_keys = (seed_df["net"].to_numpy(dtype=np.int64) * (N0 * N1) +
+                     seed_df["gi"].to_numpy(dtype=np.int64) * N1 + seed_df["gj"].to_numpy(dtype=np.int64))
+        order = np.argsort(smap_keys)
+        smap_ref = ray.put((smap_keys[order], seed_df["raw"].to_numpy(dtype=np.int64)[order]))
+
+        def paint_interior(batch: pa.Table) -> pa.Table:
+            keys_sorted, hids = ray.get(smap_ref)
+            nets = batch["netid"].to_numpy(zero_copy_only=False).astype(np.int64)
+            entry = batch["entryseed"].to_numpy(zero_copy_only=False).astype(np.int64)
+            k = nets * (N0 * N1) + entry
+            pos = np.searchsorted(keys_sorted, k)
+            ok = (pos < len(keys_sorted)) & (keys_sorted[np.clip(pos, 0, len(keys_sorted) - 1)] == k)
+            raws = np.where(ok, hids[np.clip(pos, 0, len(hids) - 1)], IUNDEF)
+            n = batch.num_rows
+            return pa.table(
+                {
+                    "gi": batch["gi"].cast(pa.int64()),
+                    "gj": batch["gj"].cast(pa.int64()),
+                    "raw": pa.array(raws, type=pa.int64()),
+                    "net": pa.array(nets, type=pa.int64()),
+                    "outlet_area": pa.array(np.full(n, np.nan)),
+                    "outlet_gi": pa.array(np.full(n, -1, dtype=np.int64)),
+                    "outlet_gj": pa.array(np.full(n, -1, dtype=np.int64)),
+                    "kind": pa.array(np.zeros(n, dtype=np.int64)),
+                }
+            )
+
+        painted_big = cells.map_batches(lambda b: pick(b, True), batch_format="pyarrow").map_batches(
+            paint_interior, batch_format="pyarrow"
+        )
+        sparse_cells_only = labeled_sparse.map_batches(
+            lambda b: b.filter(pc.equal(b["kind"], 0)), batch_format="pyarrow"
+        )
+        labeled = labeled_small.union(sparse_cells_only, painted_big).materialize()
+    else:
+        labeled = cells.groupby("netid").map_groups(per_network, batch_format="pandas").materialize()
     # the META side (one row per network) is the only thing the driver
     # sees; the labeled CELL table stays a Dataset end-to-end (round-2
     # de-drivering of VERDICT "What's wrong" #3)
-    import pyarrow.compute as pc
-
     meta = labeled.map_batches(
         lambda b: b.filter(pc.equal(b["gi"], -1)), batch_format="pyarrow"
     ).to_pandas()

@@ -265,3 +265,44 @@ def test_acc_wipoints_dist_bitexact(ray_session, tile):
     got_fdir = T.collect_grid(out, "fdir", dtype=np.int8)
     assert np.array_equal(got_fdir, want_fdir), f"tile={tile} fdir"
     assert np.array_equal(got_area, want_area), f"tile={tile}: {(got_area != want_area).sum()} differ"
+
+
+@pytest.mark.parametrize("name", ["twovalley", "cone"])
+def test_hillslopes_presplit_bitexact(ray_session, name):
+    """VERDICT r2 item 8: with max_network_cells forcing every network
+    through the channel+seed-ring sparse trace, the result must be
+    bit-identical to the unsplit path (the hid walk is channel-graph-only
+    state; floods are disjoint seed closures)."""
+    o = full_chain_oracle(name)
+    ds = T.make_tiles_dataset(
+        {"channels": o["channels"].astype(np.int64), "area": o["area"],
+         "fdir": o["fdir"].astype(np.int8), "landmask": o["mask"]},
+        16,
+    )
+    base = D.hillslopes_dist(ds, N, N).to_pandas()
+    # cap far below any network size -> every channel-outlet network splits
+    split = D.hillslopes_dist(ds, N, N, max_network_cells=10).to_pandas()
+    b = base.sort_values(["gi", "gj"]).reset_index(drop=True)
+    s = split.sort_values(["gi", "gj"]).reset_index(drop=True)
+    assert len(b) == len(s), f"{name}: row count {len(b)} vs {len(s)}"
+    assert (b["gi"].to_numpy() == s["gi"].to_numpy()).all()
+    assert (b["gj"].to_numpy() == s["gj"].to_numpy()).all()
+    assert (b["hillslope"].to_numpy() == s["hillslope"].to_numpy()).all(), (
+        f"{name}: {(b['hillslope'].to_numpy() != s['hillslope'].to_numpy()).sum()} cells differ"
+    )
+
+
+def test_hillslopes_presplit_noop_when_under_cap(ray_session):
+    """A cap larger than every network leaves the full path untouched."""
+    o = full_chain_oracle("twovalley")
+    ds = T.make_tiles_dataset(
+        {"channels": o["channels"].astype(np.int64), "area": o["area"],
+         "fdir": o["fdir"].astype(np.int8), "landmask": o["mask"]},
+        16,
+    )
+    base = D.hillslopes_dist(ds, N, N).to_pandas().sort_values(["gi", "gj"]).reset_index(drop=True)
+    capped = (
+        D.hillslopes_dist(ds, N, N, max_network_cells=10_000_000)
+        .to_pandas().sort_values(["gi", "gj"]).reset_index(drop=True)
+    )
+    assert (base["hillslope"].to_numpy() == capped["hillslope"].to_numpy()).all()
