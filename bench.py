@@ -246,7 +246,16 @@ def scaling():
     CPU-seconds and wall time is dominated by fixed startup, which measures
     overhead, not scaling."""
     lo, hi = 8, 32
-    repeats = int(os.environ.get("BENCH_SCALING_REPEATS", "2"))
+    # median of >= 3 fresh runs per level (round-2 verdict item 5: the
+    # 0.476-vs-0.659 spread on nominally identical runs says one run —
+    # or a best-of — proves little)
+    repeats = int(os.environ.get("BENCH_SCALING_REPEATS", "3"))
+
+    def median(vals):
+        s = sorted(vals)
+        m = len(s) // 2
+        return s[m] if len(s) % 2 else 0.5 * (s[m - 1] + s[m])
+
     res = {}
     for n in (lo, hi):
         env = dict(
@@ -257,19 +266,19 @@ def scaling():
             BENCH_N_DOCS=os.environ.get("BENCH_N_DOCS", "8000000"),
             BENCH_GEO_FRAC=os.environ.get("BENCH_GEO_FRAC", "0.8"),
         )
-        best = None
-        for _ in range(repeats):  # best-of-N: run variance on this host is ~10%
+        recs = []
+        for _ in range(repeats):
             out = subprocess.run(
                 [sys.executable, os.path.join(REPO, "bench.py")], env=env, capture_output=True, text=True, check=True
             ).stdout
-            rec = json.loads(out.strip().splitlines()[-1])
-            if best is None or rec["value"] < best["value"]:
-                if best is not None and "minhash_sec" in best:
-                    rec["minhash_sec"] = min(rec.get("minhash_sec", 1e18), best["minhash_sec"])
-                best = rec
-            elif "minhash_sec" in rec:
-                best["minhash_sec"] = min(rec["minhash_sec"], best.get("minhash_sec", 1e18))
-        res[n] = best
+            recs.append(json.loads(out.strip().splitlines()[-1]))
+        agg = dict(recs[0])
+        agg["value"] = round(median([r["value"] for r in recs]), 3)
+        agg["docs_per_sec"] = round(agg["n_docs"] / agg["value"], 1)
+        agg["runs_sec"] = [r["value"] for r in recs]
+        if all("minhash_sec" in r for r in recs):
+            agg["minhash_sec"] = round(median([r["minhash_sec"] for r in recs]), 3)
+        res[n] = agg
     t_lo, t_hi = res[lo]["value"], res[hi]["value"]
     eff = (t_lo / t_hi) / (hi / lo)
     rec = {
@@ -279,6 +288,10 @@ def scaling():
         "docs_per_sec_32": res[hi]["docs_per_sec"],
         "scaling_efficiency": round(eff, 3),
         "n_docs": res[lo]["n_docs"],
+        "runs_sec_8": res[lo]["runs_sec"],
+        "runs_sec_32": res[hi]["runs_sec"],
+        "repeats": repeats,
+        "aggregation": "median",
     }
     if "minhash_sec" in res[lo]:
         rec["minhash_sec_8"] = res[lo]["minhash_sec"]

@@ -259,6 +259,12 @@ def dem_grid(name: str, n: int) -> tuple[np.ndarray, np.ndarray]:
         dem = dem + 0.01 * noise
     elif name == "rough":
         dem = 100.0 + 0.3 * xx + 0.2 * yy + 2.0 * noise
+    elif name == "diagonal":
+        # adversarial for tiled dataflow: every cell funnels into ONE
+        # drainage line along the main diagonal, so the longest dependency
+        # chain crosses ~(2 * n/tile) tile boundaries — the worst case for
+        # halo-round counts in fill/acc (round-3 scale probe)
+        dem = 10.0 + 0.5 * (xx + yy) + 0.05 * np.abs(xx - yy)
     elif name == "masked":
         dem = 100.0 + 0.5 * xx + 0.25 * yy
         mask[:, : max(2, n // 8)] = False  # ocean strip on the west edge

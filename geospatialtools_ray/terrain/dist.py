@@ -214,6 +214,25 @@ def _tile_fill(z: np.ndarray, ring_z: np.ndarray, ring_w: np.ndarray, eps: np.fl
     return w
 
 
+def remove_pits_simple_dist(ds, res: float, **kw):
+    """DOCUMENTED NON-BIT-IDENTICAL scale variant of the reference's simple
+    pit removal (src/terrain_tools.f90:56-169; oracle:
+    kernels.remove_pits_simple).
+
+    The simple kernel's output is a function of the whole-grid scan order —
+    each raise reads neighbor values mutated earlier in the same pass — so
+    no distributed execution can reproduce it bit-for-bit (COVERAGE.md
+    §2.8 impossibility note). What callers actually rely on is the
+    DRAINAGE GUARANTEE: afterwards every masked cell has a monotonically
+    descending D8 path to the grid edge / nodata (no interior local
+    minimum). Planchon–Darboux fill provides exactly that guarantee with a
+    deterministic, tiling-independent result, which is why the reference
+    itself uses it for production runs; this wrapper makes the swap an
+    explicit, named API instead of a silent substitution. Asserted
+    pit-free in tests/test_terrain_dist.py."""
+    return fill_dist(ds, res, **kw)
+
+
 def fill_dist(ds, res: float, max_rounds: int = 1000, checkpoint_dir: str | None = None):
     """Iterative distributed Planchon-Darboux fill. Input tiles carry
     `dem`; output carries `demns`. Rounds ~= inter-tile drainage diameter.
@@ -1144,8 +1163,9 @@ def hillslopes_dist(ds, N0: int, N1: int, max_network_cells: int | None = None):
 
             warnings.warn(
                 f"hillslopes_dist: network {int(g['netid'].iloc[0])} has "
-                f"{len(g)} cells in one map_groups worker — raise the "
-                "channel threshold or pre-split basins to bound this"
+                f"{len(g)} cells in one map_groups worker — pass "
+                "max_network_cells to trace oversized networks on their "
+                "channel+seed-ring subgraph (bit-identical, O(channel length) memory)"
             )
         gi = g["gi"].to_numpy(dtype=np.int64)
         gj = g["gj"].to_numpy(dtype=np.int64)

@@ -306,3 +306,27 @@ def test_hillslopes_presplit_noop_when_under_cap(ray_session):
         .to_pandas().sort_values(["gi", "gj"]).reset_index(drop=True)
     )
     assert (base["hillslope"].to_numpy() == capped["hillslope"].to_numpy()).all()
+
+
+@pytest.mark.parametrize("name", ["pit", "twovalley"])
+def test_remove_pits_simple_dist_drainage_guarantee(ray_session, name):
+    """The documented scale variant of simple pit removal must leave no
+    interior local minimum (the guarantee callers depend on), even though
+    it is not bit-identical to the scan-order kernel."""
+    z, mask = fixture_grids(name)
+    ds = tiles_ds({"dem": z}, 16)
+    out = D.remove_pits_simple_dist(ds, RES)
+    w = collect(out, "demns")
+    interior = w[1:-1, 1:-1]
+    nb = np.stack([
+        w[0:-2, 0:-2], w[0:-2, 1:-1], w[0:-2, 2:], w[1:-1, 0:-2],
+        w[1:-1, 2:], w[2:, 0:-2], w[2:, 1:-1], w[2:, 2:],
+    ])
+    is_min = (interior < nb.min(axis=0)) & (interior != np.float32(K.UNDEF))
+    # strict local minima would trap flow; P&D guarantees none remain
+    assert not is_min.any() or (interior[is_min] == np.float32(K.UNDEF)).all()
+    # every cell drains: D8 fdir on the filled surface has no undrained
+    # interior cell (fdir valid wherever dem was valid)
+    fdir = K.d8_fdir(w, RES)
+    valid = w != np.float32(K.UNDEF)
+    assert (fdir[valid] >= 0).all()
