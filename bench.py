@@ -190,7 +190,10 @@ def run_minhash_probe(corpus_path: str) -> float:
     files = sorted(
         os.path.join(corpus_path, f) for f in os.listdir(corpus_path) if f.endswith(".parquet")
     )
-    subset = files[:: max(len(files) // 80, 1)]  # ~80 files ~ 1M docs on the 8M corpus
+    # ~half the corpus (~4M docs on the 8M corpus): the vectorized sketch
+    # runs ~40us/doc, so ~1M docs finished in ~5 s — too short to separate
+    # scaling from fixed startup; this sizes the probe to ~20 s at 8 CPUs
+    subset = files[:: max(len(files) // 320, 1)]
 
     def sig(batch: pa.Table) -> pa.Table:
         spans = batch["spans"].combine_chunks()
