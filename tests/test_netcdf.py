@@ -1,0 +1,100 @@
+"""NetCDF-3 classic writer + GrADS utilities (reference parity:
+libraries/netcdf_tools.py:72-160, grads_tools.py:23-35)."""
+
+import datetime
+
+import numpy as np
+import pytest
+
+from geospatialtools_ray.sources import netcdf as nc
+
+
+def test_gradstime_roundtrip():
+    d = datetime.datetime(2003, 2, 7, 6)
+    s = nc.datetime2gradstime(d)
+    assert s == "06Z07feb2003"
+    assert nc.gradstime2datetime(s) == d
+    assert nc.gradstime2datetime("18Z31dec1999") == datetime.datetime(1999, 12, 31, 18)
+
+
+def test_control_file_nc(tmp_path):
+    p = str(tmp_path / "run.ctl")
+    nc.write_control_file(datetime.datetime(2004, 5, 1, 0), 24, "1hr", "out_%y4%m2.nc", p)
+    lines = open(p).read().splitlines()
+    assert lines[0] == "dset out_%y4%m2.nc"
+    assert lines[1] == "options template"
+    assert lines[2] == "dtype netcdf"
+    assert lines[3] == "tdef t 24 linear 00Z01may2004 1hr"
+
+
+def test_control_file_binary(tmp_path):
+    p = str(tmp_path / "run.ctl")
+    dims = {"undef": -9999.0, "nlon": 10, "nlat": 8, "minlon": -100.0, "minlat": 30.0, "res": 0.5}
+    nc.write_control_file_binary(datetime.datetime(2004, 5, 1, 0), dims, 4, "1dy", "d.bin", p, ["sm", "et"])
+    txt = open(p).read()
+    assert "xdef 10 linear -100.000000 0.500000" in txt
+    assert "vars 2" in txt and "sm 0 99 sm" in txt and txt.rstrip().endswith("endvars")
+
+
+def test_netcdf3_static_roundtrip(tmp_path):
+    md = {
+        "nlat": 6, "nlon": 9, "res": 0.25, "minlon": -80.0, "minlat": 35.0,
+        "undef": -9999.0, "nt": 0, "vars": ["slope", "hand"],
+        "vars_info": ["Slope", "Height above nearest drainage"],
+        "file": str(tmp_path / "static.nc"),
+    }
+    rng = np.random.default_rng(0)
+    grids = {"slope": rng.random((6, 9)).astype(np.float32), "hand": rng.random((6, 9)).astype(np.float32)}
+    path = nc.create_netcdf_file(md, grids)
+    assert open(path, "rb").read(4) == b"CDF\x01"
+    got = nc.read_netcdf3(path)
+    assert got["dims"] == [("lon", 9), ("lat", 6)]
+    v = got["variables"]
+    # cell-center offset quirk (netcdf_tools.py:76-77): min + res/2
+    assert v["lon"]["data"][0] == pytest.approx(-80.0 + 0.125)
+    assert v["lat"]["attrs"]["units"] == "degrees_north"
+    assert v["slope"]["attrs"]["long_name"] == "Slope"
+    assert np.float32(v["hand"]["attrs"]["_FillValue"]) == np.float32(-9999.0)
+    np.testing.assert_array_equal(v["slope"]["data"], grids["slope"])
+    np.testing.assert_array_equal(v["hand"]["data"], grids["hand"])
+
+
+def test_netcdf3_time_series_roundtrip(tmp_path):
+    md = {
+        "nlat": 4, "nlon": 5, "res": 1.0, "minlon": 0.0, "minlat": 0.0,
+        "undef": -9999.0, "nt": 3, "tstep": "1hr",
+        "tinitial": datetime.datetime(2004, 1, 1, 6), "tinitial_all": datetime.datetime(2004, 1, 1, 0),
+        "vars": ["sm"], "file": str(tmp_path / "ts.nc"),
+    }
+    data = np.arange(3 * 4 * 5, dtype=np.float32).reshape(3, 4, 5)
+    path = nc.create_netcdf_file(md, {"sm": data})
+    got = nc.read_netcdf3(path)
+    assert got["dims"][0] == ("t", 3)
+    t = got["variables"]["t"]
+    # initial offset: (tinitial - tinitial_all) in hours = 6
+    np.testing.assert_array_equal(t["data"], [6.0, 7.0, 8.0])
+    assert t["attrs"]["units"] == "hours since 2004-01-01 00:00:00.0"
+    np.testing.assert_array_equal(got["variables"]["sm"]["data"], data)
+
+
+def test_netcdf3_shape_validation(tmp_path):
+    md = {"nlat": 4, "nlon": 5, "res": 1.0, "minlon": 0.0, "minlat": 0.0,
+          "undef": -9999.0, "nt": 0, "vars": ["x"], "file": str(tmp_path / "bad.nc")}
+    with pytest.raises(ValueError, match="shape"):
+        nc.create_netcdf_file(md, {"x": np.zeros((5, 4), dtype=np.float32)})
+
+
+def test_netcdf_sink_from_tiles(ray_session, tmp_path):
+    """Interchange path: tile Dataset -> grid -> .nc (driver-side by design;
+    NetCDF-3 is one contiguous file — the engine's bulk sink stays
+    partitioned parquet via io.py)."""
+    from geospatialtools_ray.terrain import tiles as T
+
+    grid = np.arange(32 * 32, dtype=np.float32).reshape(32, 32)
+    ds = T.make_tiles_dataset({"slope": grid}, 16)
+    assembled = T.collect_grid(ds, "slope")
+    md = {"nlat": 32, "nlon": 32, "res": 0.1, "minlon": -10.0, "minlat": 40.0,
+          "undef": -9999.0, "nt": 0, "vars": ["slope"], "file": str(tmp_path / "tiles.nc")}
+    path = nc.create_netcdf_file(md, {"slope": assembled})
+    got = nc.read_netcdf3(path)
+    np.testing.assert_array_equal(got["variables"]["slope"]["data"], grid)
