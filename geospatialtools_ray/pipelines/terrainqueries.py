@@ -227,16 +227,26 @@ def terrain_hru_properties(sf_dir: str):
         "slope": (0.0, float(agg["max(slope)"])),
     }
     hrus_df = P.create_hrus_grouped(cells, ["demns", "slope"], ranges, nclusters=2)
-    # paint HRU ids back onto the cell covariates (driver-side merge at
-    # this fixture scale; the 100-TB shape is a Dataset hash join on
-    # (gi, gj) — see stages/dedup.py's verified-pair join for the pattern)
-    cdf = cells.to_pandas()
-    m = cdf.merge(hrus_df, on=["gi", "gj"], how="inner")
-    cells2 = rd.from_pandas(
-        m[["hru", "hillslopes", "slope", "hand"]].rename(columns={"hru": "hrus"})
+    # paint HRU ids back onto the cell covariates with the engine's
+    # large-large path: a hash-partitioned Dataset join on the packed cell
+    # key (pipelines/joins.py). At 100 TB both sides shuffle on gpos; at
+    # fixture scale the same code runs with a handful of partitions.
+    from . import joins as J
+
+    def with_gpos(b: pa.Table) -> pa.Table:
+        gi = b["gi"].to_numpy(zero_copy_only=False).astype(np.int64)
+        gj = b["gj"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return b.append_column("gpos", pa.array(gi * N + gj, type=pa.int64()))
+
+    hru_ds = rd.from_pandas(hrus_df).map_batches(with_gpos, batch_format="pyarrow").select_columns(["gpos", "hru"])
+    joined = J.hash_join(
+        cells.map_batches(with_gpos, batch_format="pyarrow"), hru_ds, on="gpos", num_partitions=4
+    ).materialize()  # consumed by both hru_properties and the tile lookup
+    cells2 = joined.select_columns(["hru", "hillslopes", "slope", "hand"]).map_batches(
+        lambda b: b.rename_columns(["hrus", "hillslopes", "slope", "hand"]), batch_format="pyarrow"
     )
     props = P.hru_properties(cells2, RES)
-    tile_of = m.groupby("hru")["tiles"].first()
+    tile_of = joined.select_columns(["hru", "tiles"]).to_pandas().groupby("hru")["tiles"].first()
     props["tile_id"] = props["hru"].map(tile_of).astype("int64")
     return OF.finalize_hru_table(props, hillslopes, hand)
 
