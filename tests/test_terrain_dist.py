@@ -330,3 +330,16 @@ def test_remove_pits_simple_dist_drainage_guarantee(ray_session, name):
     fdir = K.d8_fdir(w, RES)
     valid = w != np.float32(K.UNDEF)
     assert (fdir[valid] >= 0).all()
+
+
+def test_mfd_dist_halo_independent(ray_session):
+    """The wide-halo ready-cell engine must give the same bits at any halo
+    width (band cells are resolved redundantly and identically)."""
+    dem, _ = synth.dem_grid("twovalley", N)
+    dem = dem.astype(np.float32)
+    want = K.mfd_accumulate(dem, RES, 1.1)
+    ds = T.make_tiles_dataset({"demns": dem}, 16)
+    for halo in (2, 8):
+        out = D.mfd_acc_dist(ds, RES, 1.1, N, N, halo=halo)
+        got = T.collect_grid(out, "mfdacc", dtype=np.float32)
+        assert np.array_equal(got, want), f"halo={halo}"
