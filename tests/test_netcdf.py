@@ -98,3 +98,40 @@ def test_netcdf_sink_from_tiles(ray_session, tmp_path):
     path = nc.create_netcdf_file(md, {"slope": assembled})
     got = nc.read_netcdf3(path)
     np.testing.assert_array_equal(got["variables"]["slope"]["data"], grid)
+
+
+def test_reference_workflow_end_to_end(ray_session, tmp_path):
+    """The reference's canonical workflow, on this engine: GeoTIFF in ->
+    tiled Dataset -> distributed fill/slope -> NetCDF-3 out + GrADS ctl —
+    i.e. a user of the reference can run their pipeline here with files in
+    the formats they already have."""
+    import numpy as np
+
+    from geospatialtools_ray import synth
+    from geospatialtools_ray.sources import raster as R
+    from geospatialtools_ray.terrain import dist as D
+    from geospatialtools_ray.terrain import kernels as K
+    from geospatialtools_ray.terrain import tiles as T
+
+    N, RES = 32, 30.0
+    dem, _ = synth.dem_grid("pit", N)
+    tif = str(tmp_path / "dem.tif")
+    R.write_geotiff(tif, dem.astype(np.float32), gt=(-100.0, 0.01, 0, 40.0, 0, -0.01), nodata=-9999.0)
+
+    ds, meta = R.raster_file_to_tiles(tif, tile=16, col="dem")
+    assert meta["nodata"] == -9999.0
+    filled = D.fill_dist(ds, RES)
+    want = K.fill_pits(dem.astype(np.float32), RES)
+    got = T.collect_grid(filled, "demns")
+    assert np.array_equal(got, want)
+
+    md = {"nlat": N, "nlon": N, "res": 0.01, "minlon": -100.0, "minlat": 40.0 - 0.01 * N,
+          "undef": -9999.0, "nt": 0, "vars": ["demns"],
+          "vars_info": ["Pit-filled elevation"], "file": str(tmp_path / "out.nc")}
+    path = nc.create_netcdf_file(md, {"demns": got})
+    back = nc.read_netcdf3(path)
+    np.testing.assert_array_equal(back["variables"]["demns"]["data"], got.astype(np.float32))
+
+    ctl = str(tmp_path / "out.ctl")
+    nc.write_control_file(datetime.datetime(2004, 1, 1), 1, "1dy", "out.nc", ctl)
+    assert "dtype netcdf" in open(ctl).read()
