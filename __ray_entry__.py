@@ -94,6 +94,7 @@ _SQL_CHECKED: dict[str, tuple[Callable[[str], Any], str]] = {
     "events_nd_histogram": (TQ.events_nd_histogram, OF.EVENTS_ND_HISTOGRAM_SQL),
     "soil_fao_texture": (TQ.soil_fao_texture, TQ.SOIL_FAO_TEXTURE_SQL),
     "docs_normalize": (TQ.docs_normalize, TQ.DOCS_NORMALIZE_SQL),
+    "docs_media_features": (X.docs_media_features, OF.DOCS_MEDIA_FEATURES_SQL),
 }
 
 # rows-only checks (none left — every query has an oracle)

@@ -411,3 +411,46 @@ def ann_ivf_topk(sf_dir: str):
     out["vec_id"] = out["vec_id"].astype("int64")
     out["cos_sim"] = out["cos_sim"].round(6)
     return out.sort_values(["query_id", "vec_id"]).reset_index(drop=True)
+
+
+def docs_media_features(sf_dir: str):
+    """Multimodal plumbing, driver-green: derive a media ref per document,
+    synthesize the deterministic fake payload (binary column), decode with
+    the actor-pool stage (small batches, Arrow throughout), and emit a
+    per-doc feature summary. Oracle: per-doc naive-loop twin
+    (oracle_fixtures.stage_docs_media_features)."""
+    from . import oracle_fixtures as OF
+
+    OF.stage_docs_media_features(sf_dir)
+    from ..stages.multimodal import decode_pipeline, synth_media_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = synth_media_batch([f"media-{d}" for d in ids])
+        return t.append_column("doc_id", pa.array(ids, type=pa.int64()))
+
+    media = ds.map_batches(to_media, batch_format="pyarrow")
+    decoded = decode_pipeline(media, concurrency=(1, 4), batch_size=64)
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        feats = batch["image_features"]
+        n = batch.num_rows
+        f = np.asarray(feats.combine_chunks().flatten(), dtype=np.float32).reshape(n, -1)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "media_kind": batch["media_kind"],
+                "n_bytes": pc.binary_length(batch["media_bytes"]).cast(pa.int64()),
+                "width": batch["width"].cast(pa.int64()),
+                "height": batch["height"].cast(pa.int64()),
+                "feat_sum_um": pa.array(np.round(f.sum(axis=1, dtype=np.float64) * 1e6).astype(np.int64)),
+            }
+        )
+
+    df = decoded.map_batches(summarize, batch_format="pyarrow").to_pandas()
+    df["media_kind"] = df["media_kind"].astype(str)
+    return df.sort_values("doc_id").reset_index(drop=True)

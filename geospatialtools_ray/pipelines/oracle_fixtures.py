@@ -843,3 +843,40 @@ def stage_events_nd_histogram(sf_dir: str, nbins=(8, 6)) -> str:
 
 
 EVENTS_ND_HISTOGRAM_SQL = O.fixture_sql("events_nd_histogram", "bin_id")
+
+
+def stage_docs_media_features(sf_dir: str, feature_dim: int = 16) -> str:
+    """Single-process twin of the multimodal decode pipeline: per-doc
+    naive loop over synth_media_batch payload + ImageDecode fake kernel.
+    Like the ANN fixtures, the fake codec itself is shared (it IS the
+    stub's definition — no independent formulation exists for a stubbed
+    kernel); what the oracle proves is the DISTRIBUTION: actor-pool
+    batching, binary column handling, fixed-size-list schema, and result
+    completeness across blocks."""
+    import pyarrow.parquet as pq
+
+    from ..stages.multimodal import ImageDecode, synth_media_batch
+
+    doc_ids = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])["doc_id"].to_pylist()
+    dec = ImageDecode(feature_dim=feature_dim, use_fake=True)
+    rows = []
+    for d in sorted(doc_ids):
+        t = synth_media_batch([f"media-{d}"])  # one-doc batch = naive loop
+        blob = t["media_bytes"][0].as_py()
+        feats = dec._decode_fake(blob)
+        rows.append(
+            {
+                "doc_id": int(d),
+                "media_kind": t["media_kind"][0].as_py(),
+                "n_bytes": len(blob),
+                "width": int(t["width"][0].as_py()),
+                "height": int(t["height"][0].as_py()),
+                # the stage stores features as float32; sum them in float64
+                # exactly as the query's summarize kernel does
+                "feat_sum_um": int(round(float(np.asarray(feats, dtype=np.float32).astype(np.float64).sum()) * 1e6)),
+            }
+        )
+    return O.stage_fixture("docs_media_features", pd.DataFrame(rows))
+
+
+DOCS_MEDIA_FEATURES_SQL = O.fixture_sql("docs_media_features", "doc_id")
