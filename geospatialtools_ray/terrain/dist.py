@@ -233,6 +233,43 @@ def remove_pits_simple_dist(ds, res: float, **kw):
     return fill_dist(ds, res, **kw)
 
 
+def _ckpt_resume(checkpoint_dir: str | None):
+    """Round-checkpoint resume half: returns (start_round, cur | None) from
+    the newest complete round under checkpoint_dir (atomic _DONE marker)."""
+    import os
+
+    if not (checkpoint_dir and os.path.isdir(checkpoint_dir)):
+        return 0, None
+    done_rounds = sorted(
+        int(d.split("-")[1]) for d in os.listdir(checkpoint_dir)
+        if d.startswith("round-") and os.path.exists(os.path.join(checkpoint_dir, d, "_DONE"))
+    )
+    if not done_rounds:
+        return 0, None
+    import ray.data as rd
+
+    return done_rounds[-1] + 1, rd.read_parquet(
+        os.path.join(checkpoint_dir, f"round-{done_rounds[-1]}")
+    ).materialize()
+
+
+def _ckpt_commit(checkpoint_dir: str, rnd: int, cur):
+    """Round-checkpoint commit half: write round-<rnd> as parquet, mark
+    _DONE, drop older rounds. Returns the materialized dataset so the loop
+    continues from pinned blocks."""
+    import os
+    import shutil
+
+    rdir = os.path.join(checkpoint_dir, f"round-{rnd}")
+    cur = cur.materialize()
+    cur.write_parquet(rdir)
+    open(os.path.join(rdir, "_DONE"), "w").close()
+    for d in os.listdir(checkpoint_dir):
+        if d.startswith("round-") and d != f"round-{rnd}":
+            shutil.rmtree(os.path.join(checkpoint_dir, d), ignore_errors=True)
+    return cur
+
+
 def fill_dist(ds, res: float, max_rounds: int = 1000, checkpoint_dir: str | None = None):
     """Iterative distributed Planchon-Darboux fill. Input tiles carry
     `dem`; output carries `demns`. Rounds ~= inter-tile drainage diameter.
@@ -253,18 +290,7 @@ def fill_dist(ds, res: float, max_rounds: int = 1000, checkpoint_dir: str | None
             w.append(wi.ravel())
         return batch.append_column("demns", pa.array([x for x in w], type=pa.list_(pa.float32())))
 
-    start_round = 0
-    cur = None
-    if checkpoint_dir and os.path.isdir(checkpoint_dir):
-        done_rounds = sorted(
-            int(d.split("-")[1]) for d in os.listdir(checkpoint_dir)
-            if d.startswith("round-") and os.path.exists(os.path.join(checkpoint_dir, d, "_DONE"))
-        )
-        if done_rounds:
-            import ray.data as rd
-
-            start_round = done_rounds[-1] + 1
-            cur = rd.read_parquet(os.path.join(checkpoint_dir, f"round-{done_rounds[-1]}")).materialize()
+    start_round, cur = _ckpt_resume(checkpoint_dir)
     if cur is None:
         cur = ds.map_batches(init, batch_format="pyarrow").materialize()
     cap = _loop_cap(cur)
@@ -283,16 +309,7 @@ def fill_dist(ds, res: float, max_rounds: int = 1000, checkpoint_dir: str | None
         )
         cur = _rebound(nxt, nxt.drop_columns(["n_changed"]), cap)
         if checkpoint_dir:
-            rdir = os.path.join(checkpoint_dir, f"round-{rnd}")
-            cur = cur.materialize()
-            cur.write_parquet(rdir)
-            open(os.path.join(rdir, "_DONE"), "w").close()
-            # keep only the newest complete round
-            for d in os.listdir(checkpoint_dir):
-                if d.startswith("round-") and d != f"round-{rnd}":
-                    import shutil
-
-                    shutil.rmtree(os.path.join(checkpoint_dir, d), ignore_errors=True)
+            cur = _ckpt_commit(checkpoint_dir, rnd, cur)
         if total_changed == 0:
             break
     return cur
@@ -372,9 +389,12 @@ def _tile_acc(fdir: np.ndarray, ext_in: np.ndarray):
     return count, [(int(i), int(j), int(down0[i, j]), int(down1[i, j]), int(count[i, j])) for i, j in oc]
 
 
-def acc_dist(ds, tile_size: int, N0: int, N1: int, max_rounds: int = 1000):
+def acc_dist(ds, tile_size: int, N0: int, N1: int, max_rounds: int = 1000, checkpoint_dir: str | None = None):
     """Iterative distributed D8 accumulation. Tiles carry `fdir`; output
-    adds `acc` (int64 upstream cell count incl. self)."""
+    adds `acc` (int64 upstream cell count incl. self).
+
+    checkpoint_dir: optional per-round parquet checkpoints (same
+    resume-from-newest-complete-round contract as fill_dist)."""
 
     def init(batch: pa.Table) -> pa.Table:
         e = []
@@ -384,10 +404,12 @@ def acc_dist(ds, tile_size: int, N0: int, N1: int, max_rounds: int = 1000):
             e.append(np.zeros(n0 * n1, dtype=np.int64))
         return batch.append_column("ext_in", pa.array([x for x in e], type=pa.list_(pa.int64())))
 
-    cur = ds.map_batches(init, batch_format="pyarrow").materialize()
+    start_round, cur = _ckpt_resume(checkpoint_dir)
+    if cur is None:
+        cur = ds.map_batches(init, batch_format="pyarrow").materialize()
     cap = _loop_cap(cur)
     cur = _loop_enter(cur, cap)
-    for _ in range(max_rounds):
+    for rnd in range(start_round, max_rounds):
         def emit(batch: pa.Table) -> pa.Table:
             rows = {"tx": [], "ty": [], "tag": [], "e_idx": [], "e_cnt": []}
             passthrough = {c: [] for c in batch.column_names}
@@ -473,6 +495,8 @@ def acc_dist(ds, tile_size: int, N0: int, N1: int, max_rounds: int = 1000):
         )
         _t2 = _time.monotonic()
         cur = _rebound(nxt, nxt.drop_columns(["n_changed"]), cap)
+        if checkpoint_dir:
+            cur = _ckpt_commit(checkpoint_dir, rnd, cur)
         if _os.environ.get("GRAFT_ACC_DEBUG"):
             print(f"acc round changed={total_changed} mat={_t1-_t0:.1f}s cnt={_t2-_t1:.1f}s blocks={nxt.num_blocks()}", flush=True)
         if total_changed == 0:
@@ -1509,7 +1533,7 @@ def _oob_pad_to(pad: np.ndarray, tr: dict, N0: int, N1: int, width: int, value) 
 
 def mfd_acc_dist(
     ds, res: float, p: float, N0: int, N1: int, dem_col: str = "demns",
-    halo: int = 4, max_rounds: int = 10000,
+    halo: int = 4, max_rounds: int = 10000, checkpoint_dir: str | None = None,
 ):
     """Distributed MFD accumulation: catch(c) = 1 + sum over strictly
     higher neighbors n of fract(n->c) * catch(n), folded per cell in POS
@@ -1536,7 +1560,9 @@ def mfd_acc_dist(
             vals.append(np.full(n0 * n1, np.nan, dtype=np.float32))
         return batch.append_column("mfdacc", pa.array([x for x in vals], type=pa.list_(pa.float32())))
 
-    cur = fract_ds.map_batches(init, batch_format="pyarrow").materialize()
+    start_round, cur = _ckpt_resume(checkpoint_dir)
+    if cur is None:
+        cur = fract_ds.map_batches(init, batch_format="pyarrow").materialize()
     cap = _loop_cap(cur)
     cur = _loop_enter(cur, cap)
     fcols = [f"mfdf{k}" for k in range(8)]
@@ -1544,7 +1570,7 @@ def mfd_acc_dist(
     back = _back_idx()
     w = halo
 
-    for _ in range(max_rounds):
+    for rnd in range(start_round, max_rounds):
 
         def kernel(tr, padded):
             n0, n1 = int(tr["n0"]), int(tr["n1"])
@@ -1584,6 +1610,8 @@ def mfd_acc_dist(
         nxt = T.halo_map(cur, halo_cols, kernel, width=w).materialize()
         total = sum(int(np.asarray(x)[0]) for x in nxt.select_columns(["n_unres"]).to_pandas()["n_unres"])
         cur = _rebound(nxt, nxt.drop_columns(["n_unres"]), cap)
+        if checkpoint_dir:
+            cur = _ckpt_commit(checkpoint_dir, rnd, cur)
         if total == 0:
             break
     return cur

@@ -343,3 +343,33 @@ def test_mfd_dist_halo_independent(ray_session):
         out = D.mfd_acc_dist(ds, RES, 1.1, N, N, halo=halo)
         got = T.collect_grid(out, "mfdacc", dtype=np.float32)
         assert np.array_equal(got, want), f"halo={halo}"
+
+
+@pytest.mark.parametrize("op", ["acc", "mfd"])
+def test_round_checkpoint_resume_acc_mfd(ray_session, tmp_path, op):
+    """The fill_dist round-checkpoint contract now covers the accumulation
+    loops too: a partial run leaves a complete round on disk; the rerun
+    resumes from it and finishes bit-identical to an uncheckpointed run."""
+    import os
+
+    z, mask = fixture_grids("twovalley")
+    w = K.fill_pits(z, RES)
+    ck = str(tmp_path / f"{op}_ck")
+    if op == "acc":
+        fdir = K.d8_fdir(w, RES)
+        want = K.d8_accumulate(fdir)
+        ds = tiles_ds({"fdir": fdir.astype(np.int8), "landmask": mask}, 16)
+        D.acc_dist(ds, 16, N, N, max_rounds=1, checkpoint_dir=ck)
+        assert any(d.startswith("round-") for d in os.listdir(ck))
+        out = D.acc_dist(ds, 16, N, N, checkpoint_dir=ck)
+        got = collect(out, "acc")
+    else:
+        dem, _ = synth.dem_grid("twovalley", N)
+        dem = dem.astype(np.float32)
+        want = K.mfd_accumulate(dem, RES, 1.1)
+        ds = tiles_ds({"demns": dem}, 16)
+        D.mfd_acc_dist(ds, RES, 1.1, N, N, max_rounds=1, checkpoint_dir=ck)
+        assert any(d.startswith("round-") for d in os.listdir(ck))
+        out = D.mfd_acc_dist(ds, RES, 1.1, N, N, checkpoint_dir=ck)
+        got = collect(out, "mfdacc", dtype=np.float32)
+    assert np.array_equal(got, want), op
