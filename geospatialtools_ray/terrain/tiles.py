@@ -12,7 +12,15 @@ Stencil stages need neighbor edge values: `exchange_halo` emits per-tile
 edge strips keyed by the receiving tile (a map_batches), then groups
 strips with their target tile (ONE shuffle keyed by (tx,ty)) and
 assembles padded arrays inside map_groups. Tile size is chosen so a padded
-float32 tile stays well under the block target (SURVEY.md section 4).
+float32 tile stays well under the block target (SURVEY.md section 4;
+`suggest_tile_size` computes it from the block target and column count).
+
+Note on the per-row Python in this module (table_rows_to_dicts,
+rows_to_table, the loops in emit_halo_strips): a ROW here is a whole
+tile — 262,144 cells at the production 512^2 size — so the Python-level
+iteration is per-tile (coarse), and every per-cell operation inside it is
+a vectorized numpy/Arrow kernel on the tile's contiguous payload buffer.
+This is the granularity rule, not a hot-path row loop.
 """
 
 from __future__ import annotations
@@ -107,6 +115,26 @@ def tile_payload(batch: pa.Table, col: str, row: int) -> np.ndarray:
     except AttributeError:  # Ray's ArrowTensorScalar (uniform-length lists)
         arr = np.asarray(cell.as_py())
     return arr.reshape(n0, n1)
+
+
+def suggest_tile_size(n_payload_cols: int, dtype_bytes: int = 4, halo: int = 1, target_bytes: int | None = None) -> int:
+    """Largest power-of-two tile side such that a few padded tiles fit one
+    Ray block (default target: DataContext.target_max_block_size, 128 MiB).
+    Bigger tiles amortize halo-round fixed costs (measured: per-cell cost
+    FALLS 2-3x per tile-size doubling on the fill/acc chain, BASELINE.md);
+    the block target is the ceiling — a batch of ~4 padded tiles x
+    concurrency must fit the worker heap."""
+    if target_bytes is None:
+        from ray.data import DataContext
+
+        target_bytes = DataContext.get_current().target_max_block_size or (128 << 20)
+    budget = target_bytes // 4  # ~4 tiles per block
+    side = 64
+    while True:
+        nxt = side * 2
+        if (nxt + 2 * halo) ** 2 * dtype_bytes * max(1, n_payload_cols) > budget or nxt > 8192:
+            return side
+        side = nxt
 
 
 def make_tiles_dataset(grids: dict[str, np.ndarray], tile: int, parallelism: int | None = None):

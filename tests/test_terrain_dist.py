@@ -373,3 +373,12 @@ def test_round_checkpoint_resume_acc_mfd(ray_session, tmp_path, op):
         out = D.mfd_acc_dist(ds, RES, 1.1, N, N, checkpoint_dir=ck)
         got = collect(out, "mfdacc", dtype=np.float32)
     assert np.array_equal(got, want), op
+
+
+def test_suggest_tile_size(ray_session):
+    s2 = T.suggest_tile_size(2)
+    s16 = T.suggest_tile_size(16)
+    assert s2 >= s16 >= 64  # more columns -> smaller (or equal) tiles
+    # padded footprint respects the block budget (~4 tiles per 128MiB block)
+    assert (s16 + 2) ** 2 * 4 * 16 <= (128 << 20) // 4
+    assert T.suggest_tile_size(1, target_bytes=64 << 20) <= T.suggest_tile_size(1, target_bytes=512 << 20)
