@@ -55,12 +55,10 @@ def terrain_mfd_stats(sf_dir: str):
     ac = D.acc_dist(fd, TILE, N, N)
     ar = D.area_from_acc(ac, RES)
     chds, _ = D.channels_dist(ar, 8 * RES * RES, 16 * RES * RES, N, N)
-    # halo=8 halves the round count on the 16-wide fixture tiles; the
-    # ordered-fold result is halo-independent (band cells are resolved
-    # redundantly and identically by both neighbors), asserted below by
-    # the oracle compare and in pytest at halo=8
-    mfd = D.mfd_acc_dist(chds, RES, 1.1, N, N, halo=8)
-    out = D.hand_mfd_dist(mfd, 1, RES, N, N, halo=8)
+    # default halo = tile size: rounds equal the dependency chain's
+    # tile-crossing count (halo-independent bits, asserted in pytest)
+    mfd = D.mfd_acc_dist(chds, RES, 1.1, N, N)
+    out = D.hand_mfd_dist(mfd, 1, RES, N, N)
     df = _cells_df(out, ["mfdacc", "handmfd"])
     hv = df["handmfd"].to_numpy(dtype=np.float64)
     valid = df["handmfd"].to_numpy(dtype=np.float32) != np.float32(K.UNDEF)

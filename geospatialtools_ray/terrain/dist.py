@@ -233,6 +233,54 @@ def remove_pits_simple_dist(ds, res: float, **kw):
     return fill_dist(ds, res, **kw)
 
 
+def _kahn_waves(catp: np.ndarray, dep: list[np.ndarray], fold) -> None:
+    """Vectorized Kahn topological relaxation over one padded tile, used by
+    the MFD kernels' in-round fixpoint.
+
+    catp: (P0, P1) float32 padded state, NaN = unresolved; resolved in
+    place on the interior view catp[1:-1, 1:-1].
+    dep[k]: (P0-2, P1-2) bool — interior cell depends on its POS[k]
+    neighbor. fold(wi, wj) -> float32 values for those interior cells; all
+    their dependencies are final when called.
+
+    Replaces the previous whole-array sweep-until-fixpoint, which redid
+    full-tile masks once per dependency-chain step — O(chain x area) per
+    round, measured 422 s for one 1024^2/256^2 MFD accumulation. Here each
+    cell is touched O(8) times total (indegree decrements), so a round is
+    O(area). Wave scheduling cannot change values: a cell is folded only
+    when every higher neighbor is final, and final values are globally
+    unique, so this is bit-identical to the sweep (asserted by the
+    tiling-invariance and halo-independence tests)."""
+    m0, m1 = dep[0].shape
+    cat = catp[1:-1, 1:-1]
+    done = ~np.isnan(cat)
+    indeg = np.zeros((m0, m1), dtype=np.int16)
+    for k, (di, dj) in enumerate(K.POS):
+        nbc = catp[1 + di : 1 + di + m0, 1 + dj : 1 + dj + m1]
+        indeg += (dep[k] & np.isnan(nbc)).astype(np.int16)
+    wi, wj = np.nonzero(~done & (indeg == 0))
+    while wi.size:
+        cat[wi, wj] = fold(wi, wj)
+        nxt_i, nxt_j = [], []
+        for k, (di, dj) in enumerate(K.POS):
+            # cells whose POS[k] neighbor is in the wave
+            ci, cj = wi - di, wj - dj
+            ok = (ci >= 0) & (ci < m0) & (cj >= 0) & (cj < m1)
+            ci, cj = ci[ok], cj[ok]
+            if not ci.size:
+                continue
+            d = dep[k][ci, cj]
+            ci, cj = ci[d], cj[d]
+            if not ci.size:
+                continue
+            indeg[ci, cj] -= 1  # injective per k: no duplicate indices
+            zero = (indeg[ci, cj] == 0) & np.isnan(cat[ci, cj])
+            nxt_i.append(ci[zero])
+            nxt_j.append(cj[zero])
+        wi = np.concatenate(nxt_i) if nxt_i else np.asarray([], dtype=np.int64)
+        wj = np.concatenate(nxt_j) if nxt_j else np.asarray([], dtype=np.int64)
+
+
 def _ckpt_resume(checkpoint_dir: str | None):
     """Round-checkpoint resume half: returns (start_round, cur | None) from
     the newest complete round under checkpoint_dir (atomic _DONE marker)."""
@@ -1533,7 +1581,7 @@ def _oob_pad_to(pad: np.ndarray, tr: dict, N0: int, N1: int, width: int, value) 
 
 def mfd_acc_dist(
     ds, res: float, p: float, N0: int, N1: int, dem_col: str = "demns",
-    halo: int = 4, max_rounds: int = 10000, checkpoint_dir: str | None = None,
+    halo: int | None = None, max_rounds: int = 10000, checkpoint_dir: str | None = None,
 ):
     """Distributed MFD accumulation: catch(c) = 1 + sum over strictly
     higher neighbors n of fract(n->c) * catch(n), folded per cell in POS
@@ -1568,6 +1616,17 @@ def mfd_acc_dist(
     fcols = [f"mfdf{k}" for k in range(8)]
     halo_cols = [dem_col, "mfdacc"] + fcols
     back = _back_idx()
+    if halo is None:
+        # tile-sized halo: the ordered fold resolves chains, not counts, so
+        # rounds scale with (longest dependency chain)/halo. A band halo
+        # caps progress at `halo` cells/round whenever chains hug a tile
+        # boundary (measured: 142 rounds / 326 s at 1024^2/256^2 with
+        # halo=8 vs 5 rounds / 27 s with halo=tile — bit-identical).
+        # Full-tile exchange costs 9x kernel area per round (affordable
+        # since _kahn_waves made the relax O(area)) and O(8 tiles) strip
+        # volume, and drops rounds to the chain's TILE-crossing count.
+        first = cur.take(1)[0]
+        halo = int(max(first["n0"], first["n1"]))
     w = halo
 
     for rnd in range(start_round, max_rounds):
@@ -1586,21 +1645,17 @@ def mfd_acc_dist(
                 for k, (di, dj) in enumerate(K.POS)
             ]
             dep = [nbz[k] > own for k in range(8)]  # NaN compares False
-            while True:
-                done = ~np.isnan(cat)
-                nbc = [catp[1 + di : 1 + di + m0, 1 + dj : 1 + dj + m1] for (di, dj) in K.POS]
-                blocked = np.zeros((m0, m1), dtype=bool)
-                for k in range(8):
-                    blocked |= dep[k] & np.isnan(nbc[k])
-                ready = ~done & ~blocked
-                if not ready.any():
-                    break
-                acc = np.ones((m0, m1), dtype=np.float32)
-                for k in range(8):  # POS-order float32 fold (oracle order)
-                    m = ready & dep[k]
-                    if m.any():
-                        acc[m] = (acc[m] + nbf[k][m] * nbc[k][m]).astype(np.float32)
-                cat[ready] = acc[ready]
+
+            def fold(wi, wj):
+                acc = np.ones(wi.size, dtype=np.float32)
+                for k, (di, dj) in enumerate(K.POS):  # POS-order float32 fold (oracle order)
+                    d = dep[k][wi, wj]
+                    if d.any():
+                        nb = catp[1 + di + wi[d], 1 + dj + wj[d]]
+                        acc[d] = (acc[d] + nbf[k][wi[d], wj[d]] * nb).astype(np.float32)
+                return acc
+
+            _kahn_waves(catp, dep, fold)
             tile_out = catp[w : w + n0, w : w + n1]
             return {
                 "mfdacc": tile_out,
@@ -1619,7 +1674,7 @@ def mfd_acc_dist(
 
 def hand_mfd_dist(
     ds, p: int, res: float, N0: int, N1: int, dem_col: str = "demns",
-    halo: int = 4, max_rounds: int = 10000,
+    halo: int | None = None, max_rounds: int = 10000,
 ):
     """Distributed MFD HAND (depth2channel_mfd, f90:628-746): each in-mask
     non-channel cell mixes its downhill in-mask neighbors' channel depths
@@ -1678,6 +1733,9 @@ def hand_mfd_dist(
     cap = _loop_cap(cur)
     cur = _loop_enter(cur, cap)
     halo_cols = ["mhcd"] + [f"mhf{k}" for k in range(8)]
+    if halo is None:
+        first = cur.take(1)[0]  # tile-sized halo (see mfd_acc_dist)
+        halo = int(max(first["n0"], first["n1"]))
     w = halo
 
     for _ in range(max_rounds):
@@ -1694,22 +1752,18 @@ def hand_mfd_dist(
             anydep = np.zeros((m0, m1), dtype=bool)
             for k in range(8):
                 anydep |= dep[k]
-            while True:
-                done = ~np.isnan(cd)
-                nbc = [cdp[1 + di : 1 + di + m0, 1 + dj : 1 + dj + m1] for (di, dj) in K.POS]
-                blocked = np.zeros((m0, m1), dtype=bool)
-                for k in range(8):
-                    blocked |= dep[k] & np.isnan(nbc[k])
-                ready = ~done & ~blocked
-                if not ready.any():
-                    break
-                v = np.zeros((m0, m1), dtype=np.float32)
-                for k in range(8):  # POS-order float32 fold (oracle order)
-                    m = ready & dep[k]
-                    if m.any():
-                        v[m] = (v[m] + myf[k][m] * nbc[k][m]).astype(np.float32)
-                v[ready & ~anydep] = np.float32(UNDEF)  # drainless stays UNDEF
-                cd[ready] = v[ready]
+
+            def fold(wi, wj):
+                v = np.zeros(wi.size, dtype=np.float32)
+                for k, (di, dj) in enumerate(K.POS):  # POS-order float32 fold (oracle order)
+                    d = dep[k][wi, wj]
+                    if d.any():
+                        nb = cdp[1 + di + wi[d], 1 + dj + wj[d]]
+                        v[d] = (v[d] + myf[k][wi[d], wj[d]] * nb).astype(np.float32)
+                v[~anydep[wi, wj]] = np.float32(UNDEF)  # drainless stays UNDEF
+                return v
+
+            _kahn_waves(cdp, dep, fold)
             tile_out = cdp[w : w + n0, w : w + n1]
             return {
                 "mhcd": tile_out,

@@ -219,13 +219,15 @@ def assemble_padded(tile_row: dict, strips: list[dict], cols: list[str], width: 
         d0, d1 = int(s["dir0"]), int(s["dir1"])
         sn0, sn1 = int(s["sn0"]), int(s["sn1"])
         if d0 < 0:
-            r0 = slice(0, width)
+            # a neighbor smaller than the halo sends its whole extent;
+            # place it flush against the shared edge
+            r0 = slice(width - sn0, width)
         elif d0 > 0:
             r0 = slice(width + n0, width + n0 + sn0)
         else:
             r0 = slice(width, width + sn0)
         if d1 < 0:
-            r1 = slice(0, width)
+            r1 = slice(width - sn1, width)
         elif d1 > 0:
             r1 = slice(width + n1, width + n1 + sn1)
         else:

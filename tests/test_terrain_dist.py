@@ -382,3 +382,17 @@ def test_suggest_tile_size(ray_session):
     # padded footprint respects the block budget (~4 tiles per 128MiB block)
     assert (s16 + 2) ** 2 * 4 * 16 <= (128 << 20) // 4
     assert T.suggest_tile_size(1, target_bytes=64 << 20) <= T.suggest_tile_size(1, target_bytes=512 << 20)
+
+
+def test_mfd_dist_ragged_tiles_tile_halo(ray_session):
+    """Tile-sized default halo with edge tiles SMALLER than the halo: the
+    short-strip placement in assemble_padded must land flush against the
+    shared edge (N=40, tile=16 -> 8-wide edge tiles, halo=16)."""
+    n = 40
+    dem, _ = synth.dem_grid("twovalley", n)
+    dem = dem.astype(np.float32)
+    want = K.mfd_accumulate(dem, RES, 1.1)
+    ds = T.make_tiles_dataset({"demns": dem}, 16)
+    out = D.mfd_acc_dist(ds, RES, 1.1, n, n)
+    got = T.collect_grid(out, "mfdacc", dtype=np.float32)
+    assert np.array_equal(got, want)
