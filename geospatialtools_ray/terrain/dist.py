@@ -1625,6 +1625,9 @@ def mfd_acc_dist(
         # Full-tile exchange costs 9x kernel area per round (affordable
         # since _kahn_waves made the relax O(area)) and O(8 tiles) strip
         # volume, and drops rounds to the chain's TILE-crossing count.
+        # Worker memory: one padded state = 9 x tile_area x 4 B x
+        # len(halo_cols) (~0.9 GB at 1024^2 tiles x 10 cols) — size tiles
+        # with suggest_tile_size so this fits the worker heap.
         first = cur.take(1)[0]
         halo = int(max(first["n0"], first["n1"]))
     w = halo
