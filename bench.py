@@ -235,6 +235,11 @@ def main():
         "n_docs": n_docs,
         "docs_per_sec": round(head["docs_per_sec"], 1),
         "join_rows": head["join_rows"],
+        # 1-min load BEFORE this process's own work is indistinguishable
+        # here, so this is load DURING the run: >~2 with nothing else of
+        # ours running means external host contention (the numbers swing
+        # 2x between quiet and noisy windows — see BASELINE.md)
+        "load_avg_1m": round(os.getloadavg()[0], 2),
     }
     if os.environ.get("BENCH_MINHASH_PROBE"):
         rec["minhash_sec"] = round(run_minhash_probe(corpus), 3)
