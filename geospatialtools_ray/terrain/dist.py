@@ -1065,8 +1065,6 @@ def polygonize_dist(ds, value_col: str = "values", N1: int | None = None):
         lab = labels.map_batches(lambda b: b.rename_columns(["node", "cluster"]), batch_format="pyarrow")
 
         def coalesce_cluster(b: pa.Table) -> pa.Table:
-            import pyarrow.compute as pc
-
             # coalesce in Arrow: a pandas int64+null column silently turns
             # float64, which corrupts packed keys past 2^53
             return pa.table(
@@ -1255,7 +1253,6 @@ def hillslopes_dist(ds, N0: int, N1: int, max_network_cells: int | None = None):
         mask[li, lj] = g["landmask"].to_numpy(dtype=np.int32)
         raw, counter = K.delineate_hillslopes(ch, area, fdir, mask, cleanup=False, return_counter=True)
         # outlet (seed): max area, Fortran-scan tie-break within the network
-        k2 = np.argmax((area != np.float32(UNDEF)) * 1)  # placeholder init
         valid = area != np.float32(UNDEF)
         a = np.where(valid, area.astype(np.float64), -np.inf)
         fi, fj = K._fortran_argmax(a)
