@@ -6,9 +6,11 @@ pre-written to parquet so the measured window is pure engine work (read ->
 geo explode -> cell assign -> polygon join -> salted partition -> resumable
 sink), plus a set of representative queries over $GRAFT_SF_DIR.
 
-Prints ONE JSON line. `--scaling` runs the headline twice in fresh
-processes (num_cpus=8 vs 32) on the same input and reports both
-throughputs + scaling efficiency (the sandbox stand-in for N vs 4N nodes).
+Prints ONE JSON line. `--scaling` runs the headline at num_cpus=8 and 32
+in fresh processes on the same input — MEDIAN of 3 runs per level, raw
+run lists included — and reports both throughputs, the scaling
+efficiency, and same-session host CPU/DRAM ceilings (the sandbox
+stand-in for N vs 4N nodes).
 """
 
 from __future__ import annotations
