@@ -182,8 +182,8 @@ def run_minhash_probe(corpus_path: str) -> float:
     The headline join is memory-bandwidth-heavy (string fan-out), which on a
     SINGLE box makes N vs 4N processes contend for the same DRAM — a
     confound that does not exist between separate nodes. This probe has
-    ~220us of pure CPU per doc and negligible memory traffic, isolating the
-    executor's own scaling."""
+    ~40us of pure CPU per doc (vectorized sketch) and negligible memory
+    traffic, isolating the executor's own scaling."""
     import pyarrow as pa
     import ray.data as rd
 
