@@ -44,22 +44,29 @@ def should_broadcast(parquet_path: str, columns: list[str]) -> bool:
     return projected_size_bytes(parquet_path, columns) <= broadcast_limit_bytes()
 
 
-def hash_join(left, right, on: str, right_on: str | None = None, num_partitions: int | None = None, join_type: str = "inner"):
+def hash_join(left, right, on, right_on=None, num_partitions: int | None = None, join_type: str = "inner"):
     """Large-large equi-join via Ray's native hash-partitioned Dataset.join.
-    Both sides shuffle on the key; use only when neither side fits a worker
-    (document the partition count and salt hot keys upstream).
+    Both sides shuffle on the key(s); use only when neither side fits a
+    worker (document the partition count and salt hot keys upstream).
+    `on`/`right_on` accept a column name or a tuple of names (composite
+    keys avoid packed-int64 overflow at planetary cell counts).
     num_partitions defaults to the cluster CPU count — a fixed large value
     deadlocks the hash-shuffle aggregator actors on small sessions."""
     if num_partitions is None:
         import ray
 
         num_partitions = max(2, int(ray.cluster_resources().get("CPU", 8)))
+    on_t = (on,) if isinstance(on, str) else tuple(on)
+    if right_on is None:
+        right_t = on_t
+    else:
+        right_t = (right_on,) if isinstance(right_on, str) else tuple(right_on)
     return left.join(
         right,
         join_type=join_type,
         num_partitions=num_partitions,
-        on=(on,),
-        right_on=(right_on or on,),
+        on=on_t,
+        right_on=right_t,
     )
 
 

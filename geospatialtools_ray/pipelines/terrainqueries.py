@@ -211,7 +211,6 @@ def terrain_hru_properties(sf_dir: str):
     HAND ecdf (map_groups), then the shared Pelletier assign + curate
     post-steps. Oracle: independent scan-order single-process twin."""
     OF.stage_terrain_hru_properties(sf_dir)
-    import ray.data as rd
     from ray.data.aggregate import Max, Min
 
     from ..terrain import properties as P
@@ -228,11 +227,12 @@ def terrain_hru_properties(sf_dir: str):
         "demns": (float(agg["min(demns)"]), float(agg["max(demns)"])),
         "slope": (0.0, float(agg["max(slope)"])),
     }
-    hrus_df = P.create_hrus_grouped(cells, ["demns", "slope"], ranges, nclusters=2)
+    hru_ds0 = P.create_hrus_grouped(cells, ["demns", "slope"], ranges, nclusters=2)
     # paint HRU ids back onto the cell covariates with the engine's
     # large-large path: a hash-partitioned Dataset join on the packed cell
     # key (pipelines/joins.py). At 100 TB both sides shuffle on gpos; at
-    # fixture scale the same code runs with a handful of partitions.
+    # fixture scale the same code runs with a handful of partitions. Both
+    # sides stay Datasets end-to-end (round-3 ask: no driver round-trip).
     from . import joins as J
 
     def with_gpos(b: pa.Table) -> pa.Table:
@@ -240,7 +240,7 @@ def terrain_hru_properties(sf_dir: str):
         gj = b["gj"].to_numpy(zero_copy_only=False).astype(np.int64)
         return b.append_column("gpos", pa.array(gi * N + gj, type=pa.int64()))
 
-    hru_ds = rd.from_pandas(hrus_df).map_batches(with_gpos, batch_format="pyarrow").select_columns(["gpos", "hru"])
+    hru_ds = hru_ds0.map_batches(with_gpos, batch_format="pyarrow").select_columns(["gpos", "hru"])
     joined = J.hash_join(
         cells.map_batches(with_gpos, batch_format="pyarrow"), hru_ds, on="gpos", num_partitions=4
     ).materialize()  # consumed by both hru_properties and the tile lookup
@@ -248,7 +248,15 @@ def terrain_hru_properties(sf_dir: str):
         lambda b: b.rename_columns(["hrus", "hillslopes", "slope", "hand"]), batch_format="pyarrow"
     )
     props = P.hru_properties(cells2, RES)
-    tile_of = joined.select_columns(["hru", "tiles"]).to_pandas().groupby("hru")["tiles"].first()
+    # per-HRU tile id via a small groupby aggregate (each HRU lives inside
+    # one (hillslope, tile) group, so Min == the tile) — no cell collect.
+    tile_of = (
+        joined.select_columns(["hru", "tiles"])
+        .groupby("hru")
+        .aggregate(Min("tiles", alias_name="tile_id"))
+        .to_pandas()
+        .set_index("hru")["tile_id"]
+    )
     props["tile_id"] = props["hru"].map(tile_of).astype("int64")
     return OF.finalize_hru_table(props, hillslopes, hand)
 

@@ -147,10 +147,13 @@ def create_hrus_grouped(cells_ds, cov_cols: list[str], cov_ranges: dict[str, tup
     tile) group, KMeans over globally-normalized covariates; group cluster
     ids offset by a sequential running max in (hillslope, tile) order.
 
-    Distributed: per-group local labels via map_groups; group max-label
-    table to the driver (small: one row per group); prefix-sum offsets in
-    (hillslope, tile) order; broadcast; final dense-rank cleanup + +1
-    (terrain_tools.py:1147-1149)."""
+    Distributed end-to-end: per-group local labels via map_groups; group
+    max-label table to the driver (small: ONE row per group, never cells);
+    prefix-sum offsets in (hillslope, tile) order; broadcast + vectorized
+    packed-key searchsorted paint; final dense-rank cleanup + +1
+    (terrain_tools.py:1147-1149) via a small distinct-hru broadcast.
+    Returns a Dataset of (gi, gj, hru) — the cell table never touches the
+    driver."""
     import ray
 
     def per_group(g: pd.DataFrame) -> pd.DataFrame:
@@ -180,19 +183,27 @@ def create_hrus_grouped(cells_ds, cov_cols: list[str], cov_ranges: dict[str, tup
 
     gmax = labeled.groupby(["hillslope", "tile"]).aggregate(Max("local_hru", alias_name="mx")).to_pandas()
     gmax = gmax.sort_values(["hillslope", "tile"]).reset_index(drop=True)
-    offsets = {}
-    run = 1  # reference maxc starts at 1 (terrain_tools.py:1102)
-    for r in gmax.itertuples():
-        offsets[(int(r.hillslope), int(r.tile))] = run
-        run += int(r.mx) + 1
-    off_ref = ray.put(offsets)
+    # sequential running-max offsets (reference maxc starts at 1,
+    # terrain_tools.py:1102) as sorted packed-key arrays for a vectorized
+    # searchsorted lookup inside the paint (no per-row dict probes).
+    hs = gmax["hillslope"].to_numpy(dtype=np.int64)
+    ts = gmax["tile"].to_numpy(dtype=np.int64)
+    tspan = int(ts.max()) + 1 if len(ts) else 1
+    keys = hs * tspan + ts  # sorted because gmax is sorted lexicographically
+    offs = np.empty(len(gmax), dtype=np.int64)
+    run = 1
+    mx = gmax["mx"].to_numpy(dtype=np.int64)
+    for i in range(len(gmax)):
+        offs[i] = run
+        run += mx[i] + 1
+    off_ref = ray.put((keys, offs, tspan))
 
     def paint(batch: pa.Table) -> pa.Table:
-        off = ray.get(off_ref)
-        h = batch["hillslope"].to_numpy(zero_copy_only=False)
-        t = batch["tile"].to_numpy(zero_copy_only=False)
-        l = batch["local_hru"].to_numpy(zero_copy_only=False)
-        hru = np.asarray([off[(int(a), int(b))] for a, b in zip(h, t)], dtype=np.int64) + l
+        ks, of, span = ray.get(off_ref)
+        h = batch["hillslope"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = batch["tile"].to_numpy(zero_copy_only=False).astype(np.int64)
+        l = batch["local_hru"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hru = of[np.searchsorted(ks, h * span + t)] + l
         return pa.table(
             {
                 "gi": batch["gi"],
@@ -201,12 +212,28 @@ def create_hrus_grouped(cells_ds, cov_cols: list[str], cov_ranges: dict[str, tup
             }
         )
 
-    painted = labeled.map_batches(paint, batch_format="pyarrow").to_pandas()
-    # dense-rank cleanup (terrain_tools.f90:1604-1650 via :1147) + 1
-    ids = np.sort(painted["hru_raw"].unique())
-    rank = {int(v): i for i, v in enumerate(ids)}  # starts at 0
-    painted["hru"] = painted["hru_raw"].map(rank).astype("int64") + 1
-    return painted[["gi", "gj", "hru"]]
+    painted = labeled.map_batches(paint, batch_format="pyarrow").materialize()
+    # dense-rank cleanup (terrain_tools.f90:1604-1650 via :1147) + 1:
+    # distinct hru_raw is bounded by sum(group max-label) — tiny vs cells —
+    # so a groupby-count collect + broadcast keeps the cell table remote.
+    from ray.data.aggregate import Count
+
+    ids_df = painted.groupby("hru_raw").aggregate(Count(alias_name="n")).to_pandas()
+    ids = np.sort(ids_df["hru_raw"].to_numpy(dtype=np.int64))
+    ids_ref = ray.put(ids)
+
+    def rank(batch: pa.Table) -> pa.Table:
+        iv = ray.get(ids_ref)
+        raw = batch["hru_raw"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "gi": batch["gi"],
+                "gj": batch["gj"],
+                "hru": pa.array(np.searchsorted(iv, raw) + 1, type=pa.int64()),
+            }
+        )
+
+    return painted.map_batches(rank, batch_format="pyarrow")
 
 
 def assign_hillslope_properties_to_hrus(hru_df: pd.DataFrame, hp_df: pd.DataFrame) -> pd.DataFrame:

@@ -116,12 +116,12 @@ def test_create_hrus_and_properties(ray_session, tc):
         lambda r: r["hillslopes"] > 0 and r["tiles"] != -9999
     )
     ranges = {"demns": (float(tc["w"].min()), float(tc["w"].max())), "slope": (0.0, float(tc["slope"].max()))}
-    hrus = P.create_hrus_grouped(cells, ["demns", "slope"], ranges, nclusters=2)
+    hrus = P.create_hrus_grouped(cells, ["demns", "slope"], ranges, nclusters=2).to_pandas()
     assert hrus["hru"].min() == 1
     u = np.sort(hrus["hru"].unique())
     assert np.array_equal(u, np.arange(1, len(u) + 1))  # dense ids from 1
     # determinism
-    hrus2 = P.create_hrus_grouped(cells, ["demns", "slope"], ranges, nclusters=2)
+    hrus2 = P.create_hrus_grouped(cells, ["demns", "slope"], ranges, nclusters=2).to_pandas()
     assert hrus.sort_values(["gi", "gj"]).reset_index(drop=True).equals(
         hrus2.sort_values(["gi", "gj"]).reset_index(drop=True)
     )
