@@ -82,8 +82,10 @@ def write_table(ds, path: str, **kw) -> None:
 
 
 def write_fragment(tbl, path: str, **kw) -> None:
-    """One in-memory Arrow table -> one storage fragment file (the
-    resumable sink's atomic unit; caller handles tmp+rename)."""
+    """One in-memory Arrow table -> one storage fragment (the resumable
+    sink's atomic unit). Callers write to a tmp path and promote it with
+    ``commit_fragment`` — parquet fragments are single FILES, lance
+    fragments are DIRECTORIES, and only that helper knows the difference."""
     if _backend == "lance":
         _require_lance()
         import lance  # pragma: no cover - no lance in sandbox
@@ -93,3 +95,27 @@ def write_fragment(tbl, path: str, **kw) -> None:
     import pyarrow.parquet as pq
 
     pq.write_table(tbl, path, **kw)
+
+
+def commit_fragment(tmp: str, final: str) -> None:
+    """Atomically promote a fragment from its tmp path to its final name.
+
+    parquet: one file, ``os.replace`` (atomic, overwrite-safe — a retry
+    rewrites the identical bytes). lance: ``lance.write_dataset`` produces
+    a DIRECTORY, and directory rename is atomic only when the destination
+    is absent; fragment names are content-deterministic (state/lineage.py),
+    so an already-committed destination wins and the tmp copy is dropped.
+    This keeps the sink's tmp+rename contract consistent across backends
+    (ADVICE r3: previously lance directories landed under .parquet names)."""
+    if _backend == "lance" and os.path.isdir(tmp):  # pragma: no cover - no lance in sandbox
+        import shutil
+
+        if os.path.exists(final):
+            shutil.rmtree(tmp, ignore_errors=True)
+            return
+        try:
+            os.replace(tmp, final)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+        return
+    os.replace(tmp, final)

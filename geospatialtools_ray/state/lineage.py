@@ -47,11 +47,11 @@ def part_writer(out_dir: str):
     def write_group(g: pd.DataFrame) -> pd.DataFrame:
         t0 = time.monotonic()
         key = str(int(g["part_key"].iloc[0]))
-        path = os.path.join(out_dir, f"part-{key}.parquet")
+        path = os.path.join(out_dir, f"part-{key}.{io.table_ext()}")
         tmp = path + ".tmp"
         tbl = pa.Table.from_pandas(g.drop(columns=["part_key"]), preserve_index=False)
         io.write_fragment(tbl, tmp)
-        os.replace(tmp, path)  # atomic: readers never see partial files
+        io.commit_fragment(tmp, path)  # atomic: readers never see partials
         rec = {
             "partition": key,
             "rows_out": len(g),
@@ -208,7 +208,7 @@ def write_partitioned_fragments(
                 sub = batch.take(pa.array(order[s:e])).drop_columns(["part_key"])
                 pdir = os.path.join(out_dir, f"part-{key}")
                 os.makedirs(pdir, exist_ok=True)
-                fname = f"{frag_prefix}{batch_tag}.parquet"
+                fname = f"{frag_prefix}{batch_tag}.{io.table_ext()}"
                 tmp = os.path.join(pdir, fname + ".tmp")
                 # stats/dictionary off: fragment files are engine-internal
                 # intermediates; plain encoding halves the write CPU.
@@ -216,7 +216,7 @@ def write_partitioned_fragments(
                 # non-scalable) disk bandwidth — the right default when all
                 # writers share one device, as in the single-node bench
                 io.write_fragment(sub, tmp, write_statistics=False, use_dictionary=False, compression=compression)
-                os.replace(tmp, os.path.join(pdir, fname))
+                io.commit_fragment(tmp, os.path.join(pdir, fname))
                 out_part.append(key)
                 out_rows.append(len(sub))
                 out_file.append(fname)

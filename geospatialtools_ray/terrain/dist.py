@@ -310,6 +310,10 @@ def _ckpt_commit(checkpoint_dir: str, rnd: int, cur):
 
     rdir = os.path.join(checkpoint_dir, f"round-{rnd}")
     cur = cur.materialize()
+    # a crash between write_parquet and _DONE leaves orphan fragments that a
+    # retry (resumed from round rnd-1) would otherwise double up with its
+    # own uniquely-named files — clear the dir so each commit is all-or-none
+    shutil.rmtree(rdir, ignore_errors=True)
     cur.write_parquet(rdir)
     open(os.path.join(rdir, "_DONE"), "w").close()
     for d in os.listdir(checkpoint_dir):
@@ -1002,7 +1006,18 @@ def polygonize_dist(ds, value_col: str = "values", N1: int | None = None):
     from ..stages.dedup import connected_components_minlabel
 
     def _pack(tx, ty, local):
-        return (tx.astype(np.int64) << 42) | (ty.astype(np.int64) << 21) | local.astype(np.int64)
+        tx = tx.astype(np.int64)
+        ty = ty.astype(np.int64)
+        local = local.astype(np.int64)
+        # 21 bits per field: overflow would silently alias node keys and
+        # merge unrelated polygons — fail loudly instead (ADVICE r3)
+        if len(local) and int(max(tx.max(), ty.max(), local.max())) >= (1 << 21):
+            raise ValueError(
+                "polygonize_dist: packed (tx, ty, local) node key overflow — "
+                ">= 2^21 tiles per axis or local CCL labels per tile; widen "
+                "the bit fields or shrink tiles"
+            )
+        return (tx << 42) | (ty << 21) | local
 
     def minpos_rows(batch: pa.Table) -> pa.Table:
         side = batch["side"].to_numpy(zero_copy_only=False)
@@ -1131,7 +1146,13 @@ def polygonize_dist(ds, value_col: str = "values", N1: int | None = None):
 #   5. global dense-rank cleanup (f90:1333).
 # ---------------------------------------------------------------------------
 
-def hillslopes_dist(ds, N0: int, N1: int, max_network_cells: int | None = None):
+def hillslopes_dist(
+    ds,
+    N0: int,
+    N1: int,
+    max_network_cells: int | None = None,
+    seed_broadcast_rows: int | None = None,
+):
     """Tiles carry channels(int64), area(float32), fdir(int8), landmask.
     Returns a cells Dataset (gi, gj, hillslope) for masked cells.
 
@@ -1146,7 +1167,18 @@ def hillslopes_dist(ds, N0: int, N1: int, max_network_cells: int | None = None):
     equals its entry seed's id — recovered here by a flow_inherit of the
     seed position and a seed->hid lookup. Worker memory drops from
     O(network area) to O(channel length). Asserted bit-equal to the
-    unsplit path in tests/test_terrain_dist.py."""
+    unsplit path in tests/test_terrain_dist.py.
+
+    ``seed_broadcast_rows``: the seed->hid paint has two bit-identical
+    implementations. Up to this many seed rows (default 5M, env
+    GRAFT_SEED_BROADCAST_ROWS) the table is ray.put once and probed with a
+    packed-key searchsorted inside map_batches; past it — seed volume is
+    O(channel cells), unbounded on a continental DEM
+    (src/terrain_tools.f90:1436-1549) — the paint becomes a
+    hash-partitioned Dataset left-outer join on the composite
+    (net, entryseed) key, so no worker ever holds the whole seed table.
+    The join path also engages whenever the packed broadcast key would
+    not fit int64 (n_big_nets * N0 * N1 >= 2**62)."""
     import ray
 
     from . import properties as P
@@ -1400,49 +1432,108 @@ def hillslopes_dist(ds, N0: int, N1: int, max_network_cells: int | None = None):
             .map_groups(per_network_sparse, batch_format="pandas")
             .materialize()
         )
-        seed_df = (
-            labeled_sparse.map_batches(
-                lambda b: b.filter(pc.equal(b["kind"], 1)).select(["gi", "gj", "raw", "net"]),
-                batch_format="pyarrow",
-            ).to_pandas()
-        )
-        if len(seed_df) > 5_000_000:
-            import warnings
+        seed_rows = labeled_sparse.map_batches(
+            lambda b: b.filter(pc.equal(b["kind"], 1)).select(["gi", "gj", "raw", "net"]),
+            batch_format="pyarrow",
+        ).materialize()
+        if seed_broadcast_rows is None:
+            import os
 
-            warnings.warn(
-                f"hillslopes_dist: broadcasting {len(seed_df)} seed->hid rows; "
-                "beyond ~1e7 switch the interior paint to a Dataset hash join on (net, entryseed)"
+            seed_broadcast_rows = int(os.environ.get("GRAFT_SEED_BROADCAST_ROWS", 5_000_000))
+        span = N0 * N1
+        # the broadcast probe packs (net-rank, entry) into one int64; rank
+        # (not the raw flat netid) keeps the key linear in grid size instead
+        # of quadratic — ADVICE r3: netid * span overflows past ~3e9 cells
+        pack_safe = len(big_nets) * span < 2**62
+        n_seeds = seed_rows.count()
+        if n_seeds <= seed_broadcast_rows and pack_safe:
+            seed_df = seed_rows.to_pandas()
+            srank = np.searchsorted(big_nets, seed_df["net"].to_numpy(dtype=np.int64))
+            smap_keys = (srank * span +
+                         seed_df["gi"].to_numpy(dtype=np.int64) * N1 + seed_df["gj"].to_numpy(dtype=np.int64))
+            order = np.argsort(smap_keys)
+            smap_ref = ray.put((smap_keys[order], seed_df["raw"].to_numpy(dtype=np.int64)[order], big_nets))
+
+            def paint_interior(batch: pa.Table) -> pa.Table:
+                keys_sorted, hids, bignets = ray.get(smap_ref)
+                nets = batch["netid"].to_numpy(zero_copy_only=False).astype(np.int64)
+                entry = batch["entryseed"].to_numpy(zero_copy_only=False).astype(np.int64)
+                k = np.searchsorted(bignets, nets) * span + entry
+                pos = np.searchsorted(keys_sorted, k)
+                ok = (pos < len(keys_sorted)) & (keys_sorted[np.clip(pos, 0, len(keys_sorted) - 1)] == k)
+                raws = np.where(ok, hids[np.clip(pos, 0, len(hids) - 1)], IUNDEF)
+                n = batch.num_rows
+                return pa.table(
+                    {
+                        "gi": batch["gi"].cast(pa.int64()),
+                        "gj": batch["gj"].cast(pa.int64()),
+                        "raw": pa.array(raws, type=pa.int64()),
+                        "net": pa.array(nets, type=pa.int64()),
+                        "outlet_area": pa.array(np.full(n, np.nan)),
+                        "outlet_gi": pa.array(np.full(n, -1, dtype=np.int64)),
+                        "outlet_gj": pa.array(np.full(n, -1, dtype=np.int64)),
+                        "kind": pa.array(np.zeros(n, dtype=np.int64)),
+                    }
+                )
+
+            painted_big = cells.map_batches(lambda b: pick(b, True), batch_format="pyarrow").map_batches(
+                paint_interior, batch_format="pyarrow"
             )
-        smap_keys = (seed_df["net"].to_numpy(dtype=np.int64) * (N0 * N1) +
-                     seed_df["gi"].to_numpy(dtype=np.int64) * N1 + seed_df["gj"].to_numpy(dtype=np.int64))
-        order = np.argsort(smap_keys)
-        smap_ref = ray.put((smap_keys[order], seed_df["raw"].to_numpy(dtype=np.int64)[order]))
+        else:
+            # Dataset hash join: both sides shuffle on the composite
+            # (net, entryseed) key — no packed int64, no whole-seed-table
+            # broadcast. left_outer keeps unmatched interiors at IUNDEF,
+            # matching the broadcast probe bit-for-bit.
+            from ..pipelines import joins as J
 
-        def paint_interior(batch: pa.Table) -> pa.Table:
-            keys_sorted, hids = ray.get(smap_ref)
-            nets = batch["netid"].to_numpy(zero_copy_only=False).astype(np.int64)
-            entry = batch["entryseed"].to_numpy(zero_copy_only=False).astype(np.int64)
-            k = nets * (N0 * N1) + entry
-            pos = np.searchsorted(keys_sorted, k)
-            ok = (pos < len(keys_sorted)) & (keys_sorted[np.clip(pos, 0, len(keys_sorted) - 1)] == k)
-            raws = np.where(ok, hids[np.clip(pos, 0, len(hids) - 1)], IUNDEF)
-            n = batch.num_rows
-            return pa.table(
-                {
-                    "gi": batch["gi"].cast(pa.int64()),
-                    "gj": batch["gj"].cast(pa.int64()),
-                    "raw": pa.array(raws, type=pa.int64()),
-                    "net": pa.array(nets, type=pa.int64()),
-                    "outlet_area": pa.array(np.full(n, np.nan)),
-                    "outlet_gi": pa.array(np.full(n, -1, dtype=np.int64)),
-                    "outlet_gj": pa.array(np.full(n, -1, dtype=np.int64)),
-                    "kind": pa.array(np.zeros(n, dtype=np.int64)),
-                }
+            def cell_key(b: pa.Table) -> pa.Table:
+                return pa.table(
+                    {
+                        "gi": b["gi"].cast(pa.int64()),
+                        "gj": b["gj"].cast(pa.int64()),
+                        "netid": b["netid"].cast(pa.int64()),
+                        "entryseed": b["entryseed"].cast(pa.int64()),
+                    }
+                )
+
+            def seed_key(b: pa.Table) -> pa.Table:
+                sgi = b["gi"].to_numpy(zero_copy_only=False).astype(np.int64)
+                sgj = b["gj"].to_numpy(zero_copy_only=False).astype(np.int64)
+                return pa.table(
+                    {
+                        "snet": b["net"].cast(pa.int64()),
+                        "seedpos": pa.array(sgi * N1 + sgj, type=pa.int64()),
+                        "hid": b["raw"].cast(pa.int64()),
+                    }
+                )
+
+            joined = J.hash_join(
+                cells.map_batches(lambda b: pick(b, True), batch_format="pyarrow").map_batches(
+                    cell_key, batch_format="pyarrow"
+                ),
+                seed_rows.map_batches(seed_key, batch_format="pyarrow"),
+                on=("netid", "entryseed"),
+                right_on=("snet", "seedpos"),
+                join_type="left_outer",
             )
 
-        painted_big = cells.map_batches(lambda b: pick(b, True), batch_format="pyarrow").map_batches(
-            paint_interior, batch_format="pyarrow"
-        )
+            def shape_joined(b: pa.Table) -> pa.Table:
+                n = b.num_rows
+                raws = pc.fill_null(b["hid"].cast(pa.int64()), IUNDEF)
+                return pa.table(
+                    {
+                        "gi": b["gi"].cast(pa.int64()),
+                        "gj": b["gj"].cast(pa.int64()),
+                        "raw": raws,
+                        "net": b["netid"].cast(pa.int64()),
+                        "outlet_area": pa.array(np.full(n, np.nan)),
+                        "outlet_gi": pa.array(np.full(n, -1, dtype=np.int64)),
+                        "outlet_gj": pa.array(np.full(n, -1, dtype=np.int64)),
+                        "kind": pa.array(np.zeros(n, dtype=np.int64)),
+                    }
+                )
+
+            painted_big = joined.map_batches(shape_joined, batch_format="pyarrow")
         sparse_cells_only = labeled_sparse.map_batches(
             lambda b: b.filter(pc.equal(b["kind"], 0)), batch_format="pyarrow"
         )
@@ -1625,8 +1716,13 @@ def mfd_acc_dist(
         # Worker memory: one padded state = 9 x tile_area x 4 B x
         # len(halo_cols) (~0.9 GB at 1024^2 tiles x 10 cols) — size tiles
         # with suggest_tile_size so this fits the worker heap.
-        first = cur.take(1)[0]
-        halo = int(max(first["n0"], first["n1"]))
+        # Max over all tiles, not take(1): row order is not guaranteed, and
+        # sampling a ragged edge tile would undersize the halo (correct but
+        # back to band-halo round counts — ADVICE r3)
+        from ray.data.aggregate import Max as _Max
+
+        _agg = cur.aggregate(_Max("n0"), _Max("n1"))
+        halo = int(max(_agg["max(n0)"], _agg["max(n1)"]))
     w = halo
 
     for rnd in range(start_round, max_rounds):
@@ -1734,8 +1830,11 @@ def hand_mfd_dist(
     cur = _loop_enter(cur, cap)
     halo_cols = ["mhcd"] + [f"mhf{k}" for k in range(8)]
     if halo is None:
-        first = cur.take(1)[0]  # tile-sized halo (see mfd_acc_dist)
-        halo = int(max(first["n0"], first["n1"]))
+        # tile-sized halo via Max over all tiles (see mfd_acc_dist)
+        from ray.data.aggregate import Max as _Max
+
+        _agg = cur.aggregate(_Max("n0"), _Max("n1"))
+        halo = int(max(_agg["max(n0)"], _agg["max(n1)"]))
     w = halo
 
     for _ in range(max_rounds):

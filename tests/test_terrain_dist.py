@@ -292,6 +292,30 @@ def test_hillslopes_presplit_bitexact(ray_session, name):
     )
 
 
+@pytest.mark.parametrize("name", ["twovalley", "cone"])
+def test_hillslopes_presplit_join_path_bitexact(ray_session, name):
+    """ADVICE r3 / VERDICT r3 ask #2: with seed_broadcast_rows=0 the
+    interior paint must take the Dataset hash-join path (composite
+    (net, entryseed) key, no broadcast) and stay bit-identical to both the
+    broadcast probe and the unsplit trace."""
+    o = full_chain_oracle(name)
+    ds = T.make_tiles_dataset(
+        {"channels": o["channels"].astype(np.int64), "area": o["area"],
+         "fdir": o["fdir"].astype(np.int8), "landmask": o["mask"]},
+        16,
+    )
+    base = D.hillslopes_dist(ds, N, N).to_pandas()
+    joined = D.hillslopes_dist(ds, N, N, max_network_cells=10, seed_broadcast_rows=0).to_pandas()
+    b = base.sort_values(["gi", "gj"]).reset_index(drop=True)
+    s = joined.sort_values(["gi", "gj"]).reset_index(drop=True)
+    assert len(b) == len(s), f"{name}: row count {len(b)} vs {len(s)}"
+    assert (b["gi"].to_numpy() == s["gi"].to_numpy()).all()
+    assert (b["gj"].to_numpy() == s["gj"].to_numpy()).all()
+    assert (b["hillslope"].to_numpy() == s["hillslope"].to_numpy()).all(), (
+        f"{name}: {(b['hillslope'].to_numpy() != s['hillslope'].to_numpy()).sum()} cells differ"
+    )
+
+
 def test_hillslopes_presplit_noop_when_under_cap(ray_session):
     """A cap larger than every network leaves the full path untouched."""
     o = full_chain_oracle("twovalley")
