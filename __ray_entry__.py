@@ -95,6 +95,8 @@ _SQL_CHECKED: dict[str, tuple[Callable[[str], Any], str]] = {
     "soil_fao_texture": (TQ.soil_fao_texture, TQ.SOIL_FAO_TEXTURE_SQL),
     "docs_normalize": (TQ.docs_normalize, TQ.DOCS_NORMALIZE_SQL),
     "docs_media_features": (X.docs_media_features, OF.DOCS_MEDIA_FEATURES_SQL),
+    # round 4: production-shape chain (many-tile layout on the hash channel)
+    "terrain_chain_prod": (TQ.terrain_chain_prod, OF.TERRAIN_CHAIN_PROD_SQL),
 }
 
 # rows-only checks (none left — every query has an oracle)

@@ -880,3 +880,47 @@ def stage_docs_media_features(sf_dir: str, feature_dim: int = 16) -> str:
 
 
 DOCS_MEDIA_FEATURES_SQL = O.fixture_sql("docs_media_features", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# production-shape terrain chain (VERDICT r3 ask #3: a many-tile layout on
+# the driver-hash channel, not the 2x2 of the 32^2/16 fixtures)
+# ---------------------------------------------------------------------------
+
+def prod_shape(sf_dir: str) -> tuple[int, int]:
+    """(grid N, tile size) for the production-shape chain query: 256^2 DEM
+    with 64^2 tiles (a 4x4 = 16-tile layout) at sf0.01 and above; a 96^2 /
+    32^2 (3x3 = 9-tile) layout under the cheap sf0.001 smoke gate."""
+    import os
+
+    base = os.path.basename(os.path.normpath(sf_dir))
+    return (96, 32) if base.endswith("0.001") else (256, 64)
+
+
+def stage_terrain_chain_prod(sf_dir: str) -> str:
+    """Single-node twin of the full D8 chain (fill -> fdir -> acc ->
+    channels -> basins -> HAND; src/terrain_tools.f90:171-1725 semantics)
+    at the production shape, per-cell quantized — the distributed chain is
+    bit-identical f32 on every column, so the compare is exact integers."""
+    from ..terrain import kernels as K
+
+    N, _ = prod_shape(sf_dir)
+    w, area, fdir, ch, basins, hand, maski = _terrain_single_node(N, 30.0)
+    gi, gj = _grid_ij(N)
+    hv = hand.ravel()
+    valid = hv != np.float32(K.UNDEF)
+    out = pd.DataFrame(
+        {
+            "gi": gi,
+            "gj": gj,
+            "basin": basins.ravel().astype(np.int64),
+            "channel": ch.ravel().astype(np.int64),
+            "acc_mm": _q_mm(np.where(area.ravel() == np.float32(K.UNDEF), 0, area.ravel())),
+            "hand_mm": np.where(valid, _q_mm(hv), 0),
+            "hand_valid": valid.astype(np.int64),
+        }
+    ).sort_values(["gi", "gj"]).reset_index(drop=True)
+    return O.stage_fixture("terrain_chain_prod", out)
+
+
+TERRAIN_CHAIN_PROD_SQL = O.fixture_sql("terrain_chain_prod", "gi, gj")

@@ -367,3 +367,66 @@ SELECT doc_id, n_chars,
        / (CAST(MAX(n_chars) OVER () AS DOUBLE) - CAST(MIN(n_chars) OVER () AS DOUBLE)) AS n_chars_norm
 FROM documents ORDER BY doc_id
 """
+
+
+def terrain_chain_prod(sf_dir: str):
+    """Production-shape driver query (VERDICT r3 ask #3): the full
+    distributed D8 chain (fill -> fdir -> acc -> channels -> basins ->
+    HAND) at a MANY-TILE layout — 256^2 DEM / 64^2 tiles (4x4 = 16 tiles)
+    at sf0.01+, 96^2 / 32^2 (3x3) under the sf0.001 smoke gate — so the
+    DuckDB-hash channel exercises cross-tile halo exchange, frontier
+    rounds, and label propagation at shape, not the 2x2 of the other
+    fixtures. Per-cell quantized compare: every column is bit-identical
+    f32 between the tiled chain and the single-node kernels
+    (src/terrain_tools.f90:171-1725)."""
+    OF.stage_terrain_chain_prod(sf_dir)
+    from .. import synth
+    from ..terrain import dist as D
+    from ..terrain import kernels as K
+    from ..terrain import tiles as T
+
+    Np, TILEp = OF.prod_shape(sf_dir)
+    dem, mask = synth.dem_grid("twovalley", Np)
+    z = dem.copy()
+    z[~mask] = np.float32(K.UNDEF)
+    ds = T.make_tiles_dataset({"dem": z.astype(np.float32), "landmask": mask.astype(np.int32)}, TILEp)
+    filled = D.fill_dist(ds, RES)
+    fd = D.fdir_dist(filled, RES, Np, Np)
+    ac = D.acc_dist(fd, TILEp, Np, Np)
+    ar = D.area_from_acc(ac, RES)
+    chds, _ = D.channels_dist(ar, 8 * RES * RES, 16 * RES * RES, Np, Np)
+    bds = D.basins_dist(chds, Np, Np)
+    hds = D.hand_dist(bds, Np, Np)
+
+    def cellrows(batch: pa.Table) -> pa.Table:
+        from ..terrain import tiles as T2
+
+        cols = {k: [] for k in ("gi", "gj", "basin", "channel", "acc_mm", "hand_mm", "hand_valid")}
+        for r in range(batch.num_rows):
+            i0 = int(batch["i0"][r].as_py())
+            j0 = int(batch["j0"][r].as_py())
+            b = T2.tile_payload(batch, "basins", r)
+            c = T2.tile_payload(batch, "channels", r)
+            a = T2.tile_payload(batch, "area", r)
+            h = T2.tile_payload(batch, "hand", r)
+            n0, n1 = b.shape
+            gi = (i0 + np.arange(n0)[:, None] + np.zeros((1, n1), dtype=np.int64)).ravel()
+            gj = (j0 + np.zeros((n0, 1), dtype=np.int64) + np.arange(n1)[None, :]).ravel()
+            hv = h.ravel()
+            valid = hv != np.float32(K.UNDEF)
+            av = a.ravel()
+            cols["gi"].append(gi.astype(np.int64))
+            cols["gj"].append(gj.astype(np.int64))
+            cols["basin"].append(b.ravel().astype(np.int64))
+            cols["channel"].append(c.ravel().astype(np.int64))
+            cols["acc_mm"].append(
+                np.round(np.where(av == np.float32(K.UNDEF), 0, av).astype(np.float64) * 1000.0).astype(np.int64)
+            )
+            cols["hand_mm"].append(
+                np.where(valid, np.round(hv.astype(np.float64) * 1000.0), 0).astype(np.int64)
+            )
+            cols["hand_valid"].append(valid.astype(np.int64))
+        return pa.table({k: pa.array(np.concatenate(v) if v else np.asarray([], dtype=np.int64)) for k, v in cols.items()})
+
+    df = hds.map_batches(cellrows, batch_format="pyarrow").to_pandas()
+    return df.sort_values(["gi", "gj"]).reset_index(drop=True)

@@ -106,7 +106,20 @@ def channel_properties(cells_ds, topology: dict[int, int], eares: float, slope_c
             "bankfull": 1.0,
         }
     )
-    res["down_cid"] = [topology.get(int(c), -9999) - 1 if topology.get(int(c), -9999) > 0 else -1 for c in res["cid"]]
+    # vectorized topology lookup (row list-comp cleanup, VERDICT r3 #9):
+    # sorted searchsorted over the (small) topology table, miss -> -1
+    cids = res["cid"].to_numpy(dtype=np.int64)
+    if topology:
+        tk = np.fromiter(topology.keys(), dtype=np.int64, count=len(topology))
+        tv = np.fromiter(topology.values(), dtype=np.int64, count=len(topology))
+        o = np.argsort(tk)
+        tk, tv = tk[o], tv[o]
+        pos = np.searchsorted(tk, cids)
+        ok = (pos < len(tk)) & (tk[np.clip(pos, 0, len(tk) - 1)] == cids)
+        down = np.where(ok, tv[np.clip(pos, 0, len(tv) - 1)], -9999)
+    else:
+        down = np.full(len(cids), -9999, dtype=np.int64)
+    res["down_cid"] = np.where(down > 0, down - 1, -1)
     return res
 
 
