@@ -97,6 +97,10 @@ _SQL_CHECKED: dict[str, tuple[Callable[[str], Any], str]] = {
     "docs_media_features": (X.docs_media_features, OF.DOCS_MEDIA_FEATURES_SQL),
     # round 4: production-shape chain (many-tile layout on the hash channel)
     "terrain_chain_prod": (TQ.terrain_chain_prod, OF.TERRAIN_CHAIN_PROD_SQL),
+    # round 4: the last pytest-only kernels get driver-green queries
+    "terrain_polygon_info": (TQ.terrain_polygon_info, OF.TERRAIN_POLYGON_INFO_SQL),
+    "terrain_reduce_basins": (TQ.terrain_reduce_basins, OF.TERRAIN_REDUCE_BASINS_SQL),
+    "terrain_basin_bisection": (TQ.terrain_basin_bisection, OF.TERRAIN_BASIN_BISECTION_SQL),
 }
 
 # rows-only checks (none left — every query has an oracle)

@@ -512,13 +512,15 @@ def stage_terrain_mfd_cells(sf_dir: str) -> str:
 TERRAIN_MFD_STATS_SQL = O.fixture_sql("terrain_mfd_cells", "gi, gj")
 
 
-def polygonize_values_grid(N: int = 32):
-    """Shared input: quantized twovalley elevations (UNDEF off-mask)."""
+def polygonize_values_grid(N: int = 32, div: float = 20.0):
+    """Shared input: quantized twovalley elevations (UNDEF off-mask).
+    div=20 gives the 2-polygon CCL fixture; div=2 the 24-polygon /
+    68-edge grid the polygon_info adjacency twins use."""
     from .. import synth
     from ..terrain import kernels as K
 
     dem, mask = synth.dem_grid("twovalley", N)
-    return np.where(mask, np.round(dem.astype(np.float64) / 20.0), float(K.UNDEF)).astype(np.float32)
+    return np.where(mask, np.round(dem.astype(np.float64) / div), float(K.UNDEF)).astype(np.float32)
 
 
 def stage_terrain_polygonize(sf_dir: str) -> str:
@@ -924,3 +926,110 @@ def stage_terrain_chain_prod(sf_dir: str) -> str:
 
 
 TERRAIN_CHAIN_PROD_SQL = O.fixture_sql("terrain_chain_prod", "gi, gj")
+
+
+# ---------------------------------------------------------------------------
+# round 4 (VERDICT r3 ask #8): polygon_info, reduce_basins, bisection
+# ---------------------------------------------------------------------------
+
+def stage_terrain_polygon_info(sf_dir: str) -> str:
+    """Whole-grid polygon_info (terrain_tools.f90:1791-1858): centroids +
+    ordered 4-adjacency with per-edge centroid distance, micro-quantized."""
+    from ..terrain import kernels as K
+
+    N, RES = 32, 30.0
+    v = polygonize_values_grid(N, div=2.0)
+    p = K.polygonize(v.copy())
+    polys = np.where(p == K.UNDEF, K.IUNDEF, p).astype(np.int64)
+    info = K.polygon_info(polys, np.zeros_like(polys), res=RES)
+    e = info["edges"]
+    c = info["centroid"]
+    out = pd.DataFrame(
+        {
+            "src": e[:, 0],
+            "dst": e[:, 1],
+            "dist_um": np.round(info["edge_dist"] * 1e6).astype(np.int64),
+            "src_cx_um": np.round(c[e[:, 0], 0] * 1e6).astype(np.int64),
+            "src_cy_um": np.round(c[e[:, 0], 1] * 1e6).astype(np.int64),
+        }
+    ).sort_values(["src", "dst"]).reset_index(drop=True)
+    return O.stage_fixture("terrain_polygon_info", out)
+
+
+TERRAIN_POLYGON_INFO_SQL = O.fixture_sql("terrain_polygon_info", "src, dst")
+
+
+def _reduce_basins_inputs(N: int = 32, RES: float = 30.0):
+    """Shared single-node inputs for the reduce-basins twins: the no-ocean
+    channel/basin chain plus the per-basin (ids, nids, areas) table in
+    ascending channel-id order (libraries/terrain_tools.py:293-338)."""
+    from .. import synth
+    from ..terrain import kernels as K
+
+    dem, mask = synth.dem_grid("twovalley", N)
+    z = dem.copy()
+    z[~mask] = np.float32(K.UNDEF)
+    maski = mask.astype(np.int32)
+    w = K.fill_pits(z.astype(np.float32), RES)
+    area, fdir = K.d8_area(w, maski, RES)
+    ch, _, topo = K.calculate_channels(
+        area, 8 * RES * RES, 16 * RES * RES, fdir, mask=maski, with_ocean=False
+    )
+    basins = K.delineate_basins(ch, maski, fdir)
+    cids = np.asarray(sorted(topo.keys()), dtype=np.int64)
+    ids = cids - 1
+    nids = np.asarray([topo[int(c)] - 1 if topo[int(c)] > 0 else -1 for c in cids], dtype=np.int64)
+    # domain: cells whose basin label is a channel-segment id; areas exact
+    dom = np.isin(basins, cids)
+    bm = np.where(dom, basins, K.IUNDEF)
+    counts = np.asarray([(bm == c).sum() for c in cids], dtype=np.int64)
+    areas = counts.astype(np.float64) * RES * RES
+    goal = max(2, len(cids) // 2)
+    return bm, ids, nids, areas, goal, topo
+
+
+def stage_terrain_reduce_basins(sf_dir: str) -> str:
+    """Grid-version reduce_basins twin (the distributed query merges on the
+    table with reduce_basins_map and paints — different implementation)."""
+    from ..terrain import kernels as K
+
+    N = 32
+    bm, ids, nids, areas, goal, _ = _reduce_basins_inputs(N)
+    out_grid = K.reduce_basins(bm, ids, nids, areas, goal)
+    gi, gj = _grid_ij(N)
+    rb = out_grid.ravel()
+    out = pd.DataFrame(
+        {"gi": gi, "gj": gj, "rbasin": np.where(rb == K.IUNDEF, -1, rb).astype(np.int64)}
+    ).sort_values(["gi", "gj"]).reset_index(drop=True)
+    return O.stage_fixture("terrain_reduce_basins", out)
+
+
+TERRAIN_REDUCE_BASINS_SQL = O.fixture_sql("terrain_reduce_basins", "gi, gj")
+
+
+def stage_terrain_basin_bisection(sf_dir: str) -> str:
+    """Single-node basin-count bisection (terrain_tools.py:211-253): the
+    log-space threshold walk over the oracle channel/basin kernels."""
+    from .. import synth
+    from ..terrain import kernels as K
+
+    N, RES = 32, 30.0
+    dem, mask = synth.dem_grid("twovalley", N)
+    z = dem.copy()
+    z[~mask] = np.float32(K.UNDEF)
+    maski = mask.astype(np.int32)
+    w = K.fill_pits(z.astype(np.float32), RES)
+    area, fdir = K.d8_area(w, maski, RES)
+    area2 = area.copy()
+    area2[maski == 0] = 0.0
+    probe = K.basin_probe_oracle(area2, fdir, maski, channel_threshold=8 * RES * RES)
+    basins = K.basin_count_bisection(probe, float(area2.max()), RES, nbasins_goal=4)
+    gi, gj = _grid_ij(N)
+    b = basins.ravel()
+    out = pd.DataFrame(
+        {"gi": gi, "gj": gj, "basin": np.where(b == K.IUNDEF, -1, b).astype(np.int64)}
+    ).sort_values(["gi", "gj"]).reset_index(drop=True)
+    return O.stage_fixture("terrain_basin_bisection", out)
+
+
+TERRAIN_BASIN_BISECTION_SQL = O.fixture_sql("terrain_basin_bisection", "gi, gj")

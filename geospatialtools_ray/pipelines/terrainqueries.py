@@ -430,3 +430,181 @@ def terrain_chain_prod(sf_dir: str):
 
     df = hds.map_batches(cellrows, batch_format="pyarrow").to_pandas()
     return df.sort_values(["gi", "gj"]).reset_index(drop=True)
+
+
+def _chain_to_area(Np: int, TILEp: int, zero_offmask: bool = False):
+    """Shared front of the round-4 queries: fill -> fdir -> acc -> area
+    tiles on the twovalley DEM. zero_offmask mirrors the bisection oracle's
+    area2[mask==0] = 0 pre-step."""
+    from .. import synth
+    from ..terrain import dist as D
+    from ..terrain import kernels as K
+    from ..terrain import tiles as T
+
+    dem, mask = synth.dem_grid("twovalley", Np)
+    z = dem.copy()
+    z[~mask] = np.float32(K.UNDEF)
+    ds = T.make_tiles_dataset({"dem": z.astype(np.float32), "landmask": mask.astype(np.int32)}, TILEp)
+    filled = D.fill_dist(ds, RES)
+    fd = D.fdir_dist(filled, RES, Np, Np)
+    ac = D.acc_dist(fd, TILEp, Np, Np)
+    ar = D.area_from_acc(ac, RES)
+    if zero_offmask:
+        def zero(batch: pa.Table) -> pa.Table:
+            from ..terrain import tiles as T2
+
+            outs = []
+            for r in range(batch.num_rows):
+                a = T2.tile_payload(batch, "area", r).copy()
+                m = T2.tile_payload(batch, "landmask", r)
+                a[m == 0] = 0.0
+                outs.append(a.astype(np.float32).ravel())
+            return batch.drop_columns(["area"]).append_column(
+                "area", pa.array([x for x in outs], type=pa.list_(pa.float32()))
+            )
+
+        ar = ar.map_batches(zero, batch_format="pyarrow")
+    return ar.materialize()
+
+
+def terrain_polygon_info(sf_dir: str):
+    """Distributed polygon_info: centroid partial-sum groupby + in-tile /
+    cross-tile-join adjacency over the distributed CCL labels, vs the
+    whole-grid kernel (terrain_tools.f90:1791-1858)."""
+    OF.stage_terrain_polygon_info(sf_dir)
+    from ..terrain import dist as D
+    from ..terrain import tiles as T
+
+    v = OF.polygonize_values_grid(N, div=2.0)
+    ds = T.make_tiles_dataset({"values": v}, TILE)
+    labeled = D.polygonize_dist(ds, "values")
+    cents, edges = D.polygon_info_dist(labeled, RES, N, N)
+    cx = cents.set_index("pid")["cx"]
+    cy = cents.set_index("pid")["cy"]
+    s = edges["src"].to_numpy(dtype=np.int64)
+    d = edges["dst"].to_numpy(dtype=np.int64)
+    sx, sy = cx.loc[s].to_numpy(), cy.loc[s].to_numpy()
+    dx, dy = cx.loc[d].to_numpy(), cy.loc[d].to_numpy()
+    dist = np.sqrt((sx - dx) ** 2 + (sy - dy) ** 2)  # same IEEE tree as the kernel
+    return pd.DataFrame(
+        {
+            "src": s,
+            "dst": d,
+            "dist_um": np.round(dist * 1e6).astype(np.int64),
+            "src_cx_um": np.round(sx * 1e6).astype(np.int64),
+            "src_cy_um": np.round(sy * 1e6).astype(np.int64),
+        }
+    ).sort_values(["src", "dst"]).reset_index(drop=True)
+
+
+def terrain_reduce_basins(sf_dir: str):
+    """Distributed reduce_basin_number (terrain_tools.py:293-338): basin
+    areas from a distributed per-basin count groupby; the merge loop runs
+    driver-side on the SMALL id table (kernels.reduce_basins_map — one row
+    per basin, never cells); the final relabel is a broadcast searchsorted
+    paint in map_batches. Oracle: the grid-walking kernel twin."""
+    OF.stage_terrain_reduce_basins(sf_dir)
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..terrain import dist as D
+    from ..terrain import kernels as K
+    from ..terrain import properties as P
+
+    ar = _chain_to_area(N, TILE)
+    chds, topo = D.channels_dist(ar, 8 * RES * RES, 16 * RES * RES, N, N, with_ocean=False)
+    bds = D.basins_dist(chds, N, N)
+    cells = P.tiles_to_cells(bds, ["basins"]).materialize()
+
+    cids = np.asarray(sorted(topo.keys()), dtype=np.int64)
+    ids = cids - 1
+    nids = np.asarray([topo[int(c)] - 1 if topo[int(c)] > 0 else -1 for c in cids], dtype=np.int64)
+    cids_ref = ray.put(cids)
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        b = batch["basins"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = np.isin(b, ray.get(cids_ref))
+        u, c = np.unique(b[keep], return_counts=True)
+        return pa.table({"basin": pa.array(u), "n": pa.array(c.astype(np.int64))})
+
+    counts_df = (
+        cells.map_batches(count_partial, batch_format="pyarrow")
+        .groupby("basin")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # small: one row per basin
+        .set_index("basin")["n"]
+    )
+    areas = counts_df.reindex(cids, fill_value=0).to_numpy(dtype=np.float64) * RES * RES
+    goal = max(2, len(cids) // 2)
+    mapping = K.reduce_basins_map(ids, nids, areas, goal)
+    mk = np.asarray(sorted(mapping.keys()), dtype=np.int64)
+    mv = np.asarray([mapping[int(k)] for k in mk], dtype=np.int64)
+    map_ref = ray.put((mk, mv))
+
+    def paint(batch: pa.Table) -> pa.Table:
+        keys, vals = ray.get(map_ref)
+        b = batch["basins"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(keys, b)
+        ok = (pos < len(keys)) & (keys[np.clip(pos, 0, len(keys) - 1)] == b)
+        rb = np.where(ok, vals[np.clip(pos, 0, len(vals) - 1)], -1)
+        return pa.table(
+            {
+                "gi": batch["gi"].cast(pa.int64()),
+                "gj": batch["gj"].cast(pa.int64()),
+                "rbasin": pa.array(rb, type=pa.int64()),
+            }
+        )
+
+    df = cells.map_batches(paint, batch_format="pyarrow").to_pandas()
+    return df.sort_values(["gi", "gj"]).reset_index(drop=True)
+
+
+def terrain_basin_bisection(sf_dir: str):
+    """Distributed basin-count bisection (terrain_tools.py:211-253): the
+    log-space threshold walk with every probe = channels_dist +
+    basins_dist over the SAME materialized area tiles; the probe's basin
+    count is a per-tile-unique partial folded to a distinct count (labels
+    per tile are bounded, the cell table never reaches the driver).
+    Converges identically to the single-node walk because every probe's
+    chain is bit-identical."""
+    OF.stage_terrain_basin_bisection(sf_dir)
+    from ray.data.aggregate import Max
+
+    from ..terrain import dist as D
+    from ..terrain import kernels as K
+    from ..terrain import properties as P
+    from ..terrain import tiles as T
+
+    ar = _chain_to_area(N, TILE, zero_offmask=True)
+
+    def tile_max(batch: pa.Table) -> pa.Table:
+        vals = [float(T.tile_payload(batch, "area", r).max()) for r in range(batch.num_rows)]
+        return pa.table({"mx": pa.array(vals, type=pa.float64())})
+
+    area_max = float(ar.map_batches(tile_max, batch_format="pyarrow").aggregate(Max("mx"))["max(mx)"])
+
+    def probe(basin_threshold: float):
+        chds, _ = D.channels_dist(ar, 8 * RES * RES, basin_threshold, N, N, with_ocean=False)
+        bds = D.basins_dist(chds, N, N)
+
+        def tile_uniq(batch: pa.Table) -> pa.Table:
+            us = []
+            for r in range(batch.num_rows):
+                b = T.tile_payload(batch, "basins", r).astype(np.int64)
+                us.append(np.unique(b[b > 0]))
+            u = np.unique(np.concatenate(us)) if us else np.asarray([], dtype=np.int64)
+            return pa.table({"basin": pa.array(u)})
+
+        uniq = bds.map_batches(tile_uniq, batch_format="pyarrow").to_pandas()
+        return int(uniq["basin"].nunique()), bds
+
+    bds = K.basin_count_bisection(probe, area_max, RES, nbasins_goal=4)
+    df = P.tiles_to_cells(bds, ["basins"]).to_pandas()
+    b = df["basins"].to_numpy(dtype=np.int64)
+    return pd.DataFrame(
+        {
+            "gi": df["gi"].astype("int64"),
+            "gj": df["gj"].astype("int64"),
+            "basin": np.where(b == K.IUNDEF, -1, b),
+        }
+    ).sort_values(["gi", "gj"]).reset_index(drop=True)

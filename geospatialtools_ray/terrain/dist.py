@@ -1129,6 +1129,138 @@ def polygonize_dist(ds, value_col: str = "values", N1: int | None = None):
     return labeled.map_batches(paint, batch_format="pyarrow")
 
 
+def polygon_info_dist(ds, res: float, N0: int, N1: int, pid_col: str = "pids"):
+    """Distributed polygon_info (terrain_tools.f90:1791-1858 +
+    libraries/terrain_tools.py:1590-1632): per-polygon centroids from
+    partial (count, sum_x, sum_y) per tile folded by a small groupby, and
+    the ordered 4-neighbor adjacency (self-edges included, as the
+    reference emits) from in-tile shifted comparisons plus a keyed
+    self-join of tile-edge cells on neighbor gpos — the same O(perimeter)
+    probe pattern as the polygonize cross-tile merge. Returns
+    (centroids DataFrame indexed by pid — small, one row per polygon —
+    and the distinct-edge DataFrame (src, dst)).
+
+    Exactness: with res an exactly-representable float (e.g. 30.0), the
+    centroid partial sums are integer-valued in float64, so the fold is
+    order-independent and bit-equal to the single-node np.add.at."""
+    from ray.data.aggregate import Sum
+
+    half = res / 2.0
+
+    def cent_partial(batch: pa.Table) -> pa.Table:
+        rows = {"pid": [], "cnt": [], "sx": [], "sy": []}
+        for r in range(batch.num_rows):
+            p = T.tile_payload(batch, pid_col, r)
+            i0 = int(batch["i0"][r].as_py())
+            j0 = int(batch["j0"][r].as_py())
+            ok = p != np.float64(UNDEF)
+            if not ok.any():
+                continue
+            ii, jj = np.nonzero(ok)
+            uniq, inv = np.unique(p[ok].astype(np.int64), return_inverse=True)
+            rows["pid"].append(uniq)
+            rows["cnt"].append(np.bincount(inv).astype(np.float64))
+            rows["sx"].append(np.bincount(inv, weights=(j0 + jj) * res + half))
+            rows["sy"].append(np.bincount(inv, weights=(i0 + ii) * res + half))
+        return pa.table(
+            {
+                k: pa.array(
+                    np.concatenate(v) if v else np.asarray([], dtype=np.int64 if k == "pid" else np.float64)
+                )
+                for k, v in rows.items()
+            }
+        )
+
+    cents = (
+        ds.map_batches(cent_partial, batch_format="pyarrow")
+        .groupby("pid")
+        .aggregate(Sum("cnt", alias_name="cnt"), Sum("sx", alias_name="sx"), Sum("sy", alias_name="sy"))
+        .to_pandas()  # small: one row per POLYGON, never cells
+        .sort_values("pid")
+        .reset_index(drop=True)
+    )
+    cents["cx"] = cents["sx"] / cents["cnt"]
+    cents["cy"] = cents["sy"] / cents["cnt"]
+
+    PKEY = np.int64(1) << 32  # pids are dense component ranks << 2^32
+
+    def edge_rows(batch: pa.Table) -> pa.Table:
+        srcs = []
+        for r in range(batch.num_rows):
+            p = T.tile_payload(batch, pid_col, r)
+            n0, n1 = p.shape
+            # in-tile ordered pairs, all 4 directions (incl. self-edges)
+            for di, dj in ((-1, 0), (1, 0), (0, -1), (0, 1)):
+                a0 = slice(max(0, di), n0 + min(0, di))
+                a1 = slice(max(0, dj), n1 + min(0, dj))
+                b0 = slice(max(0, -di), n0 + min(0, -di))
+                b1 = slice(max(0, -dj), n1 + min(0, -dj))
+                s = p[a0, a1]
+                d = p[b0, b1]
+                m = (s != np.float64(UNDEF)) & (d != np.float64(UNDEF))
+                if m.any():
+                    srcs.append(np.unique(s[m].astype(np.int64) * PKEY + d[m].astype(np.int64)))
+        packed = np.unique(np.concatenate(srcs)) if srcs else np.asarray([], dtype=np.int64)
+        return pa.table({"src": pa.array(packed // PKEY), "dst": pa.array(packed % PKEY)})
+
+    def boundary_rows(anchor: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            gp_l, pid_l = [], []
+            for r in range(batch.num_rows):
+                p = T.tile_payload(batch, pid_col, r)
+                i0 = int(batch["i0"][r].as_py())
+                j0 = int(batch["j0"][r].as_py())
+                n0, n1 = p.shape
+                if anchor:
+                    # first row / first col cells keyed by OWN gpos
+                    sel_i = np.r_[np.zeros(n1, dtype=np.int64), np.arange(n0)]
+                    sel_j = np.r_[np.arange(n1), np.zeros(n0, dtype=np.int64)]
+                    key_i, key_j = i0 + sel_i, j0 + sel_j
+                else:
+                    # last row / last col cells keyed by the DOWN / RIGHT
+                    # neighbor's gpos (lands in the adjacent tile)
+                    sel_i = np.r_[np.full(n1, n0 - 1, dtype=np.int64), np.arange(n0)]
+                    sel_j = np.r_[np.arange(n1), np.full(n0, n1 - 1, dtype=np.int64)]
+                    key_i = i0 + sel_i + np.r_[np.ones(n1, dtype=np.int64), np.zeros(n0, dtype=np.int64)]
+                    key_j = j0 + sel_j + np.r_[np.zeros(n1, dtype=np.int64), np.ones(n0, dtype=np.int64)]
+                v = p[sel_i, sel_j]
+                ok = (v != np.float64(UNDEF)) & (key_i >= 0) & (key_i < N0) & (key_j >= 0) & (key_j < N1)
+                gp_l.append(key_i[ok] * np.int64(N1) + key_j[ok])
+                pid_l.append(v[ok].astype(np.int64))
+            gp = np.concatenate(gp_l) if gp_l else np.asarray([], dtype=np.int64)
+            pv = np.concatenate(pid_l) if pid_l else np.asarray([], dtype=np.int64)
+            name = "pid_b" if anchor else "pid_a"
+            return pa.table({"gpos": pa.array(gp), name: pa.array(pv)})
+
+        return f
+
+    probes = ds.map_batches(boundary_rows(False), batch_format="pyarrow")
+    anchors = ds.map_batches(boundary_rows(True), batch_format="pyarrow")
+    cross = probes.join(anchors, join_type="inner", num_partitions=4, on=("gpos",))
+
+    def cross_edges(b: pa.Table) -> pa.Table:
+        a = b["pid_a"].to_numpy(zero_copy_only=False)
+        d = b["pid_b"].to_numpy(zero_copy_only=False)
+        # both directions: the reference's 4 passes see each boundary pair
+        # from each side
+        return pa.table(
+            {"src": pa.array(np.concatenate([a, d])), "dst": pa.array(np.concatenate([d, a]))}
+        )
+
+    from ray.data.aggregate import Count
+
+    edges = (
+        ds.map_batches(edge_rows, batch_format="pyarrow")
+        .union(cross.map_batches(cross_edges, batch_format="pyarrow"))
+        .groupby(["src", "dst"])
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()[["src", "dst"]]  # small: one row per ADJACENCY pair
+        .sort_values(["src", "dst"])
+        .reset_index(drop=True)
+    )
+    return cents[["pid", "cnt", "cx", "cy"]], edges
+
+
 # ---------------------------------------------------------------------------
 # Hillslope delineation, distributed (terrain_tools.f90:1295-1575).
 #

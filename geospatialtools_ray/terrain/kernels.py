@@ -939,6 +939,42 @@ def reduce_basins(basins: np.ndarray, ids: np.ndarray, nids: np.ndarray, area: n
     out[out <= 0] = IUNDEF
     return out
 
+
+def reduce_basins_map(ids: np.ndarray, nids: np.ndarray, area: np.ndarray, nbasins_goal: int) -> dict[int, int]:
+    """Table-only twin of reduce_basins: the identical merge loop over the
+    small per-basin table, returning {original 1-based label -> final dense
+    label} so a DISTRIBUTED caller can broadcast the map and paint cells in
+    map_batches instead of holding the grid (terrain_tools.py:293-338).
+    Asserted equal to the grid version in tests/test_terrain_extra.py."""
+    ids = np.asarray(ids, dtype=np.int64).copy()
+    nids = np.asarray(nids, dtype=np.int64).copy()
+    area = np.asarray(area, dtype=np.float64).copy()
+    cur = {int(i) + 1: int(i) + 1 for i in ids}  # original label -> current
+    while ids.size > nbasins_goal:
+        order = np.argsort(area, kind="stable")[:10]
+        astd = []
+        for ib in order:
+            acp = area.copy()
+            acp[ids == nids[ib]] += acp[ib]
+            astd.append(acp.std())
+        astd = np.asarray(astd)
+        valid = nids[order] >= 0
+        if not valid.any():
+            break
+        tmp = np.argmin(astd[valid])
+        ib = order[np.flatnonzero(astd == astd[valid][tmp])[0]]
+        area[ids == nids[ib]] += area[ib]
+        src_lab, dst_lab = int(ids[ib]) + 1, int(nids[ib]) + 1
+        for k, v in cur.items():
+            if v == src_lab:
+                cur[k] = dst_lab
+        nids[nids == ids[ib]] = nids[ib]
+        keep = np.arange(ids.size) != ib
+        ids, nids, area = ids[keep], nids[keep], area[keep]
+    survivors = sorted(set(cur.values()))
+    rank = {lab: i + 1 for i, lab in enumerate(survivors)}
+    return {k: rank[v] for k, v in cur.items()}
+
 # ---------------------------------------------------------------------------
 # Basin-count bisection (libraries/terrain_tools.py:211-253): log-space
 # bisection on basin_threshold (10 iterations) to hit a target basin count.

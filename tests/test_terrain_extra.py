@@ -103,6 +103,21 @@ def test_reduce_basins_reaches_goal():
     assert set(u[u > 0]) == {1, 2, 3}  # dense relabel 1..n
 
 
+def test_reduce_basins_map_matches_grid():
+    """The table-only merge twin (used by the distributed paint) must give
+    exactly the grid walker's final labels on the real chain inputs."""
+    from geospatialtools_ray.pipelines.oracle_fixtures import _reduce_basins_inputs
+
+    bm, ids, nids, areas, goal, _ = _reduce_basins_inputs()
+    grid = K.reduce_basins(bm, ids, nids, areas, goal)
+    mapping = K.reduce_basins_map(ids, nids, areas, goal)
+    want = np.full(bm.shape, -1, dtype=np.int64)
+    for old, new in mapping.items():
+        want[bm == old] = new
+    got = np.where(grid == K.IUNDEF, -1, grid)
+    assert np.array_equal(got, want)
+
+
 def test_basin_count_bisection_converges():
     from geospatialtools_ray.terrain import kernels as K
 
