@@ -76,6 +76,7 @@ _SQL_CHECKED: dict[str, tuple[Callable[[str], Any], str]] = {
     "docs_fingerprint": (X.docs_fingerprint, OF.DOCS_FINGERPRINT_SQL),
     "ann_lsh_topk": (X.ann_lsh_topk, OF.ANN_LSH_TOPK_SQL),
     "ann_ivf_topk": (X.ann_ivf_topk, OF.ANN_IVF_TOPK_SQL),
+    "ann_lsh_adaptive": (X.ann_lsh_adaptive, OF.ANN_LSH_ADAPTIVE_SQL),
     "terrain_basin_stats": (X.terrain_basin_stats, OF.TERRAIN_BASIN_STATS_SQL),
     "flagship_spatial_join": (X.flagship_spatial_join, OF.FLAGSHIP_SPATIAL_JOIN_SQL),
     "docs_knn_haversine": (X.docs_knn_haversine, OF.DOCS_KNN_HAVERSINE_SQL),

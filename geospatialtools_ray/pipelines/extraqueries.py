@@ -394,6 +394,28 @@ def terrain_hillslope_profiles(sf_dir: str):
     return out
 
 
+def ann_lsh_adaptive(sf_dir: str):
+    """Adaptive-candidate-budget LSH ANN: probe buckets in multi-probe
+    margin order until they hold >= half the table (the recall>=0.8 point
+    on the sf0.1 curve); scoring stays inside groupby(bucket).map_groups.
+    Oracle = single-process twin fixture."""
+    import pyarrow.parquet as pq
+
+    from ..stages.ann import lsh_partitioned_topk
+    from . import oracle_fixtures as OF
+
+    OF.stage_ann_lsh_adaptive(sf_dir)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    q_tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    Q = np.stack([np.asarray(q_tbl["embedding"][i].as_py()) for i in range(3)]).astype(np.float64)
+    budget = max(50, q_tbl.num_rows // 2)
+    out = lsh_partitioned_topk(ds, Q, k=5, n_planes=8, min_candidates=budget)
+    out["query_id"] = out["query_id"].astype("int64")
+    out["vec_id"] = out["vec_id"].astype("int64")
+    out["cos_sim"] = out["cos_sim"].round(6)
+    return out.sort_values(["query_id", "vec_id"]).reset_index(drop=True)
+
+
 def ann_ivf_topk(sf_dir: str):
     """IVF-partitioned ANN (deterministic-KMeans coarse lists, nprobe=2)
     over the embeddings table; oracle = single-process twin fixture."""

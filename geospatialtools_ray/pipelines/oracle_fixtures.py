@@ -202,6 +202,44 @@ def stage_ann_lsh_topk(sf_dir: str, k: int = 5, n_planes: int = 6) -> str:
 ANN_LSH_TOPK_SQL = O.fixture_sql("ann_lsh_topk", "query_id, vec_id")
 
 
+def stage_ann_lsh_adaptive(sf_dir: str, k: int = 5, n_planes: int = 8) -> str:
+    """Single-process twin of the adaptive-budget LSH path: same
+    deterministic planes/probing-order helpers (shared pure functions), but
+    an independent whole-array bucket count + probe + exact score — no Ray.
+    Budget = half the table, the point on the recall curve where the sf0.1
+    measurement crosses 0.8 (BASELINE.md)."""
+    from ..stages.ann import adaptive_lsh_probes, lsh_codes, random_hyperplanes
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]).to_pandas()
+    E = np.stack([np.asarray(e) for e in tbl["embedding"]]).astype(np.float64)
+    ids = tbl["vec_id"].astype("int64").to_numpy()
+    Q = E[:3].copy()
+    planes = random_hyperplanes(Q.shape[1], n_planes)
+    codes = lsh_codes(E, planes).astype(np.int64)
+    u, c = np.unique(codes, return_counts=True)
+    counts = {int(a): int(b) for a, b in zip(u, c)}
+    budget = max(50, len(ids) // 2)
+    rows = []
+    for qi, probes in enumerate(adaptive_lsh_probes(Q, planes, counts, budget)):
+        m = np.isin(codes, np.asarray(probes, dtype=np.int64))
+        if not m.any():
+            continue
+        sub, sid = E[m], ids[m]
+        En = sub / np.maximum(np.linalg.norm(sub, axis=1, keepdims=True), 1e-30)
+        qn = Q[qi] / max(np.linalg.norm(Q[qi]), 1e-30)
+        s = En @ qn
+        kk = min(k, len(sid))
+        order = np.lexsort((sid, -s))[:kk]
+        for j in order:
+            rows.append((qi, int(sid[j]), round(float(s[j]), 6)))
+    out = pd.DataFrame(rows, columns=["query_id", "vec_id", "cos_sim"])
+    out["query_id"] = out["query_id"].astype("int64")
+    return O.stage_fixture("ann_lsh_adaptive", out)
+
+
+ANN_LSH_ADAPTIVE_SQL = O.fixture_sql("ann_lsh_adaptive", "query_id, vec_id")
+
+
 # ---------------------------------------------------------------------------
 # kNN (haversine)
 # ---------------------------------------------------------------------------

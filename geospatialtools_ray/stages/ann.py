@@ -139,6 +139,86 @@ def _scored_topk_partials(bucketed, bucket_col, bucket_to_queries_ref, Q, k, id_
     )
 
 
+def probe_masks_by_margin(margins: np.ndarray):
+    """Yield bit-flip masks over ``len(margins)`` hyperplanes in nondecreasing
+    order of summed flipped |projection| (the multi-probe LSH probing
+    sequence of Lv et al., VLDB 2007). First yield is always 0 (the query's
+    own bucket). Heap over perturbation sets: each set's successors are
+    'shift' (replace max sorted-index m with m+1) and 'expand' (add m+1);
+    both are score-nondecreasing because margins are visited sorted
+    ascending, so heap-pop order is globally nondecreasing."""
+    import heapq
+
+    npl = len(margins)
+    yield 0
+    if npl == 0:
+        return
+    perm = np.argsort(margins, kind="stable")
+    z = margins[perm]
+    # heap entries: (score, tie, tuple_of_sorted_indices)
+    tie = 0
+    heap = [(float(z[0]), tie, (0,))]
+    while heap:
+        score, _, A = heapq.heappop(heap)
+        mask = 0
+        for i in A:
+            mask |= 1 << int(perm[i])
+        yield mask
+        m = A[-1]
+        if m + 1 < npl:
+            tie += 1
+            heapq.heappush(heap, (score - float(z[m]) + float(z[m + 1]), tie, A[:-1] + (m + 1,)))
+            tie += 1
+            heapq.heappush(heap, (score + float(z[m + 1]), tie, A + (m + 1,)))
+
+
+def bucket_counts(ds, code_fn, emb_col: str = "embedding") -> dict[int, int]:
+    """Per-bucket row counts via one codes-only pass: each batch emits its
+    local (bucket, cnt) histogram (bounded by distinct codes per batch, not
+    rows), summed on the driver. Driver sees <= n_blocks x n_buckets tiny
+    rows — safe at any N for bounded bucket vocabularies (2^n_planes /
+    n_lists)."""
+    def cnt(batch: pa.Table) -> pa.Table:
+        codes = np.asarray(code_fn(batch), dtype=np.int64)
+        u, c = np.unique(codes, return_counts=True)
+        return pa.table({"bucket": pa.array(u, type=pa.int64()), "cnt": pa.array(c, type=pa.int64())})
+
+    parts = ds.select_columns([emb_col]).map_batches(cnt, batch_format="pyarrow").to_pandas()
+    if not len(parts):
+        return {}
+    return {int(k): int(v) for k, v in parts.groupby("bucket")["cnt"].sum().items()}
+
+
+def adaptive_lsh_probes(
+    Q: np.ndarray, planes: np.ndarray, counts: dict[int, int], min_candidates: int, max_probes: int = 0
+) -> list[list[int]]:
+    """Per-query probe list grown in multi-probe margin order until the
+    probed buckets hold >= ``min_candidates`` rows (or buckets run out /
+    ``max_probes`` is hit). Empty buckets are skipped without counting
+    against max_probes; candidates stay bounded per bucket because scoring
+    still happens inside groupby(bucket).map_groups."""
+    proj = Q @ planes.T
+    base = ((proj > 0).astype(np.uint64) << np.arange(planes.shape[0], dtype=np.uint64)[None, :]).sum(axis=1)
+    nbuckets_total = 1 << planes.shape[0]
+    out = []
+    for qi in range(Q.shape[0]):
+        margins = np.abs(proj[qi])
+        probes: list[int] = []
+        total = 0
+        seen = 0
+        for mask in probe_masks_by_margin(margins):
+            seen += 1
+            code = int(base[qi]) ^ mask
+            c = counts.get(code, 0)
+            if c > 0 or mask == 0:
+                probes.append(code)
+                total += c
+            if total >= min_candidates or (max_probes and len(probes) >= max_probes) or seen >= nbuckets_total:
+                break
+        out.append(probes)
+    return out
+
+
 def multiprobe_codes(Q: np.ndarray, planes: np.ndarray, n_probes: int) -> list[list[int]]:
     """Per-query probe sequence: the query's own bucket first, then the
     buckets reached by flipping the LOWEST-MARGIN hyperplane bits —
@@ -168,7 +248,7 @@ def multiprobe_codes(Q: np.ndarray, planes: np.ndarray, n_probes: int) -> list[l
 
 def lsh_partitioned_topk(
     ds, queries: np.ndarray, k: int = 10, n_planes: int = 8, id_col: str = "vec_id",
-    emb_col: str = "embedding", n_probes: int = 1,
+    emb_col: str = "embedding", n_probes: int = 1, min_candidates: int | None = None,
 ):
     """LSH-bucketed ANN: bucket = hyperplane sign code (the partition key);
     each query searches its own bucket plus, with ``n_probes > 1``, the
@@ -178,13 +258,24 @@ def lsh_partitioned_topk(
     candidate rows were materialized to the driver); only per-bucket top-k
     partials leave the cluster, so multiprobe multiplies probed-bucket
     count (driver merge rows), never shipped candidate rows. Recall < 1 by
-    construction — benchmark against brute_force_topk."""
+    construction — benchmark against brute_force_topk.
+
+    With ``min_candidates`` set, the per-query probe list instead GROWS in
+    margin order until the probed buckets hold at least that many rows
+    (adaptive candidate budget; one extra codes-only counting pass), which
+    is the recall lever: budget B of N rows bounds work at ~B exact scores
+    per query while recall approaches brute force as B grows."""
     import ray
 
     Q = np.asarray(queries, dtype=np.float64)
     planes = random_hyperplanes(Q.shape[1], n_planes)
+    if min_candidates is not None:
+        counts = bucket_counts(ds, lambda b: lsh_codes(_emb_matrix(b, emb_col), planes).astype(np.int64), emb_col)
+        per_query = adaptive_lsh_probes(Q, planes, counts, min_candidates)
+    else:
+        per_query = multiprobe_codes(Q, planes, n_probes)
     b2q: dict[int, tuple[int, ...]] = {}
-    for qi, probes in enumerate(multiprobe_codes(Q, planes, n_probes)):
+    for qi, probes in enumerate(per_query):
         for code in probes:
             b2q[code] = b2q.get(code, ()) + (qi,)
     wanted = np.asarray(sorted(b2q), dtype=np.uint64)
@@ -209,6 +300,7 @@ def ivf_partitioned_topk(
     max_sample_rows: int = 200_000,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    min_candidates: int | None = None,
 ):
     """IVF-style ANN: deterministic KMeans coarse centroids (fit on a
     hash-sampled subset), every vector assigned to its nearest list in
@@ -242,11 +334,28 @@ def ivf_partitioned_topk(
     C = kmeans_fit(X, min(n_lists, len(X)))
     C_ref = ray.put(C)
 
-    qlists = np.argsort(((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2), axis=1)[:, :nprobe]
+    dist_order = np.argsort(((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2), axis=1)
     b2q: dict[int, tuple[int, ...]] = {}
-    for qi in range(len(Q)):
-        for l in qlists[qi]:
-            b2q[int(l)] = b2q.get(int(l), ()) + (qi,)
+    if min_candidates is not None:
+        # adaptive budget: probe lists in centroid-distance order until the
+        # probed lists hold >= min_candidates rows (one codes-only count pass)
+        counts = bucket_counts(
+            ds, lambda b: kmeans_predict(_emb_matrix(b, emb_col), C).astype(np.int64), emb_col
+        )
+        for qi in range(len(Q)):
+            total = 0
+            for l in dist_order[qi]:
+                c = counts.get(int(l), 0)
+                if c > 0 or total == 0:
+                    b2q[int(l)] = b2q.get(int(l), ()) + (qi,)
+                    total += c
+                if total >= min_candidates:
+                    break
+    else:
+        qlists = dist_order[:, :nprobe]
+        for qi in range(len(Q)):
+            for l in qlists[qi]:
+                b2q[int(l)] = b2q.get(int(l), ()) + (qi,)
     wanted = np.asarray(sorted(b2q), dtype=np.int64)
 
     def assign(batch: pa.Table) -> pa.Table:
