@@ -10,9 +10,10 @@ writer's layout: double `lon`/`lat` coordinate variables with
 units/long_name/res attributes (including the reference's +res/2
 cell-center offset), float data variables with `_FillValue` and
 `long_name`, and an optional leading `t` dimension with
-"hours since ..." units. One deviation, documented: the reference
-declares `t` UNLIMITED; this writer emits it as a fixed-length dimension
-(byte layout is simpler and every reader treats a full file identically).
+"hours since ..." units. `t` can be written fixed-length or as a true
+UNLIMITED record dimension (``unlimited=True`` — the reference's layout,
+netcdf_tools.py:84), in which case :func:`append_netcdf3_records` grows
+the file in place like the reference's open-handle per-timestep writes.
 
 The engine's native bulk sink remains partitioned parquet through
 ``io.py`` (NetCDF-3 is a single contiguous file and cannot be written
@@ -112,16 +113,35 @@ def _attrs(attrs: dict) -> bytes:
     return out
 
 
-def write_netcdf3(path: str, dims: list[tuple[str, int]], variables: list[dict]) -> None:
+def write_netcdf3(path: str, dims: list[tuple[str, int]], variables: list[dict], unlimited: str | None = None) -> None:
     """Emit a CDF-1 classic file. ``dims``: ordered (name, length);
     ``variables``: dicts with name, dims (names), nc_type, attrs, data
-    (numpy array, row-major in the declared dim order)."""
+    (numpy array, row-major in the declared dim order).
+
+    ``unlimited`` names the record (UNLIMITED) dimension, matching the
+    reference's ``createDimension('t', ...)`` record layout
+    (netcdf_tools.py:84): that dim is written with header length 0, the
+    file's ``numrecs`` carries the current record count (taken from the
+    named dim's entry in ``dims``), and record variables (first dim ==
+    record dim) are stored interleaved per record after the fixed
+    section — so :func:`append_netcdf3_records` can grow the file
+    in place. All nc types here are 4/8-byte, so per-record slabs are
+    naturally 4-aligned (the classic format's one-record-var padding
+    special case never applies)."""
     dim_index = {n: i for i, (n, _) in enumerate(dims)}
-    header = b"CDF\x01" + struct.pack(">i", 0)  # numrecs (no record dim used)
+    nrecs = 0
+    if unlimited is not None:
+        if unlimited not in dim_index:
+            raise ValueError(f"unlimited dim {unlimited!r} not declared")
+        nrecs = dims[dim_index[unlimited]][1]
+    header = b"CDF\x01" + struct.pack(">i", nrecs)
     header += struct.pack(">ii", _NC_DIMENSION, len(dims))
     for n, ln in dims:
-        header += _name(n) + struct.pack(">i", ln)
+        header += _name(n) + struct.pack(">i", 0 if n == unlimited else ln)
     header += struct.pack(">ii", 0, 0)  # no global attrs
+
+    def is_record(v):
+        return unlimited is not None and v["dims"] and v["dims"][0] == unlimited
 
     # first pass: per-var header bytes with placeholder offsets
     def var_header(v, begin):
@@ -132,13 +152,15 @@ def write_netcdf3(path: str, dims: list[tuple[str, int]], variables: list[dict])
         out += _attrs(v.get("attrs", {}))
         nelem = 1
         for dn in v["dims"]:
-            nelem *= dims[dim_index[dn]][1]
+            if not (is_record(v) and dn == unlimited):
+                nelem *= dims[dim_index[dn]][1]
         vsize = nelem * _TYPE_SIZE[v["nc_type"]]
         vsize += -vsize % 4
         out += struct.pack(">iii", v["nc_type"], vsize, begin)
         return out, vsize
 
-    # compute header size with dummy offsets, then fix up
+    # compute header size with dummy offsets, then fix up (classic layout:
+    # all fixed variables first, then the interleaved record section)
     body = struct.pack(">ii", _NC_VARIABLE, len(variables))
     sizes = []
     for v in variables:
@@ -147,30 +169,87 @@ def write_netcdf3(path: str, dims: list[tuple[str, int]], variables: list[dict])
         sizes.append(vsize)
     data_start = len(header) + len(body)
     begins, off = [], data_start
-    for s in sizes:
-        begins.append(off)
-        off += s
+    for v, s in zip(variables, sizes):
+        if not is_record(v):
+            begins.append(off)
+            off += s
+        else:
+            begins.append(None)
+    rec_start = off
+    for i, (v, s) in enumerate(zip(variables, sizes)):
+        if is_record(v):
+            begins[i] = off
+            off += s
     body = struct.pack(">ii", _NC_VARIABLE, len(variables))
     for v, b in zip(variables, begins):
         hb, _ = var_header(v, b)
         body += hb
 
+    rec_vars = [(v, s) for v, s in zip(variables, sizes) if is_record(v)]
     with open(path, "wb") as fp:
         fp.write(header + body)
         for v, s in zip(variables, sizes):
+            if is_record(v):
+                continue
             arr = np.ascontiguousarray(v["data"]).astype(_TYPE_NP[v["nc_type"]])
             raw = arr.tobytes()
             fp.write(raw + b"\x00" * (s - len(raw)))
+        assert fp.tell() == rec_start
+        for r in range(nrecs):
+            for v, s in rec_vars:
+                arr = np.ascontiguousarray(v["data"][r]).astype(_TYPE_NP[v["nc_type"]])
+                raw = arr.tobytes()
+                fp.write(raw + b"\x00" * (s - len(raw)))
 
 
-def create_netcdf_file(md: dict, grids: dict[str, np.ndarray], path: str | None = None) -> str:
+def append_netcdf3_records(path: str, grids: dict[str, np.ndarray]) -> int:
+    """Append records along the UNLIMITED dimension of a file written by
+    :func:`write_netcdf3` (the reference's open-handle ``fp.variables[var]
+    [itime] = data`` append pattern, netcdf_tools.py:84,120-131, as an
+    explicit batch append). ``grids`` maps every record-variable name to an
+    array of shape (k, *per_record_shape); the coordinate record variable
+    (e.g. ``t``) must be included. Returns the new record count."""
+    meta = _parse_header(path)
+    rec_vars = [v for v in meta["var_meta"] if v["record"]]
+    if not rec_vars:
+        raise ValueError("file has no UNLIMITED dimension")
+    missing = [v["name"] for v in rec_vars if v["name"] not in grids]
+    if missing:
+        raise ValueError(f"append must supply every record variable; missing {missing}")
+    ks = {v["name"]: np.asarray(grids[v["name"]]).shape[0] for v in rec_vars}
+    if len(set(ks.values())) != 1:
+        raise ValueError(f"inconsistent record counts across variables: {ks}")
+    k = next(iter(ks.values()))
+    arrs = {}
+    for v in rec_vars:
+        a = np.asarray(grids[v["name"]]).astype(_TYPE_NP[v["nc_type"]], order="C")
+        if a.shape[1:] != tuple(v["rec_shape"]):
+            raise ValueError(f"{v['name']}: record shape {a.shape[1:]} != declared {tuple(v['rec_shape'])}")
+        arrs[v["name"]] = a
+    with open(path, "r+b") as fp:
+        fp.seek(0, 2)
+        for r in range(k):
+            for v in rec_vars:
+                # r:r+1 (not [r]) so a 1-d var's slab stays an ndarray —
+                # numpy scalars drop the big-endian byte order in tobytes()
+                raw = arrs[v["name"]][r : r + 1].tobytes()
+                fp.write(raw + b"\x00" * (v["vsize"] - len(raw)))
+        fp.seek(4)
+        fp.write(struct.pack(">i", meta["numrecs"] + k))
+    return meta["numrecs"] + k
+
+
+def create_netcdf_file(md: dict, grids: dict[str, np.ndarray], path: str | None = None, unlimited: bool = False) -> str:
     """Reference Create_NETCDF_File (netcdf_tools.py:72-131) as a writer:
     takes the same metadata dict (nlat, nlon, res, minlon, minlat, undef,
     vars, optional vars_info, optional nt/tstep/tinitial/tinitial_all) plus
     the actual data arrays — (nlat, nlon) or (nt, nlat, nlon) per var —
     and writes the complete file in one call (the reference returns an
-    open handle the caller fills; a one-shot writer is the honest
-    equivalent without an HDF library)."""
+    open handle the caller fills; a one-shot writer plus
+    :func:`append_netcdf3_records` is the honest equivalent without an
+    HDF library). ``unlimited=True`` writes `t` as the record (UNLIMITED)
+    dimension like the reference (netcdf_tools.py:84), so later timesteps
+    can be appended in place."""
     nlat, nlon, res = md["nlat"], md["nlon"], float(md["res"])
     minlon = float(md["minlon"]) + res / 2
     minlat = float(md["minlat"]) + res / 2
@@ -231,21 +310,22 @@ def create_netcdf_file(md: dict, grids: dict[str, np.ndarray], path: str | None 
                 "data": arr,
             }
         )
-    write_netcdf3(path, dims, variables)
+    write_netcdf3(path, dims, variables, unlimited="t" if (unlimited and nt > 0) else None)
     return path
 
 
 # -- minimal reader (round-trip validation; same subset we write) -----------
 
-def read_netcdf3(path: str) -> dict:
-    """Parse a CDF-1 classic file (the subset write_netcdf3 emits plus any
-    spec-conforming fixed-dimension file): returns {dims, variables:
-    {name: {dims, attrs, data}}}."""
+def _parse_header(path: str) -> dict:
+    """Parse a CDF-1 header: dims (with the record dim's length 0 kept as
+    written), numrecs, and per-variable metadata including the record flag
+    and per-record shape — shared by :func:`read_netcdf3` and
+    :func:`append_netcdf3_records`."""
     with open(path, "rb") as fp:
         buf = fp.read()
     if buf[:4] != b"CDF\x01":
         raise ValueError("not a NetCDF-3 classic (CDF-1) file")
-    pos = 8  # skip magic + numrecs
+    pos = 4
 
     def i4():
         nonlocal pos
@@ -277,19 +357,60 @@ def read_netcdf3(path: str) -> dict:
                 out[k] = vals[0] if ne == 1 else vals
         return out
 
+    numrecs = i4()
     tag, ndims = i4(), i4()
     dims = [(name(), i4()) for _ in range(ndims if tag == _NC_DIMENSION else 0)]
     attrs()  # global (ignored)
     tag, nvars = i4(), i4()
-    out = {"dims": dims, "variables": {}}
+    var_meta = []
     for _ in range(nvars if tag == _NC_VARIABLE else 0):
         vn = name()
         nd = i4()
-        vdims = [dims[i4()] for i in range(nd)]
+        dix = [i4() for _ in range(nd)]
         va = attrs()
-        t, _vsize, begin = i4(), i4(), i4()
-        shape = tuple(ln for _, ln in vdims)
-        cnt = int(np.prod(shape)) if shape else 1
-        data = np.frombuffer(buf, dtype=_TYPE_NP[t], count=cnt, offset=begin).reshape(shape)
-        out["variables"][vn] = {"dims": [d for d, _ in vdims], "attrs": va, "data": data}
+        t, vsize, begin = i4(), i4(), i4()
+        record = bool(dix) and dims[dix[0]][1] == 0
+        rec_shape = tuple(dims[i][1] for i in dix[1:]) if record else None
+        var_meta.append(
+            {
+                "name": vn,
+                "dims": [dims[i][0] for i in dix],
+                "shape": tuple(dims[i][1] for i in dix),
+                "attrs": va,
+                "nc_type": t,
+                "vsize": vsize,
+                "begin": begin,
+                "record": record,
+                "rec_shape": rec_shape,
+            }
+        )
+    recsize = sum(v["vsize"] for v in var_meta if v["record"])
+    return {"buf": buf, "dims": dims, "numrecs": numrecs, "var_meta": var_meta, "recsize": recsize}
+
+
+def read_netcdf3(path: str) -> dict:
+    """Parse a CDF-1 classic file (the subset write_netcdf3 emits plus any
+    spec-conforming file, including an UNLIMITED record dimension): returns
+    {dims, variables: {name: {dims, attrs, data}}}. A record dim's length-0
+    header entry is resolved to numrecs in both dims and variable shapes."""
+    meta = _parse_header(path)
+    buf, numrecs, recsize = meta["buf"], meta["numrecs"], meta["recsize"]
+    out = {"dims": [(n, numrecs if ln == 0 else ln) for n, ln in meta["dims"]], "variables": {}}
+    for v in meta["var_meta"]:
+        if v["record"]:
+            per = int(np.prod(v["rec_shape"])) if v["rec_shape"] else 1
+            sz = _TYPE_SIZE[v["nc_type"]]
+            recs = [
+                np.frombuffer(buf, dtype=_TYPE_NP[v["nc_type"]], count=per, offset=v["begin"] + r * recsize)
+                for r in range(numrecs)
+            ]
+            data = (
+                np.stack(recs).reshape((numrecs,) + v["rec_shape"])
+                if recs
+                else np.empty((0,) + v["rec_shape"], dtype=_TYPE_NP[v["nc_type"]])
+            )
+        else:
+            cnt = int(np.prod(v["shape"])) if v["shape"] else 1
+            data = np.frombuffer(buf, dtype=_TYPE_NP[v["nc_type"]], count=cnt, offset=v["begin"]).reshape(v["shape"])
+        out["variables"][v["name"]] = {"dims": v["dims"], "attrs": v["attrs"], "data": data}
     return out

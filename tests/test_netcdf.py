@@ -77,6 +77,66 @@ def test_netcdf3_time_series_roundtrip(tmp_path):
     np.testing.assert_array_equal(got["variables"]["sm"]["data"], data)
 
 
+def test_netcdf3_unlimited_roundtrip_and_append(tmp_path):
+    """Record-dimension layout (reference netcdf_tools.py:84 declares t
+    UNLIMITED): write 2 timesteps, append 3 more across two appends, and
+    check the grown file reads back identically to a fixed-length file of
+    the full series."""
+    md = {
+        "nlat": 4, "nlon": 5, "res": 1.0, "minlon": 0.0, "minlat": 0.0,
+        "undef": -9999.0, "nt": 2, "tstep": "1hr",
+        "tinitial": datetime.datetime(2004, 1, 1, 6), "tinitial_all": datetime.datetime(2004, 1, 1, 0),
+        "vars": ["sm", "et"], "file": str(tmp_path / "rec.nc"),
+    }
+    rng = np.random.default_rng(7)
+    full = {k: rng.random((5, 4, 5)).astype(np.float32) for k in ("sm", "et")}
+    path = nc.create_netcdf_file(md, {k: v[:2] for k, v in full.items()}, unlimited=True)
+
+    got = nc.read_netcdf3(path)
+    assert got["dims"][0] == ("t", 2)
+    np.testing.assert_array_equal(got["variables"]["t"]["data"], [6.0, 7.0])
+    for k in ("sm", "et"):
+        np.testing.assert_array_equal(got["variables"][k]["data"], full[k][:2])
+
+    # grow: nt 2 -> 4 -> 5 (the reference's per-timestep handle writes)
+    n = nc.append_netcdf3_records(path, {"t": np.array([8.0, 9.0]), "sm": full["sm"][2:4], "et": full["et"][2:4]})
+    assert n == 4
+    n = nc.append_netcdf3_records(path, {"t": np.array([10.0]), "sm": full["sm"][4:], "et": full["et"][4:]})
+    assert n == 5
+
+    got = nc.read_netcdf3(path)
+    assert got["dims"][0] == ("t", 5)
+    np.testing.assert_array_equal(got["variables"]["t"]["data"], [6.0, 7.0, 8.0, 9.0, 10.0])
+    for k in ("sm", "et"):
+        np.testing.assert_array_equal(got["variables"][k]["data"], full[k])
+    # fixed (lon/lat) section untouched by appends
+    assert got["variables"]["lon"]["data"][0] == pytest.approx(0.5)
+
+    # byte-equivalent semantics vs writing the full series fixed-length
+    md5 = dict(md, nt=5, file=str(tmp_path / "fixed.nc"))
+    fixed = nc.read_netcdf3(nc.create_netcdf_file(md5, full))
+    for k in ("t", "sm", "et"):
+        np.testing.assert_array_equal(got["variables"][k]["data"], fixed["variables"][k]["data"])
+
+
+def test_netcdf3_append_validation(tmp_path):
+    md = {"nlat": 2, "nlon": 2, "res": 1.0, "minlon": 0.0, "minlat": 0.0,
+          "undef": -9999.0, "nt": 0, "vars": ["x"], "file": str(tmp_path / "nofill.nc")}
+    p = nc.create_netcdf_file(md, {"x": np.zeros((2, 2), dtype=np.float32)})
+    with pytest.raises(ValueError, match="UNLIMITED"):
+        nc.append_netcdf3_records(p, {"x": np.zeros((1, 2, 2), dtype=np.float32)})
+
+    md2 = {"nlat": 2, "nlon": 2, "res": 1.0, "minlon": 0.0, "minlat": 0.0,
+           "undef": -9999.0, "nt": 1, "tstep": "1hr",
+           "tinitial": datetime.datetime(2004, 1, 1), "tinitial_all": datetime.datetime(2004, 1, 1),
+           "vars": ["x"], "file": str(tmp_path / "rec2.nc")}
+    p2 = nc.create_netcdf_file(md2, {"x": np.zeros((1, 2, 2), dtype=np.float32)}, unlimited=True)
+    with pytest.raises(ValueError, match="missing"):
+        nc.append_netcdf3_records(p2, {"x": np.zeros((1, 2, 2), dtype=np.float32)})  # no t
+    with pytest.raises(ValueError, match="record shape"):
+        nc.append_netcdf3_records(p2, {"t": np.array([1.0]), "x": np.zeros((1, 3, 2), dtype=np.float32)})
+
+
 def test_netcdf3_shape_validation(tmp_path):
     md = {"nlat": 4, "nlon": 5, "res": 1.0, "minlon": 0.0, "minlat": 0.0,
           "undef": -9999.0, "nt": 0, "vars": ["x"], "file": str(tmp_path / "bad.nc")}
