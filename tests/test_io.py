@@ -38,11 +38,45 @@ def test_named_table_path_follows_backend():
 def test_lance_backend_declared_seam(tmp_path):
     """No lance wheel in this sandbox: the switch must fail loudly with an
     actionable message, not silently fall back."""
+    try:
+        import lance  # noqa: F401
+
+        pytest.skip("lance is installed here; the real path is covered by test_lance_backend_real_roundtrip")
+    except ImportError:
+        pass
     io.set_backend("lance")
     with pytest.raises(ImportError, match="pylance"):
         io.read_table(str(tmp_path / "x.lance"))
     with pytest.raises(ImportError, match="pylance"):
         io.write_fragment(pa.table({"a": [1]}), str(tmp_path / "f.lance"))
+
+
+def test_lance_backend_real_roundtrip(ray_session, tmp_path):
+    """Optional-dependency test (VERDICT r3 ask 6): executes the REAL
+    read_lance/write_lance seam end-to-end when the `lance` package is
+    importable; skips cleanly in this sandbox (package absent)."""
+    pytest.importorskip("lance")
+    io.set_backend("lance")
+    import ray.data as rd
+
+    df = pd.DataFrame({"a": np.arange(32, dtype=np.int64), "b": np.arange(32) * 0.25})
+    dest = str(tmp_path / "t.lance")
+    io.write_table(rd.from_pandas(df), dest)
+    got = io.read_table(dest).to_pandas().sort_values("a").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, df)
+    only_a = io.read_table(dest, columns=["a"])
+    assert only_a.schema().names == ["a"]
+
+    # fragment + atomic-commit contract (resumable sink's unit)
+    tmp = str(tmp_path / "frag.tmp")
+    final = str(tmp_path / f"part-0.{io.table_ext()}")
+    io.write_fragment(pa.table({"a": [1, 2, 3]}), tmp)
+    io.commit_fragment(tmp, final)
+    assert io.read_table(final).to_pandas()["a"].tolist() == [1, 2, 3]
+    # re-commit of an identical retry fragment is a no-op win for the first
+    io.write_fragment(pa.table({"a": [1, 2, 3]}), tmp)
+    io.commit_fragment(tmp, final)
+    assert io.read_table(final).to_pandas()["a"].tolist() == [1, 2, 3]
 
 
 def test_invalid_backend_rejected():
