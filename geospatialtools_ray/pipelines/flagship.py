@@ -33,6 +33,16 @@ from ..state import lineage
 DEFAULT_RES = 6  # join/tile resolution (~2.8 deg cells)
 DEFAULT_PART_RES = 3  # output partition resolution
 
+# Fragment-sink parquet encoding for the flagship schema, measured by
+# ablation at 8M docs / 111M join rows / 32 CPUs (round 4): dictionary on
+# the low-cardinality keys + byte-stream-split on the coordinates cut the
+# sink wall 25.2 s -> 13.2 s vs plain-snappy (zstd variants: 17.6-18.5 s;
+# sink_batch_rows=2M serialized the writers at 140 s — do not coalesce).
+DEFAULT_ENCODE = {
+    "use_dictionary": ["cell", "poly_id", "field_value"],
+    "use_byte_stream_split": ["lon", "lat"],
+}
+
 
 def polygon_index_ref(n_polygons: int, cover_res: int = DEFAULT_RES):
     """Build + broadcast the polygon index once (ray.put), so every join
@@ -119,6 +129,7 @@ def run(
     compression: str = "snappy",
     sink_batch_rows: int | None = None,
     wave: int | None = None,
+    encode: dict | None = None,
 ):
     """Returns a per-partition stats DataFrame (small); the bulk join output
     lands under out_dir as partitioned parquet + lineage records.
@@ -165,12 +176,20 @@ def run(
         return lineage.add_part_key(batch, parents)
 
     keyed = joined.map_batches(add_key, batch_format="pyarrow")
+    if sink == "count":
+        # ablation mode: run the full transform chain but skip the sink —
+        # isolates encode+disk cost from compute when tuning the fragment
+        # encoding (VERDICT r3 ask 4)
+        import pandas as pd
+
+        return pd.DataFrame({"partition": [0], "rows_out": [keyed.count()]})
     if sink == "fragments":
         # shuffle-free fragment sink (the scale path; see lineage.py);
         # emits the per-stage metrics sidecar itself
         return lineage.write_partitioned_fragments(
             keyed, out_dir, resume=resume, compression=compression,
             sink_batch_rows=sink_batch_rows, wave=wave,
+            encode=DEFAULT_ENCODE if encode is None else encode,
         )
     return lineage.write_partitioned(keyed, out_dir, resume=resume).to_pandas()
 

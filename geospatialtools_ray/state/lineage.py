@@ -134,6 +134,7 @@ def write_partitioned_fragments(
     compression: str = "snappy",
     sink_batch_rows: int | None = None,
     wave: int | None = None,
+    encode: dict | None = None,
 ):
     """Shuffle-free resumable partitioned sink.
 
@@ -176,6 +177,13 @@ def write_partitioned_fragments(
         done = set()  # partitions stay open across waves
     done_ref = ray.put(np.asarray(sorted(done), dtype=np.uint64))
     frag_prefix = "frag-" if wave is None else f"frag-w{wave}-"
+    # parquet encode knobs, overridable per column via `encode` (e.g.
+    # {"use_dictionary": ["cell"], "use_byte_stream_split": ["lon", "lat"]}):
+    # the sink is the headline's main disk-byte producer, so the encoding
+    # is a first-class scale lever (VERDICT r3 ask 4)
+    enc_kwargs = {"write_statistics": False, "use_dictionary": False, "compression": compression}
+    if encode:
+        enc_kwargs.update(encode)
 
     def frag_write(batch: pa.Table) -> pa.Table:
         done_keys = ray.get(done_ref)
@@ -215,7 +223,7 @@ def write_partitioned_fragments(
                 # compression="zstd" trades (scalable) CPU for (shared,
                 # non-scalable) disk bandwidth — the right default when all
                 # writers share one device, as in the single-node bench
-                io.write_fragment(sub, tmp, write_statistics=False, use_dictionary=False, compression=compression)
+                io.write_fragment(sub, tmp, **enc_kwargs)
                 io.commit_fragment(tmp, os.path.join(pdir, fname))
                 out_part.append(key)
                 out_rows.append(len(sub))
@@ -231,8 +239,11 @@ def write_partitioned_fragments(
     # sink_batch_rows coalesces several upstream blocks per write task:
     # with K partitions alive, fragment count ~ n_batches x K, and at small
     # block sizes the sink becomes file-open/close bound (measured: 11k
-    # sub-100KB fragments on the 111M-row bench). ~2M rows/batch keeps
-    # batches x concurrency well inside worker heaps at ~50 B/row.
+    # sub-100KB fragments on the 111M-row bench). CAUTION (round-4
+    # ablation): batch_size=2M on the 8M-doc bench serialized the writers
+    # (13 s -> 140 s) — a large batch_size forces Ray to gather many
+    # blocks per task and breaks fusion with the upstream map chain. Leave
+    # None unless fragments are measurably too small.
     mds = ds.map_batches(frag_write, batch_format="pyarrow", batch_size=sink_batch_rows)
     manifest = mds.to_pandas()
     try:  # per-stage metrics sidecar (north_rule: lineage + per-stage metrics)

@@ -58,5 +58,7 @@ def parse_polygon(buf: bytes) -> list[np.ndarray]:
 
 
 def polygon_bbox(buf: bytes) -> tuple[float, float, float, float]:
-    ring = parse_polygon(buf)[0]
-    return ring[:, 0].min(), ring[:, 1].min(), ring[:, 0].max(), ring[:, 1].max()
+    # span ALL rings: shapefile multipart polygons carry disjoint outer
+    # rings, so the exterior-ring-only bbox would under-cover the index
+    pts = np.vstack(parse_polygon(buf))
+    return pts[:, 0].min(), pts[:, 1].min(), pts[:, 0].max(), pts[:, 1].max()
