@@ -102,6 +102,10 @@ _SQL_CHECKED: dict[str, tuple[Callable[[str], Any], str]] = {
     "terrain_polygon_info": (TQ.terrain_polygon_info, OF.TERRAIN_POLYGON_INFO_SQL),
     "terrain_reduce_basins": (TQ.terrain_reduce_basins, OF.TERRAIN_REDUCE_BASINS_SQL),
     "terrain_basin_bisection": (TQ.terrain_basin_bisection, OF.TERRAIN_BASIN_BISECTION_SQL),
+    # round 4: arcgis fdir decode (pure-SQL CASE oracle) + calculate_area
+    # haversine cell geometry (single-process twin fixture)
+    "events_arcgis_fdir": (X.events_arcgis_fdir, X.EVENTS_ARCGIS_FDIR_SQL),
+    "grid_cell_areas": (X.grid_cell_areas, X.GRID_CELL_AREAS_SQL),
 }
 
 # rows-only checks (none left — every query has an oracle)

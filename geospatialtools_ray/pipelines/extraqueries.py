@@ -476,3 +476,138 @@ def docs_media_features(sf_dir: str):
     df = decoded.map_batches(summarize, batch_format="pyarrow").to_pandas()
     df["media_kind"] = df["media_kind"].astype(str)
     return df.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# transform_arcgis_fdir (reference terrain_tools.py:1666-1697): power-of-2
+# ArcGIS flow-direction codes -> compact D8, distributed as a stateless
+# map_batches with per-batch partial counts (pre-aggregate before the tiny
+# groupby). Pure-SQL oracle: the CASE table is the published encoding.
+# ---------------------------------------------------------------------------
+
+def events_arcgis_fdir(sf_dir: str):
+    from ..functions.geometry import arcgis_to_d8
+
+    ds = _read(sf_dir, "events", ["event_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # deterministic mix of valid power-of-2 codes and arbitrary bytes
+        arc = np.where(eid % 3 == 0, np.int64(1) << (eid % 8), eid % 256)
+        d8 = arcgis_to_d8(arc).astype(np.int64)
+        u, inv = np.unique(arc, return_inverse=True)
+        n = np.bincount(inv, minlength=len(u)).astype(np.int64)
+        d8u = np.zeros(len(u), dtype=np.int64)
+        d8u[inv] = d8
+        return pa.table({"arc_code": pa.array(u), "d8": pa.array(d8u), "n": pa.array(n)})
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("arc_code")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    # d8 is a pure function of arc_code: re-derive after the count shuffle
+    agg["d8"] = arcgis_to_d8(agg["arc_code"].to_numpy()).astype(np.int64)
+    agg["n"] = agg["n"].astype(np.int64)
+    return agg[["arc_code", "d8", "n"]].sort_values("arc_code").reset_index(drop=True)
+
+
+EVENTS_ARCGIS_FDIR_SQL = """
+WITH src AS (
+  SELECT CASE WHEN event_id % 3 = 0
+              THEN CAST(pow(2, event_id % 8) AS BIGINT)
+              ELSE event_id % 256 END AS arc_code
+  FROM events
+)
+SELECT arc_code,
+       CASE arc_code WHEN 1 THEN 0 WHEN 2 THEN 1 WHEN 4 THEN 2 WHEN 8 THEN 3
+                     WHEN 16 THEN 4 WHEN 32 THEN 5 WHEN 64 THEN 6 WHEN 128 THEN 7
+                     ELSE -1 END AS d8,
+       COUNT(*) AS n
+FROM src GROUP BY arc_code ORDER BY arc_code
+"""
+
+
+# ---------------------------------------------------------------------------
+# calculate_area (reference terrain_tools.py:25-40): per-cell haversine
+# dx/dy/area over a lon/lat grid, distributed one tile per task (pure
+# function of the tile bbox — no halo). Fixture oracle: the identical
+# IEEE expression tree evaluated tile-by-tile in one process.
+# ---------------------------------------------------------------------------
+
+AREA_N, AREA_TILE, AREA_RES = 96, 32, 0.05
+AREA_MINX, AREA_MINY = -30.0, 10.0
+
+
+def _tile_cell_geometry(i0: int, j0: int, n0: int, n1: int):
+    from ..functions.geometry import cell_geometry
+
+    minx = AREA_MINX + j0 * AREA_RES
+    miny = AREA_MINY + i0 * AREA_RES
+    return cell_geometry(minx, miny, minx + n1 * AREA_RES, miny + n0 * AREA_RES, n1, n0)
+
+
+def grid_cell_areas(sf_dir: str):
+    import ray.data as rd
+
+    from .. import oracles as O
+    from ..terrain import tiles as T
+
+    # single-process twin fixture (same expression tree, no Ray)
+    recs = []
+    for i0 in range(0, AREA_N, AREA_TILE):
+        for j0 in range(0, AREA_N, AREA_TILE):
+            n0 = min(AREA_TILE, AREA_N - i0)
+            n1 = min(AREA_TILE, AREA_N - j0)
+            dx, dy, area = _tile_cell_geometry(i0, j0, n0, n1)
+            rr, cc = np.meshgrid(np.arange(i0, i0 + n0), np.arange(j0, j0 + n1), indexing="ij")
+            recs.append(
+                pd.DataFrame(
+                    {
+                        "cell_row": rr.ravel().astype(np.int64),
+                        "cell_col": cc.ravel().astype(np.int64),
+                        "dx": dx.ravel(),
+                        "dy": dy.ravel(),
+                        "area": area.ravel(),
+                    }
+                )
+            )
+    fix = pd.concat(recs, ignore_index=True).sort_values(["cell_row", "cell_col"]).reset_index(drop=True)
+    O.stage_fixture("grid_cell_areas", fix)
+
+    ds = T.make_tiles_dataset({"z": np.zeros((AREA_N, AREA_N), dtype=np.float32)}, AREA_TILE)
+
+    def per_tile(batch: pa.Table) -> pa.Table:
+        out = {k: [] for k in ("cell_row", "cell_col", "dx", "dy", "area")}
+        for r in range(batch.num_rows):
+            i0 = int(batch["i0"][r].as_py())
+            j0 = int(batch["j0"][r].as_py())
+            n0 = int(batch["n0"][r].as_py())
+            n1 = int(batch["n1"][r].as_py())
+            dx, dy, area = _tile_cell_geometry(i0, j0, n0, n1)
+            rr, cc = np.meshgrid(np.arange(i0, i0 + n0), np.arange(j0, j0 + n1), indexing="ij")
+            out["cell_row"].append(rr.ravel().astype(np.int64))
+            out["cell_col"].append(cc.ravel().astype(np.int64))
+            out["dx"].append(dx.ravel())
+            out["dy"].append(dy.ravel())
+            out["area"].append(area.ravel())
+        return pa.table(
+            {
+                "cell_row": pa.array(np.concatenate(out["cell_row"])),
+                "cell_col": pa.array(np.concatenate(out["cell_col"])),
+                "dx": pa.array(np.concatenate(out["dx"]), type=pa.float32()),
+                "dy": pa.array(np.concatenate(out["dy"]), type=pa.float32()),
+                "area": pa.array(np.concatenate(out["area"]), type=pa.float32()),
+            }
+        )
+
+    df = ds.map_batches(per_tile, batch_format="pyarrow").to_pandas()
+    return df.sort_values(["cell_row", "cell_col"]).reset_index(drop=True)
+
+
+from .. import oracles as _O
+
+GRID_CELL_AREAS_SQL = _O.fixture_sql("grid_cell_areas", "cell_row, cell_col")
