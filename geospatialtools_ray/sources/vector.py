@@ -79,11 +79,143 @@ def read_polygon_layer(path: str, cover_res: int = 6, field: str | None = None) 
             wkbs.append(wkb.polygon_wkb(r["rings"]))
         return _layer_from_columns(poly_ids, field_values, wkbs, cover_res)
     if ext == ".gpkg":
-        raise NotImplementedError(
-            f"{path}: geopackage parsing not implemented — convert to "
-            "shapefile or parquet (poly_id, field_value, geom_wkb) offline"
-        )
+        fids, vals, wkbs = read_geopackage(path, field=field)
+        return _layer_from_columns(fids, vals, wkbs, cover_res)
     raise ValueError(f"{path}: unknown polygon layer format {ext!r}")
+
+
+# -- GeoPackage (.gpkg) via stdlib sqlite3 -----------------------------------
+# Format: OGC GeoPackage 1.x (public spec) — a SQLite container whose
+# feature tables store geometries as GPB blobs: b"GP" + version + flags
+# (bit 0 header byte order, bits 1-3 envelope indicator) + srs_id +
+# optional envelope + standard WKB. stdlib sqlite3 reads the container;
+# the WKB codec is ours.
+
+_GPB_ENV_SIZE = {0: 0, 1: 32, 2: 48, 3: 48, 4: 64}
+
+
+def _gpb_to_wkb(blob: bytes) -> bytes:
+    if blob[:2] != b"GP":
+        raise ValueError("not a GeoPackage geometry blob (missing GP magic)")
+    flags = blob[3]
+    if flags & 0x10:  # empty-geometry flag
+        return b""
+    env = (flags >> 1) & 0x07
+    if env not in _GPB_ENV_SIZE:
+        raise ValueError(f"invalid GPB envelope indicator {env}")
+    return blob[8 + _GPB_ENV_SIZE[env] :]
+
+
+def _wkb_polygons(buf: bytes) -> list[np.ndarray]:
+    """WKB Polygon or MultiPolygon -> flat ring list (little-endian)."""
+    (gtype,) = struct.unpack_from("<I", buf, 1)
+    if gtype % 1000 == 3:  # Polygon (incl. Z/M variants are rejected below)
+        if gtype != 3:
+            raise NotImplementedError(f"WKB geometry type {gtype} (Z/M) not supported")
+        return wkb.parse_polygon(buf)
+    if gtype == 6:  # MultiPolygon: count + nested full polygon WKBs
+        (n,) = struct.unpack_from("<I", buf, 5)
+        rings, off = [], 9
+        for _ in range(n):
+            (nrings,) = struct.unpack_from("<I", buf, off + 5)
+            end = off + 9
+            for _ in range(nrings):
+                (npts,) = struct.unpack_from("<I", buf, end)
+                end += 4 + npts * 16
+            rings.extend(wkb.parse_polygon(buf[off:end]))
+            off = end
+        return rings
+    raise NotImplementedError(f"WKB geometry type {gtype} not supported (Polygon/MultiPolygon are)")
+
+
+def read_geopackage(path: str, table: str | None = None, field: str | None = None):
+    """GeoPackage feature table -> (fids, field_values, polygon_wkbs).
+    ``table`` defaults to the first 'features' row of gpkg_contents;
+    ``field`` picks the numeric attribute used as field_value (default:
+    first numeric non-fid column; 1.0 when none). Multi-polygon features
+    are flattened to one multi-ring polygon (even-odd PIP semantics)."""
+    import sqlite3
+
+    con = sqlite3.connect(path)
+    try:
+        if table is None:
+            row = con.execute(
+                "SELECT table_name FROM gpkg_contents WHERE data_type='features' ORDER BY table_name LIMIT 1"
+            ).fetchone()
+            if row is None:
+                raise ValueError(f"{path}: no 'features' table in gpkg_contents")
+            table = row[0]
+        (gcol,) = con.execute(
+            "SELECT column_name FROM gpkg_geometry_columns WHERE table_name=?", (table,)
+        ).fetchone()
+        cols = [
+            (r[1], r[2].upper()) for r in con.execute(f'PRAGMA table_info("{table}")')
+        ]
+        num_cols = [
+            n for n, t in cols
+            if n not in ("fid", gcol) and any(k in t for k in ("INT", "REAL", "FLOAT", "DOUBLE", "NUM"))
+        ]
+        fld = field if field is not None else (num_cols[0] if num_cols else None)
+        sel = f'SELECT fid, "{gcol}"' + (f', "{fld}"' if fld else "") + f' FROM "{table}" ORDER BY fid'
+        fids, vals, wkbs = [], [], []
+        for row in con.execute(sel):
+            raw = _gpb_to_wkb(row[1])
+            if not raw:
+                continue
+            fids.append(int(row[0]))
+            vals.append(float(row[2]) if fld and row[2] is not None else 1.0)
+            wkbs.append(wkb.polygon_wkb(_wkb_polygons(raw)))
+        return fids, vals, wkbs
+    finally:
+        con.close()
+
+
+def write_geopackage(path: str, polygons: list[list[np.ndarray]], values: list[float], table: str = "layer") -> str:
+    """Emit a minimal spec-conforming GeoPackage (gpkg_contents +
+    gpkg_geometry_columns + gpkg_spatial_ref_sys + one feature table with a
+    REAL `value` column) — the in-sandbox round-trip twin of
+    read_geopackage."""
+    import sqlite3
+
+    if os.path.exists(path):
+        os.remove(path)
+    con = sqlite3.connect(path)
+    try:
+        con.execute("PRAGMA application_id = 1196444487")  # 'GPKG'
+        con.execute(
+            "CREATE TABLE gpkg_spatial_ref_sys (srs_name TEXT NOT NULL, srs_id INTEGER PRIMARY KEY,"
+            " organization TEXT NOT NULL, organization_coordsys_id INTEGER NOT NULL,"
+            " definition TEXT NOT NULL, description TEXT)"
+        )
+        con.execute(
+            "INSERT INTO gpkg_spatial_ref_sys VALUES ('WGS 84', 4326, 'EPSG', 4326, 'GEOGCS[...]', NULL)"
+        )
+        con.execute(
+            "CREATE TABLE gpkg_contents (table_name TEXT PRIMARY KEY, data_type TEXT NOT NULL,"
+            " identifier TEXT, description TEXT, last_change TEXT, min_x DOUBLE, min_y DOUBLE,"
+            " max_x DOUBLE, max_y DOUBLE, srs_id INTEGER)"
+        )
+        con.execute(
+            "CREATE TABLE gpkg_geometry_columns (table_name TEXT NOT NULL, column_name TEXT NOT NULL,"
+            " geometry_type_name TEXT NOT NULL, srs_id INTEGER NOT NULL, z TINYINT NOT NULL,"
+            " m TINYINT NOT NULL, PRIMARY KEY (table_name, column_name))"
+        )
+        con.execute(f'CREATE TABLE "{table}" (fid INTEGER PRIMARY KEY, geom BLOB, value REAL)')
+        con.execute(
+            "INSERT INTO gpkg_contents VALUES (?, 'features', ?, NULL, '2026-01-01T00:00:00Z',"
+            " NULL, NULL, NULL, NULL, 4326)",
+            (table, table),
+        )
+        con.execute(
+            "INSERT INTO gpkg_geometry_columns VALUES (?, 'geom', 'POLYGON', 4326, 0, 0)", (table,)
+        )
+        for i, (rings, v) in enumerate(zip(polygons, values)):
+            gpb = b"GP\x00\x01" + struct.pack("<i", 4326) + wkb.polygon_wkb(rings)
+            con.execute(f'INSERT INTO "{table}" VALUES (?, ?, ?)', (i, gpb, float(v)))
+        con.commit()
+    finally:
+        con.close()
+    return path
 
 
 # -- native ESRI shapefile (.shp/.shx/.dbf) ----------------------------------

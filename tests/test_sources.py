@@ -278,7 +278,51 @@ def test_shapefile_bad_magic_and_gpkg_seam(tmp_path):
     open(p, "wb").write(b"\x00" * 100)
     with pytest.raises(ValueError, match="9994"):
         SV.read_polygon_layer(p)
+    # a sqlite db that is not a GeoPackage fails loudly on the gpkg tables
+    import sqlite3
+
     g = str(tmp_path / "x.gpkg")
-    open(g, "w").close()
-    with pytest.raises(NotImplementedError):
+    con = sqlite3.connect(g)
+    con.execute("CREATE TABLE t (a INT)")
+    con.commit()
+    con.close()
+    with pytest.raises(sqlite3.OperationalError, match="gpkg_contents"):
         SV.read_polygon_layer(g)
+
+
+def test_geopackage_roundtrip_and_layer(tmp_path):
+    """ROUND 4: GeoPackage (stdlib sqlite3 + GPB blobs) round-trips and
+    feeds read_polygon_layer; MultiPolygon GPB blobs flatten to multi-ring
+    polygons."""
+    import sqlite3
+    import struct
+
+    sq = lambda x0, y0, s: np.array([[x0, y0], [x0 + s, y0], [x0 + s, y0 + s], [x0, y0 + s]], dtype=float)
+    polys = [[sq(0, 0, 10)], [sq(20, 20, 10), sq(23, 23, 2)]]
+    p = SV.write_geopackage(str(tmp_path / "t.gpkg"), polys, [2.5, -1.0])
+    fids, vals, wkbs = SV.read_geopackage(p)
+    assert fids == [0, 1] and vals == [2.5, -1.0]
+    for b, want in zip(wkbs, polys):
+        rings = wkb.parse_polygon(b)
+        assert len(rings) == len(want)
+        for got, w in zip(rings, want):
+            assert np.allclose(got[:-1], w)
+    layer = SV.read_polygon_layer(p, field="value")
+    assert np.allclose(layer["field_value"], [2.5, -1.0])
+    assert np.allclose(layer["bbox"][1], [20, 20, 30, 30])
+
+    # MultiPolygon GPB: two disjoint squares in ONE feature
+    def poly_wkb(ring):
+        ring = np.vstack([ring, ring[:1]]).astype("<f8")
+        return struct.pack("<BII", 1, 3, 1) + struct.pack("<I", len(ring)) + ring.tobytes()
+
+    mp = struct.pack("<BII", 1, 6, 2) + poly_wkb(sq(0, 0, 5)) + poly_wkb(sq(50, 50, 5))
+    con = sqlite3.connect(p)
+    gpb = b"GP\x00\x01" + struct.pack("<i", 4326) + mp
+    con.execute('INSERT INTO "layer" VALUES (2, ?, 7.0)', (gpb,))
+    con.commit()
+    con.close()
+    fids, vals, wkbs = SV.read_geopackage(p)
+    assert fids[-1] == 2 and vals[-1] == 7.0
+    rings = wkb.parse_polygon(wkbs[-1])
+    assert len(rings) == 2 and np.allclose(rings[1][0], [50, 50])
