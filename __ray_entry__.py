@@ -106,6 +106,7 @@ _SQL_CHECKED: dict[str, tuple[Callable[[str], Any], str]] = {
     # haversine cell geometry (single-process twin fixture)
     "events_arcgis_fdir": (X.events_arcgis_fdir, X.EVENTS_ARCGIS_FDIR_SQL),
     "grid_cell_areas": (X.grid_cell_areas, X.GRID_CELL_AREAS_SQL),
+    "terrain_cluster_hillslopes": (X.terrain_cluster_hillslopes, OF.TERRAIN_CLUSTER_HILLSLOPES_SQL),
 }
 
 # rows-only checks (none left — every query has an oracle)

@@ -68,6 +68,10 @@ def run_headline(corpus_path: str, n_docs: int) -> dict:
     shutil.rmtree(out_dir, ignore_errors=True)
     # warm page cache (untimed): one streaming pass over the input
     rd.read_parquet(corpus_path).count()
+    # settle writeback debt (untimed): a prior run in this scaling batch
+    # left ~GBs of dirty pages; without the sync their flush lands inside
+    # the NEXT run's timed window (measured 80M 32-CPU spread 256-410 s)
+    os.sync()
     t0 = time.monotonic()
     # skew pre-pass (measured, part of the pipeline): 2% hash-sample density
     # -> salt map so no partition group exceeds the target; without it the

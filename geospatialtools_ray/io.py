@@ -90,7 +90,10 @@ def write_fragment(tbl, path: str, **kw) -> None:
         _require_lance()
         import lance  # pragma: no cover - no lance in sandbox
 
-        lance.write_dataset(tbl, path, **{k: v for k, v in kw.items() if k not in ("write_statistics", "use_dictionary", "compression")})
+        # parquet-encoder knobs (stats/dictionary/codec/byte-stream-split)
+        # don't apply to the lance writer — drop them rather than crash
+        _PQ_ONLY = ("write_statistics", "use_dictionary", "compression", "use_byte_stream_split")
+        lance.write_dataset(tbl, path, **{k: v for k, v in kw.items() if k not in _PQ_ONLY})
         return
     import pyarrow.parquet as pq
 

@@ -611,3 +611,39 @@ def grid_cell_areas(sf_dir: str):
 from .. import oracles as _O
 
 GRID_CELL_AREAS_SQL = _O.fixture_sql("grid_cell_areas", "cell_row, cell_col")
+
+
+def terrain_cluster_hillslopes(sf_dir: str):
+    """cluster_hillslopes_updated (reference terrain_tools.py:1373-1490):
+    distributed hillslope property table -> deterministic kmeans ->
+    per-cluster weighted characteristics + shared profile refits. Oracle:
+    the same operator over the single-process property twin."""
+    from . import oracle_fixtures as OF
+
+    OF.stage_terrain_cluster_hillslopes(sf_dir)
+    from .. import synth
+    from ..terrain import kernels as K
+    from ..terrain import hillslope_props as HP
+    from ..terrain import properties as P
+    from ..terrain import tiles as T
+
+    N, RES = 32, 30.0
+    dem, mask = synth.dem_grid("twovalley", N)
+    z = dem.copy()
+    z[~mask] = np.float32(K.UNDEF)
+    z = z.astype(np.float32)
+    mask = mask.astype(np.int32)
+    w = K.fill_pits(z, RES)
+    area, fdir = K.d8_area(w, mask, RES)
+    ch, _, _ = K.calculate_channels(area, 8 * RES * RES, 16 * RES * RES, fdir, mask=mask)
+    hand = K.depth2channel(ch, mask, fdir, w.astype(np.float32))
+    dx = np.full((N, N), RES, dtype=np.float32)
+    slope, _ = K.slope_aspect(w, dx, dx)
+    hs = K.delineate_hillslopes(ch, area, fdir, mask)
+    hs2 = np.where(hs >= 0, hs + 1, hs).astype(np.int64)
+    ds = T.make_tiles_dataset({"hillslopes": hs2, "hand": hand, "slope": slope, "demns": w}, 16)
+    cells = P.tiles_to_cells(ds, ["hillslopes", "hand", "slope", "demns"]).filter(
+        lambda r: r["hillslopes"] > 0
+    )
+    hp = HP.hillslope_properties_dist(cells, ["demns"], RES)
+    return OF.cluster_hillslopes_from_hp(hp)

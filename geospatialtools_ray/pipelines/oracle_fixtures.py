@@ -1071,3 +1071,75 @@ def stage_terrain_basin_bisection(sf_dir: str) -> str:
 
 
 TERRAIN_BASIN_BISECTION_SQL = O.fixture_sql("terrain_basin_bisection", "gi, gj")
+
+
+# ---------------------------------------------------------------------------
+# cluster_hillslopes (terrain_tools.py:1373-1490): per-cluster weighted
+# hillslope characteristics + shared profile refits. The distributed side
+# feeds it the hillslope_properties_dist table; this twin recomputes that
+# table from the single-node kernel chain (the operator itself is a small
+# per-cluster aggregation and runs identically on both inputs).
+# ---------------------------------------------------------------------------
+
+CLUSTER_HS_K = 3
+CLUSTER_HS_FEATURES = ["relief", "length", "demns"]
+CLUSTER_HS_DH, CLUSTER_HS_MAXNB, CLUSTER_HS_MINNB = 5.0, 10, 2
+
+
+def _hillslope_props_single(N: int = 32, RES: float = 30.0) -> pd.DataFrame:
+    """Single-process hillslope property table (arrays kept) — the
+    stage_terrain_hillslope_profiles chain without the array drop."""
+    from ..terrain import hillslope_props as HP
+    from ..terrain import kernels as K
+
+    w, area, fdir, ch, basins, _, maski = _terrain_single_node(N, RES)
+    hand = K.depth2channel(ch, maski, fdir, w.astype(np.float32))
+    dx = np.full((N, N), RES, dtype=np.float32)
+    slope, _ = K.slope_aspect(w, dx, dx)
+    hs = K.delineate_hillslopes(ch, area, fdir, maski)
+    hs2 = np.where(hs >= 0, hs + 1, hs).astype(np.int64)
+    rows = []
+    for uh in np.unique(hs2[hs2 > 0]):
+        m = hs2 == uh
+        hvals = hand[m].astype(np.float64)
+        svals = slope[m].astype(np.float64)
+        dvals = w[m].astype(np.float64)
+        order = np.lexsort((svals, hvals))
+        prof = HP.hillslope_profile(hvals[order], svals[order], RES)
+        rec = {"hid": int(uh)}
+        for kk, v in prof.items():
+            rec[kk] = v.tolist() if isinstance(v, np.ndarray) else v
+        ok = dvals != np.float64(np.float32(K.UNDEF))
+        rec["demns"] = float(dvals[ok].mean()) if ok.any() else float(K.UNDEF)
+        rows.append(rec)
+    return pd.DataFrame(rows).sort_values("hid").reset_index(drop=True)
+
+
+def cluster_hillslopes_from_hp(hp: pd.DataFrame) -> pd.DataFrame:
+    """Shared tail of the query and its fixture: deterministic kmeans on
+    ROUNDED features (absorbs last-ulp profile differences between the
+    distributed and single-process inputs) -> cluster_hillslopes."""
+    from ..functions.cluster import kmeans_fit, kmeans_predict
+    from ..terrain import hillslope_props as HP
+
+    hp = hp.sort_values("hid").reset_index(drop=True)
+    X = hp[CLUSTER_HS_FEATURES].to_numpy(dtype=np.float64).round(6)
+    lo, hi = X.min(axis=0), X.max(axis=0)
+    Xn = (X - lo) / np.where(hi > lo, hi - lo, 1.0)
+    C = kmeans_fit(Xn, CLUSTER_HS_K)
+    clusters = kmeans_predict(Xn, C)
+    out = HP.cluster_hillslopes(hp, clusters, CLUSTER_HS_DH, CLUSTER_HS_MAXNB, CLUSTER_HS_MINNB)
+    out = out.drop(columns=[c for c in out.columns if c.endswith("_array")], errors="ignore")
+    for c in out.columns:
+        if out[c].dtype.kind == "f":
+            out[c] = out[c].round(6)
+    out["cluster"] = out["cluster"].astype("int64")
+    out["nbins"] = out["nbins"].astype("int64")
+    return out.sort_values("cluster").reset_index(drop=True)
+
+
+def stage_terrain_cluster_hillslopes(sf_dir: str) -> str:
+    return O.stage_fixture("terrain_cluster_hillslopes", cluster_hillslopes_from_hp(_hillslope_props_single()))
+
+
+TERRAIN_CLUSTER_HILLSLOPES_SQL = O.fixture_sql("terrain_cluster_hillslopes", "cluster")
