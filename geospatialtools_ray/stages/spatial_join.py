@@ -59,11 +59,48 @@ class PolygonIndex:
         self.field_values = np.asarray(field_values, dtype=np.float64)
         self.bboxes = np.asarray(bboxes, dtype=np.float64).reshape(len(self.poly_ids), 4)
         self.rings = [wkb.parse_polygon(b) for b in wkbs]
+        # internal bucket resolution matched to polygon size: with buckets
+        # at the JOIN resolution (cover_res, ~2.8 deg at 6) and ~0.3 deg
+        # polygons, hotspot buckets held 341 polygons and a 45k-point batch
+        # generated 6.5M candidate pairs (144/point). Sizing bucket cells
+        # to the median polygon bbox cuts candidates to near the true
+        # overlap density; query() computes its own cells at this
+        # resolution, so nothing outside the index changes.
+        if len(self.poly_ids):
+            size = float(np.median(np.maximum(self.bboxes[:, 2] - self.bboxes[:, 0],
+                                              self.bboxes[:, 3] - self.bboxes[:, 1])))
+        else:
+            size = 0.0
+        fit = int(np.floor(np.log2(180.0 / max(size, 1e-6))))
+        self.bucket_res = int(np.clip(fit, cover_res, cover_res + 6))
         buckets: dict[int, list[int]] = {}
         for i, bb in enumerate(self.bboxes):
-            for c in geocell.cover_bbox(bb[0], bb[1], bb[2], bb[3], cover_res).tolist():
+            for c in geocell.cover_bbox(bb[0], bb[1], bb[2], bb[3], self.bucket_res).tolist():
                 buckets.setdefault(c, []).append(i)
         self.buckets = {c: np.asarray(v, dtype=np.int64) for c, v in buckets.items()}
+        # flat CSR of CLOSED edges across every ring of every polygon —
+        # lets query() run ONE vectorized crossing test over all
+        # (pair, edge) rows instead of a numpy call per candidate polygon
+        # (profiled: per-call overhead dominated at ~6.6 edges/polygon).
+        # Even-odd parity over the concatenated rings equals the per-ring
+        # XOR (parity of a sum is the XOR of parities).
+        ex0, ey0, ex1, ey1 = [], [], [], []
+        eoff = np.zeros(len(self.rings) + 1, dtype=np.int64)
+        for i, rings in enumerate(self.rings):
+            n = 0
+            for ring in rings:
+                r = ring if np.array_equal(ring[0], ring[-1]) else np.vstack([ring, ring[:1]])
+                ex0.append(r[:-1, 0])
+                ey0.append(r[:-1, 1])
+                ex1.append(r[1:, 0])
+                ey1.append(r[1:, 1])
+                n += len(r) - 1
+            eoff[i + 1] = eoff[i] + n
+        self.eoff = eoff
+        self.ex0 = np.concatenate(ex0) if ex0 else np.empty(0)
+        self.ey0 = np.concatenate(ey0) if ey0 else np.empty(0)
+        self.ex1 = np.concatenate(ex1) if ex1 else np.empty(0)
+        self.ey1 = np.concatenate(ey1) if ey1 else np.empty(0)
 
     @classmethod
     def from_synth(cls, layer: dict, cover_res: int) -> "PolygonIndex":
@@ -71,12 +108,16 @@ class PolygonIndex:
 
     def query(self, lon: np.ndarray, lat: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """All (point_index, polygon_index) containment pairs for a point
-        batch. Candidate gathering is grouped by cell (one dict lookup per
-        DISTINCT cell in the batch, not per point); PIP is vectorized per
-        candidate polygon over all its candidate points."""
+        batch. Candidates gathered per DISTINCT bucket cell (size-matched
+        buckets keep the volume near the true overlap density); per
+        candidate polygon: scalar bbox filter + one broadcast even-odd
+        crossing test over its precomputed CLOSED edge slice — streaming
+        access only (fancy gathers measured 10x slower than broadcasts on
+        this DRAM-bound host). Boundary convention matches
+        points_in_polygon; pair order is a set — every consumer lexsorts."""
         if len(lon) == 0:
             return np.empty(0, np.int64), np.empty(0, np.int64)
-        cells = geocell.cell_of(lon, lat, self.cover_res)
+        cells = geocell.cell_of(lon, lat, self.bucket_res)
         order = np.argsort(cells, kind="stable")
         sc = cells[order]
         starts = np.flatnonzero(np.r_[True, sc[1:] != sc[:-1]])
@@ -91,14 +132,24 @@ class PolygonIndex:
                 cand_pts.setdefault(pi, []).append(pts)
         out_pt, out_poly = [], []
         for pi, chunks in cand_pts.items():
-            pts = np.concatenate(chunks)
-            bb = self.bboxes[pi]
-            m = (lon[pts] >= bb[0]) & (lon[pts] <= bb[2]) & (lat[pts] >= bb[1]) & (lat[pts] <= bb[3])
+            pts = np.concatenate(chunks) if len(chunks) > 1 else chunks[0]
+            b0, b1, b2, b3 = self.bboxes[pi]
+            px = lon[pts]
+            py = lat[pts]
+            m = (px >= b0) & (px <= b2) & (py >= b1) & (py <= b3)
             pts = pts[m]
             if len(pts) == 0:
                 continue
-            inside = points_in_polygon(lon[pts], lat[pts], self.rings[pi])
-            hit = pts[inside]
+            px, py = px[m], py[m]
+            s0, s1 = self.eoff[pi], self.eoff[pi + 1]
+            x0, y0 = self.ex0[s0:s1], self.ey0[s0:s1]
+            x1, y1 = self.ex1[s0:s1], self.ey1[s0:s1]
+            pyc = py[:, None]
+            crosses = (y0 <= pyc) != (y1 <= pyc)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                xint = x0 + (pyc - y0) * (x1 - x0) / (y1 - y0)
+            hits = (crosses & (px[:, None] < xint)).sum(axis=1)
+            hit = pts[(hits & 1).astype(bool)]
             if len(hit):
                 out_pt.append(hit)
                 out_poly.append(np.full(len(hit), pi, dtype=np.int64))
