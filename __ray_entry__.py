@@ -107,6 +107,10 @@ _SQL_CHECKED: dict[str, tuple[Callable[[str], Any], str]] = {
     "events_arcgis_fdir": (X.events_arcgis_fdir, X.EVENTS_ARCGIS_FDIR_SQL),
     "grid_cell_areas": (X.grid_cell_areas, X.GRID_CELL_AREAS_SQL),
     "terrain_cluster_hillslopes": (X.terrain_cluster_hillslopes, OF.TERRAIN_CLUSTER_HILLSLOPES_SQL),
+    # round 4: the north rule's per-row span-sequence invariant on the hash
+    # channel — DuckDB recomputes the signature from the raw spans parquet
+    # (cross-engine, not a staged twin)
+    "docs_span_signature": (X.docs_span_signature, OF.DOCS_SPAN_SIGNATURE_SQL),
 }
 
 # rows-only checks (none left — every query has an oracle)

@@ -44,6 +44,17 @@ def stage_fixture(name: str, df: pd.DataFrame) -> str:
     return path
 
 
+def stage_fixture_table(name: str, table: pa.Table) -> str:
+    """`stage_fixture` for an Arrow table (nested columns — e.g. the raw
+    interleaved `spans` list<struct> — don't round-trip through pandas)."""
+    os.makedirs(FIXTURE_DIR, exist_ok=True)
+    path = fixture_path(name)
+    tmp = path + ".tmp"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+    return path
+
+
 def fixture_path(name: str) -> str:
     return os.path.join(FIXTURE_DIR, f"{name}.parquet")
 

@@ -647,3 +647,21 @@ def terrain_cluster_hillslopes(sf_dir: str):
     )
     hp = HP.hillslope_properties_dist(cells, ["demns"], RES)
     return OF.cluster_hillslopes_from_hp(hp)
+
+
+def docs_span_signature(sf_dir: str):
+    """North-rule per-row invariant as a driver query: the per-doc span
+    signature (kind,text,media_ref,offset joined with \\x1f / docs joined
+    with \\x1e) over the interleaved corpus (input_hint schema), computed
+    distributed via zero-copy Arrow map_batches. The oracle is NOT a staged
+    twin: DuckDB recomputes the signature itself from the same raw spans
+    parquet with a list lambda (oracle_fixtures.DOCS_SPAN_SIGNATURE_SQL) —
+    a cross-engine proof of span-sequence equality."""
+    import ray.data as rd
+
+    from . import oracle_fixtures as OF
+    from ..stages import spans
+
+    raw = OF.stage_docs_spans_raw(sf_dir)
+    ds = rd.read_parquet(raw)
+    return ds.map_batches(spans.span_signature, batch_format="pyarrow")

@@ -1143,3 +1143,41 @@ def stage_terrain_cluster_hillslopes(sf_dir: str) -> str:
 
 
 TERRAIN_CLUSTER_HILLSLOPES_SQL = O.fixture_sql("terrain_cluster_hillslopes", "cluster")
+
+
+# ---------------------------------------------------------------------------
+# raw interleaved corpus (north-rule span-sequence invariant)
+# ---------------------------------------------------------------------------
+
+def stage_docs_spans_raw(sf_dir: str) -> str:
+    """Stage the deterministic interleaved corpus ITSELF (doc_id, spans —
+    the BASELINE.json input_hint schema) as a parquet fixture. Unlike the
+    twin fixtures above, the matching oracle SQL does not read a
+    precomputed answer: DuckDB recomputes the per-doc span signature from
+    the raw list<struct> column with its own list lambda, so the driver's
+    hash compare is a genuine cross-engine check of the north rule's
+    per-row invariant (span-sequence equality on kind,text,media_ref,
+    order)."""
+    import pyarrow as pa
+
+    from .. import synth
+
+    n_li = pq.read_metadata(f"{sf_dir}/lineitem.parquet").num_rows
+    n_docs = max(500, min(4000, n_li // 30))
+    batch = synth.make_docs_batch(np.arange(n_docs, dtype=np.uint64))
+    return O.stage_fixture_table("docs_spans_raw", pa.table(batch))
+
+
+# chr(31)/chr(30) mirror the \x1f field / \x1e record separators used by
+# stages/spans.py::span_signature (pc.binary_join_element_wise + binary_join)
+DOCS_SPAN_SIGNATURE_SQL = f"""
+SELECT doc_id,
+       array_to_string(
+         list_transform(
+           spans,
+           s -> s.kind || chr(31) || s.text || chr(31) || s.media_ref
+                || chr(31) || CAST(s."offset" AS VARCHAR)),
+         chr(30)) AS span_sig
+FROM read_parquet('{O.fixture_path("docs_spans_raw")}')
+ORDER BY doc_id
+"""

@@ -106,6 +106,24 @@ def test_span_signature_detects_mutation():
     assert all(a == b for i, (a, b) in enumerate(zip(s1, s2)) if i != 7)
 
 
+def test_span_signature_matches_duckdb_lambda():
+    # cross-engine twin of the docs_span_signature driver oracle: DuckDB
+    # recomputes the signature from the raw spans with its own list lambda
+    import duckdb
+
+    t = pa.table(synth.make_docs_batch(np.arange(64, dtype=np.uint64)))
+    got = spans.span_signature(t)
+    con = duckdb.connect()
+    con.register("docs", t)
+    exp = con.execute(
+        "SELECT doc_id, array_to_string(list_transform(spans, s -> "
+        "s.kind || chr(31) || s.text || chr(31) || s.media_ref || chr(31) "
+        "|| CAST(s.\"offset\" AS VARCHAR)), chr(30)) AS span_sig "
+        "FROM docs ORDER BY doc_id"
+    ).fetch_arrow_table()
+    assert got.sort_by("doc_id").to_pylist() == exp.to_pylist()
+
+
 def test_hotspot_skew_exists():
     # the corpus must actually be skewed, or the salting path is untestable
     ids = np.arange(200_000, dtype=np.uint64)
