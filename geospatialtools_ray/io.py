@@ -119,6 +119,14 @@ def commit_fragment(tmp: str, final: str) -> None:
         try:
             os.replace(tmp, final)
         except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)
+            # ONLY the lost-race case is benign (another writer committed
+            # the identical content-deterministic fragment first). Any
+            # other failure (EXDEV, EACCES, ENOSPC) must propagate — the
+            # caller records the fragment as committed, so swallowing it
+            # here would silently drop rows from the manifest.
+            if os.path.exists(final):
+                shutil.rmtree(tmp, ignore_errors=True)
+                return
+            raise
         return
     os.replace(tmp, final)

@@ -494,12 +494,10 @@ def events_arcgis_fdir(sf_dir: str):
         eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         # deterministic mix of valid power-of-2 codes and arbitrary bytes
         arc = np.where(eid % 3 == 0, np.int64(1) << (eid % 8), eid % 256)
-        d8 = arcgis_to_d8(arc).astype(np.int64)
-        u, inv = np.unique(arc, return_inverse=True)
-        n = np.bincount(inv, minlength=len(u)).astype(np.int64)
-        d8u = np.zeros(len(u), dtype=np.int64)
-        d8u[inv] = d8
-        return pa.table({"arc_code": pa.array(u), "d8": pa.array(d8u), "n": pa.array(n)})
+        # the partial ships only (arc_code, n); d8 is a pure function of
+        # arc_code and is derived once after the count shuffle
+        u, cnt = np.unique(arc, return_counts=True)
+        return pa.table({"arc_code": pa.array(u), "n": pa.array(cnt.astype(np.int64))})
 
     from ray.data.aggregate import Sum
 

@@ -24,6 +24,7 @@ interchange path for consumers of the reference's .nc outputs.
 from __future__ import annotations
 
 import datetime
+import os
 import struct
 
 import numpy as np
@@ -209,7 +210,7 @@ def append_netcdf3_records(path: str, grids: dict[str, np.ndarray]) -> int:
     explicit batch append). ``grids`` maps every record-variable name to an
     array of shape (k, *per_record_shape); the coordinate record variable
     (e.g. ``t``) must be included. Returns the new record count."""
-    meta = _parse_header(path)
+    meta = _parse_header(path, header_only=True)
     rec_vars = [v for v in meta["var_meta"] if v["record"]]
     if not rec_vars:
         raise ValueError("file has no UNLIMITED dimension")
@@ -316,19 +317,42 @@ def create_netcdf_file(md: dict, grids: dict[str, np.ndarray], path: str | None 
 
 # -- minimal reader (round-trip validation; same subset we write) -----------
 
-def _parse_header(path: str) -> dict:
+class _HeaderTruncated(Exception):
+    """Internal: header parse ran past the bytes read so far."""
+
+
+def _parse_header(path: str, header_only: bool = False) -> dict:
     """Parse a CDF-1 header: dims (with the record dim's length 0 kept as
     written), numrecs, and per-variable metadata including the record flag
     and per-record shape — shared by :func:`read_netcdf3` and
-    :func:`append_netcdf3_records`."""
-    with open(path, "rb") as fp:
-        buf = fp.read()
+    :func:`append_netcdf3_records`. With ``header_only`` the file is read
+    in bounded chunks (64 KiB, ×4 on truncation) instead of wholesale —
+    an append to a multi-GB record file must not load the data section."""
+    size = os.path.getsize(path)
+    chunk = min(size, 1 << 16) if header_only else size
+    while True:
+        with open(path, "rb") as fp:
+            buf = fp.read(chunk)
+        try:
+            return _parse_header_buf(buf)
+        except _HeaderTruncated:
+            if chunk >= size:
+                raise ValueError(f"{path}: truncated NetCDF-3 header")
+            chunk = min(size, chunk * 4)
+
+
+def _parse_header_buf(buf: bytes) -> dict:
     if buf[:4] != b"CDF\x01":
         raise ValueError("not a NetCDF-3 classic (CDF-1) file")
     pos = 4
 
+    def need(n):
+        if pos + n > len(buf):
+            raise _HeaderTruncated
+
     def i4():
         nonlocal pos
+        need(4)
         v = struct.unpack_from(">i", buf, pos)[0]
         pos += 4
         return v
@@ -336,6 +360,7 @@ def _parse_header(path: str) -> dict:
     def name():
         nonlocal pos
         ln = i4()
+        need(ln)
         s = buf[pos : pos + ln].decode()
         pos += ln + (-ln % 4)
         return s
@@ -348,10 +373,12 @@ def _parse_header(path: str) -> dict:
             k = name()
             t, ne = i4(), i4()
             if t == _NC_CHAR:
+                need(ne)
                 out[k] = buf[pos : pos + ne].decode()
                 pos += ne + (-ne % 4)
             else:
                 sz = _TYPE_SIZE[t]
+                need(ne * sz)
                 vals = np.frombuffer(buf, dtype=_TYPE_NP[t], count=ne, offset=pos)
                 pos += ne * sz + (-(ne * sz) % 4)
                 out[k] = vals[0] if ne == 1 else vals

@@ -68,6 +68,16 @@ def read_polygon_layer(path: str, cover_res: int = 6, field: str | None = None) 
     if ext == ".shp":
         recs, fields = read_shapefile(path)
         num_fields = [f[0] for f in fields if f[1] in "NF"]
+        if field is not None:
+            # an explicit field must exist and be numeric — a misspelled
+            # name silently burning 1.0 everywhere matches nothing the
+            # user asked for (gdal_rasterize -a errors here too)
+            names = [f[0] for f in fields]
+            if field not in names:
+                raise ValueError(f"{path}: field {field!r} not in .dbf columns {names}")
+            if field not in num_fields:
+                ftype = next(f[1] for f in fields if f[0] == field)
+                raise ValueError(f"{path}: field {field!r} has dbf type {ftype!r}, not numeric (N/F)")
         fld = field if field is not None else (num_fields[0] if num_fields else None)
         poly_ids, field_values, wkbs = [], [], []
         for r in recs:
@@ -98,6 +108,8 @@ def _gpb_to_wkb(blob: bytes) -> bytes:
     if blob[:2] != b"GP":
         raise ValueError("not a GeoPackage geometry blob (missing GP magic)")
     flags = blob[3]
+    if flags & 0x20:  # ExtendedGeoPackageBinary: vendor payload precedes the WKB
+        raise NotImplementedError("ExtendedGeoPackageBinary (GPB flags bit 5) not supported")
     if flags & 0x10:  # empty-geometry flag
         return b""
     env = (flags >> 1) & 0x07
@@ -108,6 +120,8 @@ def _gpb_to_wkb(blob: bytes) -> bytes:
 
 def _wkb_polygons(buf: bytes) -> list[np.ndarray]:
     """WKB Polygon or MultiPolygon -> flat ring list (little-endian)."""
+    if buf[0] != 1:  # byte-order byte: 1=NDR little-endian, 0=XDR big-endian
+        raise NotImplementedError("big-endian (XDR) WKB not supported; re-export little-endian")
     (gtype,) = struct.unpack_from("<I", buf, 1)
     if gtype % 1000 == 3:  # Polygon (incl. Z/M variants are rejected below)
         if gtype != 3:
@@ -148,15 +162,19 @@ def read_geopackage(path: str, table: str | None = None, field: str | None = Non
         (gcol,) = con.execute(
             "SELECT column_name FROM gpkg_geometry_columns WHERE table_name=?", (table,)
         ).fetchone()
-        cols = [
-            (r[1], r[2].upper()) for r in con.execute(f'PRAGMA table_info("{table}")')
-        ]
+        info = list(con.execute(f'PRAGMA table_info("{table}")'))
+        cols = [(r[1], (r[2] or "").upper()) for r in info]
+        # the spec mandates an INTEGER primary key but NOT the name 'fid' —
+        # take it from the pk flag (r[5]) instead of hardcoding
+        pk = next((r[1] for r in info if r[5]), "fid")
         num_cols = [
             n for n, t in cols
-            if n not in ("fid", gcol) and any(k in t for k in ("INT", "REAL", "FLOAT", "DOUBLE", "NUM"))
+            if n not in (pk, gcol) and any(k in t for k in ("INT", "REAL", "FLOAT", "DOUBLE", "NUM"))
         ]
+        if field is not None and field not in [n for n, _ in cols]:
+            raise ValueError(f"{path}: field {field!r} not in table {table!r} columns {[n for n, _ in cols]}")
         fld = field if field is not None else (num_cols[0] if num_cols else None)
-        sel = f'SELECT fid, "{gcol}"' + (f', "{fld}"' if fld else "") + f' FROM "{table}" ORDER BY fid'
+        sel = f'SELECT "{pk}", "{gcol}"' + (f', "{fld}"' if fld else "") + f' FROM "{table}" ORDER BY "{pk}"'
         fids, vals, wkbs = [], [], []
         for row in con.execute(sel):
             raw = _gpb_to_wkb(row[1])
@@ -363,9 +381,17 @@ def write_shapefile(path: str, polygons: list[list[np.ndarray]], attrs: list[dic
         if isinstance(v, bool):
             fdefs.append((n[:10], "L", 1, 0))
         elif isinstance(v, int):
-            fdefs.append((n[:10], "N", 18, 0))
+            # size the column from the data (dbf stores width in one byte);
+            # the fixed historical 18 silently truncated wider ints
+            w = max(18, max((len(f"{int(a[n]):d}") for a in attrs if a.get(n) is not None), default=1))
+            if w > 255:
+                raise ValueError(f"write_shapefile: integer field {n!r} needs {w} chars (dbf max 255)")
+            fdefs.append((n[:10], "N", w, 0))
         elif isinstance(v, float):
-            fdefs.append((n[:10], "N", 18, 6))
+            w = max(18, max((len(f"{float(a[n]):.6f}") for a in attrs if a.get(n) is not None), default=1))
+            if w > 255:
+                raise ValueError(f"write_shapefile: float field {n!r} needs {w} chars (dbf max 255)")
+            fdefs.append((n[:10], "N", w, 6))
         else:
             fdefs.append((n[:10], "C", 32, 0))
     rsize = 1 + sum(f[2] for f in fdefs)
@@ -385,8 +411,23 @@ def write_shapefile(path: str, polygons: list[list[np.ndarray]], attrs: list[dic
                     s = "T" if v else "F"
                 elif t == "N" and dec:
                     s = f"{float(v):>{ln}.{dec}f}"
+                    if len(s) > ln:
+                        raise ValueError(
+                            f"write_shapefile: {v!r} in field {orig!r} needs {len(s)} chars "
+                            f"(field width {ln}) — would truncate"
+                        )
                 elif t == "N":
+                    if isinstance(v, float) and not float(v).is_integer():
+                        raise ValueError(
+                            f"write_shapefile: non-integer {v!r} in integer field {orig!r} "
+                            "(field type inferred from the first non-null value)"
+                        )
                     s = f"{int(v):>{ln}d}"
+                    if len(s) > ln:
+                        raise ValueError(
+                            f"write_shapefile: {v!r} in field {orig!r} needs {len(s)} chars "
+                            f"(field width {ln}) — would truncate"
+                        )
                 else:
                     s = str(v)[:ln].ljust(ln)
                 row += s.encode("ascii", "replace")[:ln].rjust(ln) if t == "N" else s.encode("ascii", "replace")[:ln].ljust(ln)

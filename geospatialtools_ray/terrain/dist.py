@@ -1234,9 +1234,22 @@ def polygon_info_dist(ds, res: float, N0: int, N1: int, pid_col: str = "pids"):
 
         return f
 
-    probes = ds.map_batches(boundary_rows(False), batch_format="pyarrow")
+    probes = ds.map_batches(boundary_rows(False), batch_format="pyarrow").materialize()
     anchors = ds.map_batches(boundary_rows(True), batch_format="pyarrow")
-    cross = probes.join(anchors, join_type="inner", num_partitions=4, on=("gpos",))
+    # single-tile grids produce ZERO probe rows (every neighbor key falls
+    # outside the grid) — skip the join entirely rather than hand Acero
+    # schema-less empty partitions; otherwise scale partitions to the
+    # probe-row count like polygonize_dist above.
+    n_probes = probes.count()
+    if n_probes == 0:
+        import ray.data as rd
+
+        cross = rd.from_arrow(
+            pa.table({"pid_a": pa.array([], pa.int64()), "pid_b": pa.array([], pa.int64())})
+        )
+    else:
+        nparts = int(max(1, min(8, (n_probes + 9_999) // 10_000)))
+        cross = probes.join(anchors, join_type="inner", num_partitions=nparts, on=("gpos",))
 
     def cross_edges(b: pa.Table) -> pa.Table:
         a = b["pid_a"].to_numpy(zero_copy_only=False)
@@ -1642,6 +1655,11 @@ def hillslopes_dist(
                     }
                 )
 
+            # partition ceiling scaled to the SMALL side's row count: a
+            # hash-shuffle partition that receives no rows arrives
+            # schema-less and crashes Acero (see dedup.py note), so the
+            # seed count — not the cluster CPU default — sizes the join.
+            nparts_seed = int(max(2, min(64, (n_seeds + 9_999) // 10_000)))
             joined = J.hash_join(
                 cells.map_batches(lambda b: pick(b, True), batch_format="pyarrow").map_batches(
                     cell_key, batch_format="pyarrow"
@@ -1649,6 +1667,7 @@ def hillslopes_dist(
                 seed_rows.map_batches(seed_key, batch_format="pyarrow"),
                 on=("netid", "entryseed"),
                 right_on=("snet", "seedpos"),
+                num_partitions=nparts_seed,
                 join_type="left_outer",
             )
 

@@ -971,9 +971,14 @@ def reduce_basins_map(ids: np.ndarray, nids: np.ndarray, area: np.ndarray, nbasi
         nids[nids == ids[ib]] = nids[ib]
         keep = np.arange(ids.size) != ib
         ids, nids, area = ids[keep], nids[keep], area[keep]
-    survivors = sorted(set(cur.values()))
+    # mirror the grid twin's final filter: a merge whose target was an
+    # invalid candidate (nids == -1) paints label 0, which ub[ub > 0]
+    # excludes and out[out <= 0] sends to IUNDEF — so labels that ended at
+    # 0 must NOT rank as survivors, and are omitted from the map (the
+    # distributed paint leaves unmapped labels at -1 / undef).
+    survivors = sorted({v for v in cur.values() if v > 0})
     rank = {lab: i + 1 for i, lab in enumerate(survivors)}
-    return {k: rank[v] for k, v in cur.items()}
+    return {k: rank[v] for k, v in cur.items() if v > 0}
 
 # ---------------------------------------------------------------------------
 # Basin-count bisection (libraries/terrain_tools.py:211-253): log-space

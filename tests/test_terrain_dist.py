@@ -420,3 +420,22 @@ def test_mfd_dist_ragged_tiles_tile_halo(ray_session):
     out = D.mfd_acc_dist(ds, RES, 1.1, n, n)
     got = T.collect_grid(out, "mfdacc", dtype=np.float32)
     assert np.array_equal(got, want)
+
+
+def test_polygon_info_dist_single_tile(ray_session):
+    """A grid that fits ONE tile produces zero cross-tile probe rows; the
+    adjacency join must be skipped, not handed schema-less empty hash-join
+    partitions (round-4 review). Compared against the whole-grid kernel."""
+    rng = np.random.default_rng(11)
+    vals = rng.integers(0, 3, size=(N, N)).astype(np.float64)
+    vals[rng.random((N, N)) < 0.1] = K.UNDEF
+    labels = K.polygonize(vals)
+    info = K.polygon_info(labels, np.zeros_like(labels), res=RES)
+    ds = T.make_tiles_dataset({"values": vals.astype(np.float32)}, N)  # single tile
+    labeled = D.polygonize_dist(ds, "values")
+    cents, edges = D.polygon_info_dist(labeled, RES, N, N)
+    got_edges = {(int(s), int(d)) for s, d in zip(edges["src"], edges["dst"])}
+    assert got_edges == {tuple(e) for e in info["edges"]}
+    c = cents.sort_values("pid").reset_index(drop=True)
+    assert np.allclose(c["cx"].to_numpy(), info["centroid"][:, 0])
+    assert np.allclose(c["cy"].to_numpy(), info["centroid"][:, 1])
