@@ -107,7 +107,10 @@ def estimate_salts(
     out: dict[int, int] = {}
     for row in agg.iter_rows():
         est = row["n"] / max(sample_rate, 1e-9)
-        s = int(np.ceil(est / target_rows_per_part))
+        # clamp to the part_key encoding's salt space: cell*MAX_SALTS+salt
+        # (lineage.add_part_key) — salt >= MAX_SALTS would alias into the
+        # NEXT cell's key range and silently mix two coarse cells
+        s = int(min(np.ceil(est / target_rows_per_part), lineage.MAX_SALTS))
         if s > 1:
             out[int(row["part"])] = s
     return out

@@ -73,6 +73,13 @@ def q1_pricing_summary(sf_dir: str):
             sum_disc_c=("disc", "sum"),
             count_order=("qty", "size"),
         )
+        # charge is ~1.15e11 per ROW, so a global int64 sum overflows past
+        # ~8e7 rows/group (SF>=100). Split the per-batch partial into
+        # (hi, lo) = divmod(sum, 1e6): Sum(hi) overflows only past ~8e13
+        # rows/group, and the driver reconstructs the exact integer total.
+        # A per-batch partial itself stays exact (<=8e7 rows/batch).
+        g["sum_charge_hi"], g["sum_charge_lo"] = divmod(g.pop("sum_charge_c"), 1_000_000)
+        g["sum_dp_hi"], g["sum_dp_lo"] = divmod(g.pop("sum_disc_price_c"), 10_000)
         return pa.Table.from_pandas(g, preserve_index=False)
 
     agg = (
@@ -81,13 +88,23 @@ def q1_pricing_summary(sf_dir: str):
         .aggregate(
             Sum("sum_qty_c", alias_name="sum_qty_c"),
             Sum("sum_price_c", alias_name="sum_price_c"),
-            Sum("sum_disc_price_c", alias_name="sum_disc_price_c"),
-            Sum("sum_charge_c", alias_name="sum_charge_c"),
+            Sum("sum_dp_hi", alias_name="sum_dp_hi"),
+            Sum("sum_dp_lo", alias_name="sum_dp_lo"),
+            Sum("sum_charge_hi", alias_name="sum_charge_hi"),
+            Sum("sum_charge_lo", alias_name="sum_charge_lo"),
             Sum("sum_disc_c", alias_name="sum_disc_c"),
             Sum("count_order", alias_name="count_order"),
         )
     )
     df = agg.to_pandas().sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+    # exact integer reconstruction (Python ints are arbitrary precision;
+    # float conversion then matches the oracle's CAST(total AS DOUBLE))
+    df["sum_charge_c"] = [
+        float(int(h) * 1_000_000 + int(l)) for h, l in zip(df["sum_charge_hi"], df["sum_charge_lo"])
+    ]
+    df["sum_disc_price_c"] = [
+        float(int(h) * 10_000 + int(l)) for h, l in zip(df["sum_dp_hi"], df["sum_dp_lo"])
+    ]
     n = df["count_order"].astype("int64")
     out = pd.DataFrame(
         {

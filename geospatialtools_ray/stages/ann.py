@@ -20,6 +20,11 @@ from ..hashing import uniform01
 
 def _emb_matrix(batch: pa.Table, col: str) -> np.ndarray:
     arr = batch[col].combine_chunks()
+    if len(arr) == 0:
+        # reshape(0, -1) is ambiguous and np.stack([]) raises; empty blocks
+        # are routine after upstream filters
+        dim = arr.type.list_size if pa.types.is_fixed_size_list(arr.type) else 0
+        return np.zeros((0, dim), dtype=np.float64)
     try:
         flat = arr.flatten().to_numpy(zero_copy_only=False)
         n = len(batch)
@@ -56,6 +61,14 @@ class BruteForceTopK:
         self.emb_col = emb_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "query_id": pa.array([], type=pa.int32()),
+                    self.id_col: pa.array([], type=pa.int64()),
+                    "cos_sim": pa.array([], type=pa.float64()),
+                }
+            )
         E = _emb_matrix(batch, self.emb_col)
         En = E / np.maximum(np.linalg.norm(E, axis=1, keepdims=True), 1e-30)
         sims = En @ self.Qn.T  # (n, nq)

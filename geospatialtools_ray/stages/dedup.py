@@ -281,6 +281,14 @@ def connected_components_minlabel(edges, max_rounds: int = 25, num_partitions: i
         labels = rd.from_arrow_refs(upd.drop_columns(["_changed"]).materialize().to_arrow_refs())
         if total_changed == 0:
             break
+    else:
+        # min-label propagation advances one hop per round; a chain-shaped
+        # component deeper than max_rounds would otherwise be SILENTLY
+        # split into several clusters (under-deduplication with no signal)
+        raise RuntimeError(
+            f"connected_components_minlabel: labels still changing after {max_rounds} rounds "
+            f"(a component's diameter exceeds max_rounds) — raise max_rounds"
+        )
     return labels.map_batches(lambda b: b.rename_columns(["node", "cluster_id"]), batch_format="pyarrow")
 
 

@@ -29,8 +29,13 @@ EARTH_RADIUS_M = 6371e3
 
 
 def haversine_m(lon1, lat1, lon2, lat2):
-    """Great-circle distance in meters — same formulation as the reference's
-    `calculate_distance` (libraries/terrain_tools.py:14-23)."""
+    """Great-circle distance in meters — STANDARD haversine (R=6371 km,
+    arcsin form), used for the engine's own kNN ranking where any monotone
+    great-circle metric gives the same neighbor order. NOT the
+    reference-exact `calculate_distance` twin: that is
+    `functions.geometry.haversine_ref` (R=6,372,800 m, atan2 form,
+    terrain_tools.py:14-23 argument order) — use it when a value must
+    match the reference bit-for-bit."""
     rlon1, rlat1, rlon2, rlat2 = map(np.radians, (lon1, lat1, lon2, lat2))
     dlon = rlon2 - rlon1
     dlat = rlat2 - rlat1

@@ -91,6 +91,10 @@ class ImageDecode:
         return (keys >> np.uint64(11)).astype(np.float64) / float(1 << 53)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            # map_batches delivers 0-row blocks after upstream filters
+            col = pa.FixedSizeListArray.from_arrays(pa.array([], type=pa.float32()), self.dim)
+            return batch.append_column("image_features", col)
         blobs = batch["media_bytes"].to_pylist()
         feats = np.stack([(self._decode_fake if self.use_fake else self._decode_real)(b) for b in blobs])
         col = pa.FixedSizeListArray.from_arrays(pa.array(feats.ravel(), type=pa.float32()), self.dim)
@@ -108,8 +112,12 @@ class FrameSample:
         refs = batch["media_ref"].to_pylist()
         from ..hashing import text_hash_u64
 
-        keys = text_hash_u64(refs)
-        offs = np.stack([np.sort(uniform01(np.full(self.n, k, dtype=np.uint64), s)) for s, k in enumerate(keys)])
+        keys = text_hash_u64(refs) if refs else np.zeros(0, dtype=np.uint64)
+        # one hash stream PER FRAME INDEX: n distinct offsets per video,
+        # deterministic in media_ref alone (a batch-position seed made the
+        # offsets depend on batch composition and repeated one offset n
+        # times — round-4 review)
+        offs = np.sort(np.stack([uniform01(keys, stream=f) for f in range(self.n)], axis=1), axis=1)
         col = pa.FixedSizeListArray.from_arrays(pa.array(offs.ravel(), type=pa.float64()), self.n)
         return batch.append_column("frame_offsets", col)
 

@@ -19,20 +19,33 @@ _POINT_RE = r"POINT\((?P<lon>[-0-9.eE+]+) (?P<lat>[-0-9.eE+]+)\)"
 
 
 def doc_key_u64(doc_id: pa.Array) -> pa.Array:
-    """Pack string doc ids into uint64 join keys. `doc-%09d` ids parse to
-    their numeric suffix (invertible); anything else falls back to a
-    64-bit content hash. Shipping an 8-byte key through a 10^11-row join
-    instead of a 13-byte string + offsets is a measured ~15% cut in the
-    fan-out's memory traffic (BENCH round 2)."""
-    try:
-        num = pc.cast(pc.utf8_slice_codeunits(doc_id, start=4, stop=64), pa.int64())
-        return pc.cast(num, pa.uint64())
-    except pa.ArrowInvalid:
-        from ..hashing import text_hash_u64
+    """Pack string doc ids into uint64 join keys. `doc-<digits>` ids parse
+    to their numeric suffix (invertible); anything else falls back to a
+    64-bit content hash. The parse/hash decision is PER ROW (a function of
+    the id alone), so the same doc_id maps to the same key in every batch —
+    an all-or-nothing per-batch fallback would give one doc different keys
+    depending on batch composition. Shipping an 8-byte key through a
+    10^11-row join instead of a 13-byte string + offsets is a measured
+    ~15% cut in the fan-out's memory traffic (BENCH round 2)."""
+    ids = doc_id.combine_chunks() if isinstance(doc_id, pa.ChunkedArray) else doc_id
+    # fast path (the synthetic corpus shape): every id is doc-<digits>
+    if pc.all(pc.starts_with(ids, "doc-")).as_py():
+        try:
+            num = pc.cast(pc.utf8_slice_codeunits(ids, start=4, stop=64), pa.int64())
+            return pc.cast(num, pa.uint64())
+        except pa.ArrowInvalid:
+            pass
+    from ..hashing import text_hash_u64
 
-        import numpy as np
-
-        return pa.array(text_hash_u64(doc_id), type=pa.uint64())
+    # <=19 digits: always fits uint64 (20+ digits could overflow the cast)
+    is_doc = pc.match_substring_regex(ids, r"^doc-[0-9]{1,19}$")
+    mask = is_doc.to_numpy(zero_copy_only=False)
+    out = text_hash_u64(ids).astype(np.uint64)
+    if mask.any():
+        safe = pc.if_else(is_doc, pc.utf8_slice_codeunits(ids, start=4, stop=64), "0")
+        nums = pc.cast(safe, pa.uint64()).to_numpy(zero_copy_only=False).astype(np.uint64)
+        out = np.where(mask, nums, out)
+    return pa.array(out, type=pa.uint64())
 
 
 def explode_geo_points(batch: pa.Table, key_mode: str = "string") -> pa.Table:

@@ -48,7 +48,9 @@ def langid_predict(texts: pa.Array) -> np.ndarray:
     """Vectorized language ID. Rules (same as the per-doc oracle): empty ->
     unknown; CJK codepoint ratio > 0.2 -> zh; else the profiled language
     with the strictly-highest gram-hit count in profile order; 0 hits ->
-    unknown."""
+    unknown. Null texts are treated as empty (-> unknown) — a null in the
+    batch otherwise poisons the int64 score accumulators with NaN."""
+    texts = pc.fill_null(texts, "")
     n_chars = pc.utf8_length(texts).to_numpy(zero_copy_only=False)
     cjk = pc.count_substring_regex(texts, _CJK_RE).to_numpy(zero_copy_only=False)
     scores, langs = langid_scores(texts)
@@ -127,7 +129,7 @@ class QualityScore:
         self.text_col = text_col
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        texts = pa.array(batch[self.text_col], type=pa.string())
+        texts = pc.fill_null(pa.array(batch[self.text_col], type=pa.string()), "")
         n_chars = pc.utf8_length(texts).to_numpy(zero_copy_only=False).astype(np.int64)
         n_punct = pc.count_substring_regex(texts, r"[.,;:!?]").to_numpy(zero_copy_only=False).astype(np.int64)
         ws = _word_stats(texts)

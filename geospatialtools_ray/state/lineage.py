@@ -197,8 +197,12 @@ def write_partitioned_fragments(
             # deterministic fragment name per (batch content, key): a Ray
             # task retried after a partial write REWRITES the same file
             # instead of leaving orphan fragments that directory-scanning
-            # readers would double-count. Hash = partition keys + first
-            # payload column buffers (content-identical batch -> same name).
+            # readers would double-count. Hash = partition keys + EVERY
+            # payload column's buffers — hashing only the first column let
+            # two batches with an identical low-cardinality leading column
+            # but different payloads collide and silently overwrite each
+            # other (round-4 review). blake2b streams ~1 GB/s; the full
+            # pass costs well under the parquet encode it precedes.
             bh = hashlib.blake2b(keys.tobytes(), digest_size=8)
             bh.update(str(batch.num_rows).encode())
             for cname in batch.column_names:
@@ -206,7 +210,6 @@ def write_partitioned_fragments(
                     for buf in batch[cname].combine_chunks().buffers():
                         if buf is not None:
                             bh.update(buf)
-                    break
             batch_tag = bh.hexdigest()
             order = np.argsort(keys, kind="stable")
             sk = keys[order]

@@ -240,6 +240,18 @@ def test_multimodal_plumbing(ray_session):
             multimodal.ImageDecode(use_fake=False)
     frames = ds.map_batches(multimodal.FrameSample, batch_format="pyarrow", concurrency=1).to_pandas()
     assert frames["frame_offsets"].map(len).eq(4).all()
+    # n DISTINCT sorted offsets per video, deterministic in media_ref
+    # alone (not batch position) — round-4 review regression
+    for offs in frames["frame_offsets"]:
+        a = np.asarray(offs)
+        assert len(np.unique(a)) == 4 and np.all(np.diff(a) > 0)
+    import pyarrow as pa
+
+    one = multimodal.FrameSample()(
+        pa.table({"media_ref": [frames.iloc[-1]["media_ref"]] if "media_ref" in frames else ["ref-x"]})
+    ).to_pandas()
+    if "media_ref" in frames.columns:
+        assert np.allclose(np.asarray(one["frame_offsets"][0]), np.asarray(frames.iloc[-1]["frame_offsets"]))
 
 
 def test_image_decode_real_pil(ray_session):
