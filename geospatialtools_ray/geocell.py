@@ -15,15 +15,18 @@ single uint64, giving H3-like properties the engine relies on:
 This replaces the reference's implicit "partitioning" (whole-raster arrays,
 ``libraries/gdal_tools.py:60-115``) with an explicit, skew-manageable key.
 
-Packing (uint64): bits 58..62 = resolution (0..30), bits 29..57 = iy,
-bits 0..28 = ix.
+Packing (uint64): bits 58..62 = resolution, bits 29..57 = iy, bits 0..28
+= ix. ix needs res+1 bits (2**(res+1) columns) and iy needs res bits, so
+the deepest representable resolution is 28 (~1e-6 deg, ~10 cm cells —
+far below any partition granularity the engine uses); pack() asserts the
+bound rather than silently leaking ix's high bit into iy.
 """
 
 from __future__ import annotations
 
 import numpy as np
 
-MAX_RES = 30
+MAX_RES = 28
 _RES_SHIFT = np.uint64(58)
 _IY_SHIFT = np.uint64(29)
 _IX_MASK = np.uint64((1 << 29) - 1)
@@ -42,6 +45,8 @@ def cell_size_deg(res: int) -> float:
 
 def pack(res, iy, ix):
     res = np.asarray(res, dtype=np.uint64)
+    if res.size and int(res.max()) > MAX_RES:
+        raise ValueError(f"geocell resolution {int(res.max())} exceeds MAX_RES={MAX_RES}")
     iy = np.asarray(iy, dtype=np.uint64)
     ix = np.asarray(ix, dtype=np.uint64)
     return (res << _RES_SHIFT) | (iy << _IY_SHIFT) | ix
@@ -63,11 +68,14 @@ def cell_of(lon, lat, res: int):
     nx, ny = ncells(res)
     lon = np.asarray(lon, dtype=np.float64)
     lat = np.asarray(lat, dtype=np.float64)
-    ix = np.floor((lon + 180.0) / 360.0 * nx).astype(np.int64)
-    iy = np.floor((lat + 90.0) / 180.0 * ny).astype(np.int64)
+    # atleast_1d: np.clip(..., out=) needs a writable ndarray — scalar
+    # inputs otherwise crash instead of clamping
+    ix = np.atleast_1d(np.floor((lon + 180.0) / 360.0 * nx).astype(np.int64))
+    iy = np.atleast_1d(np.floor((lat + 90.0) / 180.0 * ny).astype(np.int64))
     np.clip(ix, 0, nx - 1, out=ix)
     np.clip(iy, 0, ny - 1, out=iy)
-    return pack(res, iy, ix)
+    out = pack(res, iy, ix)
+    return out if np.ndim(lon) or np.ndim(lat) else out[0]
 
 
 def cell_center(cell):

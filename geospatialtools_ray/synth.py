@@ -97,26 +97,41 @@ def make_docs_batch(doc_ids: np.ndarray, geo_frac: float = 0.2) -> dict:
     span_key = doc_rep * np.uint64(64) + span_idx.astype(np.uint64)
 
     kind_draw = uniform01(span_key, 10)
-    # text fills whatever geo+media (20%) leave
-    text_cut = max(1.0 - 0.2 - geo_frac, 0.0)
-    kind = np.where(kind_draw < text_cut, "text", np.where(kind_draw < text_cut + 0.2, "media", "geo"))
+    # media takes up to 20% but yields to a geo-heavier request (a fixed
+    # 0.2 silently capped geo at 0.8 — BENCH_GEO_FRAC=0.9 measured a g80
+    # workload labeled g90); for geo_frac <= 0.8 the bands are unchanged,
+    # so existing corpora stay bit-identical
+    media_cut = min(0.2, max(1.0 - geo_frac, 0.0))
+    text_cut = max(1.0 - media_cut - geo_frac, 0.0)
+    kind = np.where(kind_draw < text_cut, "text", np.where(kind_draw < text_cut + media_cut, "media", "geo"))
 
-    # text payload: 3-8 words picked by hash
-    nw = 3 + (_mix(DOC_SEED, span_key, 11) % np.uint64(6)).astype(np.int64)
-    wordlist = np.asarray(_WORDS)
-    word_cols = [
-        wordlist[(_mix(DOC_SEED, span_key + np.uint64(j * 131), 12) % np.uint64(len(_WORDS))).astype(np.int64)]
-        for j in range(8)
-    ]
-    word_mat = np.stack(word_cols, axis=1) if total else np.empty((0, 8), dtype=object)
-    texts = np.array([" ".join(word_mat[i, : nw[i]]) for i in range(total)], dtype=object)
-
-    lon, lat = geo_lonlat(span_key)
-    geo_txt = np.array([f"POINT({lo:.6f} {la:.6f})" for lo, la in zip(lon, lat)], dtype=object)
-    media = np.array([f"media://blob/{int(k) % 100_000_000:08x}" for k in _mix(DOC_SEED, span_key, 13)], dtype=object)
-
-    text_col = np.where(kind == "text", texts, np.where(kind == "geo", geo_txt, ""))
-    media_col = np.where(kind == "media", media, "")
+    # payloads are formatted ONLY for the rows of each kind (each is a
+    # pure function of span_key, so subsetting first changes nothing);
+    # formatting all three for every span tripled the generator's
+    # dominant string cost
+    text_col = np.full(total, "", dtype=object)
+    media_col = np.full(total, "", dtype=object)
+    idx_t = np.flatnonzero(kind == "text")
+    if idx_t.size:
+        # text payload: 3-8 words picked by hash
+        kt = span_key[idx_t]
+        nw = 3 + (_mix(DOC_SEED, kt, 11) % np.uint64(6)).astype(np.int64)
+        wordlist = np.asarray(_WORDS)
+        word_cols = [
+            wordlist[(_mix(DOC_SEED, kt + np.uint64(j * 131), 12) % np.uint64(len(_WORDS))).astype(np.int64)]
+            for j in range(8)
+        ]
+        word_mat = np.stack(word_cols, axis=1)
+        text_col[idx_t] = [" ".join(word_mat[i, : nw[i]]) for i in range(len(idx_t))]
+    idx_g = np.flatnonzero(kind == "geo")
+    if idx_g.size:
+        lon, lat = geo_lonlat(span_key[idx_g])
+        text_col[idx_g] = [f"POINT({lo:.6f} {la:.6f})" for lo, la in zip(lon, lat)]
+    idx_m = np.flatnonzero(kind == "media")
+    if idx_m.size:
+        media_col[idx_m] = [
+            f"media://blob/{int(k) % 100_000_000:08x}" for k in _mix(DOC_SEED, span_key[idx_m], 13)
+        ]
     offsets = (span_idx * 17 + (_mix(DOC_SEED, span_key, 14) % np.uint64(9)).astype(np.int64)).astype(np.int32)
 
     span_struct = pa.StructArray.from_arrays(

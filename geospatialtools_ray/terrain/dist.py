@@ -399,7 +399,7 @@ def fdir_dist(ds, res: float, N0: int, N1: int, dem_col: str = "demns", diag_sqr
         fdir[border] = (first_undef[border] + 8).astype(np.int8)
         return {"fdir": fdir}
 
-    return T.halo_map(ds, [dem_col], kernel, width=1, extra_cols=["dem"])
+    return T.halo_map(ds, [dem_col], kernel, width=1)
 
 
 # ---------------------------------------------------------------------------
@@ -631,29 +631,32 @@ def flow_inherit(ds, setup, N0: int, N1: int, dead_default: float, out_name: str
             ext_cells = external & (flag == 0)
             # padded flat index of the adjacent external target
             dep[ext_cells] = ((d0[ext_cells] + 1) * (n1 + 2) + (d1[ext_cells] + 1)).astype(np.int32)
-            # upstream BFS from all base cells: children inherit resolution
+            # in-tile resolution by POINTER DOUBLING (log2(cells) numpy
+            # rounds) instead of a per-cell Python BFS: every non-base cell
+            # has an in-tile downstream pointer (terminals/externals were
+            # just made base above), so chasing pointers with a base-stop
+            # finds the FIRST base cell down each chain — the exact cell
+            # the BFS propagated from. Cells on a (malformed) cycle reach
+            # no base and stay unresolved, as with the BFS.
             flat_down = np.where(inside, d0 * n1 + d1, -1).ravel()
-            up_children: dict[int, list[int]] = {}
-            for c, fd in enumerate(flat_down):
-                if fd >= 0:
-                    up_children.setdefault(int(fd), []).append(c)
             pf = provide.ravel()
             ff = flag.ravel()
             df = dep.ravel()
-            queue = [c for c in range(n0 * n1) if ff[c] == 1 or df[c] >= 0]
-            head = 0
-            while head < len(queue):
-                c = queue[head]
-                head += 1
-                for u in up_children.get(c, []):
-                    if ff[u] == 1 or df[u] >= 0:
-                        continue  # u is its own base (source)
-                    if ff[c] == 1:
-                        pf[u] = pf[c]
-                        ff[u] = 1
-                    else:
-                        df[u] = df[c]
-                    queue.append(u)
+            flat = np.arange(n0 * n1, dtype=np.int64)
+            base = (ff == 1) | (df >= 0)
+            ptr = np.where(base, flat, flat_down)
+            for _ in range(int(np.ceil(np.log2(max(n0 * n1, 2)))) + 1):
+                nxt = ptr[ptr]
+                if np.array_equal(nxt, ptr):
+                    break
+                ptr = nxt
+            src_ok = ~base & base[ptr]
+            roots = ptr[src_ok]
+            tgt = np.flatnonzero(src_ok)
+            take_flag = ff[roots] == 1
+            pf[tgt[take_flag]] = pf[roots[take_flag]]
+            ff[tgt[take_flag]] = 1
+            df[tgt[~take_flag]] = df[roots[~take_flag]]
             provides.append(pf)
             flags.append(ff)
             deps.append(df)
@@ -1397,7 +1400,11 @@ def hillslopes_dist(
         cell_cols += ["is_chseed", "entryseed"]
 
     cells = P.tiles_to_cells(netted, cell_cols)
-    cells = cells.filter(lambda r: r["netid"] >= 0)
+    # vectorized batch mask — a per-row Python filter costs minutes of
+    # interpreter time at production cell counts
+    cells = cells.map_batches(
+        lambda b: b.filter(pc.greater_equal(b["netid"], 0)), batch_format="pyarrow"
+    )
     if presplit:
         # consumed by sizes, the outlet audit, and up to three pick()
         # branches — pin the blocks once instead of re-running the

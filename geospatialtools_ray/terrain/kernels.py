@@ -459,12 +459,9 @@ def cleanup_labels(labels: np.ndarray) -> np.ndarray:
     pos = labels > 0
     if not pos.any():
         return out
-    ids, counts = np.unique(labels[pos], return_counts=True)
-    mapping = {int(v): rank for rank, v in enumerate(ids)}  # rank starts at 0
-    lut_max = int(ids.max()) + 1
-    lut = np.zeros(lut_max, dtype=labels.dtype)
-    for v, r in mapping.items():
-        lut[v] = r
+    ids = np.unique(labels[pos])
+    lut = np.zeros(int(ids.max()) + 1, dtype=labels.dtype)
+    lut[ids] = np.arange(len(ids), dtype=labels.dtype)  # rank starts at 0
     out[pos] = lut[labels[pos]]
     return out
 
@@ -992,8 +989,11 @@ def reduce_basins_map(ids: np.ndarray, nids: np.ndarray, area: np.ndarray, nbasi
 def basin_count_bisection(probe, area_max: float, res: float, nbasins_goal: int, iters: int = 10):
     max_threshold = area_max - res * res
     min_threshold = max_threshold / 1000.0
-    n_min, basins = probe(max_threshold)
-    n_max, basins = probe(min_threshold)
+    # (the reference also probes both endpoints first, terrain_tools.py:
+    # 218-221, but never reads the results — each probe reruns the whole
+    # channels+basins chain, so we skip the two priming probes; the loop
+    # below is unchanged and returns identical output)
+    basins = None
     for _ in range(iters):
         c = (np.log(max_threshold) + np.log(min_threshold)) / 2.0
         n_c, basins = probe(float(np.exp(c)))

@@ -81,13 +81,19 @@ def tiles_to_grid(table: pa.Table, col: str, dtype=None) -> np.ndarray:
     j0 = table["j0"].to_numpy(zero_copy_only=False)
     n0 = table["n0"].to_numpy(zero_copy_only=False)
     n1 = table["n1"].to_numpy(zero_copy_only=False)
-    vals = table[col].to_pylist()
+    col_arr = table[col].combine_chunks()
+    # Arrow buffer + value type: to_pylist() materialized Python objects
+    # and silently widened float32 payloads to float64 grids
+    flat = col_arr.flatten().to_numpy(zero_copy_only=False)
+    if pa.types.is_fixed_size_list(col_arr.type):
+        offs = np.arange(len(col_arr) + 1, dtype=np.int64) * col_arr.type.list_size
+    else:
+        offs = col_arr.offsets.to_numpy(zero_copy_only=False)
     N0 = int((i0 + n0).max())
     N1 = int((j0 + n1).max())
-    first = np.asarray(vals[0])
-    grid = np.zeros((N0, N1), dtype=dtype or first.dtype)
+    grid = np.zeros((N0, N1), dtype=dtype or flat.dtype)
     for r in range(len(tx)):
-        grid[i0[r] : i0[r] + n0[r], j0[r] : j0[r] + n1[r]] = np.asarray(vals[r]).reshape(n0[r], n1[r])
+        grid[i0[r] : i0[r] + n0[r], j0[r] : j0[r] + n1[r]] = flat[offs[r] : offs[r + 1]].reshape(n0[r], n1[r])
     return grid
 
 
@@ -273,11 +279,12 @@ def rows_to_table(recs: list[dict]) -> pa.Table:
     return pa.table(cols)
 
 
-def halo_map(ds, cols: list[str], kernel, width: int = 1, extra_cols: list[str] | None = None):
+def halo_map(ds, cols: list[str], kernel, width: int = 1):
     """Distributed stencil: one halo shuffle keyed by (tx,ty), then apply
     `kernel(tile_row_dict, padded_dict) -> dict of new payload columns`
     per tile. Returns a tile Dataset with the kernel's output columns
-    merged in. The only data movement is O(perimeter) strips."""
+    merged in — ALL non-halo tile columns pass through automatically.
+    The only data movement is O(perimeter) strips."""
     strips = ds.map_batches(lambda b: emit_halo_strips(b, cols, width), batch_format="pyarrow")
 
     def tag_tiles(b: pa.Table) -> pa.Table:
