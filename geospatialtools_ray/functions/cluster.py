@@ -128,16 +128,23 @@ def cluster_data_stage(
     return scored, C
 
 
-def nd_histogram_bins(values: list[np.ndarray], nbins: list[int]):
-    """np.histogramdd-style equal-width bin edges per dimension
-    (terrain_tools.py:789-859)."""
+def nd_histogram_edges_from_bounds(bounds, nbins: list[int]):
+    """Equal-width edges from per-dimension (lo, hi) bounds — the shared
+    edge formula for both the in-memory path and distributed callers that
+    aggregate min/max first (keeps the lo==hi nudge in ONE place)."""
     edges = []
-    for v, nb in zip(values, nbins):
-        lo, hi = float(np.min(v)), float(np.max(v))
+    for (lo, hi), nb in zip(bounds, nbins):
+        lo, hi = float(lo), float(hi)
         if lo == hi:
             hi = lo + 1.0
         edges.append(np.linspace(lo, hi, nb + 1))
     return edges
+
+
+def nd_histogram_bins(values: list[np.ndarray], nbins: list[int]):
+    """np.histogramdd-style equal-width bin edges per dimension
+    (terrain_tools.py:789-859)."""
+    return nd_histogram_edges_from_bounds([(np.min(v), np.max(v)) for v in values], nbins)
 
 
 def nd_histogram_assign(values: list[np.ndarray], edges: list[np.ndarray]) -> np.ndarray:

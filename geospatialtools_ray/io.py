@@ -72,11 +72,43 @@ def read_named(sf_dir: str, table: str, *, columns: list[str] | None = None, **k
     return read_table(table_path(sf_dir, table), columns=columns, **kw)
 
 
+def read_table_arrow(path: str, *, columns: list[str] | None = None):
+    """One stored table -> in-memory pyarrow.Table (small sides / driver
+    lookups). Keeps small-side loads on the backend seam — a hardcoded
+    pq.read_table breaks under GRAFT_IO_BACKEND=lance."""
+    if _backend == "lance":  # pragma: no cover - no lance in sandbox
+        _require_lance()
+        import lance
+
+        return lance.dataset(path).to_table(columns=columns)
+    import pyarrow.parquet as pq
+
+    return pq.read_table(path, columns=columns)
+
+
+def table_num_rows(path: str) -> int:
+    """Row count from table metadata (no data scan)."""
+    if _backend == "lance":  # pragma: no cover - no lance in sandbox
+        _require_lance()
+        import lance
+
+        return lance.dataset(path).count_rows()
+    import pyarrow.parquet as pq
+
+    return pq.read_metadata(path).num_rows
+
+
+# parquet-encoder knobs that other backends don't accept — both write
+# entry points filter with the SAME list so switching backends never
+# turns a working call into a TypeError
+_PQ_ONLY = ("write_statistics", "use_dictionary", "compression", "use_byte_stream_split")
+
+
 def write_table(ds, path: str, **kw) -> None:
     """Dataset -> directory of shards in the active backend format."""
     if _backend == "lance":
         _require_lance()
-        ds.write_lance(path, **kw)  # pragma: no cover - no lance in sandbox
+        ds.write_lance(path, **{k: v for k, v in kw.items() if k not in _PQ_ONLY})  # pragma: no cover
         return
     ds.write_parquet(path, **kw)
 
@@ -90,9 +122,8 @@ def write_fragment(tbl, path: str, **kw) -> None:
         _require_lance()
         import lance  # pragma: no cover - no lance in sandbox
 
-        # parquet-encoder knobs (stats/dictionary/codec/byte-stream-split)
-        # don't apply to the lance writer — drop them rather than crash
-        _PQ_ONLY = ("write_statistics", "use_dictionary", "compression", "use_byte_stream_split")
+        # parquet-encoder knobs don't apply to the lance writer — drop
+        # them (shared _PQ_ONLY list) rather than crash
         lance.write_dataset(tbl, path, **{k: v for k, v in kw.items() if k not in _PQ_ONLY})
         return
     import pyarrow.parquet as pq

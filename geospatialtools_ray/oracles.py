@@ -28,7 +28,12 @@ import pyarrow.parquet as pq
 
 from .hashing import splitmix64, text_hash_u64
 
-FIXTURE_DIR = "/tmp/graft_oracle"
+# per-user AND per-process: a fixed world-shared path let two concurrent
+# runs (or two users) stage the same fixture NAME from different datasets
+# and hash-compare against each other's files. Staging is unconditional
+# and the oracle SQL strings embed fixture_path() from this same process,
+# so a process-unique dir is always self-consistent.
+FIXTURE_DIR = f"/tmp/graft_oracle-{os.getuid()}-{os.getpid()}"
 
 _GOLDEN = np.uint64(0x9E3779B97F4A7C15)
 
@@ -172,7 +177,10 @@ _STOPWORDS_ORACLE = "the of and to in a is that for on with as by at from it thi
 def token_count_one(t: str) -> int:
     import re
 
-    return len(re.findall(r"[A-Za-z0-9']+|[^\sA-Za-z0-9]", t))
+    # explicit ASCII whitespace class: the engine twin runs on Arrow/RE2
+    # whose \s is [\t\n\f\r ] (no \v, not Unicode), while Python re's \s is Unicode — a U+00A0
+    # in a document would otherwise count differently in the two twins
+    return len(re.findall(r"[A-Za-z0-9']+|[^ \t\n\f\rA-Za-z0-9]", t))
 
 
 def jaccard_one(a: str, b: str, k: int) -> float:

@@ -8,10 +8,12 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from ..numerics import sql_round
+
+from .. import io
+
 
 def _read(sf_dir: str, table: str, columns=None):
-    from .. import io
-
     return io.read_named(sf_dir, table, columns=columns)
 
 
@@ -31,7 +33,7 @@ def events_time_average(sf_dir: str):
 
     def per_user(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["ts", "event_id"])
-        v = np.round(g["value"].to_numpy() * 1000.0).astype(np.int64)
+        v = sql_round(g["value"].to_numpy() * 1000.0).astype(np.int64)
         if len(v) < NT_OUT:
             return pd.DataFrame()
         dt = len(v) // NT_OUT
@@ -132,14 +134,13 @@ def docs_fingerprint(sf_dir: str):
 
 
 def ann_lsh_topk(sf_dir: str):
-    import pyarrow.parquet as pq
 
     from ..stages.ann import lsh_partitioned_topk
     from . import oracle_fixtures as OF
 
     OF.stage_ann_lsh_topk(sf_dir)
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    q_tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    q_tbl = io.read_table_arrow(io.table_path(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
     Q = np.stack([np.asarray(q_tbl["embedding"][i].as_py()) for i in range(3)]).astype(np.float64)
     out = lsh_partitioned_topk(ds, Q, k=5, n_planes=6)
     out["query_id"] = out["query_id"].astype("int64")
@@ -210,13 +211,12 @@ def flagship_spatial_join(sf_dir: str):
     from . import oracle_fixtures as OF
 
     OF.stage_flagship_spatial_join(sf_dir)
-    import pyarrow.parquet as pq
 
     from .. import synth
     from ..pipelines import flagship
     from ..stages.spatial_join import SpatialJoin
 
-    n_li = pq.read_metadata(f"{sf_dir}/lineitem.parquet").num_rows
+    n_li = io.table_num_rows(io.table_path(sf_dir, "lineitem"))
     n_docs = max(2000, n_li // 30)
     docs = synth.docs_dataset(n_docs, override_num_blocks=8)
     idx_ref = flagship.polygon_index_ref(200)
@@ -263,7 +263,7 @@ def events_sessionize(sf_dir: str):
         new = np.ones(len(g), dtype=bool)
         new[1:] = (us[1:] - us[:-1]) > SESSION_GAP_US
         sid = np.cumsum(new)
-        v = np.round(g["value"].to_numpy() * 1000.0).astype(np.int64)
+        v = sql_round(g["value"].to_numpy() * 1000.0).astype(np.int64)
         out = pd.DataFrame({"user_id": g["user_id"], "session": sid, "v": v, "us": us})
         agg = out.groupby(["user_id", "session"], as_index=False).agg(
             n_events=("v", "size"),
@@ -319,12 +319,14 @@ def docs_knn_haversine(sf_dir: str):
     OF.stage_docs_knn_haversine(sf_dir)
     from ..stages.knn import KNNBroadcast
 
+    from .textqueries import _nation_stations
+
     nation = _read(sf_dir, "nation", ["n_nationkey"]).to_pandas()
-    k = nation["n_nationkey"].to_numpy().astype(np.int64)
+    st_df = _nation_stations(nation)
     st = {
-        "station_id": k,
-        "lon": ((k * 137) % 360).astype(np.float64) - 180.0 + 0.5,
-        "lat": ((k * 73) % 170).astype(np.float64) - 85.0 + 0.5,
+        "station_id": st_df["station_id"].to_numpy(),
+        "lon": st_df["slon"].to_numpy(),
+        "lat": st_df["slat"].to_numpy(),
     }
     ds = _read(sf_dir, "documents", ["doc_id"])
 
@@ -399,14 +401,13 @@ def ann_lsh_adaptive(sf_dir: str):
     margin order until they hold >= half the table (the recall>=0.8 point
     on the sf0.1 curve); scoring stays inside groupby(bucket).map_groups.
     Oracle = single-process twin fixture."""
-    import pyarrow.parquet as pq
 
     from ..stages.ann import lsh_partitioned_topk
     from . import oracle_fixtures as OF
 
     OF.stage_ann_lsh_adaptive(sf_dir)
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    q_tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    q_tbl = io.read_table_arrow(io.table_path(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
     Q = np.stack([np.asarray(q_tbl["embedding"][i].as_py()) for i in range(3)]).astype(np.float64)
     budget = max(50, q_tbl.num_rows // 2)
     out = lsh_partitioned_topk(ds, Q, k=5, n_planes=8, min_candidates=budget)
@@ -419,14 +420,13 @@ def ann_lsh_adaptive(sf_dir: str):
 def ann_ivf_topk(sf_dir: str):
     """IVF-partitioned ANN (deterministic-KMeans coarse lists, nprobe=2)
     over the embeddings table; oracle = single-process twin fixture."""
-    import pyarrow.parquet as pq
 
     from ..stages.ann import ivf_partitioned_topk
     from . import oracle_fixtures as OF
 
     OF.stage_ann_ivf_topk(sf_dir)
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    q_tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    q_tbl = io.read_table_arrow(io.table_path(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
     Q = np.stack([np.asarray(q_tbl["embedding"][i].as_py()) for i in range(3)]).astype(np.float64)
     out = ivf_partitioned_topk(ds, Q, k=5, n_lists=8, nprobe=2)
     out["query_id"] = out["query_id"].astype("int64")

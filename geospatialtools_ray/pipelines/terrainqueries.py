@@ -268,18 +268,16 @@ def events_nd_histogram(sf_dir: str, nbins=(8, 6)):
     OF.stage_events_nd_histogram(sf_dir, nbins)
     from ray.data.aggregate import Max, Min, Sum
 
-    from ..functions.cluster import nd_histogram_assign
+    from ..functions.cluster import nd_histogram_assign, nd_histogram_edges_from_bounds
 
     ds = _read(sf_dir, "events", ["value", "user_id"])
     agg = ds.aggregate(Min("value"), Max("value"), Min("user_id"), Max("user_id"))
-    edges = []
-    for lo, hi, nb in (
-        (float(agg["min(value)"]), float(agg["max(value)"]), nbins[0]),
-        (float(agg["min(user_id)"]), float(agg["max(user_id)"]), nbins[1]),
-    ):
-        if lo == hi:
-            hi = lo + 1.0
-        edges.append(np.linspace(lo, hi, nb + 1))
+    # shared edge formula (one place for the lo==hi nudge) — the oracle
+    # fixture builds its edges through the same helper
+    edges = nd_histogram_edges_from_bounds(
+        [(agg["min(value)"], agg["max(value)"]), (agg["min(user_id)"], agg["max(user_id)"])],
+        list(nbins),
+    )
 
     def partial(batch: pa.Table) -> pa.Table:
         a = batch["value"].to_numpy(zero_copy_only=False).astype(np.float64)

@@ -15,12 +15,12 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from .. import io
 from ..hashing import text_hash_u64
+from ..numerics import sql_round
 
 
 def _read(sf_dir: str, table: str, columns=None):
-    from .. import io
-
     return io.read_named(sf_dir, table, columns=columns)
 
 
@@ -323,29 +323,38 @@ def _quantized_embeddings(batch: pa.Table) -> np.ndarray:
     flat = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
     n = len(batch)
     dim = len(flat) // max(n, 1)
-    return np.round(flat * 1_000_000.0).astype(np.int64).reshape(n, dim)
+    return sql_round(flat * 1_000_000.0).astype(np.int64).reshape(n, dim)
 
 
 def ann_topk_cosine(sf_dir: str, k: int = 10):
     import ray
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    # query vector = embedding of vec_id 0 (tiny driver-side read)
-    q_tbl = ds.filter(lambda r: r["vec_id"] == 0).take(1)
-    q = np.round(np.asarray(q_tbl[0]["embedding"], dtype=np.float64) * 1_000_000.0).astype(np.int64)
+    # query vector = embedding of vec_id 0: one direct metadata-pruned
+    # read (a ds.filter(python-lambda) scanned the table row by row)
+    q_full = io.read_table_arrow(io.table_path(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    q_row = q_full.filter(pc.equal(q_full["vec_id"], 0))
+    q = sql_round(np.asarray(q_row["embedding"][0].as_py(), dtype=np.float64) * 1_000_000.0).astype(np.int64)
     q_ref = ray.put(q)
 
-    def score(batch: pa.Table) -> pa.Table:
+    def score_topk(batch: pa.Table) -> pa.Table:
+        # per-block partial top-k: ship k rows per block to the driver
+        # merge instead of all-to-all sorting the whole table for 10 rows
         qv = ray.get(q_ref)
         E = _quantized_embeddings(batch)
         num = E @ qv  # exact int64
         den1 = (E * E).sum(axis=1)
         den0 = int(qv @ qv)
         cos = num.astype(np.float64) / (np.sqrt(den1.astype(np.float64)) * np.sqrt(np.float64(den0)))
-        return pa.table({"vec_id": batch["vec_id"], "cos_sim": pa.array(cos, type=pa.float64())})
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        kk = min(k, len(ids))
+        part = np.argpartition(-cos, kk - 1)[:kk] if kk < len(cos) else np.arange(len(cos))
+        return pa.table(
+            {"vec_id": pa.array(ids[part]), "cos_sim": pa.array(cos[part], type=pa.float64())}
+        )
 
-    scored = ds.map_batches(score, batch_format="pyarrow")
-    top = scored.sort(["cos_sim", "vec_id"], descending=[True, False]).limit(k).to_pandas()
+    partials = ds.map_batches(score_topk, batch_format="pyarrow").to_pandas()
+    top = partials.sort_values(["cos_sim", "vec_id"], ascending=[False, True]).head(k)
     return top.reset_index(drop=True)
 
 
@@ -383,7 +392,7 @@ def embed_neardup_pairs(sf_dir: str):
 
     def per_label(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("vec_id").reset_index(drop=True)
-        E = np.round(np.stack(g["embedding"].to_numpy()).astype(np.float64) * 1_000_000.0).astype(np.int64)
+        E = sql_round(np.stack(g["embedding"].to_numpy()).astype(np.float64) * 1_000_000.0).astype(np.int64)
         num = E @ E.T
         den = np.sqrt((E * E).sum(axis=1).astype(np.float64))
         cos = num.astype(np.float64) / (den[:, None] * den[None, :])

@@ -47,14 +47,24 @@ def emit_stage_metrics(executed_ds, out_dir: str, run_name: str = "run") -> str 
         return None
     mdir = os.path.join(out_dir, "_metrics")
     os.makedirs(mdir, exist_ok=True)
+    # claim the sequence number with O_EXCL: a file-count seq raced with
+    # concurrent emitters (both list N files -> same name -> one record
+    # silently lost under os.replace)
     seq = len([f for f in os.listdir(mdir) if f.endswith(".json")])
+    while True:
+        path = os.path.join(mdir, f"{run_name}-{seq:04d}.json")
+        try:
+            os.close(os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+            break
+        except FileExistsError:
+            seq += 1
     rec = {
         "run": run_name,
         "seq": seq,
         "wall_clock_unix": time.time(),
         "stages": parse_stats(stats_text),
     }
-    path = os.path.join(mdir, f"{run_name}-{seq:04d}.json")
+    # content still lands atomically: replace the claimed (empty) file
     tmp = path + ".tmp"
     with open(tmp, "w") as f:
         json.dump(rec, f, indent=1)
