@@ -41,7 +41,13 @@ def projected_size_bytes(parquet_path: str, columns: list[str]) -> int:
 
 
 def should_broadcast(parquet_path: str, columns: list[str]) -> bool:
-    return projected_size_bytes(parquet_path, columns) <= broadcast_limit_bytes()
+    """False (the always-correct shuffle path) when the size measurement
+    is unavailable — e.g. a non-parquet io backend where the .parquet
+    metadata file doesn't exist. Broadcasting is only ever an optimization."""
+    try:
+        return projected_size_bytes(parquet_path, columns) <= broadcast_limit_bytes()
+    except (FileNotFoundError, OSError):
+        return False
 
 
 def hash_join(left, right, on, right_on=None, num_partitions: int | None = None, join_type: str = "inner"):

@@ -306,6 +306,9 @@ def q5_region_revenue(sf_dir: str):
         )
         names = _n_name[cn[keep]]
         df = pd.DataFrame({"n_name": names, "rev": rev}).groupby("n_name", as_index=False)["rev"].sum()
+        # 25 nation groups: a global int64 rev sum (~1.05e9/row) overflows
+        # past ~8.8e9 rows/group; ship (hi, lo) split partials like q1
+        df["rev_hi"], df["rev_lo"] = divmod(df.pop("rev"), 10_000)
         return pa.Table.from_pandas(df, preserve_index=False)
 
     if should_broadcast(f"{sf_dir}/orders.parquet", ["o_orderkey", "o_custkey"]):
@@ -330,9 +333,14 @@ def q5_region_revenue(sf_dir: str):
 
         scored = joined.map_batches(partial_j, batch_format="pyarrow")
 
-    agg = scored.groupby("n_name").aggregate(Sum("rev", alias_name="rev"))
+    agg = scored.groupby("n_name").aggregate(
+        Sum("rev_hi", alias_name="rev_hi"), Sum("rev_lo", alias_name="rev_lo")
+    )
     df = agg.to_pandas().sort_values("n_name").reset_index(drop=True)
-    return pd.DataFrame({"n_name": df["n_name"], "revenue": df["rev"].astype("float64") / 10000.0})
+    # exact arbitrary-precision reconstruction, then one float conversion
+    # (matches the oracle's CAST(total AS DOUBLE))
+    rev = [float(int(h) * 10_000 + int(l)) for h, l in zip(df["rev_hi"], df["rev_lo"])]
+    return pd.DataFrame({"n_name": df["n_name"], "revenue": np.asarray(rev) / 10000.0})
 
 
 Q5_SQL = """
