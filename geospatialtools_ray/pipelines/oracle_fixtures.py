@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-import pyarrow.parquet as pq
+from .. import io
 
 from .. import oracles as O
 from ..hashing import splitmix64
@@ -30,7 +30,7 @@ UNDEF = np.float32(-9999.0)
 
 
 def _docs(sf_dir: str, columns):
-    return pq.read_table(f"{sf_dir}/documents.parquet", columns=columns).to_pandas()
+    return io.read_table_arrow(io.table_path(sf_dir, "documents"), columns=columns).to_pandas()
 
 
 def _u64_to_i64(v: int) -> int:
@@ -173,7 +173,7 @@ DOCS_SIMHASH_BUCKETS_SQL = O.fixture_sql("docs_simhash_buckets", "doc_id, band")
 def stage_ann_lsh_topk(sf_dir: str, k: int = 5, n_planes: int = 6) -> str:
     from ..stages.ann import lsh_codes, random_hyperplanes
 
-    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]).to_pandas()
+    tbl = io.read_table_arrow(io.table_path(sf_dir, "embeddings"), columns=["vec_id", "embedding"]).to_pandas()
     E = np.stack([np.asarray(e) for e in tbl["embedding"]]).astype(np.float64)
     ids = tbl["vec_id"].astype("int64").to_numpy()
     Q = E[:3].copy()
@@ -210,7 +210,7 @@ def stage_ann_lsh_adaptive(sf_dir: str, k: int = 5, n_planes: int = 8) -> str:
     measurement crosses 0.8 (BASELINE.md)."""
     from ..stages.ann import adaptive_lsh_probes, lsh_codes, random_hyperplanes
 
-    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]).to_pandas()
+    tbl = io.read_table_arrow(io.table_path(sf_dir, "embeddings"), columns=["vec_id", "embedding"]).to_pandas()
     E = np.stack([np.asarray(e) for e in tbl["embedding"]]).astype(np.float64)
     ids = tbl["vec_id"].astype("int64").to_numpy()
     Q = E[:3].copy()
@@ -248,7 +248,7 @@ def stage_docs_knn_haversine(sf_dir: str, k: int = 3) -> str:
     from ..stages.knn import haversine_m
     from .textqueries import doc_lonlat
 
-    nat = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey"]).to_pandas()
+    nat = io.read_table_arrow(io.table_path(sf_dir, "nation"), columns=["n_nationkey"]).to_pandas()
     skey = nat["n_nationkey"].to_numpy().astype(np.int64)
     slon = ((skey * 137) % 360).astype(np.float64) - 180.0 + 0.5
     slat = ((skey * 73) % 170).astype(np.float64) - 85.0 + 0.5
@@ -361,37 +361,11 @@ FROM (
 
 
 def stage_terrain_hillslope_profiles(sf_dir: str) -> str:
-    from ..terrain import hillslope_props as HP
-    from ..terrain import kernels as K
-
-    N, RES = 32, 30.0
-    w, area, fdir, ch, basins, _, maski = _terrain_single_node(N, RES)
-    # the profiles query's own chain uses the literal stale-cd reference
-    # variant (kernels.depth2channel), so its oracle must too
-    hand = K.depth2channel(ch, maski, fdir, w.astype(np.float32))
-    dx = np.full((N, N), RES, dtype=np.float32)
-    slope, _ = K.slope_aspect(w, dx, dx)
-    hs = K.delineate_hillslopes(ch, area, fdir, maski)
-    hs2 = np.where(hs >= 0, hs + 1, hs).astype(np.int64)
-    sel = hs2 > 0
-    rows = []
-    for uh in np.unique(hs2[sel]):
-        m = hs2 == uh
-        hvals = hand[m].astype(np.float64)
-        svals = slope[m].astype(np.float64)
-        dvals = w[m].astype(np.float64)
-        # same canonical (hand, slope) ordering as the distributed map_groups
-        order = np.lexsort((svals, hvals))
-        hvals, svals, dvals = hvals[order], svals[order], dvals[order]
-        prof = HP.hillslope_profile(hvals, svals, RES)
-        rec = {"hid": int(uh)}
-        for kk, v in prof.items():
-            if not kk.endswith("_array"):
-                rec[kk] = v
-        ok = dvals != np.float64(np.float32(K.UNDEF))
-        rec["demns"] = float(dvals[ok].mean()) if ok.any() else float(K.UNDEF)
-        rows.append(rec)
-    out = pd.DataFrame(rows).sort_values("hid").reset_index(drop=True)
+    # ONE copy of the chain (kernels.depth2channel — the literal stale-cd
+    # reference variant the query itself uses): _hillslope_props_single
+    # keeps the profile arrays; this fixture drops them and rounds
+    hp = _hillslope_props_single()
+    out = hp[[c for c in hp.columns if not c.endswith("_array")]].copy()
     for c in out.columns:
         if out[c].dtype.kind == "f":
             out[c] = out[c].round(6)
@@ -431,7 +405,7 @@ def stage_flagship_spatial_join(sf_dir: str, res: int = 6) -> str:
 
     from .. import geocell, synth, wkb
 
-    n_li = pq.read_metadata(f"{sf_dir}/lineitem.parquet").num_rows
+    n_li = io.table_num_rows(io.table_path(sf_dir, "lineitem"))
     n_docs = max(2000, n_li // 30)
     batch = synth.make_docs_batch(np.arange(n_docs, dtype=np.uint64))
     spans = batch["spans"]
@@ -478,7 +452,7 @@ def stage_ann_ivf_topk(
     sample cap (same float expression -> same hash mask)."""
     from ..functions.cluster import deterministic_sample_mask, effective_sample_rate, kmeans_fit, kmeans_predict
 
-    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]).to_pandas()
+    tbl = io.read_table_arrow(io.table_path(sf_dir, "embeddings"), columns=["vec_id", "embedding"]).to_pandas()
     E = np.stack([np.asarray(e) for e in tbl["embedding"]]).astype(np.float64)
     ids = tbl["vec_id"].astype("int64").to_numpy()
     Q = E[:3].copy()
@@ -871,7 +845,7 @@ def stage_events_nd_histogram(sf_dir: str, nbins=(8, 6)) -> str:
     engine's bin-assign + groupby-count must agree on every non-empty bin."""
     from ..functions.cluster import nd_histogram_bins
 
-    df = pq.read_table(f"{sf_dir}/events.parquet", columns=["value", "user_id"]).to_pandas()
+    df = io.read_table_arrow(io.table_path(sf_dir, "events"), columns=["value", "user_id"]).to_pandas()
     a = df["value"].to_numpy(dtype=np.float64)
     b = df["user_id"].to_numpy(dtype=np.float64)
     edges = nd_histogram_bins([a, b], list(nbins))
@@ -897,7 +871,7 @@ def stage_docs_media_features(sf_dir: str, feature_dim: int = 16) -> str:
 
     from ..stages.multimodal import ImageDecode, synth_media_batch
 
-    doc_ids = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])["doc_id"].to_pylist()
+    doc_ids = io.read_table_arrow(io.table_path(sf_dir, "documents"), columns=["doc_id"])["doc_id"].to_pylist()
     dec = ImageDecode(feature_dim=feature_dim, use_fake=True)
     rows = []
     for d in sorted(doc_ids):
@@ -1162,7 +1136,7 @@ def stage_docs_spans_raw(sf_dir: str) -> str:
 
     from .. import synth
 
-    n_li = pq.read_metadata(f"{sf_dir}/lineitem.parquet").num_rows
+    n_li = io.table_num_rows(io.table_path(sf_dir, "lineitem"))
     n_docs = max(500, min(4000, n_li // 30))
     batch = synth.make_docs_batch(np.arange(n_docs, dtype=np.uint64))
     return O.stage_fixture_table("docs_spans_raw", pa.table(batch))

@@ -134,12 +134,14 @@ SELECT l_returnflag, l_linestatus,
        (CAST(sum_disc_c AS DOUBLE)/100.0)/CAST(count_order AS DOUBLE) AS avg_disc,
        count_order
 FROM (
+  -- sums stay HUGEINT (no CAST AS BIGINT): the engine's (hi, lo) split
+  -- partials are exact past int64, and the oracle must not error first
   SELECT l_returnflag, l_linestatus,
-         CAST(SUM(qty) AS BIGINT) AS sum_qty_c,
-         CAST(SUM(price) AS BIGINT) AS sum_price_c,
-         CAST(SUM(price*(100-disc)) AS BIGINT) AS sum_disc_price_c,
-         CAST(SUM(price*(100-disc)*(100+tax)) AS BIGINT) AS sum_charge_c,
-         CAST(SUM(disc) AS BIGINT) AS sum_disc_c,
+         SUM(qty) AS sum_qty_c,
+         SUM(price) AS sum_price_c,
+         SUM(price*(100-disc)) AS sum_disc_price_c,
+         SUM(price*(100-disc)*(100+tax)) AS sum_charge_c,
+         SUM(disc) AS sum_disc_c,
          COUNT(*) AS count_order
   FROM (
     SELECT l_returnflag, l_linestatus,
@@ -346,8 +348,12 @@ def q5_region_revenue(sf_dir: str):
 Q5_SQL = """
 SELECT n_name, CAST(rev AS DOUBLE)/10000.0 AS revenue
 FROM (
+  -- rev stays HUGEINT (DuckDB SUM of BIGINT): a CAST(... AS BIGINT) here
+  -- would error in the very overflow regime the engine's (hi, lo) split
+  -- partials exist for; the final CAST AS DOUBLE matches the engine's
+  -- exact-int -> float conversion
   SELECT n.n_name,
-         CAST(SUM(CAST(round(l.l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l.l_discount*100) AS BIGINT))) AS BIGINT) AS rev
+         SUM(CAST(round(l.l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l.l_discount*100) AS BIGINT))) AS rev
   FROM lineitem l
   JOIN orders o ON l.l_orderkey = o.o_orderkey
   JOIN customer c ON o.o_custkey = c.c_custkey

@@ -66,7 +66,12 @@ def _read_ifd_values(buf, bo, vtype, count, value_field):
         raw = buf[off : off + total]
     if vtype == 2:  # ASCII
         return raw.split(b"\0")[0].decode("ascii", "replace")
-    fmt = _TYPE_FMT[vtype]
+    fmt = _TYPE_FMT.get(vtype)
+    if fmt is None:
+        # types we don't decode (e.g. 5 RATIONAL — XResolution etc. from
+        # PIL/ImageMagick): skip the tag like other unsupported types
+        # instead of KeyError-ing the whole read
+        return None
     return list(struct.unpack(bo + fmt * count, raw))
 
 
@@ -162,6 +167,23 @@ def _unpredict(chunk: np.ndarray, predictor: int, itemsize: int, path: str) -> n
     raise NotImplementedError(f"{path}: TIFF predictor {predictor} not supported")
 
 
+def _decode_chunk(dec, wire, dtype, shape, predictor, itemsize, path):
+    """Decompressed bytes -> native-dtype (rows, cols, spp) chunk.
+
+    Predictor 3 MUST see the raw byte-plane stream: converting wire->native
+    first (.astype on a big-endian file) reorders bytes within each group
+    and silently corrupts the data, so the un-predict runs on the wire view
+    and the value conversion happens after. Predictors 1/2 operate on
+    VALUES, so those convert first (predictor 2's cumsum needs native ints).
+    """
+    rows, cols, spp = shape
+    n = rows * cols * spp
+    raw = np.frombuffer(dec, dtype=wire, count=n).reshape(rows, cols, spp)
+    if predictor == 3:
+        return _unpredict(raw.copy(), predictor, itemsize, path).astype(dtype)
+    return _unpredict(raw.astype(dtype), predictor, itemsize, path)
+
+
 def read_geotiff(path: str, band: int = 1):
     """GeoTIFF reader (see module docstring). Returns (data, meta).
 
@@ -197,8 +219,11 @@ def read_geotiff(path: str, band: int = 1):
         raise NotImplementedError(f"{path}: planar-configuration-{planar} multi-band TIFF not supported")
     if not (1 <= band <= spp):
         raise ValueError(f"{path}: band {band} out of range (file has {spp})")
-    bits = int(tags.get(_T_BITS, [32])[0])
-    sfmt = int(tags.get(_T_SAMPLE_FORMAT, [3])[0])
+    # TIFF-spec defaults: BitsPerSample=1, SampleFormat=1 (UNSIGNED int —
+    # libtiff/GDAL omit the tag for unsigned). Defaulting to float here
+    # silently decoded valid integer TIFFs as denormal garbage.
+    bits = int(tags.get(_T_BITS, [1])[0])
+    sfmt = int(tags.get(_T_SAMPLE_FORMAT, [1])[0])
     dtype = {
         (3, 32): np.float32, (3, 64): np.float64,
         (2, 32): np.int32, (2, 16): np.int16, (2, 8): np.int8,
@@ -219,8 +244,7 @@ def read_geotiff(path: str, band: int = 1):
         for i, (o, c) in enumerate(zip(offsets, counts)):
             ty, tx = divmod(i, ntx)
             dec = _decompress(buf[o : o + c], comp, path)
-            chunk = np.frombuffer(dec, dtype=wire, count=tw * th * spp).reshape(th, tw, spp).astype(dtype)
-            chunk = _unpredict(chunk, predictor, itemsize, path)
+            chunk = _decode_chunk(dec, wire, dtype, (th, tw, spp), predictor, itemsize, path)
             y0, x0 = ty * th, tx * tw
             h, w = min(th, ny - y0), min(tw, nx - x0)
             full[y0 : y0 + h, x0 : x0 + w] = chunk[:h, :w]
@@ -232,8 +256,7 @@ def read_geotiff(path: str, band: int = 1):
         for o, c in zip(offsets, counts):
             rows = min(rps, ny - y0)
             dec = _decompress(buf[o : o + c], comp, path)
-            chunk = np.frombuffer(dec, dtype=wire, count=rows * nx * spp).reshape(rows, nx, spp).astype(dtype)
-            chunk = _unpredict(chunk, predictor, itemsize, path)
+            chunk = _decode_chunk(dec, wire, dtype, (rows, nx, spp), predictor, itemsize, path)
             full[y0 : y0 + rows] = chunk
             y0 += rows
     data = np.ascontiguousarray(full[:, :, band - 1])
@@ -381,6 +404,14 @@ def write_geotiff(
         add(_T_PREDICTOR, 3, [predictor])
     add(_T_SAMPLE_FORMAT, 3, [sfmt] * spp)
     if gt is not None:
+        # the PixelScale+Tiepoint encoding can only express north-up
+        # (gt[5] < 0, gt[1] > 0, no rotation) — reject anything else
+        # instead of silently flipping the sign on round-trip
+        if gt[5] > 0 or gt[1] < 0 or gt[2] != 0 or gt[4] != 0:
+            raise ValueError(
+                f"write_geotiff: geotransform {gt} is not north-up/unrotated; "
+                "PixelScale+ModelTiepoint cannot encode it"
+            )
         add(_T_MODEL_PIXEL_SCALE, 12, [abs(gt[1]), abs(gt[5]), 0.0])
         add(_T_MODEL_TIEPOINT, 12, [0.0, 0.0, 0.0, gt[0], gt[3], 0.0])
     if nodata is not None:
@@ -447,5 +478,9 @@ def raster_file_to_tiles(path: str, tile: int, col: str = "dem", parallelism: in
         data, meta = read_binary_grid(path)
     grid = data.astype(np.float32)
     if meta.get("nodata") is not None and meta["nodata"] != -9999.0:
-        grid = np.where(grid == np.float32(meta["nodata"]), np.float32(-9999.0), grid)
+        nod = meta["nodata"]
+        # NaN nodata (GDAL_NODATA 'nan') never matches ==; match by isnan
+        # so NaNs don't leak past the -9999 sentinel into terrain kernels
+        m = np.isnan(grid) if (isinstance(nod, float) and np.isnan(nod)) else (grid == np.float32(nod))
+        grid = np.where(m, np.float32(-9999.0), grid)
     return T.make_tiles_dataset({col: grid}, tile, parallelism=parallelism), meta

@@ -326,3 +326,60 @@ def test_geopackage_roundtrip_and_layer(tmp_path):
     assert fids[-1] == 2 and vals[-1] == 7.0
     rings = wkb.parse_polygon(wkbs[-1])
     assert len(rings) == 2 and np.allclose(rings[1][0], [50, 50])
+
+
+def test_geotiff_spec_defaults_and_edge_tags(tmp_path):
+    """Round-4 review regressions: SampleFormat defaults to UNSIGNED (spec),
+    RATIONAL tags are skipped not KeyError'd, predictor-3 decodes correctly
+    from BOTH byte orders, and a south-up geotransform is rejected."""
+    import struct
+
+    from geospatialtools_ray.sources.raster import _decode_chunk, read_geotiff, write_geotiff
+
+    # uint32 strip TIFF with NO SampleFormat tag (libtiff/GDAL omit it)
+    data = (np.arange(6, dtype="<u4") * 1000).reshape(2, 3)
+    raw = data.tobytes()
+    entries = []
+
+    def e(tag, typ, cnt, val):
+        entries.append(struct.pack("<HHI4s", tag, typ, cnt, val))
+
+    n = 10
+    off_rat = 8 + 2 + n * 12 + 4
+    off_data = off_rat + 8
+    e(256, 3, 1, struct.pack("<HH", 3, 0))
+    e(257, 3, 1, struct.pack("<HH", 2, 0))
+    e(258, 3, 1, struct.pack("<HH", 32, 0))
+    e(259, 3, 1, struct.pack("<HH", 1, 0))
+    e(262, 3, 1, struct.pack("<HH", 1, 0))
+    e(273, 4, 1, struct.pack("<I", off_data))
+    e(277, 3, 1, struct.pack("<HH", 1, 0))
+    e(278, 3, 1, struct.pack("<HH", 2, 0))
+    e(279, 4, 1, struct.pack("<I", len(raw)))
+    e(282, 5, 1, struct.pack("<I", off_rat))  # XResolution: RATIONAL
+    entries.sort(key=lambda b: struct.unpack("<H", b[:2])[0])
+    p = str(tmp_path / "u32.tif")
+    with open(p, "wb") as f:
+        f.write(b"II*\x00" + struct.pack("<I", 8))
+        f.write(struct.pack("<H", n) + b"".join(entries) + struct.pack("<I", 0))
+        f.write(struct.pack("<II", 72, 1))
+        f.write(raw)
+    d, _ = read_geotiff(p)
+    assert d.dtype == np.uint32 and np.array_equal(d, np.asarray(data))
+
+    # predictor-3 byte-plane decode is byte-order independent
+    rows, cols, spp, itemsize = 2, 3, 1, 4
+    vals = np.array([[0.25, 1.75, 3.25], [4.5, -2.5, 8.0]], dtype=np.float32)
+    be = vals.reshape(rows, cols).astype(">f4")
+    b = be.view(np.uint8).reshape(rows, cols, itemsize)
+    planes = np.transpose(b, (0, 2, 1)).reshape(rows, itemsize * cols).astype(np.int16)
+    dlt = planes.copy()
+    dlt[:, 1:] = planes[:, 1:] - planes[:, :-1]
+    enc = (dlt % 256).astype(np.uint8).tobytes()
+    for wire in (">f4", "<f4"):
+        out = _decode_chunk(enc, np.dtype(wire), np.float32, (rows, cols, spp), 3, itemsize, "t")
+        assert np.allclose(out.reshape(rows, cols), vals), wire
+
+    # south-up geotransform cannot be encoded -> loud rejection
+    with pytest.raises(ValueError, match="north-up"):
+        write_geotiff(str(tmp_path / "s.tif"), np.zeros((2, 2), np.float32), gt=(100.0, 0.5, 0, 20.0, 0, 0.5))
