@@ -111,6 +111,11 @@ _SQL_CHECKED: dict[str, tuple[Callable[[str], Any], str]] = {
     # channel — DuckDB recomputes the signature from the raw spans parquet
     # (cross-engine, not a staged twin)
     "docs_span_signature": (X.docs_span_signature, OF.DOCS_SPAN_SIGNATURE_SQL),
+    # round 4 (cont.): distributed 1-halo upstream-neighbor sum vs kernel
+    # twin, and the frelief/fwidth/fslope shape fits vs a pure-SQL POWER
+    # oracle (cross-engine IEEE parity through glibc pow)
+    "terrain_acc_neighbors": (TQ.terrain_acc_neighbors, OF.TERRAIN_ACC_NEIGHBORS_SQL),
+    "events_shape_functions": (TQ.events_shape_functions, TQ.EVENTS_SHAPE_FUNCTIONS_SQL),
 }
 
 # rows-only checks (none left — every query has an oracle)

@@ -149,6 +149,30 @@ def terrain_slope_aspect(sf_dir: str):
     )
 
 
+def terrain_acc_neighbors(sf_dir: str):
+    """Distributed one-hop upstream-neighbor sum (1-halo scatter) vs
+    kernel (calculate_d8_acc_neighbors, terrain_tools.f90:443-515)."""
+    OF.stage_terrain_acc_neighbors(sf_dir)
+    from .. import synth
+    from ..terrain import dist as D
+    from ..terrain import kernels as K
+    from ..terrain import tiles as T
+
+    z, _ = synth.dem_grid("rough", N)
+    fdir = K.d8_fdir(z.astype(np.float32), RES)
+    var = (np.arange(N * N, dtype=np.float64) + 1.0).reshape(N, N)
+    ds = T.make_tiles_dataset({"var": var, "fdir": fdir}, TILE)
+    out = D.inflow_neighbors_dist(ds, "var")
+    df = _cells_df(out, ["inflow"])
+    return pd.DataFrame(
+        {
+            "gi": df["gi"].astype("int64"),
+            "gj": df["gj"].astype("int64"),
+            "inflow": np.round(df["inflow"].to_numpy(dtype=np.float64)).astype(np.int64),
+        }
+    )
+
+
 def terrain_gap_fill(sf_dir: str):
     """Distributed 3x3 mode gap-fill (1-halo) vs kernel."""
     OF.stage_terrain_gap_fill(sf_dir)
@@ -364,6 +388,50 @@ SELECT doc_id, n_chars,
        (CAST(n_chars AS DOUBLE) - CAST(MIN(n_chars) OVER () AS DOUBLE))
        / (CAST(MAX(n_chars) OVER () AS DOUBLE) - CAST(MIN(n_chars) OVER () AS DOUBLE)) AS n_chars_norm
 FROM documents ORDER BY doc_id
+"""
+
+
+def events_shape_functions(sf_dir: str):
+    """frelief/fwidth/fslope (hillslope shape fits, reference
+    libraries/terrain_tools.py width/relief/slope closures) applied over a
+    globally min-max-normalized column; oracle = the SAME IEEE expression
+    in SQL (POWER composes identically through glibc pow on both
+    engines), quantized by the shared sql_round convention."""
+    from ..functions import geometry as G
+    from ..numerics import sql_round
+
+    A, B = 2.5, 1.5
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+    ds = G.normalize_stage(ds, "value")
+
+    def apply(batch: pa.Table) -> pa.Table:
+        x = batch["value_norm"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "relief_um": pa.array(sql_round(G.frelief(x, A, B) * 1e6).astype(np.int64)),
+                "width_um": pa.array(sql_round(G.fwidth(x, A) * 1e6).astype(np.int64)),
+                "slope_um": pa.array(sql_round(G.fslope(x, A, B) * 1e6).astype(np.int64)),
+            }
+        )
+
+    df = ds.map_batches(apply, batch_format="pyarrow").to_pandas()
+    df = df.sort_values("event_id").reset_index(drop=True)
+    df["event_id"] = df["event_id"].astype("int64")
+    return df
+
+
+EVENTS_SHAPE_FUNCTIONS_SQL = """
+WITH n AS (
+  SELECT event_id,
+         (value - MIN(value) OVER ()) / (MAX(value) OVER () - MIN(value) OVER ()) AS x
+  FROM events
+)
+SELECT event_id,
+       CAST(ROUND((1 - POWER(1 - POWER(x, 2.5), 1.5)) * 1e6) AS BIGINT) AS relief_um,
+       CAST(ROUND((1 + 2.5 * x) * 1e6) AS BIGINT) AS width_um,
+       CAST(ROUND((2.5 + 1.5 * x) * 1e6) AS BIGINT) AS slope_um
+FROM n ORDER BY event_id
 """
 
 

@@ -123,6 +123,23 @@ def gap_fill_dist(ds):
     return T.halo_map(ds, ["hrus", "channels"], kernel, width=1)
 
 
+def inflow_neighbors_dist(ds, var_col: str, fdir_col: str = "fdir", out_col: str = "inflow"):
+    """Distributed calculate_d8_acc_neighbors (terrain_tools.f90:443-515):
+    one-hop sum of `var_col` over upstream D8 neighbors. A single 1-halo
+    exchange suffices — every contribution travels exactly one cell, so a
+    pad ring carrying the neighbor tiles' edge (variable, fdir) pairs
+    captures all cross-tile inflow; interior scatters into the pad ring
+    are cropped. Pad cells whose own target lies outside the padded array
+    (they flow away from this tile) are excluded by the kernel's bounds
+    guard."""
+
+    def kernel(tr, padded):
+        out = K.d8_inflow_neighbors(padded[var_col], padded[fdir_col])
+        return {out_col: out[1:-1, 1:-1]}
+
+    return T.halo_map(ds, [var_col, fdir_col], kernel, width=1)
+
+
 # ---------------------------------------------------------------------------
 # pit fill (iterative halo rounds)
 # ---------------------------------------------------------------------------

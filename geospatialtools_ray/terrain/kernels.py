@@ -841,11 +841,17 @@ def mfd_accumulate(dem: np.ndarray, res: float, p: float) -> np.ndarray:
 def d8_inflow_neighbors(variable: np.ndarray, fdir: np.ndarray) -> np.ndarray:
     """calculate_d8_acc_neighbors (f90:443-515): one-hop sum of `variable`
     over upstream neighbors (cells whose fdir targets this cell).
-    Non-recursive halo stencil."""
+    Non-recursive halo stencil.
+
+    Targets are bounds-checked on BOTH axes: `d8_fdir` never emits an
+    in-range code pointing off-grid, but arcgis-decoded fdirs (and the
+    halo pad ring in the distributed variant) can — an unguarded
+    `d1 == -1` would silently wrap to the last column and `d0 == n0`
+    would raise."""
     n0, n1 = fdir.shape
     out = np.zeros((n0, n1), dtype=np.float64)
     d0, d1 = d8_downstream_index(fdir)
-    ok = d0 >= 0
+    ok = (d0 >= 0) & (d0 < n0) & (d1 >= 0) & (d1 < n1)
     np.add.at(out, (d0[ok], d1[ok]), variable[ok].astype(np.float64))
     return out
 

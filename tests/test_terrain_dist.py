@@ -439,3 +439,17 @@ def test_polygon_info_dist_single_tile(ray_session):
     c = cents.sort_values("pid").reset_index(drop=True)
     assert np.allclose(c["cx"].to_numpy(), info["centroid"][:, 0])
     assert np.allclose(c["cy"].to_numpy(), info["centroid"][:, 1])
+
+
+@pytest.mark.parametrize("tile", [32, 16, 8])
+@pytest.mark.parametrize("name", ["rough", "twovalley"])
+def test_inflow_neighbors_dist_matches_oracle(ray_session, name, tile):
+    z, _ = fixture_grids(name)
+    fdir = K.d8_fdir(z, RES)
+    rng = np.random.default_rng(7)
+    var = rng.integers(1, 1000, size=(N, N)).astype(np.float64)
+    want = K.d8_inflow_neighbors(var, fdir)
+    ds = tiles_ds({"var": var, "fdir": fdir}, tile)
+    out = D.inflow_neighbors_dist(ds, "var")
+    got = collect(out, "inflow")
+    assert np.array_equal(got, want), f"{name} tile={tile}"

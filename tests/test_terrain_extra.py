@@ -225,3 +225,21 @@ def test_depth2channel_mfd_matches_literal_recursion():
     want[want < 0] = K.UNDEF
     want[mask <= 0] = K.UNDEF
     assert np.array_equal(got, want)
+
+
+def test_d8_inflow_neighbors_offgrid_targets_guarded():
+    # arcgis-decoded fdirs may point off-grid at the border: a west-pointing
+    # cell in column 0 must not wrap to the last column, and a south-pointing
+    # cell in the last row must not raise (regression for the unguarded
+    # d1 >= 0 / d0 < n0 checks)
+    fdir = np.full((4, 4), -1, dtype=np.int8)
+    west = next(p for p, (di, dj) in enumerate(K.POS) if (di, dj) == (0, -1))
+    south = next(p for p, (di, dj) in enumerate(K.POS) if (di, dj) == (1, 0))
+    east = next(p for p, (di, dj) in enumerate(K.POS) if (di, dj) == (0, 1))
+    fdir[1, 0] = west   # off-grid west
+    fdir[3, 2] = south  # off-grid south
+    fdir[2, 1] = east   # in-grid: contributes to (2, 2)
+    var = np.ones((4, 4), dtype=np.float64)
+    out = K.d8_inflow_neighbors(var, fdir)
+    assert out.sum() == 1.0
+    assert out[2, 2] == 1.0
