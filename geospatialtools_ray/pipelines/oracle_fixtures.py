@@ -614,21 +614,23 @@ TERRAIN_SLOPE_ASPECT_SQL = O.fixture_sql("terrain_slope_aspect", "gi, gj")
 
 
 def stage_terrain_acc_neighbors(sf_dir: str) -> str:
-    """One-hop upstream-neighbor sum (calculate_d8_acc_neighbors,
-    terrain_tools.f90:443-515). The variable is exact distinct integers in
-    float64 so per-cell sums are order-independent (no float fold
-    ambiguity between the whole-grid kernel and the tiled scatter)."""
+    """calculate_d8_acc_neighbors, LITERAL reference semantics
+    (terrain_tools.f90:443-515): internal sqrt2 fdir over the raw dem,
+    out = variable * n_upstream (the reference accumulates variable(i,j)
+    per upstream neighbor, not the neighbor's own value — :505). The
+    variable is exact distinct integers in float64 so products are exact
+    and order-independent between the whole-grid kernel and the tiled
+    scatter."""
     from .. import synth
     from ..terrain import kernels as K
 
     N = 32
     z, _ = synth.dem_grid("rough", N)
-    fdir = K.d8_fdir(z.astype(np.float32), 30.0)
     var = (np.arange(N * N, dtype=np.float64) + 1.0).reshape(N, N)
-    inflow = K.d8_inflow_neighbors(var, fdir)
+    accn = K.d8_acc_neighbors(z.astype(np.float32), 30.0, var)
     gi, gj = _grid_ij(N)
     out = pd.DataFrame(
-        {"gi": gi, "gj": gj, "inflow": inflow.ravel().astype(np.int64)}
+        {"gi": gi, "gj": gj, "accn": accn.ravel().astype(np.int64)}
     ).sort_values(["gi", "gj"]).reset_index(drop=True)
     return O.stage_fixture("terrain_acc_neighbors", out)
 

@@ -150,25 +150,25 @@ def terrain_slope_aspect(sf_dir: str):
 
 
 def terrain_acc_neighbors(sf_dir: str):
-    """Distributed one-hop upstream-neighbor sum (1-halo scatter) vs
-    kernel (calculate_d8_acc_neighbors, terrain_tools.f90:443-515)."""
+    """Distributed calculate_d8_acc_neighbors (terrain_tools.f90:443-515)
+    vs the literal-parity kernel: sqrt2 fdir_dist over the raw dem + a
+    1-halo upstream-count scatter multiplied by the cell's own variable
+    (the reference's variable(i,j) quirk)."""
     OF.stage_terrain_acc_neighbors(sf_dir)
     from .. import synth
     from ..terrain import dist as D
-    from ..terrain import kernels as K
     from ..terrain import tiles as T
 
     z, _ = synth.dem_grid("rough", N)
-    fdir = K.d8_fdir(z.astype(np.float32), RES)
     var = (np.arange(N * N, dtype=np.float64) + 1.0).reshape(N, N)
-    ds = T.make_tiles_dataset({"var": var, "fdir": fdir}, TILE)
-    out = D.inflow_neighbors_dist(ds, "var")
-    df = _cells_df(out, ["inflow"])
+    ds = T.make_tiles_dataset({"dem": z.astype(np.float32), "var": var}, TILE)
+    out = D.acc_neighbors_dist(ds, RES, N, N)
+    df = _cells_df(out, ["accn"])
     return pd.DataFrame(
         {
             "gi": df["gi"].astype("int64"),
             "gj": df["gj"].astype("int64"),
-            "inflow": np.round(df["inflow"].to_numpy(dtype=np.float64)).astype(np.int64),
+            "accn": np.round(df["accn"].to_numpy(dtype=np.float64)).astype(np.int64),
         }
     )
 

@@ -140,6 +140,24 @@ def inflow_neighbors_dist(ds, var_col: str, fdir_col: str = "fdir", out_col: str
     return T.halo_map(ds, [var_col, fdir_col], kernel, width=1)
 
 
+def acc_neighbors_dist(ds, res: float, N0: int, N1: int, var_col: str = "var", dem_col: str = "dem", out_col: str = "accn"):
+    """Distributed calculate_d8_acc_neighbors with LITERAL reference
+    semantics (terrain_tools.f90:443-515; see kernels.d8_acc_neighbors for
+    the variable(i,j) quirk): sqrt2 fdir over the raw dem (one halo pass),
+    then one more halo pass that scatter-counts upstream neighbors from
+    the padded fdir and multiplies by the tile's own interior variable —
+    total data movement is two O(perimeter) strip exchanges."""
+    fds = fdir_dist(ds, res, N0, N1, dem_col=dem_col, diag_sqrt2=True)
+
+    def kernel(tr, padded):
+        fd = padded["fdir"]
+        cnt = K.d8_inflow_neighbors(np.ones(fd.shape, dtype=np.float64), fd)
+        var = padded[var_col][1:-1, 1:-1].astype(np.float64)
+        return {out_col: var * cnt[1:-1, 1:-1]}
+
+    return T.halo_map(fds, [var_col, "fdir"], kernel, width=1)
+
+
 # ---------------------------------------------------------------------------
 # pit fill (iterative halo rounds)
 # ---------------------------------------------------------------------------

@@ -856,6 +856,20 @@ def d8_inflow_neighbors(variable: np.ndarray, fdir: np.ndarray) -> np.ndarray:
     return out
 
 
+def d8_acc_neighbors(dem: np.ndarray, res: float, variable: np.ndarray) -> np.ndarray:
+    """LITERAL calculate_d8_acc_neighbors parity (terrain_tools.f90:443-515):
+    an internal sqrt2-diagonal fdir over the RAW dem (:469-493 — no pit
+    fill), then each cell accumulates ITS OWN variable once per upstream
+    neighbor — the reference adds variable(i,j), not variable(inew,jnew)
+    (:505) — so out = variable * n_upstream. The dem(inew,jnew) >
+    dem(i,j) guard (:504) is implied: a neighbor only targets (i,j) on a
+    strictly positive slope. `d8_inflow_neighbors` above is the generic
+    upstream-SUM building block (reduces to the count for variable == 1);
+    the two coincide only for constant variables."""
+    counts = d8_inflow_neighbors(np.ones(dem.shape, dtype=np.float64), d8_fdir_sqrt2(dem, res))
+    return variable.astype(np.float64) * counts
+
+
 # ---------------------------------------------------------------------------
 # Polygon info (terrain_tools.f90:1791-1858 + libraries/terrain_tools.py:
 # 1590-1632): per-polygon centroids (count/sum of cell centers) and the

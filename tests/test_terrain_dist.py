@@ -453,3 +453,14 @@ def test_inflow_neighbors_dist_matches_oracle(ray_session, name, tile):
     out = D.inflow_neighbors_dist(ds, "var")
     got = collect(out, "inflow")
     assert np.array_equal(got, want), f"{name} tile={tile}"
+
+
+@pytest.mark.parametrize("tile", [32, 16, 8])
+def test_acc_neighbors_dist_matches_oracle(ray_session, tile):
+    z, _ = fixture_grids("rough")
+    rng = np.random.default_rng(11)
+    var = rng.integers(1, 1000, size=(N, N)).astype(np.float64)
+    want = K.d8_acc_neighbors(z, RES, var)
+    ds = tiles_ds({"dem": z, "var": var}, tile)
+    got = collect(D.acc_neighbors_dist(ds, RES, N, N), "accn")
+    assert np.array_equal(got, want), f"tile={tile}"

@@ -243,3 +243,16 @@ def test_d8_inflow_neighbors_offgrid_targets_guarded():
     out = K.d8_inflow_neighbors(var, fdir)
     assert out.sum() == 1.0
     assert out[2, 2] == 1.0
+
+
+def test_d8_acc_neighbors_uses_own_variable():
+    # the reference accumulates variable(i,j) per upstream neighbor
+    # (terrain_tools.f90:505), NOT the neighbor's value: with a
+    # non-constant variable the result must equal var * n_upstream
+    dem, _ = synth.dem_grid("rough", 8)
+    rng = np.random.default_rng(3)
+    var = rng.integers(1, 100, size=(8, 8)).astype(np.float64)
+    got = K.d8_acc_neighbors(dem.astype(np.float32), 30.0, var)
+    counts = K.d8_inflow_neighbors(np.ones((8, 8)), K.d8_fdir_sqrt2(dem.astype(np.float32), 30.0))
+    assert np.array_equal(got, var * counts)
+    assert not np.array_equal(got, K.d8_inflow_neighbors(var, K.d8_fdir_sqrt2(dem.astype(np.float32), 30.0)))
