@@ -116,6 +116,13 @@ _SQL_CHECKED: dict[str, tuple[Callable[[str], Any], str]] = {
     # oracle (cross-engine IEEE parity through glibc pow)
     "terrain_acc_neighbors": (TQ.terrain_acc_neighbors, OF.TERRAIN_ACC_NEIGHBORS_SQL),
     "events_shape_functions": (TQ.events_shape_functions, TQ.EVENTS_SHAPE_FUNCTIONS_SQL),
+    # round 4 (cont.): prescribed-fdir accumulation and the cluster
+    # paint-back vs kernel twins; NetCDF UNLIMITED write/append/read
+    # round-trip and GrADS date strings vs PURE-SQL cross-engine oracles
+    "terrain_acc_pfdir": (TQ.terrain_acc_pfdir, OF.TERRAIN_ACC_PFDIR_SQL),
+    "terrain_assign_clusters": (TQ.terrain_assign_clusters, OF.TERRAIN_ASSIGN_CLUSTERS_SQL),
+    "netcdf_roundtrip": (X.netcdf_roundtrip, X.NETCDF_ROUNDTRIP_SQL),
+    "events_grads_dates": (X.events_grads_dates, X.EVENTS_GRADS_DATES_SQL),
 }
 
 # rows-only checks (none left — every query has an oracle)

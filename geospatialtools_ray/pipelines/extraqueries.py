@@ -663,3 +663,131 @@ def docs_span_signature(sf_dir: str):
     raw = OF.stage_docs_spans_raw(sf_dir)
     ds = rd.read_parquet(raw)
     return ds.map_batches(spans.span_signature, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# NetCDF-3 writer/reader round-trip and GrADS date strings on the driver
+# hash channel (reference netcdf_tools.py:72-131, grads_tools.py:23-35).
+# Both oracles are PURE SQL — cross-engine, no staged twin.
+# ---------------------------------------------------------------------------
+
+def netcdf_roundtrip(sf_dir: str):
+    """Create_NETCDF_File / append_netcdf3_records / read_netcdf3 parity:
+    write 2 timesteps with t UNLIMITED, append the 3rd in place, read the
+    grown file back, and emit the full (t, lat, lon) table with
+    micro-degree cell-center coordinates (the reference's +res/2 quirk,
+    netcdf_tools.py:79-83). The oracle regenerates the deterministic field
+    and coordinate arithmetic in DuckDB; values are integers exact in f32."""
+    import datetime
+    import os
+    import tempfile
+
+    import ray.data as rd
+
+    from ..sources import netcdf as nc
+
+    NT, NLAT, NLON = 3, 6, 7
+    t = np.arange(NT)[:, None, None]
+    i = np.arange(NLAT)[None, :, None]
+    j = np.arange(NLON)[None, None, :]
+    field = ((t * 37 + i * 13 + j * 7) % 97).astype(np.float32)
+    path = os.path.join(tempfile.mkdtemp(prefix="graft_nc_"), "rt.nc")
+    md = {
+        "nlat": NLAT, "nlon": NLON, "res": 0.25, "minlon": -5.0, "minlat": 2.0,
+        "undef": -9999.0, "nt": 2, "tstep": "1hr",
+        "tinitial": datetime.datetime(2004, 1, 2, 6),      # 30 h after ...
+        "tinitial_all": datetime.datetime(2004, 1, 1, 0),  # ... the epoch
+        "vars": ["sm"], "file": path,
+    }
+    nc.create_netcdf_file(md, {"sm": field[:2]}, unlimited=True)
+    nc.append_netcdf3_records(path, {"t": np.array([32.0]), "sm": field[2:]})
+    got = nc.read_netcdf3(path)
+    v = got["variables"]
+    base = pd.DataFrame(
+        {
+            "ti": np.repeat(np.arange(NT), NLAT * NLON).astype(np.int64),
+            "ii": np.tile(np.repeat(np.arange(NLAT), NLON), NT).astype(np.int64),
+            "jj": np.tile(np.arange(NLON), NT * NLAT).astype(np.int64),
+            "val_f": v["sm"]["data"].ravel().astype(np.float64),
+            "th_f": np.repeat(v["t"]["data"], NLAT * NLON).astype(np.float64),
+            "lat_f": np.tile(np.repeat(v["lat"]["data"], NLON), NT),
+            "lon_f": np.tile(v["lon"]["data"], NT * NLAT),
+        }
+    )
+
+    def quant(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "ti": b["ti"],
+                "ii": b["ii"],
+                "jj": b["jj"],
+                "val": np.round(b["val_f"]).astype(np.int64),
+                "t_hours": np.round(b["th_f"]).astype(np.int64),
+                "lat_ud": np.round(b["lat_f"] * 1e6).astype(np.int64),
+                "lon_ud": np.round(b["lon_f"] * 1e6).astype(np.int64),
+            }
+        )
+
+    out = rd.from_pandas(base).map_batches(quant, batch_format="pandas").to_pandas()
+    return out.sort_values(["ti", "ii", "jj"]).reset_index(drop=True)
+
+
+NETCDF_ROUNDTRIP_SQL = """
+SELECT t.ti, i.ii, j.jj,
+       (t.ti * 37 + i.ii * 13 + j.jj * 7) % 97 AS val,
+       30 + t.ti AS t_hours,
+       CAST(ROUND((2.0 + 0.125 + i.ii * 0.25) * 1000000) AS BIGINT) AS lat_ud,
+       CAST(ROUND((-5.0 + 0.125 + j.jj * 0.25) * 1000000) AS BIGINT) AS lon_ud
+FROM range(3) t(ti), range(6) i(ii), range(7) j(jj)
+ORDER BY t.ti, i.ii, j.jj
+"""
+
+
+def events_grads_dates(sf_dir: str):
+    """GrADS date-string conversions (grads_tools.py:23-35; engine
+    sources/netcdf.py:37-48) over the events table: format each timestamp
+    as the reference's '%HZ%d%b%Y' (hard-coded lowercase C-locale month
+    names) and round-trip the string back through gradstime2datetime
+    (hour resolution, as epoch seconds). Formatting is vectorized pandas
+    string ops; the parse runs once per DISTINCT hour string per batch."""
+    from ..sources import netcdf as nc
+
+    ds = _read(sf_dir, "events", ["event_id", "ts"])
+    months = np.asarray(nc._MONTHS)
+
+    def to_grads(b: pd.DataFrame) -> pd.DataFrame:
+        ts = b["ts"]
+        g = (
+            ts.dt.hour.astype(str).str.zfill(2)
+            + "Z"
+            + ts.dt.day.astype(str).str.zfill(2)
+            + pd.Series(months[ts.dt.month.to_numpy() - 1], index=b.index)
+            + ts.dt.year.astype(str).str.zfill(4)
+        )
+        lut = {
+            s: int(np.datetime64(nc.gradstime2datetime(s), "s").astype(np.int64))
+            for s in pd.unique(g)
+        }
+        return pd.DataFrame(
+            {
+                "event_id": b["event_id"].astype(np.int64),
+                "grads_str": g,
+                "rt_epoch_s": g.map(lut).astype(np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(to_grads, batch_format="pandas")
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+
+
+EVENTS_GRADS_DATES_SQL = """
+SELECT event_id,
+       strftime(ts, '%H') || 'Z' || strftime(ts, '%d')
+         || lower(strftime(ts, '%b')) || strftime(ts, '%Y') AS grads_str,
+       CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS rt_epoch_s
+FROM events ORDER BY event_id
+"""

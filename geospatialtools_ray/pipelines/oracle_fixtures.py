@@ -638,6 +638,81 @@ def stage_terrain_acc_neighbors(sf_dir: str) -> str:
 TERRAIN_ACC_NEIGHBORS_SQL = O.fixture_sql("terrain_acc_neighbors", "gi, gj")
 
 
+def acc_pfdir_inputs(N: int = 32, res: float = 30.0):
+    """Shared PRESCRIBED-fdir input (the point of calculate_d8_acc_pfdir is
+    that fdir arrives from the caller, not an internal derivation): a
+    rough-DEM fdir with a nodata patch punched in and a mask hole that
+    does not coincide with it — both undef branches of the reference
+    (terrain_tools.f90:293-299) get exercised."""
+    from .. import synth
+    from ..terrain import kernels as K
+
+    z, _ = synth.dem_grid("rough", N)
+    fdir = K.d8_fdir(z.astype(np.float32), res).astype(np.int32)
+    fdir[0:3, 0:3] = -1
+    mask = np.ones((N, N), dtype=np.int32)
+    mask[5:9, 20:26] = 0
+    return fdir, mask
+
+
+def stage_terrain_acc_pfdir(sf_dir: str) -> str:
+    """calculate_d8_acc_pfdir (terrain_tools.f90:253-301): accumulation on
+    a prescribed fdir — identical count/area/undef semantics to
+    calculate_d8_acc minus the fdir stage (area = res^2 * count; undef
+    where mask==0 or fdir nodata). Counts are exact integers; the f32
+    area expression tree mirrors dist.area_from_acc."""
+    from ..terrain import kernels as K
+
+    N, RES = 32, 30.0
+    fdir, mask = acc_pfdir_inputs(N, RES)
+    count = K.d8_accumulate(fdir)
+    area = (np.float32(RES) * np.float32(RES) * count.astype(np.float32)).astype(np.float32)
+    valid = (mask != 0) & (fdir != -1)
+    gi, gj = _grid_ij(N)
+    out = pd.DataFrame(
+        {
+            "gi": gi,
+            "gj": gj,
+            "area_m2": np.where(valid.ravel(), np.round(area.ravel().astype(np.float64)), -1).astype(np.int64),
+        }
+    ).sort_values(["gi", "gj"]).reset_index(drop=True)
+    return O.stage_fixture("terrain_acc_pfdir", out)
+
+
+TERRAIN_ACC_PFDIR_SQL = O.fixture_sql("terrain_acc_pfdir", "gi, gj")
+
+
+def assign_clusters_inputs(N: int = 32):
+    """Shared input for the cluster paint-back: synthetic label grid with
+    IUNDEF holes + a lookup vector (one entry per label)."""
+    from ..terrain import kernels as K
+
+    gi, gj = _grid_ij(N)
+    lab = ((gi * 7 + gj * 3) % 11).astype(np.int32).reshape(N, N)
+    lab[((gi + gj) % 13 == 0).reshape(N, N)] = K.IUNDEF
+    clusters = np.array([(k * k + 1) % 7 for k in range(11)], dtype=np.int64)
+    return lab, clusters
+
+
+def stage_terrain_assign_clusters(sf_dir: str) -> str:
+    """assign_clusters paint-back (terrain_tools.f90:1727-1748 /
+    kernels.assign_clusters): label-map relabel through a lookup vector,
+    IUNDEF holes preserved."""
+    from ..terrain import kernels as K
+
+    N = 32
+    lab, clusters = assign_clusters_inputs(N)
+    painted = K.assign_clusters(lab, clusters)
+    gi, gj = _grid_ij(N)
+    out = pd.DataFrame(
+        {"gi": gi, "gj": gj, "cluster": painted.ravel().astype(np.int64)}
+    ).sort_values(["gi", "gj"]).reset_index(drop=True)
+    return O.stage_fixture("terrain_assign_clusters", out)
+
+
+TERRAIN_ASSIGN_CLUSTERS_SQL = O.fixture_sql("terrain_assign_clusters", "gi, gj")
+
+
 def gap_fill_inputs(N: int = 32):
     """Shared input: deterministic HRU labels with channel gaps punched."""
     from ..hashing import h64

@@ -173,6 +173,51 @@ def terrain_acc_neighbors(sf_dir: str):
     )
 
 
+def terrain_acc_pfdir(sf_dir: str):
+    """Distributed calculate_d8_acc_pfdir (terrain_tools.f90:253-301):
+    tiles carry a PRESCRIBED fdir (nodata patch + mask hole) straight into
+    acc_dist + area_from_acc — no fdir stage anywhere in the distributed
+    path — vs the d8_accumulate kernel twin."""
+    OF.stage_terrain_acc_pfdir(sf_dir)
+    from ..terrain import dist as D
+    from ..terrain import tiles as T
+
+    fdir, mask = OF.acc_pfdir_inputs(N, RES)
+    ds = T.make_tiles_dataset({"fdir": fdir, "landmask": mask}, TILE)
+    out = D.area_from_acc(D.acc_dist(ds, TILE, N, N), RES)
+    df = _cells_df(out, ["area"])
+    av = df["area"].to_numpy(dtype=np.float64)
+    valid = av != -9999.0
+    return pd.DataFrame(
+        {
+            "gi": df["gi"].astype("int64"),
+            "gj": df["gj"].astype("int64"),
+            "area_m2": np.where(valid, np.round(av), -1).astype(np.int64),
+        }
+    )
+
+
+def terrain_assign_clusters(sf_dir: str):
+    """Distributed assign_clusters paint-back (terrain_tools.f90:1727-1748):
+    per-label lookup vector broadcast once via the map closure, tile-local
+    apply (no halo, no shuffle) vs the kernel twin."""
+    OF.stage_terrain_assign_clusters(sf_dir)
+    from ..terrain import dist as D
+    from ..terrain import tiles as T
+
+    lab, clusters = OF.assign_clusters_inputs(N)
+    ds = T.make_tiles_dataset({"lab": lab}, TILE)
+    out = D.assign_clusters_dist(ds, clusters)
+    df = _cells_df(out, ["cluster"])
+    return pd.DataFrame(
+        {
+            "gi": df["gi"].astype("int64"),
+            "gj": df["gj"].astype("int64"),
+            "cluster": df["cluster"].astype("int64"),
+        }
+    )
+
+
 def terrain_gap_fill(sf_dir: str):
     """Distributed 3x3 mode gap-fill (1-halo) vs kernel."""
     OF.stage_terrain_gap_fill(sf_dir)

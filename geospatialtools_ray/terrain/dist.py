@@ -158,6 +158,25 @@ def acc_neighbors_dist(ds, res: float, N0: int, N1: int, var_col: str = "var", d
     return T.halo_map(fds, [var_col, "fdir"], kernel, width=1)
 
 
+def assign_clusters_dist(ds, clusters: np.ndarray, lab_col: str = "lab", out_col: str = "cluster"):
+    """Distributed assign_clusters (terrain_tools.f90:1727-1748 paint-back
+    via kernels.assign_clusters): the lookup vector is one entry per LABEL
+    (small by construction — labels come from a clustering step), so it
+    rides the map closure, which Ray serializes once into the task binary
+    and caches in the object store — not re-shipped per batch. Purely
+    tile-local: no halo, no shuffle."""
+    lut = np.ascontiguousarray(np.asarray(clusters))
+
+    def apply(batch: pa.Table) -> pa.Table:
+        out = []
+        for r in range(batch.num_rows):
+            lab = T.tile_payload(batch, lab_col, r)
+            out.append(K.assign_clusters(lab, lut).ravel().astype(np.int64))
+        return batch.append_column(out_col, pa.array([x for x in out], type=pa.list_(pa.int64())))
+
+    return ds.map_batches(apply, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # pit fill (iterative halo rounds)
 # ---------------------------------------------------------------------------

@@ -464,3 +464,28 @@ def test_acc_neighbors_dist_matches_oracle(ray_session, tile):
     ds = tiles_ds({"dem": z, "var": var}, tile)
     got = collect(D.acc_neighbors_dist(ds, RES, N, N), "accn")
     assert np.array_equal(got, want), f"tile={tile}"
+
+
+@pytest.mark.parametrize("tile", [32, 16, 8])
+def test_acc_pfdir_dist_matches_oracle(ray_session, tile):
+    # prescribed fdir (nodata patch + mask hole) straight into acc_dist:
+    # calculate_d8_acc_pfdir semantics (terrain_tools.f90:253-301)
+    from geospatialtools_ray.pipelines import oracle_fixtures as OF
+
+    fdir, mask = OF.acc_pfdir_inputs(N, RES)
+    want = (np.float32(RES) * np.float32(RES) * K.d8_accumulate(fdir).astype(np.float32)).astype(np.float32)
+    want[(mask == 0) | (fdir == -1)] = np.float32(K.UNDEF)
+    ds = tiles_ds({"fdir": fdir, "landmask": mask}, tile)
+    got = collect(D.area_from_acc(D.acc_dist(ds, tile, N, N), RES), "area", dtype=np.float32)
+    assert np.array_equal(got, want), f"tile={tile}"
+
+
+@pytest.mark.parametrize("tile", [32, 16, 8])
+def test_assign_clusters_dist_matches_oracle(ray_session, tile):
+    from geospatialtools_ray.pipelines import oracle_fixtures as OF
+
+    lab, clusters = OF.assign_clusters_inputs(N)
+    want = K.assign_clusters(lab, clusters).astype(np.int64)
+    ds = tiles_ds({"lab": lab}, tile)
+    got = collect(D.assign_clusters_dist(ds, clusters), "cluster", dtype=np.int64)
+    assert np.array_equal(got, want), f"tile={tile}"
