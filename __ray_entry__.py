@@ -123,6 +123,14 @@ _SQL_CHECKED: dict[str, tuple[Callable[[str], Any], str]] = {
     "terrain_assign_clusters": (TQ.terrain_assign_clusters, OF.TERRAIN_ASSIGN_CLUSTERS_SQL),
     "netcdf_roundtrip": (X.netcdf_roundtrip, X.NETCDF_ROUNDTRIP_SQL),
     "events_grads_dates": (X.events_grads_dates, X.EVENTS_GRADS_DATES_SQL),
+    # round 4 (cont.): exact pairwise shingle-set overlap (the integer
+    # core of jaccard_ngrams) with the oracle recomputing word-5-gram
+    # sets FROM RAW TEXT in DuckDB; GrADS ctl writers with data-derived
+    # tdef; ragged-grid tile metadata + payload checksums — all three
+    # pure-SQL cross-engine oracles
+    "docs_jaccard_pairs": (X.docs_jaccard_pairs, X.DOCS_JACCARD_PAIRS_SQL),
+    "grads_ctl_files": (X.grads_ctl_files, X.GRADS_CTL_FILES_SQL),
+    "tiles_metadata": (TQ.tiles_metadata, TQ.TILES_METADATA_SQL),
 }
 
 # rows-only checks (none left — every query has an oracle)

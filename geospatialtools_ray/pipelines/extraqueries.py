@@ -791,3 +791,138 @@ SELECT event_id,
        CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS rt_epoch_s
 FROM events ORDER BY event_id
 """
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard verify stage on the driver hash channel (reference
+# dedup semantics; engine stages/dedup.py::pair_gram_overlap). The oracle
+# recomputes the word-5-gram shingle sets FROM RAW TEXT in DuckDB (split,
+# slice, distinct, set algebra) — genuinely cross-engine, no staged twin,
+# and the compared quantities are exact integer set sizes.
+# ---------------------------------------------------------------------------
+
+def docs_jaccard_pairs(sf_dir: str):
+    """Pair the 30 lexicographically-smallest doc_ids consecutively and
+    compute each pair's exact shingle intersection/union sizes through the
+    distributed join path (text never moves — only gram-hash blobs)."""
+    import ray.data as rd
+
+    from ..stages import dedup
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ids = sorted(r["doc_id"] for r in ds.select_columns(["doc_id"]).sort("doc_id").limit(30).take_all())
+    pairs = rd.from_pandas(pd.DataFrame({"id_a": ids[0::2], "id_b": ids[1::2]}))
+    out = dedup.pair_gram_overlap(pairs, ds).to_pandas()
+    return out.sort_values("id_a").reset_index(drop=True)
+
+
+DOCS_JACCARD_PAIRS_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> '') AS ws
+  FROM documents
+  WHERE doc_id IN (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 30)
+),
+nd AS (
+  SELECT doc_id, ws, len(ws) AS nw,
+         row_number() OVER (ORDER BY doc_id) AS rn
+  FROM d
+),
+grams AS (
+  SELECT rn, doc_id,
+         coalesce(array_to_string(ws[CAST(i AS BIGINT):CAST(i + 4 AS BIGINT)], ' '), '') AS gram
+  FROM nd, unnest(range(1, greatest(nw - 4, 1) + 1)) t(i)
+),
+sets AS (SELECT DISTINCT rn, gram FROM grams),
+ps AS (SELECT CAST((rn - 1) // 2 AS BIGINT) AS p, rn % 2 AS side, gram FROM sets),
+agg AS (SELECT p, gram, count(DISTINCT side) AS nsides FROM ps GROUP BY p, gram),
+stats AS (
+  SELECT p,
+         CAST(SUM(CASE WHEN nsides = 2 THEN 1 ELSE 0 END) AS BIGINT) AS inter_sz,
+         CAST(COUNT(*) AS BIGINT) AS union_sz
+  FROM agg GROUP BY p
+),
+names AS (
+  SELECT CAST((rn - 1) // 2 AS BIGINT) AS p,
+         MAX(CASE WHEN rn % 2 = 1 THEN doc_id END) AS id_a,
+         MAX(CASE WHEN rn % 2 = 0 THEN doc_id END) AS id_b
+  FROM nd GROUP BY 1
+)
+SELECT n.id_a, n.id_b, s.inter_sz, s.union_sz
+FROM stats s JOIN names n USING (p)
+ORDER BY n.id_a
+"""
+
+
+# ---------------------------------------------------------------------------
+# GrADS control-file writers on the driver hash channel (reference
+# netcdf_tools.py:133-160 Update_Control_File[_Binary]; engine
+# sources/netcdf.py::write_control_file[_binary]). The metadata (initial
+# date + timestep count) is DERIVED FROM THE EVENTS TABLE distributedly,
+# so the oracle genuinely recomputes the ctl content (strftime + printf)
+# rather than comparing constants.
+# ---------------------------------------------------------------------------
+
+_CTL_DIMS = {"undef": -9999.0, "nlon": 7, "nlat": 6, "res": 0.25, "minlon": -5.0, "minlat": 2.0}
+
+
+def grads_ctl_files(sf_dir: str):
+    import os
+    import tempfile
+
+    from ..sources import netcdf as nc
+
+    ds = _read(sf_dir, "events", ["ts"])
+
+    def hours(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"h": b["ts"].dt.floor("h").unique()})
+
+    hdf = ds.map_batches(hours, batch_format="pandas").groupby("h").count().to_pandas()
+    nt = len(hdf)
+    idate = hdf["h"].min().to_pydatetime()
+
+    tdir = tempfile.mkdtemp(prefix="graft_ctl_")
+    p_nc = os.path.join(tdir, "nc.ctl")
+    p_bin = os.path.join(tdir, "bin.ctl")
+    nc.write_control_file(idate, nt, "1hr", "out_%y4%m2%d2%h2.nc", p_nc)
+    nc.write_control_file_binary(idate, _CTL_DIMS, nt, "1hr", "out.bin", p_bin, ["sm", "et"])
+
+    rows = []
+    for kind, path in (("nc", p_nc), ("bin", p_bin)):
+        with open(path) as fp:
+            for i, line in enumerate(fp.read().splitlines(), start=1):
+                rows.append((kind, i, line))
+    return pd.DataFrame(rows, columns=["kind", "line_no", "line"]).astype({"line_no": "int64"})
+
+
+GRADS_CTL_FILES_SQL = """
+WITH m AS (
+  SELECT COUNT(DISTINCT date_trunc('hour', ts)) AS nt,
+         MIN(date_trunc('hour', ts)) AS idate
+  FROM events
+),
+g AS (
+  SELECT nt,
+         strftime(idate, '%H') || 'Z' || strftime(idate, '%d')
+           || lower(strftime(idate, '%b')) || strftime(idate, '%Y') AS gs
+  FROM m
+)
+SELECT kind, line_no, line FROM (
+  SELECT 'nc' AS kind, 1 AS line_no, 'dset out_%y4%m2%d2%h2.nc' AS line FROM g
+  UNION ALL SELECT 'nc', 2, 'options template' FROM g
+  UNION ALL SELECT 'nc', 3, 'dtype netcdf' FROM g
+  UNION ALL SELECT 'nc', 4, printf('tdef t %d linear %s 1hr', nt, gs) FROM g
+  UNION ALL SELECT 'bin', 1, 'dset out.bin' FROM g
+  UNION ALL SELECT 'bin', 2, 'title out.bin' FROM g
+  UNION ALL SELECT 'bin', 3, 'undef -9999.000000' FROM g
+  UNION ALL SELECT 'bin', 4, 'xdef 7 linear -5.000000 0.250000' FROM g
+  UNION ALL SELECT 'bin', 5, 'ydef 6 linear 2.000000 0.250000' FROM g
+  UNION ALL SELECT 'bin', 6, 'zdef 1 levels 0' FROM g
+  UNION ALL SELECT 'bin', 7, printf('tdef %d linear %s 1hr', nt, gs) FROM g
+  UNION ALL SELECT 'bin', 8, 'vars 2' FROM g
+  UNION ALL SELECT 'bin', 9, 'sm 0 99 sm' FROM g
+  UNION ALL SELECT 'bin', 10, 'et 0 99 et' FROM g
+  UNION ALL SELECT 'bin', 11, 'endvars' FROM g
+)
+ORDER BY kind, line_no
+"""

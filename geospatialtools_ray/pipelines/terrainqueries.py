@@ -719,3 +719,53 @@ def terrain_basin_bisection(sf_dir: str):
             "basin": np.where(b == K.IUNDEF, -1, b),
         }
     ).sort_values(["gi", "gj"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# retrieve_metadata on the driver hash channel (reference gdal_tools.py
+# metadata dict; engine terrain/tiles.py::grid_to_tiles_table layout
+# columns). A deliberately RAGGED grid (35x29, 16-px tiles) so remainder
+# tiles exercise the n0/n1 clamps; a per-tile payload checksum proves the
+# windows carry the right cells, not just the right shapes. The oracle is
+# PURE SQL — it rebuilds the tiling arithmetic and the deterministic grid
+# from ranges, cross-engine, no staged twin.
+# ---------------------------------------------------------------------------
+
+def tiles_metadata(sf_dir: str):
+    import pyarrow as pa
+
+    from ..terrain import tiles as T
+
+    N0_, N1_, TL = 35, 29, 16
+    gi_, gj_ = np.meshgrid(np.arange(N0_), np.arange(N1_), indexing="ij")
+    z = ((gi_ * 31 + gj_ * 17) % 101).astype(np.int64)
+    ds = T.make_tiles_dataset({"z": z}, TL)
+
+    def meta(batch: pa.Table) -> pa.Table:
+        zs = [int(T.tile_payload(batch, "z", r).sum()) for r in range(batch.num_rows)]
+        out = batch.select(["tx", "ty", "i0", "j0", "n0", "n1", "ntx", "nty"])
+        return out.append_column("zsum", pa.array(zs, type=pa.int64()))
+
+    df = ds.map_batches(meta, batch_format="pyarrow").to_pandas()
+    return (
+        df.astype({c: "int64" for c in df.columns})
+        .sort_values(["tx", "ty"])
+        .reset_index(drop=True)
+    )
+
+
+TILES_METADATA_SQL = """
+WITH p AS (SELECT 35 AS n0g, 29 AS n1g, 16 AS tl),
+cells AS (
+  SELECT i.i // tl AS tx, j.j // tl AS ty,
+         (i.i * 31 + j.j * 17) % 101 AS v, n0g, n1g, tl
+  FROM p, unnest(range(0, n0g)) i(i), unnest(range(0, n1g)) j(j)
+)
+SELECT tx, ty, tx * tl AS i0, ty * tl AS j0,
+       least(tl, n0g - tx * tl) AS n0, least(tl, n1g - ty * tl) AS n1,
+       (n0g + tl - 1) // tl AS ntx, (n1g + tl - 1) // tl AS nty,
+       CAST(SUM(v) AS BIGINT) AS zsum
+FROM cells
+GROUP BY tx, ty, n0g, n1g, tl
+ORDER BY tx, ty
+"""

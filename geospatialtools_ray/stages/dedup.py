@@ -136,18 +136,9 @@ def minhash_lsh_candidate_pairs(
     return pairs.groupby(["id_a", "id_b"]).aggregate(Count(alias_name="_n")).drop_columns(["_n"])
 
 
-def verify_pairs_jaccard(
-    pairs,
-    ds,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    shingle_k: int = 5,
-    jaccard_threshold: float = 0.7,
-    num_partitions: int = 8,
-):
-    """Hash-join each candidate pair with both docs' shingle sets and keep
-    pairs with exact gram Jaccard >= threshold. Text never moves — only
-    sorted-unique gram hash lists of INVOLVED docs."""
+def _join_pair_shingles(pairs, ds, text_col: str, id_col: str, shingle_k: int, num_partitions: int):
+    """Hash-join each (id_a, id_b) pair with both docs' shingle sets. Text
+    never moves — only sorted-unique gram hash blobs of INVOLVED docs."""
     # materialize the (small) pair list once: the count sizes the join
     # partitioning (see connected_components_minlabel's note on empty
     # hash-join partitions) and the two joins below would otherwise
@@ -165,42 +156,99 @@ def verify_pairs_jaccard(
     sa = shingles.map_batches(rename("a"), batch_format="pyarrow")
     sb = shingles.map_batches(rename("b"), batch_format="pyarrow")
     j = pairs.join(sa, join_type="inner", num_partitions=num_partitions, on=("id_a",))
-    j = j.join(sb, join_type="inner", num_partitions=num_partitions, on=("id_b",))
+    return j.join(sb, join_type="inner", num_partitions=num_partitions, on=("id_b",))
+
+
+def _overlap_counts(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """(inter, union) set sizes per joined pair row. Flat zero-copy view
+    over both blob columns: per-pair gram counts from the binary offsets,
+    union sizes from ONE global lexsort over (pair, gram) — no per-row
+    Python, no .as_py()."""
+    n = batch.num_rows
+    flats = []
+    for col in ("grams_a", "grams_b"):
+        arr = batch[col].combine_chunks()
+        offs = np.frombuffer(arr.buffers()[1], dtype=np.int64)[arr.offset : arr.offset + n + 1]
+        dbuf = arr.buffers()[2]
+        data = (
+            np.frombuffer(dbuf, dtype=np.uint64, count=len(dbuf) // 8)
+            if dbuf is not None and len(dbuf) >= 8
+            else np.empty(0, dtype=np.uint64)
+        )
+        o8 = offs // 8  # every blob is a whole number of u64 grams
+        flats.append((data[o8[0] : o8[-1]], (o8[1:] - o8[:-1])))
+    (fa, la), (fb, lb) = flats
+    pair = np.concatenate([np.repeat(np.arange(n, dtype=np.int64), la), np.repeat(np.arange(n, dtype=np.int64), lb)])
+    gram = np.concatenate([fa, fb])
+    order = np.lexsort((gram, pair))
+    p, g = pair[order], gram[order]
+    newv = np.ones(len(p), dtype=bool)
+    if len(p) > 1:
+        newv[1:] = (p[1:] != p[:-1]) | (g[1:] != g[:-1])
+    union = np.bincount(p[newv], minlength=n).astype(np.int64)
+    inter = la + lb - union
+    return inter, union
+
+
+def verify_pairs_jaccard(
+    pairs,
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 5,
+    jaccard_threshold: float = 0.7,
+    num_partitions: int = 8,
+):
+    """Hash-join each candidate pair with both docs' shingle sets and keep
+    pairs with exact gram Jaccard >= threshold."""
+    j = _join_pair_shingles(pairs, ds, text_col, id_col, shingle_k, num_partitions)
 
     def verify(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        if n == 0:
+        if batch.num_rows == 0:
             return batch.select(["id_a", "id_b"])
-        # flat zero-copy view over both blob columns: per-pair gram counts
-        # from the binary offsets, union sizes from ONE global lexsort over
-        # (pair, gram) — no per-row Python, no .as_py()
-        flats = []
-        for col in ("grams_a", "grams_b"):
-            arr = batch[col].combine_chunks()
-            offs = np.frombuffer(arr.buffers()[1], dtype=np.int64)[arr.offset : arr.offset + n + 1]
-            dbuf = arr.buffers()[2]
-            data = (
-                np.frombuffer(dbuf, dtype=np.uint64, count=len(dbuf) // 8)
-                if dbuf is not None and len(dbuf) >= 8
-                else np.empty(0, dtype=np.uint64)
-            )
-            o8 = offs // 8  # every blob is a whole number of u64 grams
-            flats.append((data[o8[0] : o8[-1]], (o8[1:] - o8[:-1])))
-        (fa, la), (fb, lb) = flats
-        pair = np.concatenate([np.repeat(np.arange(n, dtype=np.int64), la), np.repeat(np.arange(n, dtype=np.int64), lb)])
-        gram = np.concatenate([fa, fb])
-        order = np.lexsort((gram, pair))
-        p, g = pair[order], gram[order]
-        newv = np.ones(len(p), dtype=bool)
-        if len(p) > 1:
-            newv[1:] = (p[1:] != p[:-1]) | (g[1:] != g[:-1])
-        union = np.bincount(p[newv], minlength=n).astype(np.int64)
-        inter = la + lb - union
+        inter, union = _overlap_counts(batch)
         # same IEEE expression as the single-process oracle: inter/union >= t
         keep = (union == 0) | (inter.astype(np.float64) / np.maximum(union, 1) >= jaccard_threshold)
         return batch.filter(pa.array(keep)).select(["id_a", "id_b"])
 
     return j.map_batches(verify, batch_format="pyarrow")
+
+
+def pair_gram_overlap(
+    pairs,
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 5,
+    num_partitions: int = 8,
+):
+    """Exact per-pair shingle-set overlap (id_a, id_b, inter_sz, union_sz)
+    — the integer numerator/denominator of jaccard_ngrams, distributed
+    through the same joins as verify_pairs_jaccard. Exact ints, so a SQL
+    oracle can recompute them from raw text with no float convention."""
+    j = _join_pair_shingles(pairs, ds, text_col, id_col, shingle_k, num_partitions)
+
+    def emit(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "id_a": batch["id_a"],
+                    "id_b": batch["id_b"],
+                    "inter_sz": pa.array([], type=pa.int64()),
+                    "union_sz": pa.array([], type=pa.int64()),
+                }
+            )
+        inter, union = _overlap_counts(batch)
+        return pa.table(
+            {
+                "id_a": batch["id_a"],
+                "id_b": batch["id_b"],
+                "inter_sz": pa.array(inter, type=pa.int64()),
+                "union_sz": pa.array(union, type=pa.int64()),
+            }
+        )
+
+    return j.map_batches(emit, batch_format="pyarrow")
 
 
 def connected_components_minlabel(edges, max_rounds: int = 25, num_partitions: int = 8):

@@ -415,3 +415,19 @@ def test_multiprobe_codes_order_and_base():
         assert len(plist) == 5 and len(set(plist)) == 5
         # first perturbation flips exactly the lowest-margin bit
         assert plist[1] == int(base[qi]) ^ (1 << int(np.argmin(margins[qi])))
+
+
+def test_pair_gram_overlap_matches_jaccard_ngrams(corpus_ds):
+    import ray.data as rd
+
+    docs = near_dup_corpus()
+    ids = sorted(docs["doc_id"])[:6]
+    pairs = rd.from_pandas(pd.DataFrame({"id_a": ids[0::2], "id_b": ids[1::2]}))
+    out = dedup.pair_gram_overlap(pairs, corpus_ds, shingle_k=3).to_pandas()
+    assert len(out) == 3
+    txt = dict(zip(docs["doc_id"], docs["text"]))
+    for _, r in out.iterrows():
+        want = dedup.jaccard_ngrams(txt[r["id_a"]], txt[r["id_b"]], k=3)
+        got = r["inter_sz"] / max(r["union_sz"], 1) if r["union_sz"] else 1.0
+        assert got == pytest.approx(want, abs=0), (r["id_a"], r["id_b"])
+        assert r["union_sz"] >= r["inter_sz"] >= 0
