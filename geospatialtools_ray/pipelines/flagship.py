@@ -101,18 +101,23 @@ def estimate_salts(
         u, c = np.unique(parents, return_counts=True)
         return pa.table({"part": pa.array(u, type=pa.uint64()), "n": pa.array(c, type=pa.int64())})
 
-    from ray.data.aggregate import Sum
-
-    agg = pts.map_batches(partial_counts, batch_format="pyarrow").groupby("part").aggregate(Sum("n", alias_name="n"))
+    # the partials are tiny (<= one row per COARSE cell per batch), so a
+    # driver-side merge replaces the groupby: the pre-pass was paying a
+    # full shuffle stage's startup (~1.5 s) to aggregate a few hundred
+    # rows, which dominated the whole estimate at high parallelism
+    partials = pts.map_batches(partial_counts, batch_format="pyarrow").take_all()
+    merged: dict[int, int] = {}
+    for row in partials:
+        merged[int(row["part"])] = merged.get(int(row["part"]), 0) + int(row["n"])
     out: dict[int, int] = {}
-    for row in agg.iter_rows():
-        est = row["n"] / max(sample_rate, 1e-9)
+    for part, n in merged.items():
+        est = n / max(sample_rate, 1e-9)
         # clamp to the part_key encoding's salt space: cell*MAX_SALTS+salt
         # (lineage.add_part_key) — salt >= MAX_SALTS would alias into the
         # NEXT cell's key range and silently mix two coarse cells
         s = int(min(np.ceil(est / target_rows_per_part), lineage.MAX_SALTS))
         if s > 1:
-            out[int(row["part"])] = s
+            out[part] = s
     return out
 
 
