@@ -92,7 +92,7 @@ def run_headline(corpus_path: str, n_docs: int) -> dict:
     docs = rd.read_parquet(corpus_path)
     stats = flagship.run(
         docs, out_dir=out_dir, n_polygons=N_POLYGONS, resume=False, salt_map=salts, sink="fragments",
-        key_mode=os.environ.get("BENCH_KEY_MODE", "u64"),
+        key_mode=os.environ.get("BENCH_KEY_MODE", "u64"), index_ref=idx_ref,
     )
     dt = time.monotonic() - t0
     return {"sec": dt, "docs_per_sec": n_docs / dt, "join_rows": int(stats["rows_out"].sum())}

@@ -138,6 +138,7 @@ def run(
     sink_batch_rows: int | None = None,
     wave: int | None = None,
     encode: dict | None = None,
+    index_ref=None,
 ):
     """Returns a per-partition stats DataFrame (small); the bulk join output
     lands under out_dir as partitioned parquet + lineage records.
@@ -148,7 +149,10 @@ def run(
 
     from ..stages.spatial_join import join_batch
 
-    idx_ref = polygon_index_ref(n_polygons, cover_res=res)
+    # reuse a prebuilt broadcast index when the caller already has one
+    # (the salt pre-pass needs the same index, and run_waves calls run()
+    # once per wave) — each build+put is ~0.3 s of driver time
+    idx_ref = index_ref if index_ref is not None else polygon_index_ref(n_polygons, cover_res=res)
     pts = geo_points(docs_ds, res, key_mode=key_mode)
     # stateless tasks + per-process index cache: elastic across every CPU
     # with no actor-pool startup tax (index fetched from the object store
@@ -231,6 +235,7 @@ def run_waves(
     waves = [input_files[i : i + wave_size] for i in range(0, len(input_files), wave_size)]
     all_stats = []
     n_run = 0
+    idx_ref = polygon_index_ref(n_polygons, cover_res=res)  # once, not per wave
     for w, files in enumerate(waves):
         if wave_committed(out_dir, w):
             continue
@@ -239,6 +244,7 @@ def run_waves(
             io.read_table(files),
             out_dir=out_dir,
             n_polygons=n_polygons,
+            index_ref=idx_ref,
             res=res,
             part_res=part_res,
             salt_map=salt_map,
