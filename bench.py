@@ -84,10 +84,10 @@ def run_headline(corpus_path: str, n_docs: int) -> dict:
     sample_files = [os.path.join(corpus_path, f) for f in files[:: max(len(files) // 2, 1)]][:2] or [
         os.path.join(corpus_path, files[0])
     ]
-    salts = flagship.estimate_salts(
-        rd.read_parquet(sample_files), flagship.DEFAULT_PART_RES,
+    salts = flagship.estimate_salts_from_files(
+        sample_files, flagship.DEFAULT_PART_RES,
         target_rows_per_part=1_000_000, sample_rate=len(sample_files) / max(len(files), 1),
-        index_ref=idx_ref, already_sampled=True,
+        index_ref=idx_ref,
     )
     docs = rd.read_parquet(corpus_path)
     stats = flagship.run(

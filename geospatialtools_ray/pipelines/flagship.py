@@ -109,6 +109,10 @@ def estimate_salts(
     merged: dict[int, int] = {}
     for row in partials:
         merged[int(row["part"])] = merged.get(int(row["part"]), 0) + int(row["n"])
+    return _salts_from_counts(merged, sample_rate, target_rows_per_part)
+
+
+def _salts_from_counts(merged: dict[int, int], sample_rate: float, target_rows_per_part: int) -> dict[int, int]:
     out: dict[int, int] = {}
     for part, n in merged.items():
         est = n / max(sample_rate, 1e-9)
@@ -119,6 +123,51 @@ def estimate_salts(
         if s > 1:
             out[part] = s
     return out
+
+
+# below this many sample bytes the pre-pass runs on the driver: one small
+# pyarrow read + the same batch kernels, skipping a full Dataset
+# execution's startup (~0.8 s — measured 40% of the sf0.1 headline). The
+# Dataset path stays the default the moment samples are real data.
+LOCAL_SALT_SAMPLE_BYTES = 64 << 20
+
+
+def estimate_salts_from_files(
+    sample_files: list[str], part_res: int, target_rows_per_part: int, sample_rate: float,
+    res: int = DEFAULT_RES, index_ref=None,
+) -> dict[int, int]:
+    """File-level-sampled salt estimate (the caller guarantees the file
+    subset is unbiased). Dispatches on total sample size: a few MB of
+    sample parquet is processed driver-locally with the SAME batch kernels
+    (explode -> cell -> join -> partial counts, vectorized, streamed one
+    row-group at a time); larger samples go through the Dataset path."""
+    import os
+
+    import ray.data as rd
+
+    total = sum(os.path.getsize(f) for f in sample_files)
+    if total > LOCAL_SALT_SAMPLE_BYTES:
+        return estimate_salts(
+            rd.read_parquet(sample_files), part_res, target_rows_per_part,
+            sample_rate, res=res, index_ref=index_ref, already_sampled=True,
+        )
+    import pyarrow.parquet as pq
+
+    from ..stages.spatial_join import join_batch
+
+    merged: dict[int, int] = {}
+    for f in sample_files:
+        pf = pq.ParquetFile(f)
+        for rb in pf.iter_batches(columns=["doc_id", "spans"]):
+            batch = pa.Table.from_batches([rb])
+            pts = attach_cell(explode_geo_points(batch), res)
+            if index_ref is not None:
+                pts = join_batch(pts, index_ref=index_ref)
+            parents = geocell.parent(pts["cell"].to_numpy(zero_copy_only=False), part_res)
+            u, c = np.unique(parents, return_counts=True)
+            for p, n in zip(u.tolist(), c.tolist()):
+                merged[int(p)] = merged.get(int(p), 0) + int(n)
+    return _salts_from_counts(merged, sample_rate, target_rows_per_part)
 
 
 def run(

@@ -165,3 +165,38 @@ def test_wave_sink_resume_after_midwave_interrupt(ray_session, tmp_path):
         return ds.count()
 
     assert disk_rows(out_dir) == disk_rows(ref_dir) == ref_total
+
+
+def test_estimate_salts_local_matches_dataset_path(ray_session, tmp_path):
+    """estimate_salts_from_files: the driver-local small-sample fast path
+    and the Dataset path produce IDENTICAL salt maps (same batch kernels,
+    same merge math), and the size dispatch picks the Dataset path when
+    the sample exceeds the local-bytes budget."""
+    import ray.data as rd
+
+    corpus = str(tmp_path / "corpus")
+    synth.docs_dataset(N_DOCS, override_num_blocks=4).write_parquet(corpus)
+    files = sorted(
+        os.path.join(corpus, f) for f in os.listdir(corpus) if f.endswith(".parquet")
+    )[:2]
+    rate = len(files) / 4
+    idx = flagship.polygon_index_ref(N_POLY)
+    via_ds = flagship.estimate_salts(
+        rd.read_parquet(files), flagship.DEFAULT_PART_RES,
+        target_rows_per_part=100, sample_rate=rate, index_ref=idx, already_sampled=True,
+    )
+    assert via_ds, "fixture should force a non-empty salt map"
+    local = flagship.estimate_salts_from_files(
+        files, flagship.DEFAULT_PART_RES,
+        target_rows_per_part=100, sample_rate=rate, index_ref=idx,
+    )
+    assert local == via_ds
+    old = flagship.LOCAL_SALT_SAMPLE_BYTES
+    try:
+        flagship.LOCAL_SALT_SAMPLE_BYTES = 0  # force the Dataset dispatch
+        assert flagship.estimate_salts_from_files(
+            files, flagship.DEFAULT_PART_RES,
+            target_rows_per_part=100, sample_rate=rate, index_ref=idx,
+        ) == via_ds
+    finally:
+        flagship.LOCAL_SALT_SAMPLE_BYTES = old
