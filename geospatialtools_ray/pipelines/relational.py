@@ -35,14 +35,32 @@ def _q100(arr):
     return np.round(np.asarray(arr, dtype=np.float64) * 100.0).astype(np.int64)
 
 
+def tree_group_sum(partials_ds, keys: list[str], combine_batch: int = 4096) -> pd.DataFrame:
+    """Finish a per-batch partial aggregation whose GROUP CARDINALITY is
+    tiny (tens, not thousands) without a shuffle: one map_batches combine
+    level collapses up to `combine_batch` partial rows into <= G rows per
+    output batch, then the driver merges the survivors. All value columns
+    must be summable (integer partials stay exact in any merge order).
+
+    Scale bound: the driver sees O(input_blocks / combine_batch * G) rows
+    — a few thousand even at 10^6 input blocks (add a second combine level
+    before the collect if that ever grows). Replaces a full all-to-all
+    groupby stage whose ~1 s startup dominated these sub-second aggregates
+    at high parallelism (same lever as the flagship salt pre-pass)."""
+
+    def combine(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby(keys, as_index=False).sum()
+
+    lvl = partials_ds.map_batches(combine, batch_format="pandas", batch_size=combine_batch)
+    return lvl.to_pandas().groupby(keys, as_index=False).sum()
+
+
 # ---------------------------------------------------------------------------
 # q1: pricing summary (TPC-H Q1 flavor) — filter + grouped aggregate with
 # per-batch partial aggregation (SURVEY.md 2.5 pattern)
 # ---------------------------------------------------------------------------
 
 def q1_pricing_summary(sf_dir: str):
-    from ray.data.aggregate import Sum
-
     ds = _read(
         sf_dir,
         "lineitem",
@@ -82,21 +100,12 @@ def q1_pricing_summary(sf_dir: str):
         g["sum_dp_hi"], g["sum_dp_lo"] = divmod(g.pop("sum_disc_price_c"), 10_000)
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    agg = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Sum("sum_qty_c", alias_name="sum_qty_c"),
-            Sum("sum_price_c", alias_name="sum_price_c"),
-            Sum("sum_dp_hi", alias_name="sum_dp_hi"),
-            Sum("sum_dp_lo", alias_name="sum_dp_lo"),
-            Sum("sum_charge_hi", alias_name="sum_charge_hi"),
-            Sum("sum_charge_lo", alias_name="sum_charge_lo"),
-            Sum("sum_disc_c", alias_name="sum_disc_c"),
-            Sum("count_order", alias_name="count_order"),
-        )
+    # 15 groups max: tree-combine + driver merge, no shuffle stage
+    df = (
+        tree_group_sum(ds.map_batches(partial, batch_format="pyarrow"), ["l_returnflag", "l_linestatus"])
+        .sort_values(["l_returnflag", "l_linestatus"])
+        .reset_index(drop=True)
     )
-    df = agg.to_pandas().sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
     # exact integer reconstruction (Python ints are arbitrary precision;
     # float conversion then matches the oracle's CAST(total AS DOUBLE))
     df["sum_charge_c"] = [
@@ -271,7 +280,6 @@ FROM (
 
 def q5_region_revenue(sf_dir: str):
     import ray
-    from ray.data.aggregate import Sum
 
     from .joins import hash_join, should_broadcast
 
@@ -335,10 +343,8 @@ def q5_region_revenue(sf_dir: str):
 
         scored = joined.map_batches(partial_j, batch_format="pyarrow")
 
-    agg = scored.groupby("n_name").aggregate(
-        Sum("rev_hi", alias_name="rev_hi"), Sum("rev_lo", alias_name="rev_lo")
-    )
-    df = agg.to_pandas().sort_values("n_name").reset_index(drop=True)
+    # 25 nation groups: tree-combine + driver merge, no shuffle stage
+    df = tree_group_sum(scored, ["n_name"]).sort_values("n_name").reset_index(drop=True)
     # exact arbitrary-precision reconstruction, then one float conversion
     # (matches the oracle's CAST(total AS DOUBLE))
     rev = [float(int(h) * 10_000 + int(l)) for h, l in zip(df["rev_hi"], df["rev_lo"])]
@@ -370,8 +376,6 @@ FROM (
 # ---------------------------------------------------------------------------
 
 def orders_by_status(sf_dir: str):
-    from ray.data.aggregate import Sum
-
     ds = _read(sf_dir, "orders", ["o_orderstatus", "o_orderpriority", "o_totalprice"])
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -387,12 +391,12 @@ def orders_by_status(sf_dir: str):
         )
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    agg = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(["o_orderstatus", "o_orderpriority"])
-        .aggregate(Sum("total_c", alias_name="total_c"), Sum("n_orders", alias_name="n_orders"))
+    # <= 15 (status, priority) groups: tree-combine + driver merge
+    df = (
+        tree_group_sum(ds.map_batches(partial, batch_format="pyarrow"), ["o_orderstatus", "o_orderpriority"])
+        .sort_values(["o_orderstatus", "o_orderpriority"])
+        .reset_index(drop=True)
     )
-    df = agg.to_pandas().sort_values(["o_orderstatus", "o_orderpriority"]).reset_index(drop=True)
     return pd.DataFrame(
         {
             "o_orderstatus": df["o_orderstatus"],
