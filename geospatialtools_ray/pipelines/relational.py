@@ -423,8 +423,6 @@ ORDER BY o_orderstatus, o_orderpriority
 # ---------------------------------------------------------------------------
 
 def events_tumbling_hourly(sf_dir: str):
-    from ray.data.aggregate import Sum
-
     ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -436,12 +434,14 @@ def events_tumbling_hourly(sf_dir: str):
         g = t.group_by(["event_type", "window_start"]).aggregate([("v", "count"), ("v", "sum")])
         return g.rename_columns(["event_type", "window_start", "n_events", "sum_v"])
 
-    agg = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(["event_type", "window_start"])
-        .aggregate(Sum("n_events", alias_name="n_events"), Sum("sum_v", alias_name="sum_v"))
+    # group cardinality = types x distinct hours — thousands even over
+    # years of data, so the tree combine + driver merge replaces the
+    # shuffle here too (integer partials, exact in any merge order)
+    df = (
+        tree_group_sum(ds.map_batches(partial, batch_format="pyarrow"), ["event_type", "window_start"])
+        .sort_values(["event_type", "window_start"])
+        .reset_index(drop=True)
     )
-    df = agg.to_pandas().sort_values(["event_type", "window_start"]).reset_index(drop=True)
     return pd.DataFrame(
         {
             "event_type": df["event_type"],

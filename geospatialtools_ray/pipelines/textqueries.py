@@ -145,8 +145,6 @@ FROM documents ORDER BY doc_id
 
 
 def lang_token_summary(sf_dir: str):
-    from ray.data.aggregate import Count, Sum
-
     ds = _read(sf_dir, "documents", ["text", "lang"])
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -157,12 +155,14 @@ def lang_token_summary(sf_dir: str):
             preserve_index=False,
         )
 
-    agg = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("lang")
-        .aggregate(Sum("total_tokens", alias_name="total_tokens"), Sum("n_docs", alias_name="n_docs"))
+    # a handful of language groups: tree combine + driver merge
+    from .relational import tree_group_sum
+
+    df = (
+        tree_group_sum(ds.map_batches(partial, batch_format="pyarrow"), ["lang"])
+        .sort_values("lang")
+        .reset_index(drop=True)
     )
-    df = agg.to_pandas().sort_values("lang").reset_index(drop=True)
     df["total_tokens"] = df["total_tokens"].astype("int64")
     df["n_docs"] = df["n_docs"].astype("int64")
     return df
