@@ -52,7 +52,10 @@ def tree_group_sum(partials_ds, keys: list[str], combine_batch: int = 4096) -> p
         return b.groupby(keys, as_index=False).sum()
 
     lvl = partials_ds.map_batches(combine, batch_format="pandas", batch_size=combine_batch)
-    return lvl.to_pandas().groupby(keys, as_index=False).sum()
+    df = lvl.to_pandas()
+    if df.empty:  # an empty Dataset collects without column names
+        return df.reindex(columns=keys)
+    return df.groupby(keys, as_index=False).sum()
 
 
 # ---------------------------------------------------------------------------

@@ -90,3 +90,40 @@ def test_q3_q5_join_strategy_selection(ray_session, monkeypatch):
     s5 = R.q5_region_revenue(sf)
     pd.testing.assert_frame_equal(b3.reset_index(drop=True), s3.reset_index(drop=True))
     pd.testing.assert_frame_equal(b5.reset_index(drop=True), s5.reset_index(drop=True))
+
+
+def test_tree_group_sum_matches_groupby(ray_session):
+    """tree_group_sum == a real groupby-sum on the same partial stream,
+    including the empty-dataset and single-batch edges."""
+    import ray.data as rd
+
+    from geospatialtools_ray.pipelines.relational import tree_group_sum
+
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame(
+        {
+            "k1": rng.integers(0, 3, 5000).astype(str),
+            "k2": rng.integers(0, 4, 5000),
+            "a": rng.integers(-1000, 1000, 5000),
+            "b": rng.integers(0, 10, 5000),
+        }
+    )
+    ds = rd.from_pandas(df).repartition(16)
+    got = (
+        tree_group_sum(ds, ["k1", "k2"], combine_batch=7)
+        .sort_values(["k1", "k2"])
+        .reset_index(drop=True)
+    )
+    want = (
+        df.groupby(["k1", "k2"], as_index=False)
+        .sum()
+        .sort_values(["k1", "k2"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got.astype({"k2": "int64"}), want.astype({"k2": "int64"}))
+
+    single = tree_group_sum(rd.from_pandas(df.head(10)), ["k1", "k2"])
+    assert single["a"].sum() == df.head(10)["a"].sum()
+
+    empty = tree_group_sum(rd.from_pandas(df.head(0)), ["k1", "k2"])
+    assert len(empty) == 0
