@@ -131,6 +131,9 @@ _SQL_CHECKED: dict[str, tuple[Callable[[str], Any], str]] = {
     "docs_jaccard_pairs": (X.docs_jaccard_pairs, X.DOCS_JACCARD_PAIRS_SQL),
     "grads_ctl_files": (X.grads_ctl_files, X.GRADS_CTL_FILES_SQL),
     "tiles_metadata": (TQ.tiles_metadata, TQ.TILES_METADATA_SQL),
+    # round 4 (cont.): distributed as-of join (stages/asof.py) vs DuckDB's
+    # NATIVE ASOF JOIN — cross-engine, no staged twin
+    "events_asof_purchase": (X.events_asof_purchase, X.EVENTS_ASOF_PURCHASE_SQL),
 }
 
 # rows-only checks (none left — every query has an oracle)

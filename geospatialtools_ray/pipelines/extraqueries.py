@@ -926,3 +926,61 @@ SELECT kind, line_no, line FROM (
 )
 ORDER BY kind, line_no
 """
+
+
+# ---------------------------------------------------------------------------
+# As-of join on the driver hash channel (stages/asof.py; oracle = DuckDB's
+# native ASOF JOIN — genuinely cross-engine, no staged twin). The corpus
+# has unique (user_id, ts) pairs, so the engines' duplicate-time tie rules
+# cannot diverge here; the engine's own rule is pinned by
+# test_asof_join_duplicate_time_tie_rule.
+# ---------------------------------------------------------------------------
+
+def events_asof_purchase(sf_dir: str):
+    """For every click event, the same user's most recent purchase at or
+    before the click: distributed as-of join (side-tag map_batches +
+    per-user sorted merge in groupby().map_groups — builder-brief custom
+    operator, pattern (a))."""
+    import pyarrow.compute as pc
+
+    from ..stages.asof import asof_join
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type", "value"])
+
+    def side(kind):
+        def f(b: pa.Table) -> pa.Table:
+            return b.filter(pc.equal(b["event_type"], kind)).drop_columns(["event_type"])
+
+        return f
+
+    clicks = ev.map_batches(side("click"), batch_format="pyarrow").drop_columns(["value"])
+    buys = ev.map_batches(side("purchase"), batch_format="pyarrow").map_batches(
+        lambda b: b.rename_columns(["purchase_event", "ts", "user_id", "purchase_value"]),
+        batch_format="pyarrow",
+    )
+    out = asof_join(
+        clicks, buys, "user_id", "ts", ["event_id"], ["purchase_event", "purchase_value"],
+        right_time_col="ts", direction="backward", join="inner",
+    )
+    # right_cols ride the union as float64 — restore the id's int64 after
+    # the inner join (no nulls) so the dtype matches the SQL side
+    df = out.to_pandas().sort_values("event_id").reset_index(drop=True)
+    return pd.DataFrame(
+        {
+            "user_id": df["user_id"].astype("int64"),
+            "ts": df["ts"].astype("datetime64[us]"),
+            "event_id": df["event_id"].astype("int64"),
+            "purchase_event": df["purchase_event"].astype("int64"),
+            "purchase_value": df["purchase_value"].astype("float64"),
+        }
+    )
+
+
+EVENTS_ASOF_PURCHASE_SQL = """
+SELECT l.user_id, l.ts, l.event_id,
+       r.event_id AS purchase_event, r.value AS purchase_value
+FROM (SELECT * FROM events WHERE event_type = 'click') l
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+ORDER BY l.event_id
+"""

@@ -1,0 +1,92 @@
+"""Distributed as-of join vs a brute-force per-row oracle (both
+directions, tolerance, inner/left) and the deterministic duplicate-time
+tie rule."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from geospatialtools_ray.stages.asof import asof_join
+
+
+def _brute(L, R, direction, tol, join):
+    rows = []
+    for _, lr in L.iterrows():
+        cand = R[R.k == lr.k]
+        if direction == "backward":
+            cand = cand[cand.t <= lr.t]
+            if tol is not None:
+                cand = cand[(lr.t - cand.t) <= tol]
+            pick = cand.sort_values(["t", "rv"]).iloc[-1] if len(cand) else None
+        else:
+            cand = cand[cand.t >= lr.t]
+            if tol is not None:
+                cand = cand[(cand.t - lr.t) <= tol]
+            pick = cand.sort_values(["t", "rv"]).iloc[0] if len(cand) else None
+        if pick is None:
+            if join == "left":
+                rows.append((lr.k, lr.t, lr.lid, np.nan))
+        else:
+            rows.append((lr.k, lr.t, lr.lid, pick.rv))
+    return pd.DataFrame(rows, columns=["k", "t", "lid", "rv"]).sort_values("lid").reset_index(drop=True)
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+@pytest.mark.parametrize("join", ["inner", "left"])
+def test_asof_join_matches_bruteforce(ray_session, direction, join):
+    import ray.data as rd
+
+    rng = np.random.default_rng(0)
+    nl, nr = 400, 250
+    L = pd.DataFrame(
+        {
+            "k": rng.integers(0, 15, nl),
+            "t": rng.integers(0, 10_000, nl).astype("datetime64[s]").astype("datetime64[us]"),
+            "lid": np.arange(nl),
+        }
+    )
+    R = pd.DataFrame(
+        {
+            "k": rng.integers(0, 15, nr),
+            "t": rng.integers(0, 10_000, nr).astype("datetime64[s]").astype("datetime64[us]"),
+            "rv": rng.normal(size=nr),
+        }
+    )
+    for tol in (None, np.timedelta64(600, "s")):
+        got = (
+            asof_join(
+                rd.from_pandas(L).repartition(8),
+                rd.from_pandas(R).repartition(8),
+                "k", "t", ["lid"], ["rv"],
+                direction=direction, tolerance=tol, join=join,
+            )
+            .to_pandas()
+            .sort_values("lid")
+            .reset_index(drop=True)
+        )
+        want = _brute(L, R, direction, tol, join)
+        pd.testing.assert_frame_equal(
+            got[["k", "t", "lid", "rv"]].astype({"k": "int64", "lid": "int64"}).reset_index(drop=True),
+            want.astype({"k": "int64", "lid": "int64"}),
+            check_dtype=False,
+        )
+
+
+def test_asof_join_duplicate_time_tie_rule(ray_session):
+    """Two right rows at the identical time: backward picks the LAST in
+    (time, value) order — max value — regardless of input row order."""
+    import ray.data as rd
+
+    L = pd.DataFrame({"k": [1], "t": np.array([100], dtype="datetime64[s]").astype("datetime64[us]"), "lid": [0]})
+    for perm in ([0, 1], [1, 0]):
+        R = pd.DataFrame(
+            {
+                "k": [1, 1],
+                "t": np.array([50, 50], dtype="datetime64[s]").astype("datetime64[us]"),
+                "rv": [1.0, 2.0],
+            }
+        ).iloc[perm]
+        got = asof_join(
+            rd.from_pandas(L), rd.from_pandas(R).repartition(2), "k", "t", ["lid"], ["rv"]
+        ).to_pandas()
+        assert got["rv"].tolist() == [2.0]
