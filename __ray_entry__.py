@@ -134,6 +134,9 @@ _SQL_CHECKED: dict[str, tuple[Callable[[str], Any], str]] = {
     # round 4 (cont.): distributed as-of join (stages/asof.py) vs DuckDB's
     # NATIVE ASOF JOIN — cross-engine, no staged twin
     "events_asof_purchase": (X.events_asof_purchase, X.EVENTS_ASOF_PURCHASE_SQL),
+    # round 4 (cont.): distributed bucketed range join (stages/rangejoin.py)
+    # vs a plain DuckDB inequality join — cross-engine, no staged twin
+    "events_order_window_join": (X.events_order_window_join, X.EVENTS_ORDER_WINDOW_SQL),
 }
 
 # rows-only checks (none left — every query has an oracle)

@@ -984,3 +984,71 @@ ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
   ON l.user_id = r.user_id AND l.ts >= r.ts
 ORDER BY l.event_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Range (interval) join on the driver hash channel (stages/rangejoin.py;
+# oracle = a plain DuckDB inequality join — cross-engine, no staged twin).
+# Every click event is matched to the same user's signup events whose
+# 12-hour post-signup window contains the click: lo <= ts < hi with hi
+# exclusive, all in exact epoch-microsecond int64 arithmetic on both
+# engines.
+# ---------------------------------------------------------------------------
+
+_RJ_12H_US = 12 * 3600 * 1_000_000
+
+
+def events_order_window_join(sf_dir: str):
+    """Distributed bucketed interval join (1-D geocell-cover analogue:
+    intervals exploded to width-w buckets, points to one bucket, composite
+    (key, bucket) hash join + exact filter — each pair meets exactly once,
+    no dedup)."""
+    import pyarrow.compute as pc
+
+    from ..stages.rangejoin import range_join
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    clicks = ev.map_batches(
+        lambda b: b.filter(pc.equal(b["event_type"], "click")).drop_columns(["event_type"]),
+        batch_format="pyarrow",
+    )
+
+    def mk_iv(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b["event_type"], "signup"))
+        lo = b["ts"].cast(pa.int64())
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "lo": lo,
+                "hi": pc.add(lo, _RJ_12H_US),
+                "signup_event": b["event_id"],
+            }
+        )
+
+    iv = ev.map_batches(mk_iv, batch_format="pyarrow")
+    out = range_join(
+        clicks, iv, "user_id", "ts", "lo", "hi", bucket_width=_RJ_12H_US,
+        point_cols=["event_id"], interval_cols=["signup_event"],
+    )
+    df = out.to_pandas().sort_values(["event_id", "signup_event"]).reset_index(drop=True)
+    return pd.DataFrame(
+        {
+            "user_id": df["user_id"].astype("int64"),
+            "event_id": df["event_id"].astype("int64"),
+            "signup_event": df["signup_event"].astype("int64"),
+            "mins_since_signup": ((df["t_i"] - df["lo_i"]) // 60_000_000).astype("int64"),
+        }
+    )
+
+
+EVENTS_ORDER_WINDOW_SQL = """
+SELECT c.user_id, c.event_id, s.event_id AS signup_event,
+       CAST(FLOOR((epoch_us(c.ts) - epoch_us(s.ts)) / 60000000) AS BIGINT)
+         AS mins_since_signup
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+  ON s.user_id = c.user_id
+ AND epoch_us(c.ts) >= epoch_us(s.ts)
+ AND epoch_us(c.ts) < epoch_us(s.ts) + 43200000000
+ORDER BY c.event_id, signup_event
+"""

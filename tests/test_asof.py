@@ -90,3 +90,51 @@ def test_asof_join_duplicate_time_tie_rule(ray_session):
             rd.from_pandas(L), rd.from_pandas(R).repartition(2), "k", "t", ["lid"], ["rv"]
         ).to_pandas()
         assert got["rv"].tolist() == [2.0]
+
+
+def test_range_join_matches_bruteforce(ray_session):
+    """Bucketed interval join == pandas brute force at several bucket
+    widths (incl. degenerate 1 and wider-than-data); empty/inverted
+    intervals match nothing; each pair appears exactly once."""
+    import ray.data as rd
+
+    from geospatialtools_ray.stages.rangejoin import range_join
+
+    rng = np.random.default_rng(1)
+    npts, nint = 1000, 150
+    P = pd.DataFrame(
+        {
+            "k": rng.integers(0, 12, npts).astype("int64"),
+            "t": rng.integers(0, 50_000, npts).astype("int64"),
+            "pid": np.arange(npts, dtype="int64"),
+        }
+    )
+    lo = rng.integers(0, 50_000, nint).astype("int64")
+    ln = rng.integers(-500, 4000, nint).astype("int64")  # some inverted/empty
+    I = pd.DataFrame(
+        {
+            "k": rng.integers(0, 12, nint).astype("int64"),
+            "lo": lo,
+            "hi": lo + ln,
+            "iid": np.arange(nint, dtype="int64"),
+        }
+    )
+    m = P.merge(I, on="k")
+    want = (
+        m[(m.lo <= m.t) & (m.t < m.hi)][["pid", "iid"]]
+        .sort_values(["pid", "iid"])
+        .reset_index(drop=True)
+    )
+    for w in (1, 1700, 100_000):
+        got = (
+            range_join(
+                rd.from_pandas(P).repartition(6), rd.from_pandas(I).repartition(3),
+                "k", "t", "lo", "hi", bucket_width=w,
+                point_cols=["pid"], interval_cols=["iid"],
+            )
+            .to_pandas()[["pid", "iid"]]
+            .sort_values(["pid", "iid"])
+            .reset_index(drop=True)
+            .astype("int64")
+        )
+        pd.testing.assert_frame_equal(got, want)
