@@ -137,6 +137,9 @@ _SQL_CHECKED: dict[str, tuple[Callable[[str], Any], str]] = {
     # round 4 (cont.): distributed bucketed range join (stages/rangejoin.py)
     # vs a plain DuckDB inequality join — cross-engine, no staged twin
     "events_order_window_join": (X.events_order_window_join, X.EVENTS_ORDER_WINDOW_SQL),
+    # round 4 (cont.): sliding/hopping window aggregate (4 overlapping
+    # windows per event) vs a pure-SQL unnest-explode oracle
+    "events_sliding_windows": (X.events_sliding_windows, X.EVENTS_SLIDING_WINDOWS_SQL),
 }
 
 # rows-only checks (none left — every query has an oracle)

@@ -1052,3 +1052,67 @@ JOIN (SELECT * FROM events WHERE event_type = 'signup') s
  AND epoch_us(c.ts) < epoch_us(s.ts) + 43200000000
 ORDER BY c.event_id, signup_event
 """
+
+
+# ---------------------------------------------------------------------------
+# Sliding (hopping) window aggregate — the overlapping-window companion of
+# events_tumbling_hourly (pipelines/relational.py). Window size 2 h, hop
+# 30 min: size/hop = 4, so every event belongs to exactly 4 windows. The
+# engine explodes each event to its 4 window keys in map_batches, partial-
+# aggregates per (event_type, window_start) inside the batch, and finishes
+# with the shuffle-free tree combine. window_start stays epoch-microsecond
+# int64 on BOTH engines (no timestamp round-trip to diverge on).
+# ---------------------------------------------------------------------------
+
+_SW_HOP_US = 30 * 60 * 1_000_000
+_SW_WINDOWS = 4  # size = 4 hops = 2 h
+
+
+def events_sliding_windows(sf_dir: str):
+    from .relational import tree_group_sum
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        v = sql_round(b["value"].to_numpy(zero_copy_only=False) * 1000.0).astype(np.int64)
+        et = b["event_type"].to_pandas().to_numpy()
+        base = t // _SW_HOP_US  # newest window containing t starts here
+        n = len(t)
+        j = np.tile(np.arange(_SW_WINDOWS, dtype=np.int64), n)
+        starts = (np.repeat(base, _SW_WINDOWS) - j) * _SW_HOP_US
+        df = pd.DataFrame(
+            {
+                "event_type": np.repeat(et, _SW_WINDOWS),
+                "window_start_us": starts,
+                "n_events": 1,
+                "sum_v": np.repeat(v, _SW_WINDOWS),
+            }
+        )
+        g = df.groupby(["event_type", "window_start_us"], as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    df = (
+        tree_group_sum(ds.map_batches(partial, batch_format="pyarrow"), ["event_type", "window_start_us"])
+        .sort_values(["event_type", "window_start_us"])
+        .reset_index(drop=True)
+    )
+    return pd.DataFrame(
+        {
+            "event_type": df["event_type"],
+            "window_start_us": df["window_start_us"].astype("int64"),
+            "n_events": df["n_events"].astype("int64"),
+            "sum_value": df["sum_v"].astype("float64") / 1000.0,
+        }
+    )
+
+
+EVENTS_SLIDING_WINDOWS_SQL = """
+SELECT event_type,
+       (epoch_us(ts) // 1800000000 - j) * 1800000000 AS window_start_us,
+       COUNT(*) AS n_events,
+       CAST(CAST(SUM(CAST(round(value*1000) AS BIGINT)) AS BIGINT) AS DOUBLE)/1000.0 AS sum_value
+FROM events, unnest([0, 1, 2, 3]) t(j)
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
