@@ -140,6 +140,9 @@ _SQL_CHECKED: dict[str, tuple[Callable[[str], Any], str]] = {
     # round 4 (cont.): sliding/hopping window aggregate (4 overlapping
     # windows per event) vs a pure-SQL unnest-explode oracle
     "events_sliding_windows": (X.events_sliding_windows, X.EVENTS_SLIDING_WINDOWS_SQL),
+    # round 4 (cont.): exact distributed quantiles (value-histogram + tree
+    # combine, pinned ceil(q*n) rank rule) vs a windowed-cumsum SQL oracle
+    "events_value_quantiles": (X.events_value_quantiles, X.EVENTS_VALUE_QUANTILES_SQL),
 }
 
 # rows-only checks (none left — every query has an oracle)

@@ -1116,3 +1116,34 @@ FROM events, unnest([0, 1, 2, 3]) t(j)
 GROUP BY 1, 2
 ORDER BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# Exact distributed quantiles on the driver hash channel
+# (functions/quantiles.py; oracle = the SAME pinned rank rule as a
+# windowed-cumsum in SQL — deliberately NOT quantile_disc, whose
+# interpolation rule would be trusted rather than pinned). Both engines
+# compute ceil(q*n) in identical IEEE double arithmetic.
+# ---------------------------------------------------------------------------
+
+def events_value_quantiles(sf_dir: str):
+    from ..functions.quantiles import exact_quantiles
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    df = exact_quantiles(ds, "event_type", "value", [0.25, 0.5, 0.9])
+    return df.astype({"n": "int64", "q25": "int64", "q50": "int64", "q90": "int64"})
+
+
+EVENTS_VALUE_QUANTILES_SQL = """
+WITH q AS (SELECT event_type, CAST(round(value*1000) AS BIGINT) AS qv FROM events),
+c AS (SELECT event_type, qv, COUNT(*) AS n FROM q GROUP BY 1, 2),
+w AS (SELECT event_type, qv,
+             SUM(n) OVER (PARTITION BY event_type ORDER BY qv) AS cum,
+             SUM(n) OVER (PARTITION BY event_type) AS tot
+      FROM c)
+SELECT event_type, CAST(MAX(tot) AS BIGINT) AS n,
+       CAST(MIN(CASE WHEN cum >= CEIL(0.25 * tot) THEN qv END) AS BIGINT) AS q25,
+       CAST(MIN(CASE WHEN cum >= CEIL(0.5 * tot) THEN qv END) AS BIGINT) AS q50,
+       CAST(MIN(CASE WHEN cum >= CEIL(0.9 * tot) THEN qv END) AS BIGINT) AS q90
+FROM w GROUP BY event_type ORDER BY event_type
+"""
