@@ -143,6 +143,18 @@ _SQL_CHECKED: dict[str, tuple[Callable[[str], Any], str]] = {
     # round 4 (cont.): exact distributed quantiles (value-histogram + tree
     # combine, pinned ceil(q*n) rank rule) vs a windowed-cumsum SQL oracle
     "events_value_quantiles": (X.events_value_quantiles, X.EVENTS_VALUE_QUANTILES_SQL),
+    # round 4 (cont.): the five classic warehouse shapes, each in its
+    # scale-correct distributed form — per-key window prefix-sum (one
+    # shuffle on the key, ordered cumsum inside user-sized groups),
+    # per-group top-k (batch-local top-k + tree combine, no global sort),
+    # pivot/crosstab (wide partials tree-combined), deterministic hash
+    # sampling (pure per-batch filter, engine-reproducible), and exact
+    # count-distinct (batch-local dedupe -> pair-bounded shuffle)
+    "events_user_running_total": (X.events_user_running_total, X.EVENTS_USER_RUNNING_TOTAL_SQL),
+    "docs_top3_by_lang": (X.docs_top3_by_lang, X.DOCS_TOP3_BY_LANG_SQL),
+    "events_type_hour_pivot": (X.events_type_hour_pivot, X.EVENTS_TYPE_HOUR_PIVOT_SQL),
+    "docs_hash_sample": (X.docs_hash_sample, X.DOCS_HASH_SAMPLE_SQL),
+    "events_daily_distinct_users": (X.events_daily_distinct_users, X.EVENTS_DAILY_DISTINCT_USERS_SQL),
 }
 
 # rows-only checks (none left — every query has an oracle)

@@ -1147,3 +1147,179 @@ SELECT event_type, CAST(MAX(tot) AS BIGINT) AS n,
        CAST(MIN(CASE WHEN cum >= CEIL(0.9 * tot) THEN qv END) AS BIGINT) AS q90
 FROM w GROUP BY event_type ORDER BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# Per-key ordered running total (the distributed window-function shape):
+# shuffle once on the partition key, order + prefix-sum INSIDE each group
+# (groups are user-sized, never the whole table), emit per-event rows.
+# Oracle: SUM() OVER (PARTITION BY ... ORDER BY ...) on the same quantized
+# values — exact int math on both engines, any merge order.
+# ---------------------------------------------------------------------------
+
+def events_user_running_total(sf_dir: str):
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        v = sql_round(g["value"].to_numpy() * 1000.0).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].astype("int64"),
+                "user_id": g["user_id"].astype("int64"),
+                "cum_v": np.cumsum(v),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+EVENTS_USER_RUNNING_TOTAL_SQL = """
+WITH t AS (
+  SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS us,
+         CAST(round(value*1000) AS BIGINT) AS v
+  FROM events
+)
+SELECT event_id, user_id,
+       CAST(SUM(v) OVER (PARTITION BY user_id ORDER BY us, event_id
+                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_v
+FROM t ORDER BY user_id, event_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Per-group top-k WITHOUT a global sort: each batch keeps its own top-k per
+# group (vectorized sort + head), a combine level collapses up to 4096
+# partial rows, the driver ranks the tiny survivor set. Shuffle-free — the
+# moved volume is O(batches x groups x k), independent of row count.
+# ---------------------------------------------------------------------------
+
+def docs_top3_by_lang(sf_dir: str, k: int = 3):
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def topk(b) -> pd.DataFrame:
+        df = b if isinstance(b, pd.DataFrame) else b.to_pandas()
+        df = df.sort_values(["lang", "n_chars", "doc_id"], ascending=[True, False, True])
+        return df.groupby("lang", as_index=False).head(k)
+
+    lvl = ds.map_batches(topk, batch_format="pandas").map_batches(
+        topk, batch_format="pandas", batch_size=4096
+    )
+    df = topk(lvl.to_pandas()).reset_index(drop=True)
+    df["rk"] = (df.groupby("lang").cumcount() + 1).astype("int64")
+    return df[["lang", "rk", "doc_id", "n_chars"]].sort_values(["lang", "rk"]).reset_index(drop=True)
+
+
+DOCS_TOP3_BY_LANG_SQL = """
+SELECT lang, CAST(rn AS BIGINT) AS rk, doc_id, n_chars
+FROM (
+  SELECT lang, doc_id, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rn
+  FROM documents
+)
+WHERE rn <= 3 ORDER BY lang, rk
+"""
+
+
+# ---------------------------------------------------------------------------
+# Distributed pivot / crosstab: per-batch crosstab partials (one row per
+# hour with one count column per pinned event type), tree-combined — the
+# wide table never exceeds 24 x (len(types)+2) anywhere.
+# ---------------------------------------------------------------------------
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def events_type_hour_pivot(sf_dir: str):
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+    from .relational import tree_group_sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        us = b["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        hour = (us.astype("int64") // 3_600_000_000) % 24
+        df = pd.DataFrame({"hour": hour.astype(np.int64), "et": b["event_type"].to_pandas()})
+        g = df.groupby(["hour", "et"]).size().unstack(fill_value=0)
+        out = pd.DataFrame({"hour": g.index.to_numpy(dtype=np.int64)})
+        for t in EVENT_TYPES:
+            out[f"n_{t}"] = g[t].to_numpy(dtype=np.int64) if t in g else np.int64(0)
+        out["n_total"] = g.sum(axis=1).to_numpy(dtype=np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    df = tree_group_sum(ds.map_batches(partial, batch_format="pyarrow"), ["hour"])
+    return df.sort_values("hour").reset_index(drop=True).astype("int64")
+
+
+EVENTS_TYPE_HOUR_PIVOT_SQL = """
+SELECT CAST(hour(ts) AS BIGINT) AS hour,
+       COUNT(*) FILTER (WHERE event_type = 'click')    AS n_click,
+       COUNT(*) FILTER (WHERE event_type = 'error')    AS n_error,
+       COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+       COUNT(*) FILTER (WHERE event_type = 'signup')   AS n_signup,
+       COUNT(*) FILTER (WHERE event_type = 'view')     AS n_view,
+       COUNT(*)                                        AS n_total
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Deterministic hash sampling: Knuth multiplicative hash on the id, keep
+# h % 100 < rate. Pure per-batch filter (no shuffle, no RNG state), so the
+# sample is reproducible across runs, partitionings, and engines. Domain
+# bound: exact SQL mirroring holds for ids < 2^31 (the int64 product stays
+# in range); past that the engine side wraps in uint64 and the oracle
+# would need DuckDB's hugeint arithmetic.
+# ---------------------------------------------------------------------------
+
+KNUTH_MULT = 2654435761  # 2^32 / phi, Knuth TAOCP vol 3 s6.4
+
+
+def docs_hash_sample(sf_dir: str, rate_pct: int = 10):
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def pick(b: pa.Table) -> pa.Table:
+        did = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (did * np.uint64(KNUTH_MULT)) & np.uint64(0xFFFFFFFF)
+        return b.filter(pa.array((h % np.uint64(100)) < np.uint64(rate_pct)))
+
+    return ds.map_batches(pick, batch_format="pyarrow")
+
+
+DOCS_HASH_SAMPLE_SQL = f"""
+SELECT doc_id, lang, n_chars FROM documents
+WHERE ((doc_id * {KNUTH_MULT}) % 4294967296) % 100 < 10
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact distributed count-distinct: per-batch local dedupe (cuts the
+# exchange to unique pairs per batch), ONE shuffle on the (day, user)
+# pair bounded by |days| x |users| — not row count — then a shuffle-free
+# tree combine for the per-day counts.
+# ---------------------------------------------------------------------------
+
+def events_daily_distinct_users(sf_dir: str):
+    ds = _read(sf_dir, "events", ["ts", "user_id"])
+    from .relational import tree_group_sum
+
+    def pairs(b: pa.Table) -> pa.Table:
+        d = b["ts"].to_numpy(zero_copy_only=False).astype("datetime64[D]")
+        df = pd.DataFrame(
+            {"day": np.datetime_as_string(d, unit="D"), "user_id": b["user_id"].to_numpy(zero_copy_only=False)}
+        ).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    distinct = ds.map_batches(pairs, batch_format="pyarrow").groupby(["day", "user_id"]).count()
+
+    def ones(b: pa.Table) -> pa.Table:
+        return pa.table({"day": b["day"], "n_users": pa.array(np.ones(b.num_rows, dtype=np.int64))})
+
+    df = tree_group_sum(distinct.map_batches(ones, batch_format="pyarrow"), ["day"])
+    return df.sort_values("day").reset_index(drop=True).astype({"n_users": "int64"})
+
+
+EVENTS_DAILY_DISTINCT_USERS_SQL = """
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY 1 ORDER BY 1
+"""
