@@ -155,6 +155,14 @@ _SQL_CHECKED: dict[str, tuple[Callable[[str], Any], str]] = {
     "events_type_hour_pivot": (X.events_type_hour_pivot, X.EVENTS_TYPE_HOUR_PIVOT_SQL),
     "docs_hash_sample": (X.docs_hash_sample, X.DOCS_HASH_SAMPLE_SQL),
     "events_daily_distinct_users": (X.events_daily_distinct_users, X.EVENTS_DAILY_DISTINCT_USERS_SQL),
+    # round 4 (cont.): semi-structured + text/embedding analytics — JSON
+    # field extraction (one compiled regex per batch, same pinned pattern
+    # in DuckDB), exact per-label embedding centroids (1e-6 quantized
+    # component sums in long format), and the TF-IDF base table (split+
+    # explode; df partials sum because a doc lives in exactly one batch)
+    "events_props_bucket": (X.events_props_bucket, X.EVENTS_PROPS_BUCKET_SQL),
+    "embeddings_label_centroid": (X.embeddings_label_centroid, X.EMBEDDINGS_LABEL_CENTROID_SQL),
+    "docs_term_df": (X.docs_term_df, X.DOCS_TERM_DF_SQL),
 }
 
 # rows-only checks (none left — every query has an oracle)

@@ -1323,3 +1323,137 @@ SELECT strftime(ts, '%Y-%m-%d') AS day,
        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
 FROM events GROUP BY 1 ORDER BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Semi-structured field extraction: pull an int field out of a JSON props
+# column with ONE compiled vectorized regex per batch (no per-row json.loads
+# in the hot path), bucket it, and tree-combine the tiny aggregate. The
+# oracle extracts with the SAME pinned pattern via DuckDB regexp_extract,
+# so both engines parse identically (incl. missing-field rows -> dropped).
+# ---------------------------------------------------------------------------
+
+PROPS_K_PATTERN = r'"k":\s*(\d+)'
+
+
+def events_props_bucket(sf_dir: str):
+    import re
+
+    ds = _read(sf_dir, "events", ["props", "value"])
+    from .relational import tree_group_sum
+
+    rx = re.compile(PROPS_K_PATTERN)
+
+    def partial(b: pa.Table) -> pa.Table:
+        s = b["props"].to_pandas()
+        k = s.str.extract(rx, expand=False)
+        ok = k.notna().to_numpy()
+        kv = k[ok].to_numpy(dtype=np.int64)
+        v = sql_round(b["value"].to_numpy(zero_copy_only=False)[ok] * 1000.0).astype(np.int64)
+        df = pd.DataFrame({"k_bucket": kv % 10, "n": 1, "sum_v": v})
+        return pa.Table.from_pandas(df.groupby("k_bucket", as_index=False).sum(), preserve_index=False)
+
+    df = tree_group_sum(ds.map_batches(partial, batch_format="pyarrow"), ["k_bucket"])
+    df = df.sort_values("k_bucket").reset_index(drop=True)
+    out = pd.DataFrame({"k_bucket": df["k_bucket"].astype("int64"), "n": df["n"].astype("int64")})
+    out["sum_value"] = df["sum_v"].astype("float64") / 1000.0
+    return out
+
+
+EVENTS_PROPS_BUCKET_SQL = r"""
+WITH t AS (
+  SELECT CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) % 10 AS k_bucket,
+         CAST(round(value*1000) AS BIGINT) AS v
+  FROM events
+  WHERE regexp_extract(props, '"k":\s*(\d+)', 1) <> ''
+)
+SELECT k_bucket, COUNT(*) AS n, CAST(CAST(SUM(v) AS BIGINT) AS DOUBLE)/1000.0 AS sum_value
+FROM t GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Per-label embedding centroid, exactly: components are quantized to 1e-6
+# ints per batch (float32 -> float64 -> round, identical on both engines),
+# summed per (label, dim) — exact in any order — and divided by the label
+# count with one pinned IEEE expression at the end. Long (label, dim)
+# format so the driver's sorted value hash covers every component.
+# ---------------------------------------------------------------------------
+
+def embeddings_label_centroid(sf_dir: str):
+    ds = _read(sf_dir, "embeddings", ["label", "embedding"])
+    from .relational import tree_group_sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        lab = b["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        emb = np.stack(b["embedding"].to_pandas().to_numpy())  # (rows, dim) float32
+        q = sql_round(emb.astype(np.float64) * 1_000_000.0).astype(np.int64)
+        dim = q.shape[1]
+        ulab, inv = np.unique(lab, return_inverse=True)
+        sums = np.zeros((len(ulab), dim), dtype=np.int64)
+        np.add.at(sums, inv, q)
+        cnt = np.bincount(inv, minlength=len(ulab)).astype(np.int64)
+        return pa.table(
+            {
+                "label": pa.array(np.repeat(ulab, dim)),
+                "dim": pa.array(np.tile(np.arange(1, dim + 1, dtype=np.int64), len(ulab))),
+                "s_q": pa.array(sums.reshape(-1)),
+                "n": pa.array(np.repeat(cnt, dim)),
+            }
+        )
+
+    df = tree_group_sum(ds.map_batches(partial, batch_format="pyarrow"), ["label", "dim"])
+    df = df.sort_values(["label", "dim"]).reset_index(drop=True)
+    out = pd.DataFrame({"label": df["label"].astype("int64"), "dim": df["dim"].astype("int64")})
+    out["n"] = df["n"].astype("int64")
+    out["cmean"] = (df["s_q"].astype("float64") / 1_000_000.0) / df["n"].astype("float64")
+    return out
+
+
+EMBEDDINGS_LABEL_CENTROID_SQL = """
+WITH comp AS (
+  SELECT CAST(label AS BIGINT) AS label,
+         CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000.0) AS BIGINT) AS q
+  FROM embeddings
+)
+SELECT label, dim, COUNT(*) AS n,
+       (CAST(CAST(SUM(q) AS BIGINT) AS DOUBLE) / 1000000.0) / CAST(COUNT(*) AS DOUBLE) AS cmean
+FROM comp GROUP BY label, dim ORDER BY label, dim
+"""
+
+
+# ---------------------------------------------------------------------------
+# Term document-frequency table (the inverted-index / TF-IDF base): one
+# vectorized split+explode per batch; df partials are correct to sum
+# because every document lives in exactly one batch (rows are documents).
+# The moved volume is one row per distinct term per batch — vocabulary-
+# bounded, not token-bounded.
+# ---------------------------------------------------------------------------
+
+def docs_term_df(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    from .relational import tree_group_sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        toks = df.set_index("doc_id")["text"].str.split(" ").explode()
+        toks = toks[toks != ""]
+        t = toks.reset_index().rename(columns={"text": "term"})
+        tf = t.groupby("term", as_index=False).size().rename(columns={"size": "tf"})
+        dfreq = t.drop_duplicates().groupby("term", as_index=False).size().rename(columns={"size": "df"})
+        out = tf.merge(dfreq, on="term")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    df = tree_group_sum(ds.map_batches(partial, batch_format="pyarrow"), ["term"])
+    df = df.sort_values("term").reset_index(drop=True)
+    return df.astype({"tf": "int64", "df": "int64"})[["term", "tf", "df"]]
+
+
+DOCS_TERM_DF_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), t AS (SELECT doc_id, term FROM toks WHERE term <> '')
+SELECT term, COUNT(*) AS tf, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+FROM t GROUP BY term ORDER BY term
+"""
