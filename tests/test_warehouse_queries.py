@@ -1,0 +1,63 @@
+"""DuckDB parity for the round-4 warehouse/analytics query shapes
+(pipelines/extraqueries.py): window prefix-sum, grouped top-k, pivot,
+deterministic hash sample, exact count-distinct, JSON field extraction,
+embedding centroids, term document-frequency, exact quantiles.
+
+The driver harness (tools/check_correctness.py) covers the full registry
+at sf0.01; this module pins the NEW entries in CI at sf0.001 with the
+same sorted-frame compare."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+NEW_QUERIES = [
+    "events_user_running_total",
+    "docs_top3_by_lang",
+    "events_type_hour_pivot",
+    "docs_hash_sample",
+    "events_daily_distinct_users",
+    "events_props_bucket",
+    "embeddings_label_centroid",
+    "docs_term_df",
+    "events_value_quantiles",
+]
+
+
+@pytest.fixture(scope="module")
+def entry(ray_session):
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "ray_entry_under_test", os.path.join(os.path.dirname(__file__), "..", "__ray_entry__.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture(scope="module")
+def oracle_con():
+    con = duckdb.connect()
+    for t in ("events", "documents", "embeddings"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    return con
+
+
+@pytest.mark.parametrize("name", NEW_QUERIES)
+def test_query_matches_duckdb_oracle(entry, oracle_con, name):
+    res = entry.queries()[name](SF)
+    if hasattr(res, "to_pandas") and not isinstance(res, pd.DataFrame):
+        res = res.to_pandas()
+    oracle = oracle_con.execute(entry.oracle_sql()[name]).df()
+    cols = sorted(res.columns)
+    assert cols == sorted(oracle.columns), f"{name}: column sets differ"
+    r = res[cols].sort_values(cols).reset_index(drop=True)
+    o = oracle[cols].sort_values(cols).reset_index(drop=True)
+    assert len(r) == len(o), f"{name}: row counts {len(r)} vs {len(o)}"
+    pd.testing.assert_frame_equal(
+        r, o, check_dtype=False, check_exact=True, obj=name
+    )
