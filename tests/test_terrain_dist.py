@@ -489,3 +489,39 @@ def test_assign_clusters_dist_matches_oracle(ray_session, tile):
     ds = tiles_ds({"lab": lab}, tile)
     got = collect(D.assign_clusters_dist(ds, clusters), "cluster", dtype=np.int64)
     assert np.array_equal(got, want), f"tile={tile}"
+
+
+def test_fill_dist_resume_ignores_crashed_round_orphans(ray_session, tmp_path):
+    """ADVICE r3 crash window: a die between write_parquet and _DONE leaves
+    orphan fragments in round-<n>; the retry must not read them (no _DONE)
+    and the recommit must CLEAR them (rmtree) rather than doubling every
+    tile row with a second uniquely-named fragment set."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    z, _ = fixture_grids("pit")
+    want = K.fill_pits(z, RES)
+    ck = str(tmp_path / "fill_ck_crash")
+    partial = D.fill_dist(tiles_ds({"dem": z}, 16), RES, max_rounds=1, checkpoint_dir=ck)
+    n_tiles = partial.count()
+
+    # simulate the crashed NEXT round: fragments on disk, no _DONE marker
+    done = sorted(int(d.split("-")[1]) for d in os.listdir(ck) if d.startswith("round-"))
+    crash_dir = os.path.join(ck, f"round-{done[-1] + 1}")
+    os.makedirs(crash_dir)
+    sample = partial.limit(1).to_pandas()
+    pq.write_table(
+        __import__("pyarrow").Table.from_pandas(sample, preserve_index=False),
+        os.path.join(crash_dir, "orphan-fragment.parquet"),
+    )
+
+    out = D.fill_dist(tiles_ds({"dem": z}, 16), RES, checkpoint_dir=ck)
+    assert out.count() == n_tiles  # no duplicated tiles from the orphan set
+    got = collect(out, "demns")
+    assert np.array_equal(got, want)
+    # and the committed round dirs are single-generation (orphan cleared)
+    for d in os.listdir(ck):
+        if d.startswith("round-") and os.path.exists(os.path.join(ck, d, "_DONE")):
+            frags = [f for f in os.listdir(os.path.join(ck, d)) if f.endswith(".parquet")]
+            assert "orphan-fragment.parquet" not in frags
