@@ -42,16 +42,20 @@ def tree_group_sum(partials_ds, keys: list[str], combine_batch: int = 4096) -> p
     output batch, then the driver merges the survivors. All value columns
     must be summable (integer partials stay exact in any merge order).
 
-    Scale bound: the driver sees O(input_blocks / combine_batch * G) rows
-    — a few thousand even at 10^6 input blocks (add a second combine level
-    before the collect if that ever grows). Replaces a full all-to-all
-    groupby stage whose ~1 s startup dominated these sub-second aggregates
-    at high parallelism (same lever as the flagship salt pre-pass)."""
+    Scale bound: TWO combine levels before the collect, so the driver sees
+    O(input_blocks * G / combine_batch^2 * G) rows — with G<=100 groups and
+    4096-row combine batches that stays a few thousand rows even at 10^7
+    input blocks. (Combining is associative and the partials are exact
+    ints, so stacking levels changes nothing semantically.) Replaces a
+    full all-to-all groupby stage whose ~1 s startup dominated these
+    sub-second aggregates at high parallelism (same lever as the flagship
+    salt pre-pass)."""
 
     def combine(b: pd.DataFrame) -> pd.DataFrame:
         return b.groupby(keys, as_index=False).sum()
 
     lvl = partials_ds.map_batches(combine, batch_format="pandas", batch_size=combine_batch)
+    lvl = lvl.map_batches(combine, batch_format="pandas", batch_size=combine_batch)
     df = lvl.to_pandas()
     if df.empty:  # an empty Dataset collects without column names
         return df.reindex(columns=keys)
