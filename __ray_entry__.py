@@ -163,6 +163,9 @@ _SQL_CHECKED: dict[str, tuple[Callable[[str], Any], str]] = {
     "events_props_bucket": (X.events_props_bucket, X.EVENTS_PROPS_BUCKET_SQL),
     "embeddings_label_centroid": (X.embeddings_label_centroid, X.EMBEDDINGS_LABEL_CENTROID_SQL),
     "docs_term_df": (X.docs_term_df, X.DOCS_TERM_DF_SQL),
+    # round 4 (cont.): exact distributed Pearson correlation — integer
+    # co-moment sums tree-combined, ONE pinned IEEE expression both sides
+    "events_corr_value_k": (X.events_corr_value_k, X.EVENTS_CORR_VALUE_K_SQL),
 }
 
 # rows-only checks (none left — every query has an oracle)

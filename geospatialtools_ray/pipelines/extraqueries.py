@@ -1457,3 +1457,79 @@ WITH toks AS (
 SELECT term, COUNT(*) AS tf, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
 FROM t GROUP BY term ORDER BY term
 """
+
+
+# ---------------------------------------------------------------------------
+# Exact distributed Pearson correlation: the five co-moment sums
+# (Sx, Sy, Sxy, Sxx, Syy) over integer-quantized values are exact in any
+# combine order, tree-combined without a shuffle; the final r is ONE
+# pinned IEEE float64 expression evaluated identically in both engines and
+# rounded to 6 dp. Scale bound: per-row Sxy <= 1.2e7 here, so int64 sums
+# hold to ~1e11 rows; past that, split hi/lo like q5's revenue partials.
+# ---------------------------------------------------------------------------
+
+def events_corr_value_k(sf_dir: str):
+    import re
+
+    ds = _read(sf_dir, "events", ["event_type", "value", "props"])
+    from .relational import tree_group_sum
+
+    rx = re.compile(PROPS_K_PATTERN)
+
+    def partial(b: pa.Table) -> pa.Table:
+        et = b["event_type"].to_pandas()
+        k = b["props"].to_pandas().str.extract(rx, expand=False)
+        ok = k.notna().to_numpy()
+        x = sql_round(b["value"].to_numpy(zero_copy_only=False)[ok] * 1000.0).astype(np.int64)
+        y = k[ok].to_numpy(dtype=np.int64)
+        df = pd.DataFrame(
+            {
+                "event_type": et[ok].to_numpy(),
+                "n": 1,
+                "sx": x,
+                "sy": y,
+                "sxy": x * y,
+                "sxx": x * x,
+                "syy": y * y,
+            }
+        )
+        return pa.Table.from_pandas(df.groupby("event_type", as_index=False).sum(), preserve_index=False)
+
+    df = tree_group_sum(ds.map_batches(partial, batch_format="pyarrow"), ["event_type"])
+    df = df.sort_values("event_type").reset_index(drop=True)
+    n = df["n"].astype("float64").to_numpy()
+    sx = df["sx"].astype("float64").to_numpy()
+    sy = df["sy"].astype("float64").to_numpy()
+    sxy = df["sxy"].astype("float64").to_numpy()
+    sxx = df["sxx"].astype("float64").to_numpy()
+    syy = df["syy"].astype("float64").to_numpy()
+    r = (n * sxy - sx * sy) / (np.sqrt(n * sxx - sx * sx) * np.sqrt(n * syy - sy * sy))
+    return pd.DataFrame(
+        {
+            "event_type": df["event_type"],
+            "n": df["n"].astype("int64"),
+            "corr_vk": np.round(r, 6),
+        }
+    )
+
+
+EVENTS_CORR_VALUE_K_SQL = r"""
+WITH t AS (
+  SELECT event_type,
+         CAST(round(value*1000) AS BIGINT) AS x,
+         CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) AS y
+  FROM events
+  WHERE regexp_extract(props, '"k":\s*(\d+)', 1) <> ''
+), s AS (
+  SELECT event_type, COUNT(*) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x*y) AS BIGINT) AS sxy,
+         CAST(SUM(x*x) AS BIGINT) AS sxx, CAST(SUM(y*y) AS BIGINT) AS syy
+  FROM t GROUP BY event_type
+)
+SELECT event_type, n,
+       round((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+             / (sqrt(CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+                * sqrt(CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))), 6) AS corr_vk
+FROM s ORDER BY event_type
+"""

@@ -23,6 +23,7 @@ NEW_QUERIES = [
     "embeddings_label_centroid",
     "docs_term_df",
     "events_value_quantiles",
+    "events_corr_value_k",
 ]
 
 
