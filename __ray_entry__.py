@@ -166,6 +166,13 @@ _SQL_CHECKED: dict[str, tuple[Callable[[str], Any], str]] = {
     # round 4 (cont.): exact distributed Pearson correlation — integer
     # co-moment sums tree-combined, ONE pinned IEEE expression both sides
     "events_corr_value_k": (X.events_corr_value_k, X.EVENTS_CORR_VALUE_K_SQL),
+    # round 4 (cont.): per-group argmax/mode (vocabulary-bounded counts +
+    # pinned tie rule), anti-join via HAVING-zero (user-cardinality-bounded
+    # shuffle), and rollup/grouping-sets (finest level distributed, coarser
+    # levels derived exactly from its integer partials)
+    "docs_top_term_per_lang": (X.docs_top_term_per_lang, X.DOCS_TOP_TERM_PER_LANG_SQL),
+    "events_users_no_purchase": (X.events_users_no_purchase, X.EVENTS_USERS_NO_PURCHASE_SQL),
+    "events_rollup_type_hour": (X.events_rollup_type_hour, X.EVENTS_ROLLUP_TYPE_HOUR_SQL),
 }
 
 # rows-only checks (none left — every query has an oracle)

@@ -1533,3 +1533,127 @@ SELECT event_type, n,
                 * sqrt(CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))), 6) AS corr_vk
 FROM s ORDER BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# Per-group argmax (mode): vocabulary-bounded (lang, term) counts via the
+# shuffle-free tree combine, driver argmax with a pinned tie rule
+# (highest count, then lexicographically smallest term).
+# ---------------------------------------------------------------------------
+
+def docs_top_term_per_lang(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+    from .relational import tree_group_sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        toks = df.set_index("lang")["text"].str.split(" ").explode()
+        toks = toks[toks != ""]
+        t = toks.reset_index().rename(columns={"text": "term"})
+        t["n"] = 1
+        return pa.Table.from_pandas(t.groupby(["lang", "term"], as_index=False).sum(), preserve_index=False)
+
+    df = tree_group_sum(ds.map_batches(partial, batch_format="pyarrow"), ["lang", "term"])
+    df = df.sort_values(["lang", "n", "term"], ascending=[True, False, True])
+    top = df.groupby("lang", as_index=False).head(1).reset_index(drop=True)
+    return pd.DataFrame(
+        {"lang": top["lang"], "top_term": top["term"], "n": top["n"].astype("int64")}
+    ).sort_values("lang").reset_index(drop=True)
+
+
+DOCS_TOP_TERM_PER_LANG_SQL = """
+WITH toks AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents
+), t AS (
+  SELECT lang, term, COUNT(*) AS n FROM toks WHERE term <> '' GROUP BY 1, 2
+), r AS (
+  SELECT lang, term, n, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, term) AS rn FROM t
+)
+SELECT lang, term AS top_term, CAST(n AS BIGINT) AS n FROM r WHERE rn = 1 ORDER BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# Anti-join / HAVING-zero shape: users with events but no purchase. One
+# shuffle bounded by USER cardinality (per-batch partial max of a
+# has-purchase flag), not row count.
+# ---------------------------------------------------------------------------
+
+def events_users_no_purchase(sf_dir: str):
+    from ray.data.aggregate import Max
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "user_id": b["user_id"].to_numpy(zero_copy_only=False),
+                "p": (b["event_type"].to_pandas() == "purchase").astype(np.int64),
+            }
+        )
+        return pa.Table.from_pandas(df.groupby("user_id", as_index=False).max(), preserve_index=False)
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").groupby("user_id").aggregate(Max("p", alias_name="p"))
+    df = agg.to_pandas()
+    out = df[df["p"] == 0][["user_id"]].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+EVENTS_USERS_NO_PURCHASE_SQL = """
+SELECT user_id FROM events
+GROUP BY user_id
+HAVING COUNT(*) FILTER (WHERE event_type = 'purchase') = 0
+ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Rollup / grouping sets: the FINEST level (event_type, hour) is the only
+# distributed aggregate (tree-combined, 24 x types rows); the coarser
+# levels are derived from it on the driver — exact because the partials
+# are exact ints. Sentinels: hour = -1 / event_type = 'ALL' for subtotals.
+# ---------------------------------------------------------------------------
+
+def events_rollup_type_hour(sf_dir: str):
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+    from .relational import tree_group_sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        us = b["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        hour = (us.astype("int64") // 3_600_000_000) % 24
+        v = sql_round(b["value"].to_numpy(zero_copy_only=False) * 1000.0).astype(np.int64)
+        df = pd.DataFrame(
+            {"event_type": b["event_type"].to_pandas(), "hour": hour.astype(np.int64), "n": 1, "sv": v}
+        )
+        return pa.Table.from_pandas(df.groupby(["event_type", "hour"], as_index=False).sum(), preserve_index=False)
+
+    fine = tree_group_sum(ds.map_batches(partial, batch_format="pyarrow"), ["event_type", "hour"])
+    by_type = fine.groupby("event_type", as_index=False)[["n", "sv"]].sum()
+    by_type["hour"] = -1
+    total = pd.DataFrame({"event_type": ["ALL"], "hour": [-1], "n": [fine["n"].sum()], "sv": [fine["sv"].sum()]})
+    allv = pd.concat([fine, by_type, total], ignore_index=True)
+    out = pd.DataFrame(
+        {
+            "event_type": allv["event_type"],
+            "hour": allv["hour"].astype("int64"),
+            "n": allv["n"].astype("int64"),
+            "sum_value": allv["sv"].astype("float64") / 1000.0,
+        }
+    )
+    return out.sort_values(["event_type", "hour"]).reset_index(drop=True)
+
+
+EVENTS_ROLLUP_TYPE_HOUR_SQL = """
+WITH t AS (
+  SELECT event_type, CAST(hour(ts) AS BIGINT) AS hour,
+         CAST(round(value*1000) AS BIGINT) AS v
+  FROM events
+)
+SELECT COALESCE(event_type, 'ALL') AS event_type,
+       COALESCE(hour, -1) AS hour,
+       COUNT(*) AS n,
+       CAST(CAST(SUM(v) AS BIGINT) AS DOUBLE)/1000.0 AS sum_value
+FROM t
+GROUP BY GROUPING SETS ((event_type, hour), (event_type), ())
+ORDER BY event_type, hour
+"""

@@ -24,6 +24,9 @@ NEW_QUERIES = [
     "docs_term_df",
     "events_value_quantiles",
     "events_corr_value_k",
+    "docs_top_term_per_lang",
+    "events_users_no_purchase",
+    "events_rollup_type_hour",
 ]
 
 
