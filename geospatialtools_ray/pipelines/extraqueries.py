@@ -1574,21 +1574,27 @@ SELECT lang, term AS top_term, CAST(n AS BIGINT) AS n FROM r WHERE rn = 1 ORDER 
 
 
 # ---------------------------------------------------------------------------
-# Anti-join / HAVING-zero shape: users with events but no purchase. One
-# shuffle bounded by USER cardinality (per-batch partial max of a
-# has-purchase flag), not row count.
+# Anti-join / HAVING-zero shape: users with events but no BIG purchase
+# (value > 150 -- chosen so the result is non-trivial at every scale
+# factor: 8/15 users at sf0.001, 83/150 at sf0.01). One shuffle bounded
+# by USER cardinality (per-batch partial max of a qualifying flag), not
+# row count; the float threshold compares the SAME raw double on both
+# engines.
 # ---------------------------------------------------------------------------
 
-def events_users_no_purchase(sf_dir: str):
+def events_users_no_purchase(sf_dir: str, value_thr: float = 150.0):
     from ray.data.aggregate import Max
 
-    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "value"])
 
     def partial(b: pa.Table) -> pa.Table:
+        big = (b["event_type"].to_pandas() == "purchase").to_numpy() & (
+            b["value"].to_numpy(zero_copy_only=False) > value_thr
+        )
         df = pd.DataFrame(
             {
                 "user_id": b["user_id"].to_numpy(zero_copy_only=False),
-                "p": (b["event_type"].to_pandas() == "purchase").astype(np.int64),
+                "p": big.astype(np.int64),
             }
         )
         return pa.Table.from_pandas(df.groupby("user_id", as_index=False).max(), preserve_index=False)
@@ -1602,7 +1608,7 @@ def events_users_no_purchase(sf_dir: str):
 EVENTS_USERS_NO_PURCHASE_SQL = """
 SELECT user_id FROM events
 GROUP BY user_id
-HAVING COUNT(*) FILTER (WHERE event_type = 'purchase') = 0
+HAVING COUNT(*) FILTER (WHERE event_type = 'purchase' AND value > 150) = 0
 ORDER BY user_id
 """
 
