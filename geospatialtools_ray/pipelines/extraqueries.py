@@ -1385,6 +1385,9 @@ def embeddings_label_centroid(sf_dir: str):
     from .relational import tree_group_sum
 
     def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:  # np.stack needs >=1 array; empty blocks happen after repartition
+            return pa.table({"label": pa.array([], type=pa.int64()), "dim": pa.array([], type=pa.int64()),
+                             "s_q": pa.array([], type=pa.int64()), "n": pa.array([], type=pa.int64())})
         lab = b["label"].to_numpy(zero_copy_only=False).astype(np.int64)
         emb = np.stack(b["embedding"].to_pandas().to_numpy())  # (rows, dim) float32
         q = sql_round(emb.astype(np.float64) * 1_000_000.0).astype(np.int64)
