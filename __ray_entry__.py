@@ -173,6 +173,10 @@ _SQL_CHECKED: dict[str, tuple[Callable[[str], Any], str]] = {
     "docs_top_term_per_lang": (X.docs_top_term_per_lang, X.DOCS_TOP_TERM_PER_LANG_SQL),
     "events_users_no_purchase": (X.events_users_no_purchase, X.EVENTS_USERS_NO_PURCHASE_SQL),
     "events_rollup_type_hour": (X.events_rollup_type_hour, X.EVENTS_ROLLUP_TYPE_HOUR_SQL),
+    # round 4 (cont.): conversion funnel (first signup -> purchase within
+    # 7 days by signup day) — per-user logic in user-sized groups, per-day
+    # rollup tree-combined, ONE pinned IEEE rate both sides
+    "events_signup_funnel": (X.events_signup_funnel, X.EVENTS_SIGNUP_FUNNEL_SQL),
 }
 
 # rows-only checks (none left — every query has an oracle)

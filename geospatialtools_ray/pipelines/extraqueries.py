@@ -1666,3 +1666,68 @@ FROM t
 GROUP BY GROUPING SETS ((event_type, hour), (event_type), ())
 ORDER BY event_type, hour
 """
+
+
+# ---------------------------------------------------------------------------
+# Conversion funnel: first signup -> purchase within 7 days, aggregated by
+# signup day. Per-user logic runs inside user-sized groups (one shuffle on
+# the key); the per-day rollup is tree-combined. The rate is ONE pinned
+# IEEE division rounded to 6 dp on both engines.
+# ---------------------------------------------------------------------------
+
+FUNNEL_WINDOW_US = 7 * 86400 * 1_000_000
+
+
+def events_signup_funnel(sf_dir: str):
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+    from .relational import tree_group_sum
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        et = g["event_type"].to_numpy()
+        us = g["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        sm = et == "signup"
+        if not sm.any():
+            return pd.DataFrame({"day": pd.Series([], dtype=str), "n_users": pd.Series([], dtype=np.int64),
+                                 "n_converted": pd.Series([], dtype=np.int64)})
+        s_us = us[sm].min()
+        conv = bool((((et == "purchase") & (us >= s_us) & (us < s_us + FUNNEL_WINDOW_US))).any())
+        day = np.datetime_as_string(
+            np.asarray([s_us], dtype="int64").astype("datetime64[us]").astype("datetime64[D]"), unit="D"
+        )[0]
+        return pd.DataFrame({"day": [day], "n_users": [np.int64(1)], "n_converted": [np.int64(1 if conv else 0)]})
+
+    per = ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    df = tree_group_sum(per, ["day"])
+    df = df.sort_values("day").reset_index(drop=True)
+    out = pd.DataFrame(
+        {
+            "day": df["day"],
+            "n_users": df["n_users"].astype("int64"),
+            "n_converted": df["n_converted"].astype("int64"),
+        }
+    )
+    out["conv_rate"] = np.round(
+        out["n_converted"].to_numpy(dtype=np.float64) / out["n_users"].to_numpy(dtype=np.float64), 6
+    )
+    return out
+
+
+EVENTS_SIGNUP_FUNNEL_SQL = f"""
+WITH fs AS (
+  SELECT user_id, MIN(CAST(epoch_us(ts) AS BIGINT)) AS s_us
+  FROM events WHERE event_type = 'signup' GROUP BY 1
+), conv AS (
+  SELECT f.user_id, f.s_us,
+         MAX(CASE WHEN e.event_type = 'purchase'
+                   AND CAST(epoch_us(e.ts) AS BIGINT) >= f.s_us
+                   AND CAST(epoch_us(e.ts) AS BIGINT) < f.s_us + {FUNNEL_WINDOW_US}
+                  THEN 1 ELSE 0 END) AS c
+  FROM fs f JOIN events e ON f.user_id = e.user_id
+  GROUP BY 1, 2
+)
+SELECT strftime(make_timestamp(s_us), '%Y-%m-%d') AS day,
+       COUNT(*) AS n_users,
+       CAST(SUM(c) AS BIGINT) AS n_converted,
+       round(CAST(CAST(SUM(c) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS conv_rate
+FROM conv GROUP BY 1 ORDER BY 1
+"""

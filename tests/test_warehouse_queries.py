@@ -27,6 +27,7 @@ NEW_QUERIES = [
     "docs_top_term_per_lang",
     "events_users_no_purchase",
     "events_rollup_type_hour",
+    "events_signup_funnel",
 ]
 
 
