@@ -40,7 +40,7 @@ def group_value_counts(ds, group_col: str, value_col: str, quantize: float = 100
         out = df.groupby([group_col, "qv"], as_index=False).sum()
         return pa.Table.from_pandas(out, preserve_index=False)
 
-    return tree_group_sum(ds.map_batches(partial, batch_format="pyarrow"), [group_col, "qv"])
+    return tree_group_sum(ds.map_batches(partial, batch_format="pyarrow"), [group_col, "qv"], value_cols=["n"])
 
 
 def exact_quantiles(ds, group_col: str, value_col: str, qs: list[float], quantize: float = 1000.0) -> pd.DataFrame:

@@ -1245,7 +1245,8 @@ def events_type_hour_pivot(sf_dir: str):
         out["n_total"] = g.sum(axis=1).to_numpy(dtype=np.int64)
         return pa.Table.from_pandas(out, preserve_index=False)
 
-    df = tree_group_sum(ds.map_batches(partial, batch_format="pyarrow"), ["hour"])
+    df = tree_group_sum(ds.map_batches(partial, batch_format="pyarrow"), ["hour"],
+                        value_cols=[f"n_{t}" for t in EVENT_TYPES] + ["n_total"])
     return df.sort_values("hour").reset_index(drop=True).astype("int64")
 
 
@@ -1271,22 +1272,23 @@ FROM events GROUP BY 1 ORDER BY 1
 # ---------------------------------------------------------------------------
 
 KNUTH_MULT = 2654435761  # 2^32 / phi, Knuth TAOCP vol 3 s6.4
+HASH_SAMPLE_PCT = 10  # pinned: interpolated into BOTH the engine filter and the SQL
 
 
-def docs_hash_sample(sf_dir: str, rate_pct: int = 10):
+def docs_hash_sample(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
 
     def pick(b: pa.Table) -> pa.Table:
         did = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
         h = (did * np.uint64(KNUTH_MULT)) & np.uint64(0xFFFFFFFF)
-        return b.filter(pa.array((h % np.uint64(100)) < np.uint64(rate_pct)))
+        return b.filter(pa.array((h % np.uint64(100)) < np.uint64(HASH_SAMPLE_PCT)))
 
     return ds.map_batches(pick, batch_format="pyarrow")
 
 
 DOCS_HASH_SAMPLE_SQL = f"""
 SELECT doc_id, lang, n_chars FROM documents
-WHERE ((doc_id * {KNUTH_MULT}) % 4294967296) % 100 < 10
+WHERE ((doc_id * {KNUTH_MULT}) % 4294967296) % 100 < {HASH_SAMPLE_PCT}
 ORDER BY doc_id
 """
 
@@ -1314,7 +1316,7 @@ def events_daily_distinct_users(sf_dir: str):
     def ones(b: pa.Table) -> pa.Table:
         return pa.table({"day": b["day"], "n_users": pa.array(np.ones(b.num_rows, dtype=np.int64))})
 
-    df = tree_group_sum(distinct.map_batches(ones, batch_format="pyarrow"), ["day"])
+    df = tree_group_sum(distinct.map_batches(ones, batch_format="pyarrow"), ["day"], value_cols=["n_users"])
     return df.sort_values("day").reset_index(drop=True).astype({"n_users": "int64"})
 
 
@@ -1353,7 +1355,7 @@ def events_props_bucket(sf_dir: str):
         df = pd.DataFrame({"k_bucket": kv % 10, "n": 1, "sum_v": v})
         return pa.Table.from_pandas(df.groupby("k_bucket", as_index=False).sum(), preserve_index=False)
 
-    df = tree_group_sum(ds.map_batches(partial, batch_format="pyarrow"), ["k_bucket"])
+    df = tree_group_sum(ds.map_batches(partial, batch_format="pyarrow"), ["k_bucket"], value_cols=["n", "sum_v"])
     df = df.sort_values("k_bucket").reset_index(drop=True)
     out = pd.DataFrame({"k_bucket": df["k_bucket"].astype("int64"), "n": df["n"].astype("int64")})
     out["sum_value"] = df["sum_v"].astype("float64") / 1000.0
@@ -1405,7 +1407,7 @@ def embeddings_label_centroid(sf_dir: str):
             }
         )
 
-    df = tree_group_sum(ds.map_batches(partial, batch_format="pyarrow"), ["label", "dim"])
+    df = tree_group_sum(ds.map_batches(partial, batch_format="pyarrow"), ["label", "dim"], value_cols=["s_q", "n"])
     df = df.sort_values(["label", "dim"]).reset_index(drop=True)
     out = pd.DataFrame({"label": df["label"].astype("int64"), "dim": df["dim"].astype("int64")})
     out["n"] = df["n"].astype("int64")
@@ -1448,7 +1450,7 @@ def docs_term_df(sf_dir: str):
         out = tf.merge(dfreq, on="term")
         return pa.Table.from_pandas(out, preserve_index=False)
 
-    df = tree_group_sum(ds.map_batches(partial, batch_format="pyarrow"), ["term"])
+    df = tree_group_sum(ds.map_batches(partial, batch_format="pyarrow"), ["term"], value_cols=["tf", "df"])
     df = df.sort_values("term").reset_index(drop=True)
     return df.astype({"tf": "int64", "df": "int64"})[["term", "tf", "df"]]
 
@@ -1467,8 +1469,13 @@ FROM t GROUP BY term ORDER BY term
 # (Sx, Sy, Sxy, Sxx, Syy) over integer-quantized values are exact in any
 # combine order, tree-combined without a shuffle; the final r is ONE
 # pinned IEEE float64 expression evaluated identically in both engines and
-# rounded to 6 dp. Scale bound: per-row Sxy <= 1.2e7 here, so int64 sums
-# hold to ~1e11 rows; past that, split hi/lo like q5's revenue partials.
+# rounded to 6 dp via the shared sql_round convention. Overflow: per-row
+# sxx = x^2 reaches ~1.1e11 on this corpus (value <= ~328 -> x <= 327,530),
+# which would wrap int64 at only ~8.6e7 rows, so sxy/sxx ship as (hi, lo)
+# divmod-1e9 partials (the q1/q5 pattern) and reconstruct through EXACT
+# Python ints -> one float conversion — the same value DuckDB gets from
+# CAST(HUGEINT_sum AS DOUBLE). Remaining plain-int64 bounds: sx ~2.8e13
+# rows, syy ~9.4e14 rows, hi-sums ~8.6e16 rows — all past 10^12.
 # ---------------------------------------------------------------------------
 
 def events_corr_value_k(sf_dir: str):
@@ -1496,22 +1503,32 @@ def events_corr_value_k(sf_dir: str):
                 "syy": y * y,
             }
         )
-        return pa.Table.from_pandas(df.groupby("event_type", as_index=False).sum(), preserve_index=False)
+        g = df.groupby("event_type", as_index=False).sum()
+        g["sxy_hi"], g["sxy_lo"] = divmod(g.pop("sxy"), 1_000_000_000)
+        g["sxx_hi"], g["sxx_lo"] = divmod(g.pop("sxx"), 1_000_000_000)
+        return pa.Table.from_pandas(g, preserve_index=False)
 
-    df = tree_group_sum(ds.map_batches(partial, batch_format="pyarrow"), ["event_type"])
+    df = tree_group_sum(ds.map_batches(partial, batch_format="pyarrow"), ["event_type"],
+                        value_cols=["n", "sx", "sy", "syy", "sxy_hi", "sxy_lo", "sxx_hi", "sxx_lo"])
     df = df.sort_values("event_type").reset_index(drop=True)
     n = df["n"].astype("float64").to_numpy()
     sx = df["sx"].astype("float64").to_numpy()
     sy = df["sy"].astype("float64").to_numpy()
-    sxy = df["sxy"].astype("float64").to_numpy()
-    sxx = df["sxx"].astype("float64").to_numpy()
+    # exact big-int reconstruction, then ONE float conversion (== DuckDB's
+    # CAST(HUGEINT AS DOUBLE))
+    sxy = np.asarray(
+        [float(int(h) * 1_000_000_000 + int(l)) for h, l in zip(df["sxy_hi"], df["sxy_lo"])]
+    )
+    sxx = np.asarray(
+        [float(int(h) * 1_000_000_000 + int(l)) for h, l in zip(df["sxx_hi"], df["sxx_lo"])]
+    )
     syy = df["syy"].astype("float64").to_numpy()
     r = (n * sxy - sx * sy) / (np.sqrt(n * sxx - sx * sx) * np.sqrt(n * syy - sy * sy))
     return pd.DataFrame(
         {
             "event_type": df["event_type"],
             "n": df["n"].astype("int64"),
-            "corr_vk": np.round(r, 6),
+            "corr_vk": sql_round(r * 1_000_000.0) / 1_000_000.0,
         }
     )
 
@@ -1524,10 +1541,12 @@ WITH t AS (
   FROM events
   WHERE regexp_extract(props, '"k":\s*(\d+)', 1) <> ''
 ), s AS (
+  -- sxy/sxx stay HUGEINT (no BIGINT cast): the engine ships them as
+  -- (hi, lo) split partials through the same overflow regime
   SELECT event_type, COUNT(*) AS n,
          CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
-         CAST(SUM(x*y) AS BIGINT) AS sxy,
-         CAST(SUM(x*x) AS BIGINT) AS sxx, CAST(SUM(y*y) AS BIGINT) AS syy
+         SUM(x*y) AS sxy, SUM(x*x) AS sxx,
+         CAST(SUM(y*y) AS BIGINT) AS syy
   FROM t GROUP BY event_type
 )
 SELECT event_type, n,
@@ -1556,7 +1575,7 @@ def docs_top_term_per_lang(sf_dir: str):
         t["n"] = 1
         return pa.Table.from_pandas(t.groupby(["lang", "term"], as_index=False).sum(), preserve_index=False)
 
-    df = tree_group_sum(ds.map_batches(partial, batch_format="pyarrow"), ["lang", "term"])
+    df = tree_group_sum(ds.map_batches(partial, batch_format="pyarrow"), ["lang", "term"], value_cols=["n"])
     df = df.sort_values(["lang", "n", "term"], ascending=[True, False, True])
     top = df.groupby("lang", as_index=False).head(1).reset_index(drop=True)
     return pd.DataFrame(
@@ -1636,7 +1655,7 @@ def events_rollup_type_hour(sf_dir: str):
         )
         return pa.Table.from_pandas(df.groupby(["event_type", "hour"], as_index=False).sum(), preserve_index=False)
 
-    fine = tree_group_sum(ds.map_batches(partial, batch_format="pyarrow"), ["event_type", "hour"])
+    fine = tree_group_sum(ds.map_batches(partial, batch_format="pyarrow"), ["event_type", "hour"], value_cols=["n", "sv"])
     by_type = fine.groupby("event_type", as_index=False)[["n", "sv"]].sum()
     by_type["hour"] = -1
     total = pd.DataFrame({"event_type": ["ALL"], "hour": [-1], "n": [fine["n"].sum()], "sv": [fine["sv"].sum()]})
@@ -1697,7 +1716,7 @@ def events_signup_funnel(sf_dir: str):
         return pd.DataFrame({"day": [day], "n_users": [np.int64(1)], "n_converted": [np.int64(1 if conv else 0)]})
 
     per = ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
-    df = tree_group_sum(per, ["day"])
+    df = tree_group_sum(per, ["day"], value_cols=["n_users", "n_converted"])
     df = df.sort_values("day").reset_index(drop=True)
     out = pd.DataFrame(
         {
@@ -1706,8 +1725,12 @@ def events_signup_funnel(sf_dir: str):
             "n_converted": df["n_converted"].astype("int64"),
         }
     )
-    out["conv_rate"] = np.round(
-        out["n_converted"].to_numpy(dtype=np.float64) / out["n_users"].to_numpy(dtype=np.float64), 6
+    # pinned 6-dp rounding (sql_round == DuckDB round(x,6), verified incl.
+    # exactly-representable ratio ties like 5/128) — np.round's half-even
+    # would diverge exactly there
+    out["conv_rate"] = (
+        sql_round(out["n_converted"].to_numpy(dtype=np.float64) / out["n_users"].to_numpy(dtype=np.float64) * 1_000_000.0)
+        / 1_000_000.0
     )
     return out
 

@@ -35,7 +35,8 @@ def _q100(arr):
     return np.round(np.asarray(arr, dtype=np.float64) * 100.0).astype(np.int64)
 
 
-def tree_group_sum(partials_ds, keys: list[str], combine_batch: int = 4096) -> pd.DataFrame:
+def tree_group_sum(partials_ds, keys: list[str], combine_batch: int = 4096,
+                   value_cols: list[str] | None = None) -> pd.DataFrame:
     """Finish a per-batch partial aggregation whose GROUP CARDINALITY is
     tiny (tens, not thousands) without a shuffle: one map_batches combine
     level collapses up to `combine_batch` partial rows into <= G rows per
@@ -57,8 +58,13 @@ def tree_group_sum(partials_ds, keys: list[str], combine_batch: int = 4096) -> p
     lvl = partials_ds.map_batches(combine, batch_format="pandas", batch_size=combine_batch)
     lvl = lvl.map_batches(combine, batch_format="pandas", batch_size=combine_batch)
     df = lvl.to_pandas()
-    if df.empty:  # an empty Dataset collects without column names
-        return df.reindex(columns=keys)
+    if df.empty:
+        # an all-empty collect loses column names entirely (Ray emits
+        # blocks with an empty schema for all-empty pandas outputs), so
+        # rebuild the frame from the caller-declared value columns —
+        # callers whose partials can be empty on real corpora (no regex
+        # match, no qualifying rows) MUST pass value_cols
+        return df.reindex(columns=keys + (value_cols or []))
     return df.groupby(keys, as_index=False).sum()
 
 

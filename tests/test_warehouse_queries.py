@@ -66,3 +66,38 @@ def test_query_matches_duckdb_oracle(entry, oracle_con, name):
     pd.testing.assert_frame_equal(
         r, o, check_dtype=False, check_exact=True, obj=name
     )
+
+
+def test_empty_result_paths_match_oracle(entry, tmp_path):
+    """Code-review finding: all-empty partials used to collapse to a
+    key-only frame and KeyError in the callers. Build a corpus with zero
+    signups and zero JSON 'k' matches; engine and oracle must both return
+    the same EMPTY frames."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sf = str(tmp_path)
+    n = 50
+    t = pa.table(
+        {
+            "event_id": pa.array(np.arange(n), type=pa.int64()),
+            "ts": pa.array(
+                np.asarray(np.arange(n) * 3_600_000_000, dtype="int64").astype("datetime64[us]")
+            ),
+            "user_id": pa.array(np.arange(n) % 7, type=pa.int64()),
+            "event_type": pa.array(["view"] * n),
+            "value": pa.array(np.linspace(1, 99, n), type=pa.float64()),
+            "props": pa.array(['{"z": 1}'] * n),
+        }
+    )
+    pq.write_table(t, f"{sf}/events.parquet")
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')")
+    for name in ("events_signup_funnel", "events_props_bucket"):
+        res = entry.queries()[name](sf)
+        if hasattr(res, "to_pandas") and not isinstance(res, pd.DataFrame):
+            res = res.to_pandas()
+        oracle = con.execute(entry.oracle_sql()[name]).df()
+        assert len(res) == 0 and len(oracle) == 0, name
+        assert sorted(res.columns) == sorted(oracle.columns), name

@@ -90,6 +90,7 @@ def cmd_terrain(args) -> dict:
     acc = D.acc_dist(fdir, args.tile, args.n, args.n,
                      checkpoint_dir=os.path.join(ck, "acc") if ck else None)
     os.makedirs(args.out, exist_ok=True)
+    acc = acc.materialize()  # one execution: count() below is then metadata
     acc.write_parquet(args.out)
     return {"pipeline": "terrain", "n": args.n, "tile": args.tile,
             "tiles_out": acc.count(), "out": args.out}
