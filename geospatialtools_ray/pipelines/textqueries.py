@@ -455,7 +455,9 @@ def soil_pedotransfer(sf_dir: str):
     out = ds.map_batches(derive, batch_format="pyarrow").map_batches(stage, batch_format="pyarrow")
     df = out.to_pandas().sort_values("p_partkey").reset_index(drop=True)
     for c in ("ksat", "thetas", "theta33", "theta1500"):
-        df[c] = df[c].round(6)
+        # sql_round-based 6 dp == DuckDB round(x,6) even at exactly-
+        # representable .5 ties; pandas .round(6) is half-even there
+        df[c] = sql_round(df[c].to_numpy(dtype=np.float64) * 1_000_000.0) / 1_000_000.0
     return df.drop(columns=["clay", "sand", "om"])
 
 
