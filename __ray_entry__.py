@@ -177,6 +177,9 @@ _SQL_CHECKED: dict[str, tuple[Callable[[str], Any], str]] = {
     # 7 days by signup day) — per-user logic in user-sized groups, per-day
     # rollup tree-combined, ONE pinned IEEE rate both sides
     "events_signup_funnel": (X.events_signup_funnel, X.EVENTS_SIGNUP_FUNNEL_SQL),
+    # round 4 (cont.): exact-size uniform sample — k smallest pinned-hash
+    # values via batch-local top-k + combine, oracle = ORDER BY hash LIMIT k
+    "docs_sample_k": (X.docs_sample_k, X.DOCS_SAMPLE_K_SQL),
 }
 
 # rows-only checks (none left — every query has an oracle)

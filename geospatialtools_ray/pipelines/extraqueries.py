@@ -1754,3 +1754,41 @@ SELECT strftime(make_timestamp(s_us), '%Y-%m-%d') AS day,
        round(CAST(CAST(SUM(c) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS conv_rate
 FROM conv GROUP BY 1 ORDER BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Exact-size uniform sample (k smallest pinned-hash values = a determinis-
+# tic sample of EXACTLY k rows, the rate-free counterpart of
+# docs_hash_sample): batch-local top-k by (hash, id) + a combine level +
+# driver final — the partial-top-k merge argument, no global sort. The
+# oracle is ORDER BY the same hash LIMIT k.
+# ---------------------------------------------------------------------------
+
+SAMPLE_K = 20
+
+
+def docs_sample_k(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def topk(b) -> pd.DataFrame:
+        df = b if isinstance(b, pd.DataFrame) else b.to_pandas()
+        did = df["doc_id"].to_numpy(dtype=np.int64).astype(np.uint64)
+        df = df.assign(h=((did * np.uint64(KNUTH_MULT)) & np.uint64(0xFFFFFFFF)).astype(np.int64))
+        return df.sort_values(["h", "doc_id"]).head(SAMPLE_K).drop(columns=[c for c in df.columns if c not in ("doc_id", "lang", "n_chars", "h")])
+
+    lvl = ds.map_batches(topk, batch_format="pandas").map_batches(topk, batch_format="pandas", batch_size=4096)
+    df = topk(lvl.to_pandas()).reset_index(drop=True)
+    df["rk"] = np.arange(1, len(df) + 1, dtype=np.int64)
+    return df[["rk", "doc_id", "lang", "n_chars", "h"]]
+
+
+DOCS_SAMPLE_K_SQL = f"""
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY h, doc_id) AS BIGINT) AS rk,
+       doc_id, lang, n_chars, h
+FROM (
+  SELECT doc_id, lang, n_chars,
+         ((doc_id * {KNUTH_MULT}) % 4294967296) AS h
+  FROM documents
+)
+ORDER BY h, doc_id LIMIT {SAMPLE_K}
+"""

@@ -844,6 +844,12 @@ def hand_dist(ds, N0: int, N1: int):
 # sums of mask-0 counts per (row, tile) — deterministic, no sequential scan.
 # ---------------------------------------------------------------------------
 
+# candidate count above which channels_dist switches from the tuple-dict
+# sparse trace to the array-native twin (tests set this to 0 to force
+# the arrays path on small fixtures)
+SPARSE_ARRAYS_MIN = 200_000
+
+
 def channels_dist(ds, threshold: float, basin_threshold: float, N0: int, N1: int, with_ocean: bool = True):
     """Tiles carry `area` (float32), `fdir`, `landmask`. Adds `channels`
     (int64: 0 land background, >0 segment ids, >=999999 shoreline, -9999
@@ -883,19 +889,46 @@ def channels_dist(ds, threshold: float, basin_threshold: float, N0: int, N1: int
         })
 
     cand_tbl = ds.map_batches(collect_cand, batch_format="pyarrow").to_pandas()
-    cand = {(int(r.gi), int(r.gj)): float(r.area) for r in cand_tbl.itertuples()}
-    down = {
-        (int(r.gi), int(r.gj)): ((int(r.di), int(r.dj)) if r.di > -(10 ** 8) else None)
-        for r in cand_tbl.itertuples()
-    }
-    labels, topology = K.calculate_channels_sparse(cand, down, basin_threshold)
-    # bucket the channel-label dict by coarse spatial block once on the
-    # driver so each tile's paint touches only its own labels — the old
-    # per-tile full-dict scan was O(channels x tiles) (VERDICT #7)
+    a_gi = cand_tbl["gi"].to_numpy(dtype=np.int64)
+    a_gj = cand_tbl["gj"].to_numpy(dtype=np.int64)
+    a_ar = cand_tbl["area"].to_numpy(dtype=np.float64)
+    a_di = cand_tbl["di"].to_numpy(dtype=np.int64)
+    a_dj = cand_tbl["dj"].to_numpy(dtype=np.int64)
+    if len(a_gi) > SPARSE_ARRAYS_MIN:
+        # array-native trace: the tuple-dict path below ran tens of
+        # minutes at 26.5M candidates (39.6% of a filled-flat 8192^2 DEM
+        # at threshold 1e6 m^2) — packed-key searchsorted adjacency + CSR
+        # walk is the same semantics at array constants (bit-parity test
+        # in tests/test_terrain_extra.py)
+        cid_arr, topology = K.calculate_channels_sparse_arrays(a_gi, a_gj, a_ar, a_di, a_dj, basin_threshold)
+        lab_gi, lab_gj, lab_cid = a_gi, a_gj, cid_arr
+    else:
+        cand = {(int(r.gi), int(r.gj)): float(r.area) for r in cand_tbl.itertuples()}
+        down = {
+            (int(r.gi), int(r.gj)): ((int(r.di), int(r.dj)) if r.di > -(10 ** 8) else None)
+            for r in cand_tbl.itertuples()
+        }
+        labels, topology = K.calculate_channels_sparse(cand, down, basin_threshold)
+        lab_gi = np.fromiter((c[0] for c in labels), dtype=np.int64, count=len(labels))
+        lab_gj = np.fromiter((c[1] for c in labels), dtype=np.int64, count=len(labels))
+        lab_cid = np.fromiter(labels.values(), dtype=np.int64, count=len(labels))
+    # bucket the channel labels by coarse spatial block once on the driver
+    # (ARRAYS per bucket, painted vectorized in the kernel — the old
+    # per-tuple Python list paint was O(labels) interpreter work per run)
     _BTS = 64
-    label_buckets: dict[tuple[int, int], list[tuple[int, int, int]]] = {}
-    for (gi, gj), cid in labels.items():
-        label_buckets.setdefault((gi // _BTS, gj // _BTS), []).append((gi, gj, cid))
+    nz = lab_cid != 0  # zero labels paint nothing; drop them up front
+    lab_gi, lab_gj, lab_cid = lab_gi[nz], lab_gj[nz], lab_cid[nz]
+    bkey = (lab_gi // _BTS) * (10 ** 9) + (lab_gj // _BTS)
+    bo = np.argsort(bkey, kind="stable")
+    bkey_s = bkey[bo]
+    cuts = np.flatnonzero(np.diff(bkey_s)) + 1
+    starts_b = np.concatenate([[0], cuts])
+    ends_b = np.concatenate([cuts, [len(bkey_s)]])
+    label_buckets: dict[tuple[int, int], tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+    for s0, e0 in zip(starts_b, ends_b):
+        k = int(bkey_s[s0])
+        idx = bo[s0:e0]
+        label_buckets[(k // (10 ** 9), k % (10 ** 9))] = (lab_gi[idx], lab_gj[idx], lab_cid[idx])
     labels_ref = ray.put(label_buckets)
 
     # global prefix ranks for the ocean scan-order counter: per (gi, j0)
@@ -939,9 +972,12 @@ def channels_dist(ds, threshold: float, basin_threshold: float, N0: int, N1: int
         _BTS = 64
         for bi in range(i0 // _BTS, (i0 + n0 - 1) // _BTS + 1):
             for bj in range(j0 // _BTS, (j0 + n1 - 1) // _BTS + 1):
-                for gi, gj, cid in lab_buckets.get((bi, bj), ()):
-                    if i0 <= gi < i0 + n0 and j0 <= gj < j0 + n1:
-                        ch[gi - i0, gj - j0] = cid
+                got = lab_buckets.get((bi, bj))
+                if got is None:
+                    continue
+                bgi, bgj, bcid = got
+                inside = (bgi >= i0) & (bgi < i0 + n0) & (bgj >= j0) & (bgj < j0 + n1)
+                ch[bgi[inside] - i0, bgj[inside] - j0] = bcid[inside]
         ch_wob = ch.copy()
         if with_ocean:
             # 3x3 any-land test, clamped at global borders: the sentinel

@@ -760,6 +760,125 @@ def calculate_channels_sparse(
             stack.append(make_frame(u, child_cell))
     return labels, topology
 
+
+def calculate_channels_sparse_arrays(
+    gi: np.ndarray,
+    gj: np.ndarray,
+    area: np.ndarray,
+    di: np.ndarray,
+    dj: np.ndarray,
+    basin_threshold: float,
+):
+    """Array-native twin of `calculate_channels_sparse` for LARGE candidate
+    sets (measured: 26.5M candidates = 39.6% of an 8192^2 filled-flat DEM
+    at the 1e6 m^2 threshold made the tuple-dict path run for tens of
+    minutes on the driver). Same semantics bit-for-bit: POS-order upstream
+    adjacency, (-area, j, i) Fortran seed order, the identical frame
+    machine — but membership/adjacency are packed-int64 searchsorted
+    (vectorized) and the walk runs over CSR int arrays instead of
+    tuple-keyed dicts. Returns (cids int64 array aligned to the input
+    candidate order; topology dict). cids 0 = unlabeled (never emitted by
+    the dict twin either — every candidate receives its walk label)."""
+    C = len(gi)
+    cids = np.zeros(C, dtype=np.int64)
+    topology: dict[int, int] = {}
+    if C == 0:
+        return cids, topology
+    gi = np.asarray(gi, dtype=np.int64)
+    gj = np.asarray(gj, dtype=np.int64)
+    area = np.asarray(area, dtype=np.float64)
+    span = int(gj.max()) + 2  # key packing width (gj >= 0)
+    key = gi * span + gj
+    order_k = np.argsort(key, kind="stable")
+    keys_sorted = key[order_k]
+    # downstream candidate index per candidate (-1 if downstream cell is
+    # not a candidate / None)
+    has_down = di > -(10 ** 8)
+    dkey = np.where(has_down, di * span + np.where(has_down, dj, 0), -1)
+    pos_d = np.searchsorted(keys_sorted, dkey)
+    pos_d_c = np.clip(pos_d, 0, C - 1)
+    down_idx = np.where(
+        has_down & (keys_sorted[pos_d_c] == dkey), order_k[pos_d_c], -1
+    ).astype(np.int64)
+    # upstream adjacency in POS order: for offset p, candidate u at
+    # c + POS[p] with down(u) == c contributes edge (c, u, p)
+    e_c, e_u, e_p = [], [], []
+    for p, (oi, oj) in enumerate(POS):
+        nkey = (gi + oi) * span + (gj + oj)
+        pos_n = np.searchsorted(keys_sorted, nkey)
+        pos_n_c = np.clip(pos_n, 0, C - 1)
+        found = keys_sorted[pos_n_c] == nkey
+        u = order_k[pos_n_c]
+        ok = found & (down_idx[u] >= 0)
+        # guard: down(u) must be exactly this cell (compare indices)
+        self_idx = np.arange(C, dtype=np.int64)
+        ok &= np.where(ok, down_idx[np.where(ok, u, 0)] == self_idx, False)
+        m = np.flatnonzero(ok)
+        e_c.append(m)
+        e_u.append(u[m])
+        e_p.append(np.full(len(m), p, dtype=np.int64))
+    e_c = np.concatenate(e_c)
+    e_u = np.concatenate(e_u)
+    e_p = np.concatenate(e_p)
+    eo = np.lexsort((e_p, e_c))  # per-cell neighbors in POS order
+    e_c, e_u = e_c[eo], e_u[eo]
+    indptr = np.zeros(C + 1, dtype=np.int64)
+    np.add.at(indptr, e_c + 1, 1)
+    indptr = np.cumsum(indptr)
+    nbr = e_u  # CSR neighbor list
+    # seed order (-area, j, i) — lexsort primary key is the LAST array
+    seed_order = np.lexsort((gi, gj, -area))
+    big = area >= basin_threshold
+    consumed = np.zeros(C, dtype=bool)
+    hcid = 0
+    for seed in seed_order:
+        if consumed[seed]:
+            continue
+        hcid += 1
+        cid_cell = [hcid]
+        if big[seed]:
+            cids[seed] = cid_cell[0]
+            topology[cid_cell[0]] = -1
+        consumed[seed] = True
+
+        def upcount(c):
+            n = 0
+            for t in range(indptr[c], indptr[c + 1]):
+                u = nbr[t]
+                if not consumed[u] and big[u]:
+                    n += 1
+            return n
+
+        # frame: [cell, cid_cell, org_cell, nbr_lo, nbr_hi, idx, count]
+        stack = [[seed, cid_cell, [cid_cell[0]], int(indptr[seed]), int(indptr[seed + 1]), 0, upcount(seed)]]
+        while stack:
+            fr = stack[-1]
+            c, fcid_cell, org_cell, lo, hi, idx, count = fr
+            if lo + idx >= hi:
+                stack.pop()
+                continue
+            fr[5] += 1
+            u = int(nbr[lo + idx])
+            if consumed[u]:
+                continue
+            if count <= 1:
+                consumed[u] = True
+                cids[u] = cids[c]
+                child_cell = fcid_cell
+            elif big[u]:
+                hcid += 1
+                fcid_cell[0] = hcid
+                consumed[u] = True
+                cids[u] = fcid_cell[0]
+                topology[fcid_cell[0]] = int(org_cell[0])
+                child_cell = fcid_cell
+            else:
+                consumed[u] = True
+                cids[u] = org_cell[0]
+                child_cell = org_cell
+            stack.append([u, child_cell, [child_cell[0]], int(indptr[u]), int(indptr[u + 1]), 0, upcount(u)])
+    return cids, topology
+
 # ---------------------------------------------------------------------------
 # MFD accumulation (terrain_tools.f90:517-626): slope^p-weighted fractions
 # to ALL downhill neighbors, diagonals scaled by sqrt(2) (unlike the D8

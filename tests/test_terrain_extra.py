@@ -256,3 +256,80 @@ def test_d8_acc_neighbors_uses_own_variable():
     counts = K.d8_inflow_neighbors(np.ones((8, 8)), K.d8_fdir_sqrt2(dem.astype(np.float32), 30.0))
     assert np.array_equal(got, var * counts)
     assert not np.array_equal(got, K.d8_inflow_neighbors(var, K.d8_fdir_sqrt2(dem.astype(np.float32), 30.0)))
+
+
+# ---------------------------------------------------------------------------
+# Array-native sparse channel trace: bit-parity with the tuple-dict twin
+# (round-4 scale fix: 26.5M candidates at 8192^2 made the dict path run
+# tens of minutes on the driver)
+# ---------------------------------------------------------------------------
+
+
+def _cand_from_dense(name, n, thr_cells):
+    """Candidates + downstream pointers from a real dense chain."""
+    dem, mask = synth.dem_grid(name, n)
+    z = dem.copy()
+    z[~mask] = np.float32(K.UNDEF)
+    w = K.fill_pits(z.astype(np.float32), 30.0)
+    fdir = K.d8_fdir(w, 30.0)
+    acc = K.d8_accumulate(fdir)
+    area = acc.astype(np.float64) * 900.0
+    sel = area > thr_cells * 900.0
+    ii, jj = np.nonzero(sel)
+    d0, d1 = K.d8_downstream_index(fdir)
+    di = np.where(d0[sel] >= 0, d0[sel], -(10 ** 9)).astype(np.int64)
+    dj = np.where(d0[sel] >= 0, d1[sel], -(10 ** 9)).astype(np.int64)
+    return ii.astype(np.int64), jj.astype(np.int64), area[sel], di, dj
+
+
+@pytest.mark.parametrize("name,thr_cells,bthr", [("twovalley", 4, 8), ("rough", 2, 6), ("cone", 3, 5)])
+def test_sparse_arrays_trace_matches_dict_twin(name, thr_cells, bthr):
+    gi, gj, area, di, dj = _cand_from_dense(name, 48, thr_cells)
+    assert len(gi) > 20  # fixture actually produces a network
+    cand = {(int(a), int(b)): float(c) for a, b, c in zip(gi, gj, area)}
+    down = {
+        (int(a), int(b)): ((int(x), int(y)) if x > -(10 ** 8) else None)
+        for a, b, x, y in zip(gi, gj, di, dj)
+    }
+    bthr_m2 = bthr * 900.0
+    labels, topo = K.calculate_channels_sparse(cand, down, bthr_m2)
+    cids, topo2 = K.calculate_channels_sparse_arrays(gi, gj, area, di, dj, bthr_m2)
+    assert topo2 == topo
+    # representational difference only: the dict twin OMITS never-labeled
+    # seeds, the array twin emits explicit 0s — both paint as background
+    got = {(int(a), int(b)): int(c) for a, b, c in zip(gi, gj, cids)}
+    assert {k: v for k, v in got.items() if v != 0} == {k: v for k, v in labels.items() if v != 0}
+    for k, v in labels.items():
+        if v == 0:
+            assert got[k] == 0
+
+
+def test_channels_dist_arrays_path_bitexact(ray_session, monkeypatch):
+    """Force the arrays path on a small fixture: channels_dist output and
+    topology must equal the dict-path run exactly."""
+    from geospatialtools_ray.terrain import dist as D
+    from geospatialtools_ray.terrain import tiles as T
+
+    n = 32
+    dem, mask = synth.dem_grid("twovalley", n)
+    z = dem.copy()
+    z[~mask] = np.float32(K.UNDEF)
+    w = K.fill_pits(z.astype(np.float32), 30.0)
+    fdir = K.d8_fdir(w, 30.0)
+    acc = K.d8_accumulate(fdir)
+    area = (acc.astype(np.float64) * 900.0).astype(np.float32)
+    grids = {"dem": z.astype(np.float32), "demns": w, "landmask": mask.astype(np.int32),
+             "fdir": fdir.astype(np.int8), "area": area}
+    thr, bthr = 8 * 900.0, 16 * 900.0
+
+    ds1 = T.make_tiles_dataset(grids, 16)
+    ch1, topo1 = D.channels_dist(ds1, thr, bthr, n, n)
+    g1 = T.collect_grid(ch1, "channels").astype(np.int64)
+
+    monkeypatch.setattr(D, "SPARSE_ARRAYS_MIN", 0)
+    ds2 = T.make_tiles_dataset(grids, 16)
+    ch2, topo2 = D.channels_dist(ds2, thr, bthr, n, n)
+    g2 = T.collect_grid(ch2, "channels").astype(np.int64)
+
+    assert topo2 == topo1
+    assert np.array_equal(g2, g1)

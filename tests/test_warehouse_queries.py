@@ -28,6 +28,7 @@ NEW_QUERIES = [
     "events_users_no_purchase",
     "events_rollup_type_hour",
     "events_signup_funnel",
+    "docs_sample_k",
 ]
 
 
