@@ -180,6 +180,15 @@ _SQL_CHECKED: dict[str, tuple[Callable[[str], Any], str]] = {
     # round 4 (cont.): exact-size uniform sample — k smallest pinned-hash
     # values via batch-local top-k + combine, oracle = ORDER BY hash LIMIT k
     "docs_sample_k": (X.docs_sample_k, X.DOCS_SAMPLE_K_SQL),
+    # round 4 (cont.): LLM-training-data hygiene family — broadcast-set
+    # decontamination, token-window chunking, Gopher repetition stats,
+    # regex redaction, per-group quota sampling (cross-engine oracles:
+    # DuckDB recomputes from the raw tables, no staged twins)
+    "docs_decontaminate": (X.docs_decontaminate, X.DOCS_DECONTAMINATE_SQL),
+    "docs_chunk_windows": (X.docs_chunk_windows, X.DOCS_CHUNK_WINDOWS_SQL),
+    "docs_repetition_stats": (X.docs_repetition_stats, X.DOCS_REPETITION_STATS_SQL),
+    "events_props_redact": (X.events_props_redact, X.EVENTS_PROPS_REDACT_SQL),
+    "docs_stratified_sample": (X.docs_stratified_sample, X.DOCS_STRATIFIED_SAMPLE_SQL),
 }
 
 # rows-only checks (none left — every query has an oracle)

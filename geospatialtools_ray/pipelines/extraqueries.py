@@ -1792,3 +1792,258 @@ FROM (
 )
 ORDER BY h, doc_id LIMIT {SAMPLE_K}
 """
+
+
+# ---------------------------------------------------------------------------
+# Test-set decontamination (stages/decontam.py): the eval split is a pinned
+# Knuth-hash slice of the corpus (stand-in for a benchmark suite), its
+# distinct 5-gram set is built with per-batch unique partials and broadcast
+# ONCE; the train side streams through one gram-hash + searchsorted probe
+# per batch. The oracle recomputes grams from raw text in DuckDB (string
+# grams vs the engine's 64-bit gram hashes — cross-engine, not a twin).
+# The documented scale path past a broadcastable eval set is the Bloom
+# OR-fold build in the same module (no false negatives: over-flag only).
+# ---------------------------------------------------------------------------
+
+EVAL_PCT = 5  # pinned eval-slice rate, interpolated into engine + SQL
+DECONTAM_K = 5
+
+
+def docs_decontaminate(sf_dir: str):
+    import ray
+
+    from ..stages import decontam as DC
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def is_eval_mask(b: pa.Table) -> np.ndarray:
+        did = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (did * np.uint64(KNUTH_MULT)) & np.uint64(0xFFFFFFFF)
+        return (h % np.uint64(100)) < np.uint64(EVAL_PCT)
+
+    eval_ds = ds.map_batches(lambda b: b.filter(pa.array(is_eval_mask(b))), batch_format="pyarrow")
+    train_ds = ds.map_batches(lambda b: b.filter(pa.array(~is_eval_mask(b))), batch_format="pyarrow")
+
+    grams = DC.gram_set_exact(eval_ds, "text", k=DECONTAM_K)
+    counts = DC.contamination_counts(train_ds, ray.put(grams), "text", "doc_id", k=DECONTAM_K)
+    hit = counts.filter(expr="n_hits > 0").to_pandas()
+    return hit.sort_values("doc_id").reset_index(drop=True).astype(
+        {"doc_id": "int64", "n_grams": "int64", "n_hits": "int64"}
+    )
+
+
+DOCS_DECONTAMINATE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w,
+         ((doc_id * {KNUTH_MULT}) % 4294967296) % 100 < {EVAL_PCT} AS is_eval
+  FROM documents
+), g AS (
+  SELECT doc_id, is_eval,
+         CASE WHEN len(w) >= {DECONTAM_K} THEN array_to_string(w[i:i+{DECONTAM_K - 1}], ' ')
+              ELSE array_to_string(w, ' ') END AS gram
+  FROM toks, UNNEST(CASE WHEN len(w) >= {DECONTAM_K} THEN range(1, len(w) - {DECONTAM_K - 2})
+                         ELSE [CAST(1 AS BIGINT)] END) AS t(i)
+), eg AS (SELECT DISTINCT gram FROM g WHERE is_eval),
+hits AS (
+  SELECT g.doc_id, COUNT(*) AS n_grams,
+         COUNT(*) FILTER (WHERE eg.gram IS NOT NULL) AS n_hits
+  FROM g LEFT JOIN eg ON g.gram = eg.gram
+  WHERE NOT g.is_eval GROUP BY g.doc_id
+)
+SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams, CAST(n_hits AS BIGINT) AS n_hits
+FROM hits WHERE n_hits > 0 ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Training-window chunking: explode each document into fixed-size token
+# windows (the packing step before tokenizer sharding). Pinned rule shared
+# with the SQL: words = split-and-drop-empties; chunk starts at 0, W, 2W,
+# ...; a document with zero words still emits ONE empty chunk. Per-batch
+# vectorized (explode + cumcount); the ' '.join is per OUTPUT row (chunk),
+# the stage's own cardinality, not a per-word interpreter loop.
+# ---------------------------------------------------------------------------
+
+CHUNK_TOKENS = 32
+
+
+def docs_chunk_windows(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    W = CHUNK_TOKENS
+
+    def chunks(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        s = df.set_index("doc_id")["text"].str.split(" ").explode()
+        s = s[s != ""]
+        t = s.reset_index().rename(columns={"text": "tok"})
+        t["pos"] = t.groupby("doc_id").cumcount()
+        t["chunk_id"] = (t["pos"] // W).astype(np.int64)
+        g = t.groupby(["doc_id", "chunk_id"], as_index=False).agg(
+            n_tokens=("tok", "size"), chunk_text=("tok", " ".join)
+        )
+        # zero-word docs (empty/whitespace text) emit one empty chunk
+        empty = df.loc[~df["doc_id"].isin(g["doc_id"]), ["doc_id"]]
+        if len(empty):
+            g = pd.concat(
+                [g, empty.assign(chunk_id=np.int64(0), n_tokens=np.int64(0), chunk_text="")],
+                ignore_index=True,
+            )
+        g["n_tokens"] = g["n_tokens"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    df = ds.map_batches(chunks, batch_format="pyarrow").to_pandas()
+    return df.sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+
+
+DOCS_CHUNK_WINDOWS_SQL = f"""
+WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents)
+SELECT doc_id, CAST(s/{CHUNK_TOKENS} AS BIGINT) AS chunk_id,
+       CAST(LEAST(s+{CHUNK_TOKENS}, len(w)) - s AS BIGINT) AS n_tokens,
+       array_to_string(w[s+1 : LEAST(s+{CHUNK_TOKENS}, len(w))], ' ') AS chunk_text
+FROM toks, UNNEST(range(0, GREATEST(len(w), 1), {CHUNK_TOKENS})) AS t(s)
+ORDER BY doc_id, chunk_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition stats (Rae et al. 2021 quality rules): per-doc
+# duplicate-word fraction and top-word fraction. One word-hash pass +
+# lexsort run-length per batch — no per-doc loop; fractions rounded via
+# the shared sql_round convention so DuckDB's round() agrees exactly.
+# ---------------------------------------------------------------------------
+
+def docs_repetition_stats(sf_dir: str):
+    from ..stages.sketch import word_hash_flat
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def stats(b: pa.Table) -> pa.Table:
+        Wh, off = word_hash_flat(b["text"])
+        n_docs = len(off) - 1
+        nwords = (off[1:] - off[:-1]).astype(np.int64)
+        docidx = np.repeat(np.arange(n_docs), nwords)
+        order = np.lexsort((Wh, docidx))
+        Ws, Ds = Wh[order], docidx[order]
+        if len(Ws):
+            new = np.concatenate([[True], (Ws[1:] != Ws[:-1]) | (Ds[1:] != Ds[:-1])])
+            run_id = np.cumsum(new) - 1
+            run_counts = np.bincount(run_id)
+            run_doc = Ds[new]
+            distinct = np.bincount(run_doc, minlength=n_docs)
+            starts = np.searchsorted(run_doc, np.arange(n_docs))
+            has = distinct > 0
+            maxc = np.zeros(n_docs, dtype=np.int64)
+            if has.any():
+                maxc[has] = np.maximum.reduceat(run_counts, starts[has])
+        else:
+            distinct = np.zeros(n_docs, dtype=np.int64)
+            maxc = np.zeros(n_docs, dtype=np.int64)
+        nz = np.maximum(nwords, 1).astype(np.float64)
+        dup = sql_round((1.0 - distinct / nz) * 1e6) / 1e6
+        top = sql_round((maxc / nz) * 1e6) / 1e6
+        keep = nwords > 0  # SQL's per-word GROUP BY drops zero-word docs
+        return pa.table(
+            {
+                "doc_id": b["doc_id"].filter(pa.array(keep)),
+                "n_words": pa.array(nwords[keep]),
+                "n_distinct": pa.array(distinct[keep].astype(np.int64)),
+                "dup_frac": pa.array(dup[keep]),
+                "top_frac": pa.array(top[keep]),
+            }
+        )
+
+    df = ds.map_batches(stats, batch_format="pyarrow").to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+DOCS_REPETITION_STATS_SQL = """
+WITH toks AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS wd FROM documents),
+c AS (SELECT doc_id, wd, COUNT(*) AS cnt FROM toks GROUP BY doc_id, wd),
+a AS (SELECT doc_id, SUM(cnt) AS n_words, COUNT(*) AS n_distinct, MAX(cnt) AS max_cnt FROM c GROUP BY doc_id)
+SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, CAST(n_distinct AS BIGINT) AS n_distinct,
+       round(1 - CAST(n_distinct AS DOUBLE)/n_words, 6) AS dup_frac,
+       round(CAST(max_cnt AS DOUBLE)/n_words, 6) AS top_frac
+FROM a ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Sensitive-field redaction: mask high values of the props "k" field with
+# ONE compiled vectorized regex per batch (count, then constant-replace —
+# no backrefs, so Python re and DuckDB's RE2 substitute identically).
+# Pure per-batch map; the redacted strings themselves go through the value
+# hash, so the oracle checks content, not just counts.
+# ---------------------------------------------------------------------------
+
+REDACT_PATTERN = r": [5-9][0-9]\}"
+REDACT_REPL = ": -1}"
+
+
+def events_props_redact(sf_dir: str):
+    import re
+
+    ds = _read(sf_dir, "events", ["event_id", "props"])
+    rx = re.compile(REDACT_PATTERN)
+
+    def redact(b: pa.Table) -> pa.Table:
+        s = b["props"].to_pandas()
+        n = s.str.count(rx).astype(np.int64)
+        red = s.str.replace(rx, REDACT_REPL, regex=True)
+        return pa.table(
+            {
+                "event_id": b["event_id"],
+                "props_redacted": pa.array(red, type=pa.string()),
+                "n_redacted": pa.array(n.to_numpy()),
+            }
+        )
+
+    return ds.map_batches(redact, batch_format="pyarrow")
+
+
+EVENTS_PROPS_REDACT_SQL = rf"""
+SELECT event_id,
+       regexp_replace(props, '{REDACT_PATTERN}', '{REDACT_REPL}', 'g') AS props_redacted,
+       CAST(len(regexp_extract_all(props, '{REDACT_PATTERN}')) AS BIGINT) AS n_redacted
+FROM events ORDER BY event_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Stratified (per-group quota) sampling: k docs per language, determined by
+# the pinned Knuth hash so the sample is reproducible across engines and
+# partitionings. Batch-local per-group top-k -> tree combine -> driver
+# finish over <= langs*k rows per level (the docs_top3_by_lang lever) — a
+# per-group ORDER BY/LIMIT with NO global sort or shuffle.
+# ---------------------------------------------------------------------------
+
+STRATIFIED_K = 20
+
+
+def docs_stratified_sample(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def topk(b) -> pd.DataFrame:
+        df = b if isinstance(b, pd.DataFrame) else b.to_pandas()
+        did = df["doc_id"].to_numpy(dtype=np.int64).astype(np.uint64)
+        df = df.assign(h=((did * np.uint64(KNUTH_MULT)) & np.uint64(0xFFFFFFFF)).astype(np.int64))
+        df = df.sort_values(["lang", "h", "doc_id"])
+        return df.groupby("lang", as_index=False).head(STRATIFIED_K)
+
+    lvl = ds.map_batches(topk, batch_format="pandas").map_batches(
+        topk, batch_format="pandas", batch_size=4096
+    )
+    df = topk(lvl.to_pandas()).reset_index(drop=True)
+    df["rk"] = (df.groupby("lang").cumcount() + 1).astype("int64")
+    return df[["lang", "rk", "doc_id"]].sort_values(["lang", "rk"]).reset_index(drop=True)
+
+
+DOCS_STRATIFIED_SAMPLE_SQL = f"""
+SELECT lang, CAST(rn AS BIGINT) AS rk, doc_id
+FROM (
+  SELECT lang, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY (doc_id * {KNUTH_MULT}) % 4294967296, doc_id) AS rn
+  FROM documents
+)
+WHERE rn <= {STRATIFIED_K} ORDER BY lang, rk
+"""

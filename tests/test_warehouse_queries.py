@@ -29,6 +29,11 @@ NEW_QUERIES = [
     "events_rollup_type_hour",
     "events_signup_funnel",
     "docs_sample_k",
+    "docs_decontaminate",
+    "docs_chunk_windows",
+    "docs_repetition_stats",
+    "events_props_redact",
+    "docs_stratified_sample",
 ]
 
 
