@@ -189,6 +189,12 @@ _SQL_CHECKED: dict[str, tuple[Callable[[str], Any], str]] = {
     "docs_repetition_stats": (X.docs_repetition_stats, X.DOCS_REPETITION_STATS_SQL),
     "events_props_redact": (X.events_props_redact, X.EVENTS_PROPS_REDACT_SQL),
     "docs_stratified_sample": (X.docs_stratified_sample, X.DOCS_STRATIFIED_SAMPLE_SQL),
+    # round 4 (cont.): S2-RegionCoverer-style adaptive multi-res cell cover
+    # (pure-SQL oracle rebuilds the cover from the declarative rule) and the
+    # cover-accelerated point-in-polygon join (oracle = plain containment —
+    # asserts the interior-cell fast path is EXACT)
+    "geo_adaptive_cover": (T.geo_adaptive_cover, T.GEO_ADAPTIVE_COVER_SQL),
+    "docs_cover_join": (T.docs_cover_join, T.DOCS_COVER_JOIN_SQL),
 }
 
 # rows-only checks (none left — every query has an oracle)

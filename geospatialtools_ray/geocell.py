@@ -139,3 +139,63 @@ def cover_bbox(lon0: float, lat0: float, lon1: float, lat1: float, res: int) -> 
         return np.empty(0, dtype=np.uint64)
     ixs, iys = np.meshgrid(np.arange(ix0, ix1 + 1), np.arange(iy0, iy1 + 1))
     return pack(np.full(ixs.size, res), iys.ravel(), ixs.ravel())
+
+
+def cover_rect_adaptive(
+    lon0: float, lat0: float, lon1: float, lat1: float, res_min: int, res_max: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """S2-RegionCoverer-style multi-resolution cover of the HALF-OPEN
+    rectangle [lon0, lon1) x [lat0, lat1): interior cells at the coarsest
+    resolution where they are fully contained, boundary cells at res_max.
+
+    Declarative membership rule (shared verbatim with the SQL oracle —
+    every cell decides independently, no recursion state): cell c at
+    resolution r, res_min <= r <= res_max, is in the cover iff
+      1. c intersects the rect (max(starts) < min(ends), half-open), and
+      2. r == res_min OR parent(c) is NOT fully inside the rect, and
+      3. c is fully inside (kind=1 interior)
+         OR r == res_max (kind=0 boundary).
+    Cells that intersect but are neither fully inside nor at res_max are
+    refined by their children instead.
+
+    Properties (tested): the interior cells of one cover form an antichain
+    (no cell is an ancestor of another), every rect point lands in exactly
+    ONE cover cell path, and points in interior cells need NO exact
+    geometry test — the join-acceleration contract.
+
+    Returns (cells uint64, kinds int8: 1=interior, 0=boundary).
+    """
+    out_cells: list[np.ndarray] = []
+    out_kinds: list[np.ndarray] = []
+    if lon1 <= lon0 or lat1 <= lat0:
+        return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int8)
+    for r in range(res_min, res_max + 1):
+        size = 180.0 / (1 << r)
+        nx, ny = ncells(r)
+        ix0 = max(0, int(np.floor((lon0 + 180.0) / size)))
+        ix1 = min(nx, int(np.ceil((lon1 + 180.0) / size)))
+        iy0 = max(0, int(np.floor((lat0 + 90.0) / size)))
+        iy1 = min(ny, int(np.ceil((lat1 + 90.0) / size)))
+        if ix1 <= ix0 or iy1 <= iy0:
+            continue
+        IX, IY = np.meshgrid(np.arange(ix0, ix1, dtype=np.int64), np.arange(iy0, iy1, dtype=np.int64))
+        ix, iy = IX.ravel(), IY.ravel()
+        clon0 = -180.0 + ix * size
+        clat0 = -90.0 + iy * size
+        full = (clon0 >= lon0) & (clon0 + size <= lon1) & (clat0 >= lat0) & (clat0 + size <= lat1)
+        if r > res_min:
+            psize = 2.0 * size
+            plon0 = -180.0 + (ix >> 1) * psize
+            plat0 = -90.0 + (iy >> 1) * psize
+            pfull = (
+                (plon0 >= lon0) & (plon0 + psize <= lon1) & (plat0 >= lat0) & (plat0 + psize <= lat1)
+            )
+        else:
+            pfull = np.zeros(len(ix), dtype=bool)
+        emit = ~pfull & (full | (r == res_max))
+        if emit.any():
+            out_cells.append(pack(np.full(int(emit.sum()), r), iy[emit], ix[emit]))
+            out_kinds.append(full[emit].astype(np.int8))
+    if not out_cells:
+        return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int8)
+    return np.concatenate(out_cells), np.concatenate(out_kinds)

@@ -493,3 +493,165 @@ SELECT p_partkey,
        round(theta1500, 6) AS theta1500
 FROM v ORDER BY p_partkey
 """
+
+
+# ---------------------------------------------------------------------------
+# S2-RegionCoverer-style adaptive polygon cover (geocell.cover_rect_adaptive):
+# interior cells at their coarsest fully-contained resolution, boundary
+# cells at res_max. The membership rule is declarative (each cell decides
+# from its own bounds + its parent's), so the oracle rebuilds the full
+# cover in pure SQL — generate the intersecting index ranges per
+# resolution and apply the same rule; no staged twin. Covers are the
+# POLYGON side of the join — small by construction — computed inside
+# map_batches over the polygon table.
+# ---------------------------------------------------------------------------
+
+COVER_RES_MIN = 2
+COVER_RES_MAX = 7
+
+
+def geo_adaptive_cover(sf_dir: str):
+    from .. import geocell as G
+
+    nation = _read(sf_dir, "nation", ["n_nationkey"])
+
+    def cover(batch: pa.Table) -> pa.Table:
+        rects = _nation_rects(batch.to_pandas().rename(columns={"n_nationkey": "n_nationkey"}))
+        frames = []
+        for row in rects.itertuples(index=False):  # per-POLYGON loop: the small side
+            c, k = G.cover_rect_adaptive(row.x0, row.y0, row.x1, row.y1, COVER_RES_MIN, COVER_RES_MAX)
+            res, iy, ix = G.unpack(c)
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "rect_id": np.int64(row.rect_id),
+                        "res": res,
+                        "iy": iy,
+                        "ix": ix,
+                        "cell": c.astype(np.int64),
+                        "kind": np.where(k == 1, "interior", "boundary"),
+                    }
+                )
+            )
+        out = pd.concat(frames, ignore_index=True) if frames else pd.DataFrame(
+            {"rect_id": [], "res": [], "iy": [], "ix": [], "cell": [], "kind": []}
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    df = nation.map_batches(cover, batch_format="pyarrow").to_pandas()
+    return df.sort_values(["rect_id", "cell"]).reset_index(drop=True).astype(
+        {"rect_id": "int64", "res": "int64", "iy": "int64", "ix": "int64", "cell": "int64"}
+    )
+
+
+GEO_ADAPTIVE_COVER_SQL = f"""
+WITH rects AS ({RECTS_SQL}),
+grid AS (
+  SELECT rect_id, x0, y0, x1, y1, r, 180.0/POWER(2, r) AS size
+  FROM rects, UNNEST(range({COVER_RES_MIN}, {COVER_RES_MAX + 1})) AS t(r)
+),
+cells AS (
+  SELECT g.rect_id, g.x0, g.y0, g.x1, g.y1, g.r, g.size, a.iy, b.ix
+  FROM grid g,
+       UNNEST(range(GREATEST(CAST(FLOOR((g.y0+90.0)/g.size) AS BIGINT), 0),
+                    LEAST(CAST(CEIL((g.y1+90.0)/g.size) AS BIGINT), CAST(POWER(2, g.r) AS BIGINT)))) AS a(iy),
+       UNNEST(range(GREATEST(CAST(FLOOR((g.x0+180.0)/g.size) AS BIGINT), 0),
+                    LEAST(CAST(CEIL((g.x1+180.0)/g.size) AS BIGINT), CAST(POWER(2, g.r+1) AS BIGINT)))) AS b(ix)
+),
+m AS (
+  SELECT rect_id, r, iy, ix,
+    ((-180.0 + ix*size) >= x0 AND (-180.0 + ix*size) + size <= x1
+     AND (-90.0 + iy*size) >= y0 AND (-90.0 + iy*size) + size <= y1) AS isfull,
+    CASE WHEN r > {COVER_RES_MIN} THEN
+      ((-180.0 + (ix//2)*(2*size)) >= x0 AND (-180.0 + (ix//2)*(2*size)) + 2*size <= x1
+       AND (-90.0 + (iy//2)*(2*size)) >= y0 AND (-90.0 + (iy//2)*(2*size)) + 2*size <= y1)
+    ELSE FALSE END AS pfull
+  FROM cells
+)
+SELECT rect_id, CAST(r AS BIGINT) AS res, iy, ix,
+       CAST(r*288230376151711744 + iy*536870912 + ix AS BIGINT) AS cell,
+       CASE WHEN isfull THEN 'interior' ELSE 'boundary' END AS kind
+FROM m WHERE NOT pfull AND (isfull OR r = {COVER_RES_MAX})
+ORDER BY rect_id, cell
+"""
+
+
+# ---------------------------------------------------------------------------
+# Cover-accelerated spatial join: points probe the broadcast multi-res
+# cover once per level (searchsorted multi-match expansion); a hit on an
+# INTERIOR cell is a confirmed pair with NO exact geometry test, only
+# boundary-cell hits fall through to the exact half-open containment
+# check. Each (point, polygon) pair meets by exactly one path (the
+# interior cells form an antichain and boundary cells are never under an
+# interior ancestor), so no dedup stage. The oracle is the plain
+# containment join — the check asserts the accelerated path is EXACT.
+# ---------------------------------------------------------------------------
+
+def docs_cover_join(sf_dir: str):
+    import ray
+
+    from .. import geocell as G
+
+    nation = _read(sf_dir, "nation", ["n_nationkey"]).to_pandas()
+    rects = _nation_rects(nation)
+    covers: dict[int, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+    parts: dict[int, list[tuple[np.ndarray, np.ndarray, np.ndarray]]] = {}
+    for row in rects.itertuples(index=False):
+        c, k = G.cover_rect_adaptive(row.x0, row.y0, row.x1, row.y1, COVER_RES_MIN, COVER_RES_MAX)
+        res, _, _ = G.unpack(c)
+        for r in np.unique(res):
+            m = res == r
+            parts.setdefault(int(r), []).append(
+                (c[m].view(np.int64), np.full(int(m.sum()), row.rect_id, dtype=np.int64), k[m])
+            )
+    for r, ps in parts.items():
+        cs = np.concatenate([p[0] for p in ps])
+        rid = np.concatenate([p[1] for p in ps])
+        kd = np.concatenate([p[2] for p in ps])
+        o = np.argsort(cs, kind="stable")
+        covers[r] = (cs[o], rid[o], kd[o])
+    nrid = int(rects["rect_id"].max()) + 1
+    bounds = np.zeros((nrid, 4))
+    bounds[rects["rect_id"].to_numpy(dtype=np.int64)] = rects[["x0", "y0", "x1", "y1"]].to_numpy()
+    ref = ray.put((covers, bounds))
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def join(batch: pa.Table) -> pa.Table:
+        cov, B = ray.get(ref)
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)
+        lon, lat = doc_lonlat(did)
+        out_d, out_r = [], []
+        for r, (cs, rid, kd) in cov.items():
+            cc = G.cell_of(lon, lat, r).view(np.int64)
+            lo = np.searchsorted(cs, cc, "left")
+            hi = np.searchsorted(cs, cc, "right")
+            n = hi - lo
+            if not n.any():
+                continue
+            pi = np.repeat(np.arange(len(lon)), n)
+            flat = np.arange(int(n.sum())) - np.repeat(np.cumsum(n) - n, n) + np.repeat(lo, n)
+            rids, kds = rid[flat], kd[flat]
+            interior = kds == 1
+            bx = B[rids]
+            exact = (
+                (lon[pi] >= bx[:, 0]) & (lon[pi] < bx[:, 2]) & (lat[pi] >= bx[:, 1]) & (lat[pi] < bx[:, 3])
+            )
+            keep = interior | exact
+            out_d.append(did[pi[keep]])
+            out_r.append(rids[keep])
+        if not out_d:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()), "rect_id": pa.array([], type=pa.int64())})
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate(out_d), type=pa.int64()),
+                "rect_id": pa.array(np.concatenate(out_r), type=pa.int64()),
+            }
+        )
+
+    df = ds.map_batches(join, batch_format="pyarrow").to_pandas()
+    return df.sort_values(["doc_id", "rect_id"]).reset_index(drop=True)
+
+
+# exactness contract: the accelerated join must equal plain containment
+DOCS_COVER_JOIN_SQL = DOCS_RECT_JOIN_SQL

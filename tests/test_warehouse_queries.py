@@ -34,6 +34,8 @@ NEW_QUERIES = [
     "docs_repetition_stats",
     "events_props_redact",
     "docs_stratified_sample",
+    "geo_adaptive_cover",
+    "docs_cover_join",
 ]
 
 
@@ -53,7 +55,7 @@ def entry(ray_session):
 @pytest.fixture(scope="module")
 def oracle_con():
     con = duckdb.connect()
-    for t in ("events", "documents", "embeddings"):
+    for t in ("events", "documents", "embeddings", "nation"):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
     return con
 
