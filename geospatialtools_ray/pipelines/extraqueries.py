@@ -1774,7 +1774,7 @@ def docs_sample_k(sf_dir: str):
         df = b if isinstance(b, pd.DataFrame) else b.to_pandas()
         did = df["doc_id"].to_numpy(dtype=np.int64).astype(np.uint64)
         df = df.assign(h=((did * np.uint64(KNUTH_MULT)) & np.uint64(0xFFFFFFFF)).astype(np.int64))
-        return df.sort_values(["h", "doc_id"]).head(SAMPLE_K).drop(columns=[c for c in df.columns if c not in ("doc_id", "lang", "n_chars", "h")])
+        return df.sort_values(["h", "doc_id"]).head(SAMPLE_K)
 
     lvl = ds.map_batches(topk, batch_format="pandas").map_batches(topk, batch_format="pandas", batch_size=4096)
     df = topk(lvl.to_pandas()).reset_index(drop=True)

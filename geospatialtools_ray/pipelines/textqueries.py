@@ -516,7 +516,7 @@ def geo_adaptive_cover(sf_dir: str):
     nation = _read(sf_dir, "nation", ["n_nationkey"])
 
     def cover(batch: pa.Table) -> pa.Table:
-        rects = _nation_rects(batch.to_pandas().rename(columns={"n_nationkey": "n_nationkey"}))
+        rects = _nation_rects(batch.to_pandas())
         frames = []
         for row in rects.itertuples(index=False):  # per-POLYGON loop: the small side
             c, k = G.cover_rect_adaptive(row.x0, row.y0, row.x1, row.y1, COVER_RES_MIN, COVER_RES_MAX)

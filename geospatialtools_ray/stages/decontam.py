@@ -156,10 +156,12 @@ def contamination_counts(ds, member, text_col: str = "text", id_col: str = "doc_
         g, go, _ = gram_hash_flat(b[text_col], k)
         if isinstance(m, BloomFilter):
             hit = m.contains(g)
+        elif len(m) == 0:  # empty eval set: nothing is contaminated
+            hit = np.zeros(len(g), dtype=bool)
         else:
             gi = g.view(np.int64)
             pos = np.searchsorted(m, gi)
-            hit = (pos < len(m)) & (m[np.clip(pos, 0, max(len(m) - 1, 0))] == gi)
+            hit = (pos < len(m)) & (m[np.clip(pos, 0, len(m) - 1)] == gi)
         n_docs = len(go) - 1
         hits = np.add.reduceat(hit.astype(np.int64), go[:-1]) if len(g) else np.zeros(n_docs, dtype=np.int64)
         # reduceat repeats the value at a duplicated offset (doc with 0

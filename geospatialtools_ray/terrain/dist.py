@@ -889,6 +889,8 @@ def channels_dist(ds, threshold: float, basin_threshold: float, N0: int, N1: int
         })
 
     cand_tbl = ds.map_batches(collect_cand, batch_format="pyarrow").to_pandas()
+    if "gi" not in cand_tbl.columns:  # all-empty collect loses the schema
+        cand_tbl = pd.DataFrame({"gi": [], "gj": [], "area": [], "di": [], "dj": []})
     a_gi = cand_tbl["gi"].to_numpy(dtype=np.int64)
     a_gj = cand_tbl["gj"].to_numpy(dtype=np.int64)
     a_ar = cand_tbl["area"].to_numpy(dtype=np.float64)
@@ -922,8 +924,11 @@ def channels_dist(ds, threshold: float, basin_threshold: float, N0: int, N1: int
     bo = np.argsort(bkey, kind="stable")
     bkey_s = bkey[bo]
     cuts = np.flatnonzero(np.diff(bkey_s)) + 1
-    starts_b = np.concatenate([[0], cuts])
-    ends_b = np.concatenate([cuts, [len(bkey_s)]])
+    if len(bkey_s):
+        starts_b = np.concatenate([[0], cuts])
+        ends_b = np.concatenate([cuts, [len(bkey_s)]])
+    else:  # no nonzero labels (threshold above every candidate area)
+        starts_b = ends_b = np.empty(0, dtype=np.int64)
     label_buckets: dict[tuple[int, int], tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
     for s0, e0 in zip(starts_b, ends_b):
         k = int(bkey_s[s0])

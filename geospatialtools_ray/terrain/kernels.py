@@ -803,16 +803,16 @@ def calculate_channels_sparse_arrays(
     # upstream adjacency in POS order: for offset p, candidate u at
     # c + POS[p] with down(u) == c contributes edge (c, u, p)
     e_c, e_u, e_p = [], [], []
+    self_idx = np.arange(C, dtype=np.int64)
     for p, (oi, oj) in enumerate(POS):
         nkey = (gi + oi) * span + (gj + oj)
         pos_n = np.searchsorted(keys_sorted, nkey)
         pos_n_c = np.clip(pos_n, 0, C - 1)
         found = keys_sorted[pos_n_c] == nkey
         u = order_k[pos_n_c]
-        ok = found & (down_idx[u] >= 0)
-        # guard: down(u) must be exactly this cell (compare indices)
-        self_idx = np.arange(C, dtype=np.int64)
-        ok &= np.where(ok, down_idx[np.where(ok, u, 0)] == self_idx, False)
+        # guard: down(u) must be exactly this cell (compare indices);
+        # u is always in-bounds (pos_n clipped), so plain & suffices
+        ok = found & (down_idx[u] == self_idx)
         m = np.flatnonzero(ok)
         e_c.append(m)
         e_u.append(u[m])

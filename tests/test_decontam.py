@@ -167,3 +167,21 @@ def test_chunk_windows_boundaries(ray_session, tmp_path):
         want.astype({"doc_id": "int64", "chunk_id": "int64", "n_tokens": "int64"}),
         check_dtype=False,
     )
+
+
+def test_contamination_counts_empty_eval_set(ray_session):
+    """An eval corpus with zero grams (e.g. the decontaminate query's hash
+    slice catching no documents on a tiny corpus) must report n_hits=0 for
+    every training doc, not crash on the size-0 membership array
+    (round-4 review: m[0] on an empty sorted array raised IndexError)."""
+    import ray
+
+    empty = np.empty(0, dtype=np.int64)
+    got = (
+        contamination_counts(_docs_ds(DOCS), ray.put(empty), "text", "doc_id", k=5)
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert len(got) == len(DOCS)
+    assert (got["n_hits"] == 0).all()
+    assert (got["n_grams"] >= 1).all()

@@ -333,3 +333,32 @@ def test_channels_dist_arrays_path_bitexact(ray_session, monkeypatch):
 
     assert topo2 == topo1
     assert np.array_equal(g2, g1)
+
+
+def test_channels_dist_no_channels_above_threshold(ray_session):
+    """Threshold above every candidate area: zero channel labels. The
+    bucket paint must handle the empty label set (round-4 review crash:
+    empty bkey_s still entered the bucket loop) and the output must match
+    the single-node oracle (all-zero channels, empty topology)."""
+    from geospatialtools_ray.terrain import dist as D
+    from geospatialtools_ray.terrain import tiles as T
+
+    n = 32
+    dem, mask = synth.dem_grid("twovalley", n)
+    z = dem.copy()
+    z[~mask] = np.float32(K.UNDEF)
+    w = K.fill_pits(z.astype(np.float32), 30.0)
+    fdir = K.d8_fdir(w, 30.0)
+    acc = K.d8_accumulate(fdir)
+    area = (acc.astype(np.float64) * 900.0).astype(np.float32)
+    grids = {"dem": z.astype(np.float32), "demns": w, "landmask": mask.astype(np.int32),
+             "fdir": fdir.astype(np.int8), "area": area}
+    thr = float(area.max()) * 10.0  # nothing qualifies
+    want_ch, _, want_topo = K.calculate_channels(area, thr, thr * 2, fdir, mask=mask.astype(np.int32))
+
+    ds = T.make_tiles_dataset(grids, 16)
+    chds, topo = D.channels_dist(ds, thr, thr * 2, n, n)
+    got = T.collect_grid(chds, "channels").astype(np.int64)
+    assert topo == want_topo == {}
+    assert np.array_equal(got, want_ch.astype(np.int64))
+    assert (got == 0).all()
