@@ -195,6 +195,15 @@ _SQL_CHECKED: dict[str, tuple[Callable[[str], Any], str]] = {
     # asserts the interior-cell fast path is EXACT)
     "geo_adaptive_cover": (T.geo_adaptive_cover, T.GEO_ADAPTIVE_COVER_SQL),
     "docs_cover_join": (T.docs_cover_join, T.DOCS_COVER_JOIN_SQL),
+    # round 4 (cont.): q10-shape returned-items top customers (pre-aggregated
+    # lineitem partials, measured broadcast-vs-shuffle order join, 20-key
+    # dimension lookup); R-bucketed ring-probe radius join (oracle = plain
+    # cross-join filter — asserts the ring acceleration is exact); A-Res
+    # weighted sampling with hash-derived priorities (oracle recomputes the
+    # identical -ln(u)/w keys)
+    "q10_returned_items": (R.q10_returned_items, R.Q10_SQL),
+    "docs_radius_join": (T.docs_radius_join, T.DOCS_RADIUS_JOIN_SQL),
+    "docs_weighted_sample": (X.docs_weighted_sample, X.DOCS_WEIGHTED_SAMPLE_SQL),
 }
 
 # rows-only checks (none left — every query has an oracle)

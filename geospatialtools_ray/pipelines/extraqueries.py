@@ -2047,3 +2047,47 @@ FROM (
 )
 WHERE rn <= {STRATIFIED_K} ORDER BY lang, rk
 """
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (Efraimidis–Spirakis A-Res, 2006):
+# each row draws u = (knuth_hash(id)+1)/2^32 in (0,1] and priority
+# key = -ln(u)/w; the k SMALLEST keys are a weight-proportional sample.
+# Deterministic (hash-derived u, no RNG state), so the SQL oracle
+# recomputes the identical priorities. Distributed shape = the same
+# batch-local top-k -> combine level -> driver top-k as docs_sample_k:
+# moved volume is O(batches x k) rows, never the corpus. Weight here is
+# n_chars (sample long documents proportionally more often).
+# ---------------------------------------------------------------------------
+
+def docs_weighted_sample(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def topk(b) -> pd.DataFrame:
+        df = b if isinstance(b, pd.DataFrame) else b.to_pandas()
+        if "key" not in df.columns:
+            did = df["doc_id"].to_numpy(dtype=np.int64).astype(np.uint64)
+            h = ((did * np.uint64(KNUTH_MULT)) & np.uint64(0xFFFFFFFF)).astype(np.float64)
+            u = (h + 1.0) / 4294967296.0
+            w = np.maximum(df["n_chars"].to_numpy(dtype=np.float64), 1.0)
+            df = df.assign(key=-np.log(u) / w)
+        return df.sort_values(["key", "doc_id"]).head(SAMPLE_K)
+
+    lvl = ds.map_batches(topk, batch_format="pandas").map_batches(topk, batch_format="pandas", batch_size=4096)
+    df = topk(lvl.to_pandas()).reset_index(drop=True)
+    df["rk"] = np.arange(1, len(df) + 1, dtype=np.int64)
+    df["key"] = sql_round(df["key"].to_numpy() * 1e6).astype(np.int64)
+    return df[["rk", "doc_id", "lang", "n_chars", "key"]]
+
+
+DOCS_WEIGHTED_SAMPLE_SQL = f"""
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY key, doc_id) AS BIGINT) AS rk,
+       doc_id, lang, n_chars, CAST(round(key * 1000000) AS BIGINT) AS key
+FROM (
+  SELECT doc_id, lang, n_chars,
+         -LN((CAST((doc_id * {KNUTH_MULT}) % 4294967296 AS DOUBLE) + 1.0) / 4294967296.0)
+           / GREATEST(CAST(n_chars AS DOUBLE), 1.0) AS key
+  FROM documents
+)
+ORDER BY key, doc_id LIMIT {SAMPLE_K}
+"""

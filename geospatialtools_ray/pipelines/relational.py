@@ -545,3 +545,114 @@ FROM (
   )
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# q10-shape: top customers by revenue of RETURNED items in a date window —
+# the classic "find who to call" join (TPC-H q10). Scale plan: lineitem is
+# pre-filtered (returnflag) and pre-aggregated per order INSIDE map_batches
+# (integer money partials), the filtered 6-month order dimension joins
+# either broadcast (measured small) or via the hash-partitioned Dataset
+# join, the per-customer rollup is one groupby on the already-tiny
+# (custkey, rev) pairs, and ONLY the driver-side top-20 touches the
+# customer/nation name columns (20 keys — never a full dimension scan).
+# ---------------------------------------------------------------------------
+
+Q10_DATE_LO = pd.Timestamp("1996-01-01")
+Q10_DATE_HI = pd.Timestamp("1996-07-01")
+
+
+def q10_returned_items(sf_dir: str):
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .joins import hash_join, should_broadcast
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        lambda b: b.filter(
+            pc.and_(
+                pc.greater_equal(b["o_orderdate"], pa.scalar(Q10_DATE_LO)),
+                pc.less(b["o_orderdate"], pa.scalar(Q10_DATE_HI)),
+            )
+        ).select(["o_orderkey", "o_custkey"]),
+        batch_format="pyarrow",
+    )
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"])
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.equal(batch["l_returnflag"], "R"))
+        rev = _q100(b["l_extendedprice"].to_numpy(zero_copy_only=False)) * (
+            100 - _q100(b["l_discount"].to_numpy(zero_copy_only=False))
+        )
+        df = pd.DataFrame({"l_orderkey": b["l_orderkey"].to_numpy(zero_copy_only=False), "rev": rev})
+        out = df.groupby("l_orderkey", as_index=False)["rev"].sum()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    li_agg = li.map_batches(li_partial, batch_format="pyarrow")
+
+    if should_broadcast(f"{sf_dir}/orders.parquet", ["o_orderkey", "o_custkey"]):
+        odim = orders.to_pandas()  # the FILTERED window only
+        okeys = odim["o_orderkey"].to_numpy(dtype=np.int64)
+        order_sort = np.argsort(okeys)
+        ok_ref = ray.put((okeys[order_sort], odim["o_custkey"].to_numpy(dtype=np.int64)[order_sort]))
+
+        def to_cust(b: pa.Table) -> pa.Table:
+            ks, cs = ray.get(ok_ref)
+            ok = b["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            pos = np.searchsorted(ks, ok)
+            hit = (pos < len(ks)) & (ks[np.clip(pos, 0, max(len(ks) - 1, 0))] == ok) if len(ks) else np.zeros(len(ok), bool)
+            return pa.table(
+                {
+                    "c_custkey": pa.array(cs[pos[hit]], type=pa.int64()),
+                    "rev": pa.array(b["rev"].to_numpy(zero_copy_only=False)[hit], type=pa.int64()),
+                }
+            )
+
+        per_cust = li_agg.map_batches(to_cust, batch_format="pyarrow")
+    else:
+        joined = hash_join(li_agg, orders, on="l_orderkey", right_on="o_orderkey")
+        per_cust = joined.map_batches(
+            lambda b: pa.table(
+                {"c_custkey": pc.cast(b["o_custkey"], pa.int64()), "rev": pc.cast(b["rev"], pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+
+    agg = per_cust.groupby("c_custkey").aggregate(Sum("rev", alias_name="rev"))
+    top = agg.sort(["rev", "c_custkey"], descending=[True, False]).limit(20).to_pandas()
+    # name lookup for the 20 winners only: a vectorized isin filter inside
+    # map_batches (only the 20 matching dimension rows leave the workers)
+    keys = np.sort(top["c_custkey"].to_numpy(dtype=np.int64))
+    cust = (
+        _read(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal", "c_nationkey"])
+        .map_batches(
+            lambda b: b.filter(
+                pa.array(np.isin(b["c_custkey"].to_numpy(zero_copy_only=False), keys))
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    out = top.merge(cust, on="c_custkey").merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+    out["revenue"] = out["rev"].astype(np.int64).astype(np.float64) / 10000.0
+    out = out.sort_values(["rev", "c_custkey"], ascending=[False, True]).reset_index(drop=True)
+    return out[["c_custkey", "c_name", "revenue", "c_acctbal", "n_name"]]
+
+
+Q10_SQL = """
+SELECT c.c_custkey, c.c_name, CAST(rev AS DOUBLE)/10000.0 AS revenue, c.c_acctbal, n.n_name
+FROM (
+  SELECT o.o_custkey,
+         CAST(SUM(CAST(round(l.l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l.l_discount*100) AS BIGINT))) AS BIGINT) AS rev
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderdate >= TIMESTAMP '1996-01-01' AND o.o_orderdate < TIMESTAMP '1996-07-01'
+    AND l.l_returnflag = 'R'
+  GROUP BY o.o_custkey
+  ORDER BY rev DESC, o.o_custkey LIMIT 20
+) t
+JOIN customer c ON c.c_custkey = t.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+ORDER BY rev DESC, c.c_custkey
+"""

@@ -655,3 +655,77 @@ def docs_cover_join(sf_dir: str):
 
 # exactness contract: the accelerated join must equal plain containment
 DOCS_COVER_JOIN_SQL = DOCS_RECT_JOIN_SQL
+
+
+# ---------------------------------------------------------------------------
+# Distance (radius) join: every (doc, station) pair within planar radius R.
+# Scale plan: stations (the small side) are bucketed into R-sized grid
+# cells and broadcast ONCE; each point probes only its 3x3 cell ring
+# (cell size == R guarantees ring completeness), then the exact pinned
+# predicate dx*dx + dy*dy <= R*R filters candidates. Candidates per point
+# are bounded by local station density — never the full station table —
+# and nothing shuffles. The DuckDB oracle is the plain cross-join filter,
+# so the gate asserts the ring acceleration is EXACT.
+# ---------------------------------------------------------------------------
+
+RADIUS_DEG = 8.0
+
+
+def docs_radius_join(sf_dir: str):
+    import ray
+
+    st = _nation_stations(_read(sf_dir, "nation", ["n_nationkey"]).to_pandas())
+    cx = np.floor((st["slon"].to_numpy() + 180.0) / RADIUS_DEG).astype(np.int64)
+    cy = np.floor((st["slat"].to_numpy() + 90.0) / RADIUS_DEG).astype(np.int64)
+    key = cx * 1000 + cy
+    o = np.argsort(key, kind="stable")
+    idx_ref = ray.put(
+        (key[o], st["station_id"].to_numpy(dtype=np.int64)[o],
+         st["slon"].to_numpy()[o], st["slat"].to_numpy()[o])
+    )
+    r2 = RADIUS_DEG * RADIUS_DEG
+
+    def join(batch: pa.Table) -> pa.Table:
+        ks, sid, slon, slat = ray.get(idx_ref)
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)
+        lon, lat = doc_lonlat(did)
+        px = np.floor((lon + 180.0) / RADIUS_DEG).astype(np.int64)
+        py = np.floor((lat + 90.0) / RADIUS_DEG).astype(np.int64)
+        out_d, out_s = [], []
+        for ox in (-1, 0, 1):
+            for oy in (-1, 0, 1):
+                pk = (px + ox) * 1000 + (py + oy)
+                lo = np.searchsorted(ks, pk, "left")
+                hi = np.searchsorted(ks, pk, "right")
+                n = hi - lo
+                if not n.any():
+                    continue
+                pi = np.repeat(np.arange(len(lon)), n)
+                flat = np.arange(int(n.sum())) - np.repeat(np.cumsum(n) - n, n) + np.repeat(lo, n)
+                dx = lon[pi] - slon[flat]
+                dy = lat[pi] - slat[flat]
+                keep = dx * dx + dy * dy <= r2
+                out_d.append(did[pi[keep]])
+                out_s.append(sid[flat[keep]])
+        if not out_d:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "station_id": pa.array([], type=pa.int64())})
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate(out_d), type=pa.int64()),
+                "station_id": pa.array(np.concatenate(out_s), type=pa.int64()),
+            }
+        )
+
+    df = _read(sf_dir, "documents", ["doc_id"]).map_batches(join, batch_format="pyarrow").to_pandas()
+    return df.sort_values(["doc_id", "station_id"]).reset_index(drop=True)
+
+
+DOCS_RADIUS_JOIN_SQL = f"""
+WITH s AS ({STATIONS_SQL}),
+d AS (SELECT doc_id, {DOC_LON_SQL} AS lon, {DOC_LAT_SQL} AS lat FROM documents)
+SELECT d.doc_id, s.station_id
+FROM d, s
+WHERE (d.lon - s.slon)*(d.lon - s.slon) + (d.lat - s.slat)*(d.lat - s.slat) <= {RADIUS_DEG * RADIUS_DEG}
+ORDER BY d.doc_id, s.station_id
+"""

@@ -36,6 +36,9 @@ NEW_QUERIES = [
     "docs_stratified_sample",
     "geo_adaptive_cover",
     "docs_cover_join",
+    "q10_returned_items",
+    "docs_radius_join",
+    "docs_weighted_sample",
 ]
 
 
@@ -55,7 +58,7 @@ def entry(ray_session):
 @pytest.fixture(scope="module")
 def oracle_con():
     con = duckdb.connect()
-    for t in ("events", "documents", "embeddings", "nation"):
+    for t in ("events", "documents", "embeddings", "nation", "lineitem", "orders", "customer"):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
     return con
 
