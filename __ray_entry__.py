@@ -204,6 +204,10 @@ _SQL_CHECKED: dict[str, tuple[Callable[[str], Any], str]] = {
     "q10_returned_items": (R.q10_returned_items, R.Q10_SQL),
     "docs_radius_join": (T.docs_radius_join, T.DOCS_RADIUS_JOIN_SQL),
     "docs_weighted_sample": (X.docs_weighted_sample, X.DOCS_WEIGHTED_SAMPLE_SQL),
+    # round 4 (cont.): sequence packing via the two-phase distributed scan
+    # (per-bucket sums -> tiny driver prefix -> one groupby(bucket) local
+    # cumsum); oracle = SUM() OVER (ORDER BY doc_id) window cumsum
+    "docs_pack_sequences": (X.docs_pack_sequences, X.DOCS_PACK_SEQUENCES_SQL),
 }
 
 # rows-only checks (none left — every query has an oracle)

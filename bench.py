@@ -187,7 +187,8 @@ def run_minhash_probe(corpus_path: str) -> float:
     SINGLE box makes N vs 4N processes contend for the same DRAM — a
     confound that does not exist between separate nodes. This probe has
     ~40us of pure CPU per doc (vectorized sketch) and negligible memory
-    traffic, isolating the executor's own scaling."""
+    traffic (the doc-text join is one Arrow kernel), isolating the
+    executor's own scaling."""
     import pyarrow as pa
     import ray.data as rd
 
@@ -196,22 +197,23 @@ def run_minhash_probe(corpus_path: str) -> float:
     files = sorted(
         os.path.join(corpus_path, f) for f in os.listdir(corpus_path) if f.endswith(".parquet")
     )
-    # ~half the corpus (~4M docs on the 8M corpus): the vectorized sketch
-    # runs ~40us/doc, so ~1M docs finished in ~5 s — too short to separate
-    # scaling from fixed startup; this sizes the probe to ~20 s at 8 CPUs
-    subset = files[:: max(len(files) // 320, 1)]
+    # full corpus at num_perm=256: after the round-3/4 sketch vectorization
+    # the old half-corpus/64-perm probe finished in ~8 s at 8 CPUs — nearly
+    # all fixed startup at 32 CPUs, measuring overhead instead of scaling.
+    # This sizing lands ~21 s at 8 CPUs so the 32-CPU run is still
+    # work-dominated.
+    subset = files
 
     def sig(batch: pa.Table) -> pa.Table:
-        spans = batch["spans"].combine_chunks()
-        flat = spans.flatten()
         import pyarrow.compute as pc
 
-        texts_per_doc = []
-        txt = flat.field("text").to_pylist()
-        offs = spans.offsets.to_numpy(zero_copy_only=False)
-        for a, b in zip(offs[:-1], offs[1:]):
-            texts_per_doc.append(" ".join(txt[a:b]))
-        s = minhash_signature_batch(texts_per_doc, num_perm=64, k=3)
+        spans = batch["spans"].combine_chunks()
+        # vectorized doc text: join each doc's span texts with one Arrow
+        # kernel (the old per-doc Python " ".join dominated the probe and
+        # made it memory-, not compute-, bound)
+        txt_list = pa.ListArray.from_arrays(spans.offsets, spans.flatten().field("text"))
+        texts = pc.binary_join(txt_list, " ")
+        s = minhash_signature_batch(texts, num_perm=256, k=3)
         return pa.table({"h": pa.array(s[:, 0], type=pa.uint64())})
 
     t0 = time.monotonic()

@@ -2091,3 +2091,47 @@ FROM (
 )
 ORDER BY key, doc_id LIMIT {SAMPLE_K}
 """
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (stages/scan.py): GPT-style training-data prep —
+# documents concatenated in doc_id order into fixed-length token windows;
+# each doc's sequence id/offset is a pure function of the global ordered
+# prefix sum, computed with the two-phase distributed scan (per-bucket
+# sums -> tiny driver prefix -> one groupby(bucket) local cumsum). Oracle:
+# the same pinned rule as a SQL window cumsum over the same tokenizer
+# (regexp_split_to_array == the engine's Arrow split, proven by
+# docs_token_stats).
+# ---------------------------------------------------------------------------
+
+PACK_SEQ_LEN = 512
+
+
+def docs_pack_sequences(sf_dir: str):
+    import pyarrow.compute as pc
+
+    from ..stages.scan import pack_sequences
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def toks(b: pa.Table) -> pa.Table:
+        n = pc.list_value_length(pc.split_pattern_regex(b["text"], r"\s+")).cast(pa.int64())
+        return pa.table({"doc_id": b["doc_id"], "n_tokens": n})
+
+    out = pack_sequences(
+        ds.map_batches(toks, batch_format="pyarrow"), "doc_id", "n_tokens", PACK_SEQ_LEN, bucket_width=64
+    )
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+DOCS_PACK_SEQUENCES_SQL = f"""
+WITH t AS (
+  SELECT doc_id, CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (SELECT doc_id, n_tokens, SUM(n_tokens) OVER (ORDER BY doc_id) AS cum FROM t)
+SELECT doc_id, n_tokens,
+       CAST((cum - n_tokens) // {PACK_SEQ_LEN} AS BIGINT) AS seq_id,
+       CAST((cum - n_tokens) % {PACK_SEQ_LEN} AS BIGINT) AS seq_offset
+FROM c ORDER BY doc_id
+"""

@@ -39,6 +39,7 @@ NEW_QUERIES = [
     "q10_returned_items",
     "docs_radius_join",
     "docs_weighted_sample",
+    "docs_pack_sequences",
 ]
 
 
