@@ -6,19 +6,28 @@ a single streaming pass. The classic two-phase scan:
 
 1. bucket every row by its order key (``bucket = order_key // bucket_width``
    — contiguous key ranges, so bucket order == key order);
-2. per-bucket token sums via per-batch partials + the shuffle-free tree
-   combine (driver sees ONE row per bucket);
+2. per-bucket sums: per-batch partials + the shuffle-free tree combine
+   (driver sees ONE row per bucket) while the bucket table is small;
 3. driver prefix-sums the tiny bucket table into per-bucket base offsets
    (broadcast once);
 4. one ``groupby(bucket).map_groups`` pass: sort within the bucket (bounded
    by bucket_width keys, never the table), local cumsum + the bucket base.
 
-Total moved volume: one shuffle on the bucket key (the map_groups) plus a
-buckets-sized driver table — the same shape at 500 rows and 10^12. The
-GPT-style training-data use is sequence packing: concatenate documents in
-a pinned order into fixed-length token windows; each document's sequence
-id and offset are pure functions of the prefix sum, so a SQL oracle
-(SUM() OVER (ORDER BY ...)) can check the distributed scan exactly.
+When the bucket table itself outgrows the driver (10^12 keys at a small
+width), the scan RECURSES: the per-bucket sums stay a Dataset, the same
+scan runs over them at a coarser width to produce each bucket's exclusive
+base, and the bases join back to the rows on the bucket key (one hash
+join — the shuffle the driver collect would otherwise hide). Depth 2
+covers 1e6^2 buckets; nothing ever materializes beyond the top level's
+<= max_driver_buckets rows.
+
+Total moved volume: one shuffle on the bucket key (the map_groups), plus
+either a buckets-sized driver table (small case) or one extra bucket-key
+join (large case). The GPT-style training-data use is sequence packing:
+concatenate documents in a pinned order into fixed-length token windows;
+each document's sequence id and offset are pure functions of the prefix
+sum, so a SQL oracle (SUM() OVER (ORDER BY ...)) checks the distributed
+scan exactly.
 """
 
 from __future__ import annotations
@@ -27,27 +36,12 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+# above this many buckets the base offsets are computed by a recursive
+# Dataset-side scan + join instead of a driver collect
+MAX_DRIVER_BUCKETS = 1_000_000
 
-def ordered_prefix_sum(ds, order_col: str, value_col: str, bucket_width: int = 1 << 14):
-    """Dataset -> Dataset with an exact ``cum`` column = sum of value_col
-    over all rows with order_col <= this row's (order keys must be unique
-    non-negative integers). Output rows keep (order_col, value_col, cum).
-    """
-    import ray
-    from ..pipelines.relational import tree_group_sum
 
-    def bucket_partial(b: pa.Table) -> pa.Table:
-        k = b[order_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        v = b[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        df = pd.DataFrame({"bucket": k // bucket_width, "s": v})
-        return pa.Table.from_pandas(df.groupby("bucket", as_index=False)["s"].sum(), preserve_index=False)
-
-    bsums = tree_group_sum(ds.map_batches(bucket_partial, batch_format="pyarrow"), ["bucket"], value_cols=["s"])
-    bsums = bsums.sort_values("bucket").reset_index(drop=True)
-    bids = bsums["bucket"].to_numpy(dtype=np.int64)
-    base = np.concatenate([[0], np.cumsum(bsums["s"].to_numpy(dtype=np.int64))])[:-1]
-    base_ref = ray.put((bids, base))
-
+def _with_bucket(ds, order_col: str, value_col: str, bucket_width: int):
     def add_bucket(b: pa.Table) -> pa.Table:
         k = b[order_col].to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table(
@@ -56,22 +50,92 @@ def ordered_prefix_sum(ds, order_col: str, value_col: str, bucket_width: int = 1
                 value_col: pa.array(
                     b[value_col].to_numpy(zero_copy_only=False).astype(np.int64), type=pa.int64()
                 ),
-                "bucket": pa.array(k // bucket_width, type=pa.int64()),
+                "_scan_bucket": pa.array(k // bucket_width, type=pa.int64()),
             }
         )
 
-    def scan_group(g: pd.DataFrame) -> pd.DataFrame:
-        bids_l, base_l = ray.get(base_ref)
+    return ds.map_batches(add_bucket, batch_format="pyarrow")
+
+
+def ordered_prefix_sum(
+    ds,
+    order_col: str,
+    value_col: str,
+    bucket_width: int = 1 << 14,
+    max_driver_buckets: int = MAX_DRIVER_BUCKETS,
+):
+    """Dataset -> Dataset with an exact ``cum`` column = sum of value_col
+    over all rows with order_col <= this row's (order keys must be unique
+    non-negative integers). Output rows keep (order_col, value_col, cum).
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..pipelines.relational import tree_group_sum
+
+    def bucket_partial(b: pa.Table) -> pa.Table:
+        k = b[order_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = b[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({"_scan_bucket": k // bucket_width, "s": v})
+        return pa.Table.from_pandas(df.groupby("_scan_bucket", as_index=False)["s"].sum(), preserve_index=False)
+
+    partials = ds.map_batches(bucket_partial, batch_format="pyarrow")
+    keyed = _with_bucket(ds, order_col, value_col, bucket_width)
+
+    # distinct buckets are bounded by (max key / bucket_width); measure the
+    # real count distributed so the driver path is chosen, not assumed
+    bsums_ds = partials.groupby("_scan_bucket").aggregate(Sum("s", alias_name="s")).materialize()
+    n_buckets = bsums_ds.count()
+
+    if n_buckets <= max_driver_buckets:
+        bsums = bsums_ds.to_pandas().sort_values("_scan_bucket").reset_index(drop=True)
+        bids = bsums["_scan_bucket"].to_numpy(dtype=np.int64)
+        base = np.concatenate([[0], np.cumsum(bsums["s"].to_numpy(dtype=np.int64))])[:-1]
+        base_ref = ray.put((bids, base))
+
+        def scan_group(g: pd.DataFrame) -> pd.DataFrame:
+            bids_l, base_l = ray.get(base_ref)
+            g = g.sort_values(order_col).reset_index(drop=True)
+            b0 = int(base_l[np.searchsorted(bids_l, int(g["_scan_bucket"].iloc[0]))])
+            cum = g[value_col].to_numpy(dtype=np.int64).cumsum() + b0
+            return pd.DataFrame({order_col: g[order_col], value_col: g[value_col], "cum": cum})
+
+        return keyed.groupby("_scan_bucket").map_groups(scan_group, batch_format="pandas")
+
+    # recursive level: scan the bucket table itself (coarser width chosen so
+    # depth 2 handles 1e6^2 buckets), derive each bucket's EXCLUSIVE base
+    # (cum - own sum), and join it back on the bucket key
+    from ..pipelines.joins import hash_join
+
+    coarser = max(int(np.ceil(n_buckets / max_driver_buckets)), 2)
+    # the child level's order key is THIS level's bucket id; rename it so
+    # the child's own _scan_bucket column cannot collide with its order key
+    renamed = bsums_ds.map_batches(
+        lambda b: pa.table({"okey": b["_scan_bucket"], "s": b["s"]}), batch_format="pyarrow"
+    )
+    scanned_buckets = ordered_prefix_sum(
+        renamed, "okey", "s", bucket_width=coarser, max_driver_buckets=max_driver_buckets
+    )
+
+    def to_base(b: pa.Table) -> pa.Table:
+        cum = b["cum"].to_numpy(zero_copy_only=False)
+        s = b["s"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "_scan_bucket": b["okey"],
+                "base": pa.array(cum - s, type=pa.int64()),
+            }
+        )
+
+    base_ds = scanned_buckets.map_batches(to_base, batch_format="pyarrow")
+    joined = hash_join(keyed, base_ds, on="_scan_bucket")
+
+    def scan_group_joined(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(order_col).reset_index(drop=True)
-        b0 = int(base_l[np.searchsorted(bids_l, int(g["bucket"].iloc[0]))])
-        cum = g[value_col].to_numpy(dtype=np.int64).cumsum() + b0
+        cum = g[value_col].to_numpy(dtype=np.int64).cumsum() + int(g["base"].iloc[0])
         return pd.DataFrame({order_col: g[order_col], value_col: g[value_col], "cum": cum})
 
-    return (
-        ds.map_batches(add_bucket, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(scan_group, batch_format="pandas")
-    )
+    return joined.groupby("_scan_bucket").map_groups(scan_group_joined, batch_format="pandas")
 
 
 def pack_sequences(ds, order_col: str, tokens_col: str, seq_len: int, bucket_width: int = 1 << 14):

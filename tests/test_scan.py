@@ -50,3 +50,20 @@ def test_pack_sequences_stream_rule(ray_session):
     assert (got["seq_offset"].to_numpy() == start % 512).all()
     # a doc longer than seq_len still belongs to the sequence it starts in
     assert (toks > 512).any()
+
+
+def test_ordered_prefix_sum_recursive_level_bitexact(ray_session):
+    """Force the recursive Dataset-side base computation (bucket table
+    'too big for the driver') and assert it equals the driver path."""
+    rng = np.random.default_rng(3)
+    keys = rng.choice(100_000, size=700, replace=False)
+    vals = rng.integers(0, 30, size=700)
+    direct = (
+        ordered_prefix_sum(_ds(keys, vals), "k", "v", bucket_width=8)
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    recursive = (
+        ordered_prefix_sum(_ds(keys, vals), "k", "v", bucket_width=8, max_driver_buckets=10)
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(direct.astype("int64"), recursive.astype("int64"))
