@@ -2135,3 +2135,36 @@ SELECT doc_id, n_tokens,
        CAST((cum - n_tokens) % {PACK_SEQ_LEN} AS BIGINT) AS seq_offset
 FROM c ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Chunk-level exact dedup: the window-chunker's windows, deduplicated
+# globally by content with keeper = MIN(doc_id) per distinct chunk text.
+# Distributed path shuffles only (chunk-hash, doc, copies) triples and
+# paints keepers back with a hash-partitioned join (stages/dedup.py::
+# chunk_exact_dedup); the oracle regroups the same windows by chunk_text.
+# ---------------------------------------------------------------------------
+
+def docs_chunk_dedup(sf_dir: str):
+    from ..stages.dedup import chunk_exact_dedup
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    df = chunk_exact_dedup(ds, window_tokens=CHUNK_TOKENS).to_pandas()
+    df = df.sort_values("doc_id").reset_index(drop=True)
+    return df.astype({"doc_id": "int64", "n_chunks": "int64", "n_kept": "int64", "n_dropped": "int64"})
+
+
+DOCS_CHUNK_DEDUP_SQL = f"""
+WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents),
+chunks AS (
+  SELECT doc_id, array_to_string(w[s+1 : LEAST(s+{CHUNK_TOKENS}, len(w))], ' ') AS chunk_text
+  FROM toks, UNNEST(range(0, GREATEST(len(w), 1), {CHUNK_TOKENS})) AS t(s)
+),
+owners AS (SELECT chunk_text, MIN(doc_id) AS keeper FROM chunks GROUP BY chunk_text)
+SELECT c.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(COUNT(*) FILTER (WHERE o.keeper = c.doc_id) AS BIGINT) AS n_kept,
+       CAST(COUNT(*) FILTER (WHERE o.keeper <> c.doc_id) AS BIGINT) AS n_dropped
+FROM chunks c JOIN owners o USING (chunk_text)
+GROUP BY c.doc_id ORDER BY doc_id
+"""

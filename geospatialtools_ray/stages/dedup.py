@@ -411,3 +411,84 @@ def simhash_buckets(ds, text_col: str = "text", id_col: str = "doc_id", band_bit
         )
 
     return ds.map_batches(apply, batch_format="pyarrow")
+
+
+def chunk_exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id", window_tokens: int = 32):
+    """Chunk-level exact dedup over fixed token windows: split each document
+    into W-token chunks (same pinned rule as the training-window chunker:
+    words = split-on-space drop-empties, windows start at 0, W, 2W, ...,
+    a zero-word document emits ONE empty chunk), hash each chunk's text,
+    and assign every distinct chunk a canonical keeper = MIN(doc id) over
+    the documents containing it. Returns one row per document:
+    (id, n_chunks, n_kept, n_dropped) where n_kept counts chunk copies this
+    document canonically owns and n_dropped counts copies whose content an
+    earlier document already owns (the bytes a chunk-level deduper would
+    strip from this doc).
+
+    Scale shape: chunk text never leaves the chunking batch — only
+    (hash, id, copies) triples shuffle, pre-combined per batch. The keeper
+    table (one row per distinct chunk hash) is NOT broadcast: ownership is
+    painted back with a hash-partitioned join on the chunk hash, so neither
+    side ever has to fit in one worker. Final per-doc rollup is a Sum
+    groupby on ids.
+    """
+    from ray.data.aggregate import Min, Sum
+
+    W = window_tokens
+
+    def chunk_hash_partial(b: pa.Table) -> pa.Table:
+        df = b.select([id_col, text_col]).to_pandas()
+        s = df.set_index(id_col)[text_col].str.split(" ").explode()
+        s = s[s != ""]
+        t = s.reset_index().rename(columns={text_col: "tok"})
+        t["pos"] = t.groupby(id_col).cumcount()
+        t["chunk_id"] = (t["pos"] // W).astype(np.int64)
+        g = t.groupby([id_col, "chunk_id"], as_index=False).agg(chunk_text=("tok", " ".join))
+        empty = df.loc[~df[id_col].isin(g[id_col]), [id_col]]
+        if len(empty):
+            g = pd.concat([g, empty.assign(chunk_id=np.int64(0), chunk_text="")], ignore_index=True)
+        # int64 view of the u64 hash: bit-identical as a key, and avoids
+        # Ray's pandas-block uint64 round-trip overflowing in the join
+        g["h"] = text_hash_u64(pa.array(g["chunk_text"].to_numpy(dtype=object), type=pa.string())).view(np.int64)
+        part = g.groupby(["h", id_col], as_index=False).size().rename(columns={"size": "m"})
+        return pa.table(
+            {
+                "h": pa.array(part["h"].to_numpy(dtype=np.int64), type=pa.int64()),
+                id_col: pa.array(part[id_col].to_numpy()),
+                "m": pa.array(part["m"].to_numpy(dtype=np.int64), type=pa.int64()),
+            }
+        )
+
+    # materialize the reduced (hash, id, copies) projection once: it feeds
+    # both the keeper aggregate and the paint-back join, and is orders of
+    # magnitude smaller than the text it summarizes
+    pairs = ds.map_batches(chunk_hash_partial, batch_format="pyarrow").materialize()
+    owners = pairs.groupby("h").aggregate(Min(id_col, alias_name="_keeper"))
+
+    from ..pipelines.joins import hash_join
+
+    joined = hash_join(pairs, owners, on=("h",))
+
+    def flag(b: pa.Table) -> pa.Table:
+        doc = b[id_col].to_numpy(zero_copy_only=False)
+        keeper = b["_keeper"].to_numpy(zero_copy_only=False)
+        m = b["m"].to_numpy(zero_copy_only=False).astype(np.int64)
+        kept = np.where(doc == keeper, m, 0).astype(np.int64)
+        return pa.table(
+            {
+                id_col: b[id_col],
+                "n_chunks": pa.array(m, type=pa.int64()),
+                "n_kept": pa.array(kept, type=pa.int64()),
+                "n_dropped": pa.array(m - kept, type=pa.int64()),
+            }
+        )
+
+    return (
+        joined.map_batches(flag, batch_format="pyarrow")
+        .groupby(id_col)
+        .aggregate(
+            Sum("n_chunks", alias_name="n_chunks"),
+            Sum("n_kept", alias_name="n_kept"),
+            Sum("n_dropped", alias_name="n_dropped"),
+        )
+    )

@@ -431,3 +431,56 @@ def test_pair_gram_overlap_matches_jaccard_ngrams(corpus_ds):
         got = r["inter_sz"] / max(r["union_sz"], 1) if r["union_sz"] else 1.0
         assert got == pytest.approx(want, abs=0), (r["id_a"], r["id_b"])
         assert r["union_sz"] >= r["inter_sz"] >= 0
+
+
+def test_chunk_exact_dedup_matches_pandas_twin(ray_session):
+    import ray.data as rd
+
+    W = 4
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": [
+                "a b c d e f g h",          # chunks: "a b c d", "e f g h"
+                "a b c d x y z w",          # first chunk duplicates doc 1's
+                "e f g h",                  # duplicates doc 1's second chunk
+                "",                         # zero-word doc: one empty chunk
+                "   ",                      # whitespace-only: also one empty chunk (dup of doc 4's)
+            ],
+        }
+    )
+    ds = rd.from_pandas(docs)
+    out = (
+        dedup.chunk_exact_dedup(ds, window_tokens=W)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    # independent single-process twin: literal chunking + dict ownership
+    owners: dict[str, int] = {}
+    chunks_of: dict[int, list[str]] = {}
+    for _, r in docs.iterrows():
+        words = [w for w in r["text"].split(" ") if w != ""]
+        chs = [" ".join(words[s : s + W]) for s in range(0, len(words), W)] or [""]
+        chunks_of[r["doc_id"]] = chs
+        for c in chs:
+            owners[c] = min(owners.get(c, r["doc_id"]), r["doc_id"])
+    want = pd.DataFrame(
+        [
+            {
+                "doc_id": d,
+                "n_chunks": len(chs),
+                "n_kept": sum(owners[c] == d for c in chs),
+                "n_dropped": sum(owners[c] != d for c in chs),
+            }
+            for d, chs in chunks_of.items()
+        ]
+    ).sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out.astype("int64"), want.astype("int64"))
+    # spot semantics: doc 2 keeps its novel chunk, drops the copied one
+    r2 = out[out["doc_id"] == 2].iloc[0]
+    assert (r2["n_chunks"], r2["n_kept"], r2["n_dropped"]) == (2, 1, 1)
+    # the whitespace-only doc's single empty chunk is owned by doc 4
+    r5 = out[out["doc_id"] == 5].iloc[0]
+    assert (r5["n_kept"], r5["n_dropped"]) == (0, 1)
