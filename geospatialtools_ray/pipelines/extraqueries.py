@@ -1872,23 +1872,9 @@ def docs_chunk_windows(sf_dir: str):
     W = CHUNK_TOKENS
 
     def chunks(b: pa.Table) -> pa.Table:
-        df = b.to_pandas()
-        s = df.set_index("doc_id")["text"].str.split(" ").explode()
-        s = s[s != ""]
-        t = s.reset_index().rename(columns={"text": "tok"})
-        t["pos"] = t.groupby("doc_id").cumcount()
-        t["chunk_id"] = (t["pos"] // W).astype(np.int64)
-        g = t.groupby(["doc_id", "chunk_id"], as_index=False).agg(
-            n_tokens=("tok", "size"), chunk_text=("tok", " ".join)
-        )
-        # zero-word docs (empty/whitespace text) emit one empty chunk
-        empty = df.loc[~df["doc_id"].isin(g["doc_id"]), ["doc_id"]]
-        if len(empty):
-            g = pd.concat(
-                [g, empty.assign(chunk_id=np.int64(0), n_tokens=np.int64(0), chunk_text="")],
-                ignore_index=True,
-            )
-        g["n_tokens"] = g["n_tokens"].astype("int64")
+        from ..stages.text import chunk_windows_df
+
+        g = chunk_windows_df(b.to_pandas(), "doc_id", "text", W)
         return pa.Table.from_pandas(g, preserve_index=False)
 
     df = ds.map_batches(chunks, batch_format="pyarrow").to_pandas()
@@ -1896,10 +1882,10 @@ def docs_chunk_windows(sf_dir: str):
 
 
 DOCS_CHUNK_WINDOWS_SQL = f"""
-WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents)
+WITH toks AS (SELECT doc_id, list_filter(string_split(COALESCE(text, ''), ' '), x -> x <> '') AS w FROM documents)
 SELECT doc_id, CAST(s/{CHUNK_TOKENS} AS BIGINT) AS chunk_id,
        CAST(LEAST(s+{CHUNK_TOKENS}, len(w)) - s AS BIGINT) AS n_tokens,
-       array_to_string(w[s+1 : LEAST(s+{CHUNK_TOKENS}, len(w))], ' ') AS chunk_text
+       COALESCE(array_to_string(w[s+1 : LEAST(s+{CHUNK_TOKENS}, len(w))], ' '), '') AS chunk_text
 FROM toks, UNNEST(range(0, GREATEST(len(w), 1), {CHUNK_TOKENS})) AS t(s)
 ORDER BY doc_id, chunk_id
 """
@@ -2155,9 +2141,9 @@ def docs_chunk_dedup(sf_dir: str):
 
 
 DOCS_CHUNK_DEDUP_SQL = f"""
-WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents),
+WITH toks AS (SELECT doc_id, list_filter(string_split(COALESCE(text, ''), ' '), x -> x <> '') AS w FROM documents),
 chunks AS (
-  SELECT doc_id, array_to_string(w[s+1 : LEAST(s+{CHUNK_TOKENS}, len(w))], ' ') AS chunk_text
+  SELECT doc_id, COALESCE(array_to_string(w[s+1 : LEAST(s+{CHUNK_TOKENS}, len(w))], ' '), '') AS chunk_text
   FROM toks, UNNEST(range(0, GREATEST(len(w), 1), {CHUNK_TOKENS})) AS t(s)
 ),
 owners AS (SELECT chunk_text, MIN(doc_id) AS keeper FROM chunks GROUP BY chunk_text)

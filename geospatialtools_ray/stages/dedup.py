@@ -437,16 +437,9 @@ def chunk_exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id", window
     W = window_tokens
 
     def chunk_hash_partial(b: pa.Table) -> pa.Table:
-        df = b.select([id_col, text_col]).to_pandas()
-        s = df.set_index(id_col)[text_col].str.split(" ").explode()
-        s = s[s != ""]
-        t = s.reset_index().rename(columns={text_col: "tok"})
-        t["pos"] = t.groupby(id_col).cumcount()
-        t["chunk_id"] = (t["pos"] // W).astype(np.int64)
-        g = t.groupby([id_col, "chunk_id"], as_index=False).agg(chunk_text=("tok", " ".join))
-        empty = df.loc[~df[id_col].isin(g[id_col]), [id_col]]
-        if len(empty):
-            g = pd.concat([g, empty.assign(chunk_id=np.int64(0), chunk_text="")], ignore_index=True)
+        from .text import chunk_windows_df
+
+        g = chunk_windows_df(b.select([id_col, text_col]).to_pandas(), id_col, text_col, W)
         # int64 view of the u64 hash: bit-identical as a key, and avoids
         # Ray's pandas-block uint64 round-trip overflowing in the join
         g["h"] = text_hash_u64(pa.array(g["chunk_text"].to_numpy(dtype=object), type=pa.string())).view(np.int64)

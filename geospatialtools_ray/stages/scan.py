@@ -5,9 +5,12 @@ Ray Data blocks carry no global order, so an ORDER BY prefix sum cannot be
 a single streaming pass. The classic two-phase scan:
 
 1. bucket every row by its order key (``bucket = order_key // bucket_width``
-   — contiguous key ranges, so bucket order == key order);
-2. per-bucket sums: per-batch partials + the shuffle-free tree combine
-   (driver sees ONE row per bucket) while the bucket table is small;
+   — contiguous key ranges, so bucket order == key order); the keyed
+   projection is materialized ONCE so the upstream lineage (read +
+   tokenize) is never re-executed by the later passes;
+2. per-bucket sums: per-batch partials + one groupby on the bucket key
+   (the partials are pre-combined per batch, so the shuffle moves at most
+   one row per (batch, bucket));
 3. driver prefix-sums the tiny bucket table into per-bucket base offsets
    (broadcast once);
 4. one ``groupby(bucket).map_groups`` pass: sort within the bucket (bounded
@@ -17,8 +20,10 @@ When the bucket table itself outgrows the driver (10^12 keys at a small
 width), the scan RECURSES: the per-bucket sums stay a Dataset, the same
 scan runs over them at a coarser width to produce each bucket's exclusive
 base, and the bases join back to the rows on the bucket key (one hash
-join — the shuffle the driver collect would otherwise hide). Depth 2
-covers 1e6^2 buckets; nothing ever materializes beyond the top level's
+join — the shuffle the driver collect would otherwise hide). The coarser
+width is sized from the MAX bucket id (not the distinct count), so even
+sparse bucket ids are guaranteed to reach the driver path after exactly
+one recursion level; nothing ever materializes beyond the top level's
 <= max_driver_buckets rows.
 
 Total moved volume: one shuffle on the bucket key (the map_groups), plus
@@ -69,18 +74,21 @@ def ordered_prefix_sum(
     non-negative integers). Output rows keep (order_col, value_col, cum).
     """
     import ray
-    from ray.data.aggregate import Sum
+    from ray.data.aggregate import Max, Sum
 
-    from ..pipelines.relational import tree_group_sum
+    # materialize the keyed (order, value, bucket) projection once: both the
+    # bucket-sum pass and the final scan read it, and re-running the upstream
+    # lineage (parquet read + tokenize) twice would double the most expensive
+    # stage of the query
+    keyed = _with_bucket(ds, order_col, value_col, bucket_width).materialize()
 
     def bucket_partial(b: pa.Table) -> pa.Table:
-        k = b[order_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        k = b["_scan_bucket"].to_numpy(zero_copy_only=False)
         v = b[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        df = pd.DataFrame({"_scan_bucket": k // bucket_width, "s": v})
+        df = pd.DataFrame({"_scan_bucket": k, "s": v})
         return pa.Table.from_pandas(df.groupby("_scan_bucket", as_index=False)["s"].sum(), preserve_index=False)
 
-    partials = ds.map_batches(bucket_partial, batch_format="pyarrow")
-    keyed = _with_bucket(ds, order_col, value_col, bucket_width)
+    partials = keyed.map_batches(bucket_partial, batch_format="pyarrow")
 
     # distinct buckets are bounded by (max key / bucket_width); measure the
     # real count distributed so the driver path is chosen, not assumed
@@ -102,12 +110,16 @@ def ordered_prefix_sum(
 
         return keyed.groupby("_scan_bucket").map_groups(scan_group, batch_format="pandas")
 
-    # recursive level: scan the bucket table itself (coarser width chosen so
-    # depth 2 handles 1e6^2 buckets), derive each bucket's EXCLUSIVE base
-    # (cum - own sum), and join it back on the bucket key
+    # recursive level: scan the bucket table itself, derive each bucket's
+    # EXCLUSIVE base (cum - own sum), and join it back on the bucket key.
+    # The coarser width is sized from the MAX bucket id, not the distinct
+    # count: child ids are id // coarser <= max_id / coarser, so the child
+    # is GUARANTEED <= max_driver_buckets distinct buckets even when this
+    # level's ids are sparse (a count-based width could recurse unboundedly)
     from ..pipelines.joins import hash_join
 
-    coarser = max(int(np.ceil(n_buckets / max_driver_buckets)), 2)
+    max_id = int(bsums_ds.aggregate(Max("_scan_bucket", alias_name="mx"))["mx"])
+    coarser = max(int(np.ceil((max_id + 1) / max_driver_buckets)), 2)
     # the child level's order key is THIS level's bucket id; rename it so
     # the child's own _scan_bucket column cannot collide with its order key
     renamed = bsums_ds.map_batches(

@@ -178,3 +178,29 @@ def fingerprint_stage(text_col: str = "text", window: int = 8, out_col: str = "f
         return batch.append_column(out_col, pa.array(fp, type=pa.uint64()))
 
     return apply
+
+
+def chunk_windows_df(df: pd.DataFrame, id_col: str, text_col: str, window_tokens: int) -> pd.DataFrame:
+    """The pinned training-window chunking rule, shared by the window-chunker
+    query (docs_chunk_windows) and chunk-level exact dedup so the two can
+    never desynchronize — and mirrored verbatim by both SQL oracles:
+    words = split-on-space drop-empties; chunks start at 0, W, 2W, ...;
+    a NULL or zero-word document emits ONE empty chunk.
+    Returns (id, chunk_id, n_tokens, chunk_text), one row per chunk."""
+    W = window_tokens
+    s = df.set_index(id_col)[text_col].fillna("").str.split(" ").explode()
+    s = s[s != ""]
+    t = s.reset_index().rename(columns={text_col: "tok"})
+    t["pos"] = t.groupby(id_col).cumcount()
+    t["chunk_id"] = (t["pos"] // W).astype(np.int64)
+    g = t.groupby([id_col, "chunk_id"], as_index=False).agg(
+        n_tokens=("tok", "size"), chunk_text=("tok", " ".join)
+    )
+    empty = df.loc[~df[id_col].isin(g[id_col]), [id_col]]
+    if len(empty):
+        g = pd.concat(
+            [g, empty.assign(chunk_id=np.int64(0), n_tokens=np.int64(0), chunk_text="")],
+            ignore_index=True,
+        )
+    g["n_tokens"] = g["n_tokens"].astype("int64")
+    return g

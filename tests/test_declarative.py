@@ -85,11 +85,14 @@ def test_q3_q5_join_strategy_selection(ray_session, monkeypatch):
     sf = "/root/testdata/sf0.001"
     b3 = R.q3_top_orders(sf)
     b5 = R.q5_region_revenue(sf)
+    b10 = R.q10_returned_items(sf)
     monkeypatch.setenv("GRAFT_BROADCAST_LIMIT", "1")
     s3 = R.q3_top_orders(sf)
     s5 = R.q5_region_revenue(sf)
+    s10 = R.q10_returned_items(sf)
     pd.testing.assert_frame_equal(b3.reset_index(drop=True), s3.reset_index(drop=True))
     pd.testing.assert_frame_equal(b5.reset_index(drop=True), s5.reset_index(drop=True))
+    pd.testing.assert_frame_equal(b10.reset_index(drop=True), s10.reset_index(drop=True))
 
 
 def test_tree_group_sum_matches_groupby(ray_session):

@@ -40,6 +40,7 @@ NEW_QUERIES = [
     "docs_radius_join",
     "docs_weighted_sample",
     "docs_pack_sequences",
+    "docs_chunk_dedup",
 ]
 
 
@@ -113,3 +114,49 @@ def test_empty_result_paths_match_oracle(entry, tmp_path):
         oracle = con.execute(entry.oracle_sql()[name]).df()
         assert len(res) == 0 and len(oracle) == 0, name
         assert sorted(res.columns) == sorted(oracle.columns), name
+
+
+def test_chunk_rule_null_and_empty_docs_match_oracle(ray_session):
+    """The pinned one-empty-chunk rule on degenerate documents (empty,
+    whitespace-only, NULL text): engine kernel and both chunk SQL oracles
+    must agree — sf corpora contain no such docs, so this is the only
+    guard on the COALESCE handling in the oracles."""
+    import ray.data as rd
+
+    from geospatialtools_ray.pipelines import extraqueries as X
+    from geospatialtools_ray.stages.dedup import chunk_exact_dedup
+    from geospatialtools_ray.stages.text import chunk_windows_df
+
+    docs = pd.DataFrame(
+        {"doc_id": [1, 2, 3, 4], "text": ["a b c", "", "   ", None]}
+    ).astype({"doc_id": "int64"})
+    con = duckdb.connect()
+    con.register("documents", docs)
+
+    # window-chunker rule: kernel vs oracle (4 docs -> 4 rows, 3 empty chunks)
+    eng = chunk_windows_df(docs, "doc_id", "text", X.CHUNK_TOKENS)
+    eng = eng.sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+    ora = con.execute(X.DOCS_CHUNK_WINDOWS_SQL).df()
+    cols = sorted(eng.columns)
+    assert sorted(ora.columns) == cols
+    pd.testing.assert_frame_equal(
+        eng[cols].sort_values(cols).reset_index(drop=True),
+        ora[cols].sort_values(cols).reset_index(drop=True),
+        check_dtype=False,
+    )
+    assert (eng["chunk_text"] == "").sum() == 3
+
+    # chunk dedup: the three degenerate docs share ONE empty chunk owned by
+    # doc 2 — engine vs oracle
+    out = chunk_exact_dedup(rd.from_pandas(docs)).to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    ora2 = con.execute(X.DOCS_CHUNK_DEDUP_SQL).df()
+    cols2 = sorted(out.columns)
+    assert sorted(ora2.columns) == cols2
+    pd.testing.assert_frame_equal(
+        out[cols2].sort_values(cols2).reset_index(drop=True),
+        ora2[cols2].sort_values(cols2).reset_index(drop=True),
+        check_dtype=False,
+    )
+    assert out.loc[out["doc_id"] == 2, "n_kept"].iloc[0] == 1
+    assert out.loc[out["doc_id"].isin([3, 4]), "n_dropped"].tolist() == [1, 1]
