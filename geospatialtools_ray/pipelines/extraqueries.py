@@ -2154,3 +2154,53 @@ SELECT c.doc_id,
 FROM chunks c JOIN owners o USING (chunk_text)
 GROUP BY c.doc_id ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Deterministic global training shuffle: every document gets its position in
+# the seeded shuffled stream (rank over the pinned Knuth hash, doc_id
+# tie-break). Distributed as the ordered scan over a packed
+# (hash << 31 | doc_id) key — value 1, so cum-1 IS the 0-based rank — with
+# doc_id recovered from the key's low bits afterward; the bucket width is
+# sized from the corpus row count so sparse hash-space keys still land
+# ~4k rows per scan bucket. Shares the documented doc_id < 2^31 SQL-mirror
+# bound with docs_hash_sample.
+# ---------------------------------------------------------------------------
+
+def docs_shuffle_rank(sf_dir: str):
+    from ..stages.scan import ordered_prefix_sum
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    n = ds.count()  # parquet metadata count — no pipeline execution
+
+    def key(b: pa.Table) -> pa.Table:
+        did = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = ((did * np.uint64(KNUTH_MULT)) & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        k = (h << np.int64(31)) | did.astype(np.int64)
+        return pa.table({"k": pa.array(k, type=pa.int64()), "one": pa.array(np.ones(len(k), dtype=np.int64))})
+
+    # keys are uniform over [0, 2^63): size buckets to ~4k rows each so the
+    # per-bucket map_groups pass gets real groups, not singletons
+    bw = max((1 << 63) // max(n // 4096, 64), 1)
+    scanned = ordered_prefix_sum(ds.map_batches(key, batch_format="pyarrow"), "k", "one", bucket_width=bw)
+
+    def finish(b: pa.Table) -> pa.Table:
+        k = b["k"].to_numpy(zero_copy_only=False)
+        cum = b["cum"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": pa.array(k & np.int64((1 << 31) - 1), type=pa.int64()),
+                "shuffle_pos": pa.array(cum - 1, type=pa.int64()),
+            }
+        )
+
+    df = scanned.map_batches(finish, batch_format="pyarrow").to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+DOCS_SHUFFLE_RANK_SQL = f"""
+SELECT doc_id,
+       CAST(ROW_NUMBER() OVER (ORDER BY (doc_id * {KNUTH_MULT}) % 4294967296, doc_id) - 1 AS BIGINT)
+         AS shuffle_pos
+FROM documents ORDER BY doc_id
+"""

@@ -41,6 +41,7 @@ NEW_QUERIES = [
     "docs_weighted_sample",
     "docs_pack_sequences",
     "docs_chunk_dedup",
+    "docs_shuffle_rank",
 ]
 
 
