@@ -1840,7 +1840,7 @@ WITH toks AS (
 ), g AS (
   SELECT doc_id, is_eval,
          CASE WHEN len(w) >= {DECONTAM_K} THEN array_to_string(w[i:i+{DECONTAM_K - 1}], ' ')
-              ELSE array_to_string(w, ' ') END AS gram
+              ELSE COALESCE(array_to_string(w, ' '), '') END AS gram
   FROM toks, UNNEST(CASE WHEN len(w) >= {DECONTAM_K} THEN range(1, len(w) - {DECONTAM_K - 2})
                          ELSE [CAST(1 AS BIGINT)] END) AS t(i)
 ), eg AS (SELECT DISTINCT gram FROM g WHERE is_eval),

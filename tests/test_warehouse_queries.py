@@ -161,3 +161,40 @@ def test_chunk_rule_null_and_empty_docs_match_oracle(ray_session):
     )
     assert out.loc[out["doc_id"] == 2, "n_kept"].iloc[0] == 1
     assert out.loc[out["doc_id"].isin([3, 4]), "n_dropped"].tolist() == [1, 1]
+
+
+def test_decontaminate_empty_docs_match_oracle(ray_session, tmp_path):
+    """An empty eval doc and an empty train doc share the degenerate
+    zero-word gram (engine: fold of zero words = hash 0; oracle: COALESCE''
+    short-doc gram) — the train doc must be flagged by BOTH engines, and a
+    corpus with empty docs on only one side must flag nothing extra.
+    doc_id 8 is in the pinned 5% eval slice; 1-3 are train."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sf = str(tmp_path)
+    t = pa.table(
+        {
+            "doc_id": pa.array([8, 1, 2, 3], type=pa.int64()),
+            "text": pa.array(["", "", "w1 w2 w3 w4 w5 w6", "   "]),
+        }
+    )
+    pq.write_table(t, f"{sf}/documents.parquet")
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')")
+
+    from geospatialtools_ray.pipelines import extraqueries as X
+
+    eng = X.docs_decontaminate(sf)
+    ora = con.execute(X.DOCS_DECONTAMINATE_SQL).df()
+    cols = sorted(eng.columns)
+    assert sorted(ora.columns) == cols
+    pd.testing.assert_frame_equal(
+        eng[cols].sort_values(cols).reset_index(drop=True),
+        ora[cols].sort_values(cols).reset_index(drop=True).astype({c: "int64" for c in cols}),
+    )
+    # both empty-ish train docs (1: empty, 3: whitespace) hit the empty eval
+    # gram; doc 2 shares no 5-gram with the eval side
+    assert eng["doc_id"].tolist() == [1, 3]
+    assert eng["n_hits"].tolist() == [1, 1]
