@@ -2204,3 +2204,44 @@ SELECT doc_id,
          AS shuffle_pos
 FROM documents ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Duplicated-span statistics (ExactSubstr-style signal): every OVERLAPPING
+# k-token window, counted as duplicated when its content occurs >= 2 times
+# anywhere in the corpus. Distributed path shuffles only (window-hash, doc,
+# copies) triples and paints global multiplicities back with a
+# hash-partitioned join (stages/dedup.py::dup_span_stats); the oracle
+# regroups the same windows by window TEXT (cross-engine: string grams vs
+# the engine's 64-bit gram hashes). Short docs (< k words) emit one
+# whole-doc window — the decontamination kernel's pinned rule.
+# ---------------------------------------------------------------------------
+
+DUP_SPAN_K = 8
+
+
+def docs_dup_spans(sf_dir: str):
+    from ..stages.dedup import dup_span_stats
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    df = dup_span_stats(ds, k=DUP_SPAN_K).to_pandas()
+    df = df.sort_values("doc_id").reset_index(drop=True)
+    return df.astype({"doc_id": "int64", "n_windows": "int64", "n_dup_windows": "int64"})
+
+
+DOCS_DUP_SPANS_SQL = f"""
+WITH toks AS (SELECT doc_id, list_filter(string_split(COALESCE(text, ''), ' '), x -> x <> '') AS w FROM documents),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= {DUP_SPAN_K} THEN array_to_string(w[i:i+{DUP_SPAN_K - 1}], ' ')
+              ELSE COALESCE(array_to_string(w, ' '), '') END AS gram
+  FROM toks, UNNEST(CASE WHEN len(w) >= {DUP_SPAN_K} THEN range(1, len(w) - {DUP_SPAN_K - 2})
+                         ELSE [CAST(1 AS BIGINT)] END) AS t(i)
+),
+tot AS (SELECT gram, COUNT(*) AS cnt FROM g GROUP BY gram)
+SELECT g.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_windows,
+       CAST(COUNT(*) FILTER (WHERE tot.cnt >= 2) AS BIGINT) AS n_dup_windows
+FROM g JOIN tot USING (gram)
+GROUP BY g.doc_id ORDER BY g.doc_id
+"""

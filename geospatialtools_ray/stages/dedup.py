@@ -485,3 +485,62 @@ def chunk_exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id", window
             Sum("n_dropped", alias_name="n_dropped"),
         )
     )
+
+
+def dup_span_stats(ds, text_col: str = "text", id_col: str = "doc_id", k: int = 8):
+    """Duplicated-span statistics (the ExactSubstr-style fine-grained dedup
+    signal, cf. Lee et al. 2021 "Deduplicating Training Data Makes Language
+    Models Better"): every OVERLAPPING k-token window is hashed (stride 1 —
+    unlike chunk_exact_dedup's non-overlapping chunks), and a window counts
+    as duplicated when its content occurs >= 2 times anywhere in the corpus
+    (including twice inside one document). Returns one row per document:
+    (id, n_windows, n_dup_windows). Documents shorter than k tokens emit
+    one whole-doc window — the same pinned short-doc rule the
+    decontamination gram kernel uses (gram_hash_flat).
+
+    Scale shape: windows never leave the hashing batch — (hash, id, copies)
+    triples pre-combined per batch are all that shuffles; the global
+    multiplicity table joins back hash-partitioned (never broadcast);
+    per-doc rollup is a Sum groupby.
+    """
+    from ray.data.aggregate import Sum
+
+    def window_hash_partial(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        g, go, docidx = gram_hash_flat(b[text_col], k)
+        part = pd.DataFrame({"h": g.view(np.int64), id_col: ids[docidx]})
+        part = part.groupby(["h", id_col], as_index=False).size().rename(columns={"size": "m"})
+        return pa.table(
+            {
+                "h": pa.array(part["h"].to_numpy(dtype=np.int64), type=pa.int64()),
+                id_col: pa.array(part[id_col].to_numpy()),
+                "m": pa.array(part["m"].to_numpy(dtype=np.int64), type=pa.int64()),
+            }
+        )
+
+    pairs = ds.map_batches(window_hash_partial, batch_format="pyarrow").materialize()
+    totals = pairs.groupby("h").aggregate(Sum("m", alias_name="_tot"))
+
+    from ..pipelines.joins import hash_join
+
+    joined = hash_join(pairs, totals, on=("h",))
+
+    def flag(b: pa.Table) -> pa.Table:
+        m = b["m"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tot = b["_tot"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                id_col: b[id_col],
+                "n_windows": pa.array(m, type=pa.int64()),
+                "n_dup_windows": pa.array(np.where(tot >= 2, m, 0), type=pa.int64()),
+            }
+        )
+
+    return (
+        joined.map_batches(flag, batch_format="pyarrow")
+        .groupby(id_col)
+        .aggregate(
+            Sum("n_windows", alias_name="n_windows"),
+            Sum("n_dup_windows", alias_name="n_dup_windows"),
+        )
+    )

@@ -484,3 +484,52 @@ def test_chunk_exact_dedup_matches_pandas_twin(ray_session):
     # the whitespace-only doc's single empty chunk is owned by doc 4
     r5 = out[out["doc_id"] == 5].iloc[0]
     assert (r5["n_kept"], r5["n_dropped"]) == (0, 1)
+
+
+def test_dup_span_stats_overlapping_window_semantics(ray_session):
+    import ray.data as rd
+
+    K = 3
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "a b c d e",      # windows: "a b c", "b c d", "c d e"
+                "x y a b c",      # shares "a b c" with doc 1
+                "p q r p q r p q r p q",  # internal repetition: "p q r" x3 etc.
+                "u v",            # short doc: one whole-doc window "u v"
+            ],
+        }
+    )
+    out = (
+        dedup.dup_span_stats(rd.from_pandas(docs), k=K)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    # independent twin: literal overlapping windows + global counts
+    from collections import Counter
+
+    wins_of = {}
+    for _, r in docs.iterrows():
+        w = [x for x in r["text"].split(" ") if x != ""]
+        wins = [" ".join(w[i : i + K]) for i in range(len(w) - K + 1)] if len(w) >= K else [" ".join(w)]
+        wins_of[r["doc_id"]] = wins
+    tot = Counter(w for ws in wins_of.values() for w in ws)
+    want = pd.DataFrame(
+        [
+            {
+                "doc_id": d,
+                "n_windows": len(ws),
+                "n_dup_windows": sum(tot[w] >= 2 for w in ws),
+            }
+            for d, ws in wins_of.items()
+        ]
+    ).sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out.astype("int64"), want.astype("int64"))
+    # cross-doc duplicate counted on BOTH sides; within-doc repeats count too
+    assert out.loc[out["doc_id"] == 1, "n_dup_windows"].iloc[0] == 1
+    assert out.loc[out["doc_id"] == 2, "n_dup_windows"].iloc[0] == 1
+    assert out.loc[out["doc_id"] == 3, "n_dup_windows"].iloc[0] > 0
+    assert out.loc[out["doc_id"] == 4, ["n_windows", "n_dup_windows"]].values.tolist() == [[1, 0]]

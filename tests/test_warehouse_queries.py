@@ -42,6 +42,7 @@ NEW_QUERIES = [
     "docs_pack_sequences",
     "docs_chunk_dedup",
     "docs_shuffle_rank",
+    "docs_dup_spans",
 ]
 
 
