@@ -432,8 +432,6 @@ def chunk_exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id", window
     side ever has to fit in one worker. Final per-doc rollup is a Sum
     groupby on ids.
     """
-    from ray.data.aggregate import Min, Sum
-
     W = window_tokens
 
     def chunk_hash_partial(b: pa.Table) -> pa.Table:
@@ -456,7 +454,14 @@ def chunk_exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id", window
     # both the keeper aggregate and the paint-back join, and is orders of
     # magnitude smaller than the text it summarizes
     pairs = ds.map_batches(chunk_hash_partial, batch_format="pyarrow").materialize()
-    owners = pairs.groupby("h").aggregate(Min(id_col, alias_name="_keeper"))
+    # keeper per hash via sorted_group_agg: the chunk-hash key space is
+    # nearly unique, where Ray's sort-aggregate finalize (per-group Python)
+    # is ~10x slower than sort + per-block combine + boundary fix
+    from ..pipelines.relational import sorted_group_agg
+
+    owners = sorted_group_agg(pairs, "h", {id_col: "min"}).map_batches(
+        lambda b: pa.table({"h": b["h"], "_keeper": b[id_col]}), batch_format="pyarrow"
+    )
 
     from ..pipelines.joins import hash_join
 
@@ -476,14 +481,10 @@ def chunk_exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id", window
             }
         )
 
-    return (
-        joined.map_batches(flag, batch_format="pyarrow")
-        .groupby(id_col)
-        .aggregate(
-            Sum("n_chunks", alias_name="n_chunks"),
-            Sum("n_kept", alias_name="n_kept"),
-            Sum("n_dropped", alias_name="n_dropped"),
-        )
+    return sorted_group_agg(
+        joined.map_batches(flag, batch_format="pyarrow"),
+        id_col,
+        {"n_chunks": "sum", "n_kept": "sum", "n_dropped": "sum"},
     )
 
 
@@ -503,7 +504,6 @@ def dup_span_stats(ds, text_col: str = "text", id_col: str = "doc_id", k: int = 
     multiplicity table joins back hash-partitioned (never broadcast);
     per-doc rollup is a Sum groupby.
     """
-    from ray.data.aggregate import Sum
 
     def window_hash_partial(b: pa.Table) -> pa.Table:
         ids = b[id_col].to_numpy(zero_copy_only=False)
@@ -519,7 +519,14 @@ def dup_span_stats(ds, text_col: str = "text", id_col: str = "doc_id", k: int = 
         )
 
     pairs = ds.map_batches(window_hash_partial, batch_format="pyarrow").materialize()
-    totals = pairs.groupby("h").aggregate(Sum("m", alias_name="_tot"))
+    # global multiplicity per window hash: nearly-unique key space — use the
+    # sort + per-block combine + boundary fix (see sorted_group_agg) instead
+    # of Ray's per-group-Python aggregate finalize
+    from ..pipelines.relational import sorted_group_agg
+
+    totals = sorted_group_agg(pairs, "h", {"m": "sum"}).map_batches(
+        lambda b: pa.table({"h": b["h"], "_tot": b["m"]}), batch_format="pyarrow"
+    )
 
     from ..pipelines.joins import hash_join
 
@@ -536,11 +543,8 @@ def dup_span_stats(ds, text_col: str = "text", id_col: str = "doc_id", k: int = 
             }
         )
 
-    return (
-        joined.map_batches(flag, batch_format="pyarrow")
-        .groupby(id_col)
-        .aggregate(
-            Sum("n_windows", alias_name="n_windows"),
-            Sum("n_dup_windows", alias_name="n_dup_windows"),
-        )
+    return sorted_group_agg(
+        joined.map_batches(flag, batch_format="pyarrow"),
+        id_col,
+        {"n_windows": "sum", "n_dup_windows": "sum"},
     )

@@ -130,3 +130,49 @@ def test_tree_group_sum_matches_groupby(ray_session):
 
     empty = tree_group_sum(rd.from_pandas(df.head(0)), ["k1", "k2"])
     assert len(empty) == 0
+
+
+def test_sorted_group_agg_matches_ray_aggregate(ray_session):
+    """sorted_group_agg (sort + per-block combine + boundary fix) must equal
+    the plain groupby().aggregate at every cardinality shape: few hot keys,
+    nearly-unique keys, keys engineered to straddle block boundaries, and
+    single-key datasets."""
+    import ray.data as rd
+    from ray.data.aggregate import Max, Min, Sum
+
+    from geospatialtools_ray.pipelines.relational import sorted_group_agg
+
+    rng = np.random.default_rng(11)
+
+    def check(keys, nblocks):
+        n = len(keys)
+        df = pd.DataFrame(
+            {
+                "k": keys,
+                "a": rng.integers(-50, 50, n),
+                "b": rng.integers(0, 1000, n),
+            }
+        )
+        ds = rd.from_pandas(df, override_num_blocks=nblocks)
+        got = (
+            sorted_group_agg(ds, "k", {"a": "sum", "b": "min", "n": "count"})
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        want = (
+            ds.groupby("k")
+            .aggregate(Sum("a", alias_name="a"), Min("b", alias_name="b"))
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        want["n"] = df.groupby("k").size().sort_index().to_numpy()
+        got = got[["k", "a", "b", "n"]].astype("int64")
+        pd.testing.assert_frame_equal(got, want[["k", "a", "b", "n"]].astype("int64"))
+
+    check(rng.integers(0, 5, 2000), 7)          # hot keys, every one cross-block
+    check(rng.permutation(2000), 7)             # unique keys
+    check(np.sort(rng.integers(0, 40, 2000)), 9)  # pre-sorted, long runs straddle
+    check(np.zeros(500, dtype=np.int64), 5)     # ONE key spanning all blocks
+    check(np.array([7], dtype=np.int64), 1)     # single row
