@@ -77,7 +77,7 @@ STATIONS_SQL = """
 # ---------------------------------------------------------------------------
 
 def docs_exact_dedup(sf_dir: str):
-    from ray.data.aggregate import Count, Min
+    from .relational import sorted_group_agg
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
@@ -86,13 +86,13 @@ def docs_exact_dedup(sf_dir: str):
         h = text_hash_u64(batch["text"])
         return pa.table({"doc_id": batch["doc_id"], "h": pa.array(h, type=pa.uint64())})
 
-    agg = (
-        ds.map_batches(add_hash, batch_format="pyarrow")
-        .groupby("h")
-        .aggregate(Min("doc_id", alias_name="keep_id"), Count(alias_name="dup_count"))
+    # per-hash reduce via sorted_group_agg: ~n_docs distinct keys, the
+    # regime where Ray's per-group-Python aggregate finalize dominates
+    agg = sorted_group_agg(
+        ds.map_batches(add_hash, batch_format="pyarrow"), "h", {"doc_id": "min", "dup_count": "count"}
     )
-    df = agg.to_pandas().sort_values("keep_id").reset_index(drop=True)
-    return pd.DataFrame({"keep_id": df["keep_id"].astype("int64"), "dup_count": df["dup_count"].astype("int64")})
+    df = agg.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    return pd.DataFrame({"keep_id": df["doc_id"].astype("int64"), "dup_count": df["dup_count"].astype("int64")})
 
 
 DOCS_EXACT_DEDUP_SQL = """

@@ -48,17 +48,26 @@ def jaccard_ngrams(a: str, b: str, k: int = 5) -> float:
 
 def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
     """Hash-partitioned exact dedup: keep the min-id doc per content hash.
-    Shuffles only (hash, id) pairs."""
-    from ray.data.aggregate import Count, Min
+    Shuffles only (hash, id) pairs. The per-hash reduce goes through
+    sorted_group_agg — the content-hash key space is ~n_docs, where Ray's
+    per-group-Python aggregate finalize is the bottleneck."""
+    from ..pipelines.relational import sorted_group_agg
 
     def add_hash(batch: pa.Table) -> pa.Table:
         h = text_hash_u64(batch[text_col])
         return pa.table({id_col: batch[id_col], "content_hash": pa.array(h, type=pa.uint64())})
 
-    return (
-        ds.map_batches(add_hash, batch_format="pyarrow")
-        .groupby("content_hash")
-        .aggregate(Min(id_col, alias_name="keep_id"), Count(alias_name="dup_count"))
+    hashed = ds.map_batches(add_hash, batch_format="pyarrow")
+    out = sorted_group_agg(hashed, "content_hash", {id_col: "min", "dup_count": "count"})
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "content_hash": b["content_hash"],
+                "keep_id": b[id_col],
+                "dup_count": b["dup_count"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
     )
 
 
@@ -103,8 +112,6 @@ def minhash_lsh_candidate_pairs(
     shingle_k: int = 5,
 ):
     """Dataset of distinct candidate pairs (id_a < id_b) from banded LSH."""
-    from ray.data.aggregate import Count
-
     rows_per_band = num_perm // bands
 
     def bandify(batch: pa.Table) -> pa.Table:
@@ -132,8 +139,11 @@ def minhash_lsh_candidate_pairs(
 
     banded = ds.map_batches(bandify, batch_format="pyarrow")
     pairs = banded.groupby(["band", "band_hash"]).map_groups(_bucket_pairs_fn(id_col), batch_format="pandas")
-    # distinct pairs across bands: tiny groupby shuffle on the pair key
-    return pairs.groupby(["id_a", "id_b"]).aggregate(Count(alias_name="_n")).drop_columns(["_n"])
+    # distinct pairs across bands: nearly-unique composite key -> the
+    # sort + per-block combine + boundary fix beats Ray's aggregate
+    from ..pipelines.relational import sorted_group_agg
+
+    return sorted_group_agg(pairs, ["id_a", "id_b"], {"_n": "count"}).drop_columns(["_n"])
 
 
 def _join_pair_shingles(pairs, ds, text_col: str, id_col: str, shingle_k: int, num_partitions: int):

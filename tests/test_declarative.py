@@ -176,3 +176,23 @@ def test_sorted_group_agg_matches_ray_aggregate(ray_session):
     check(np.sort(rng.integers(0, 40, 2000)), 9)  # pre-sorted, long runs straddle
     check(np.zeros(500, dtype=np.int64), 5)     # ONE key spanning all blocks
     check(np.array([7], dtype=np.int64), 1)     # single row
+
+    # composite key: (k1, k2) pairs, min + count, vs the plain aggregate
+    n = 3000
+    df = pd.DataFrame(
+        {
+            "k1": rng.integers(0, 9, n),
+            "k2": rng.integers(0, 11, n),
+            "a": rng.integers(-50, 50, n),
+        }
+    )
+    ds = rd.from_pandas(df, override_num_blocks=8)
+    got = (
+        sorted_group_agg(ds, ["k1", "k2"], {"a": "min", "n": "count"})
+        .to_pandas()
+        .sort_values(["k1", "k2"])
+        .reset_index(drop=True)
+    )
+    want = df.groupby(["k1", "k2"], as_index=False).agg(a=("a", "min"), n=("a", "size"))
+    want = want.sort_values(["k1", "k2"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[["k1", "k2", "a", "n"]].astype("int64"), want.astype("int64"))
