@@ -276,7 +276,7 @@ def connected_components_minlabel(edges, max_rounds: int = 25, num_partitions: i
     received no rows, and Acero then fails with "No match for FieldRef";
     small inputs must collapse to few partitions.
     """
-    from ray.data.aggregate import Min
+    from ..pipelines.relational import sorted_group_agg
 
     def symmetrize(batch: pa.Table) -> pa.Table:
         src = pa.concat_arrays([batch["id_a"].combine_chunks(), batch["id_b"].combine_chunks()])
@@ -295,23 +295,23 @@ def connected_components_minlabel(edges, max_rounds: int = 25, num_partitions: i
     def init_labels(batch: pa.Table) -> pa.Table:
         return pa.table({"node": batch["src"], "label": batch["src"]})
 
-    labels = (
-        sym.map_batches(init_labels, batch_format="pyarrow")
-        .groupby("node")
-        .aggregate(Min("label", alias_name="label"))
-        .materialize()
-    )
+    # node-cardinality groupby-min: sorted_group_agg (sort + per-block
+    # combine + boundary fix) — Ray's aggregate finalize is per-group Python
+    labels = sorted_group_agg(
+        sym.map_batches(init_labels, batch_format="pyarrow"), "node", {"label": "min"}
+    ).materialize()
 
     for _ in range(max_rounds):
         # candidate label for dst = min over neighbors of label(src)
         lab_src = labels.map_batches(
             lambda b: b.rename_columns(["src", "label"]), batch_format="pyarrow"
         )
-        cand = (
-            sym.join(lab_src, join_type="inner", num_partitions=num_partitions, on=("src",))
-            .map_batches(lambda b: b.select(["dst", "label"]).rename_columns(["node", "cand"]), batch_format="pyarrow")
-            .groupby("node")
-            .aggregate(Min("cand", alias_name="cand"))
+        cand = sorted_group_agg(
+            sym.join(lab_src, join_type="inner", num_partitions=num_partitions, on=("src",)).map_batches(
+                lambda b: b.select(["dst", "label"]).rename_columns(["node", "cand"]), batch_format="pyarrow"
+            ),
+            "node",
+            {"cand": "min"},
         )
         merged = labels.join(cand, join_type="left_outer", num_partitions=num_partitions, on=("node",)).materialize()
 
