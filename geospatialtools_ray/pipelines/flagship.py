@@ -313,12 +313,15 @@ def tile_counts(out_dir: str):
     (one pass over local parquet; per-batch partial counts -> a tiny global
     groupby — the pre-aggregate-before-shuffle pattern)."""
     import ray.data as rd
-    from ray.data.aggregate import Sum
 
     def partial(batch: pa.Table) -> pa.Table:
         cells = batch["cell"].to_numpy(zero_copy_only=False)
         u, c = np.unique(cells, return_counts=True)
         return pa.table({"cell": pa.array(u, type=pa.uint64()), "n_hits": pa.array(c, type=pa.int64())})
 
+    from .relational import sorted_group_agg
+
     ds = io.read_table(out_dir, columns=["cell"])
-    return ds.map_batches(partial, batch_format="pyarrow").groupby("cell").aggregate(Sum("n_hits", alias_name="n_hits"))
+    # cell cardinality grows with coverage area at scale — sorted_group_agg
+    # instead of Ray's per-group-Python aggregate finalize
+    return sorted_group_agg(ds.map_batches(partial, batch_format="pyarrow"), "cell", {"n_hits": "sum"})

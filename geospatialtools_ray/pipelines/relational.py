@@ -618,7 +618,9 @@ def q10_returned_items(sf_dir: str):
             batch_format="pyarrow",
         )
 
-    agg = per_cust.groupby("c_custkey").aggregate(Sum("rev", alias_name="rev"))
+    # customer-cardinality rollup: sorted_group_agg (Ray's aggregate
+    # finalize is per-group Python — the q10 key space grows with customers)
+    agg = sorted_group_agg(per_cust, "c_custkey", {"rev": "sum"})
     top = agg.sort(["rev", "c_custkey"], descending=[True, False]).limit(20).to_pandas()
     # name lookup for the 20 winners only: a vectorized isin filter inside
     # map_batches (only the 20 matching dimension rows leave the workers)

@@ -92,7 +92,9 @@ def ordered_prefix_sum(
 
     # distinct buckets are bounded by (max key / bucket_width); measure the
     # real count distributed so the driver path is chosen, not assumed
-    bsums_ds = partials.groupby("_scan_bucket").aggregate(Sum("s", alias_name="s")).materialize()
+    from ..pipelines.relational import sorted_group_agg
+
+    bsums_ds = sorted_group_agg(partials, "_scan_bucket", {"s": "sum"}).materialize()
     n_buckets = bsums_ds.count()
 
     if n_buckets <= max_driver_buckets:
