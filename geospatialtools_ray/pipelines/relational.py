@@ -692,6 +692,8 @@ def sorted_group_agg(ds, key, ops: dict[str, str]):
     pd_ops = {c: ("sum" if op == "count" else op) for c, op in ops.items()}
 
     def comb(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:  # empty sort blocks arrive schema-less
+            return b
         df = b.to_pandas()
         for c, op in ops.items():
             if op == "count":
@@ -708,6 +710,21 @@ def sorted_group_agg(ds, key, ops: dict[str, str]):
         return b.take(idx)
 
     bdf = combined.map_batches(edges, batch_size=None, batch_format="pyarrow").to_pandas()
+    if len(bdf) == 0:
+        # empty input: Ray's empty sort blocks are schema-less, so rebuild
+        # the (key + value) column contract from the INPUT schema (count
+        # columns, which need not pre-exist, become int64)
+        import ray.data as rd
+
+        in_schema = ds.schema()
+        names = list(in_schema.names) if in_schema is not None else []
+        fields = [
+            pa.field(c, in_schema.types[names.index(c)] if c in names else pa.int64())
+            for c in keys + cols
+        ]
+        return rd.from_arrow(
+            pa.Table.from_arrays([pa.array([], type=f.type) for f in fields], schema=pa.schema(fields))
+        )
     sizes = bdf.groupby(keys).size()
     dup_df = sizes[sizes >= 2].reset_index()[keys]
     if len(dup_df) == 0:
@@ -718,6 +735,8 @@ def sorted_group_agg(ds, key, ops: dict[str, str]):
     dup_ref = ray.put(dup_df)
 
     def drop(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b
         dups = ray.get(dup_ref)
         df = b.to_pandas()
         hit = df.merge(dups.assign(_d=np.int8(1)), on=keys, how="left")["_d"].notna().to_numpy()

@@ -177,10 +177,11 @@ def test_sorted_group_agg_matches_ray_aggregate(ray_session):
     check(np.zeros(500, dtype=np.int64), 5)     # ONE key spanning all blocks
     check(np.array([7], dtype=np.int64), 1)     # single row
 
-    # empty input: schema preserved, zero rows
+    # empty input: zero rows with the (key + value) schema preserved on the
+    # Dataset (Ray's to_pandas drops columns at zero rows, so assert schema())
     empty = rd.from_pandas(pd.DataFrame({"k": pd.Series([], dtype="int64"), "a": pd.Series([], dtype="int64")}))
-    out = sorted_group_agg(empty, "k", {"a": "sum"}).to_pandas()
-    assert len(out) == 0 and sorted(out.columns) == ["a", "k"]
+    res = sorted_group_agg(empty, "k", {"a": "sum"})
+    assert res.count() == 0 and sorted(res.schema().names) == ["a", "k"]
 
     # composite key: (k1, k2) pairs, min + count, vs the plain aggregate
     n = 3000
