@@ -686,6 +686,7 @@ def sorted_group_agg(ds, key, ops: dict[str, str]):
     this is the large-cardinality sibling.
     """
     import ray
+    import ray.data as rd
 
     keys = [key] if isinstance(key, str) else list(key)
     cols = list(ops)
@@ -695,6 +696,12 @@ def sorted_group_agg(ds, key, ops: dict[str, str]):
         if b.num_rows == 0:  # empty sort blocks arrive schema-less
             return b
         df = b.to_pandas()
+        # fail loudly on null keys (Ray's groupby does too): pandas groupby
+        # would silently DROP null-key rows here, and the boundary-fix merge
+        # cannot match NaN keys — silent data loss instead of an error
+        for kc in keys:
+            if df[kc].isna().any():
+                raise ValueError(f"sorted_group_agg: null values in group key {kc!r}")
         for c, op in ops.items():
             if op == "count":
                 df[c] = 1
@@ -714,8 +721,6 @@ def sorted_group_agg(ds, key, ops: dict[str, str]):
         # empty input: Ray's empty sort blocks are schema-less, so rebuild
         # the (key + value) column contract from the INPUT schema (count
         # columns, which need not pre-exist, become int64)
-        import ray.data as rd
-
         in_schema = ds.schema()
         names = list(in_schema.names) if in_schema is not None else []
         fields = [
@@ -741,8 +746,6 @@ def sorted_group_agg(ds, key, ops: dict[str, str]):
         df = b.to_pandas()
         hit = df.merge(dups.assign(_d=np.int8(1)), on=keys, how="left")["_d"].notna().to_numpy()
         return b.filter(pa.array(~hit))
-
-    import ray.data as rd
 
     kept = combined.map_batches(drop, batch_size=None, batch_format="pyarrow")
     return kept.union(rd.from_arrow(pa.Table.from_pandas(fixed, preserve_index=False)))

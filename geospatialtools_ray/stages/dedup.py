@@ -423,6 +423,24 @@ def simhash_buckets(ds, text_col: str = "text", id_col: str = "doc_id", band_bit
     return ds.map_batches(apply, batch_format="pyarrow")
 
 
+def _hash_id_multiplicity(hashes: np.ndarray, ids, id_col: str) -> pa.Table:
+    """(h, id, m) pre-combine triple shared by chunk_exact_dedup and
+    dup_span_stats: int64 view of the 64-bit hash (bit-identical as a key,
+    avoids Ray's pandas-block uint64 round-trip overflowing in joins) and
+    per-(hash, id) copy counts — the only rows these dedup signals ever
+    shuffle."""
+    h = hashes.view(np.int64) if hashes.dtype == np.uint64 else hashes.astype(np.int64)
+    part = pd.DataFrame({"h": h, id_col: ids})
+    part = part.groupby(["h", id_col], as_index=False).size().rename(columns={"size": "m"})
+    return pa.table(
+        {
+            "h": pa.array(part["h"].to_numpy(dtype=np.int64), type=pa.int64()),
+            id_col: pa.array(part[id_col].to_numpy()),
+            "m": pa.array(part["m"].to_numpy(dtype=np.int64), type=pa.int64()),
+        }
+    )
+
+
 def chunk_exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id", window_tokens: int = 32):
     """Chunk-level exact dedup over fixed token windows: split each document
     into W-token chunks (same pinned rule as the training-window chunker:
@@ -448,17 +466,8 @@ def chunk_exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id", window
         from .text import chunk_windows_df
 
         g = chunk_windows_df(b.select([id_col, text_col]).to_pandas(), id_col, text_col, W)
-        # int64 view of the u64 hash: bit-identical as a key, and avoids
-        # Ray's pandas-block uint64 round-trip overflowing in the join
-        g["h"] = text_hash_u64(pa.array(g["chunk_text"].to_numpy(dtype=object), type=pa.string())).view(np.int64)
-        part = g.groupby(["h", id_col], as_index=False).size().rename(columns={"size": "m"})
-        return pa.table(
-            {
-                "h": pa.array(part["h"].to_numpy(dtype=np.int64), type=pa.int64()),
-                id_col: pa.array(part[id_col].to_numpy()),
-                "m": pa.array(part["m"].to_numpy(dtype=np.int64), type=pa.int64()),
-            }
-        )
+        h = text_hash_u64(pa.array(g["chunk_text"].to_numpy(dtype=object), type=pa.string()))
+        return _hash_id_multiplicity(h, g[id_col].to_numpy(), id_col)
 
     # materialize the reduced (hash, id, copies) projection once: it feeds
     # both the keeper aggregate and the paint-back join, and is orders of
@@ -518,15 +527,7 @@ def dup_span_stats(ds, text_col: str = "text", id_col: str = "doc_id", k: int = 
     def window_hash_partial(b: pa.Table) -> pa.Table:
         ids = b[id_col].to_numpy(zero_copy_only=False)
         g, go, docidx = gram_hash_flat(b[text_col], k)
-        part = pd.DataFrame({"h": g.view(np.int64), id_col: ids[docidx]})
-        part = part.groupby(["h", id_col], as_index=False).size().rename(columns={"size": "m"})
-        return pa.table(
-            {
-                "h": pa.array(part["h"].to_numpy(dtype=np.int64), type=pa.int64()),
-                id_col: pa.array(part[id_col].to_numpy()),
-                "m": pa.array(part["m"].to_numpy(dtype=np.int64), type=pa.int64()),
-            }
-        )
+        return _hash_id_multiplicity(g, ids[docidx], id_col)
 
     pairs = ds.map_batches(window_hash_partial, batch_format="pyarrow").materialize()
     # global multiplicity per window hash: nearly-unique key space — use the

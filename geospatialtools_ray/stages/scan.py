@@ -74,7 +74,7 @@ def ordered_prefix_sum(
     non-negative integers). Output rows keep (order_col, value_col, cum).
     """
     import ray
-    from ray.data.aggregate import Max, Sum
+    from ray.data.aggregate import Max
 
     # materialize the keyed (order, value, bucket) projection once: both the
     # bucket-sum pass and the final scan read it, and re-running the upstream
@@ -90,15 +90,31 @@ def ordered_prefix_sum(
 
     partials = keyed.map_batches(bucket_partial, batch_format="pyarrow")
 
-    # distinct buckets are bounded by (max key / bucket_width); measure the
-    # real count distributed so the driver path is chosen, not assumed
-    from ..pipelines.relational import sorted_group_agg
+    # distinct buckets are bounded by (max key / bucket_width). Dispatch the
+    # bucket-sum reduce on that bound: a tiny bucket table (the common case
+    # — widths are sized for ~4k rows/bucket) takes the shuffle-free tree
+    # combine straight to the driver frame the scan needs anyway; a large
+    # one goes through sorted_group_agg and stays a Dataset for the
+    # recursion path
+    from ..pipelines.relational import sorted_group_agg, tree_group_sum
 
-    bsums_ds = sorted_group_agg(partials, "_scan_bucket", {"s": "sum"}).materialize()
-    n_buckets = bsums_ds.count()
+    mx = keyed.max(order_col) if keyed.count() else None
+    est_buckets = (int(mx) // bucket_width + 1) if mx is not None else 0
+
+    # (the second clause guarantees the driver branch below is taken, so the
+    # tree path can never fall through to the recursion that needs a Dataset)
+    if est_buckets <= 4096 and est_buckets <= max_driver_buckets:
+        bsums = tree_group_sum(partials, ["_scan_bucket"], value_cols=["s"])
+        bsums_ds = None
+        n_buckets = len(bsums)
+    else:
+        bsums_ds = sorted_group_agg(partials, "_scan_bucket", {"s": "sum"}).materialize()
+        n_buckets = bsums_ds.count()
 
     if n_buckets <= max_driver_buckets:
-        bsums = bsums_ds.to_pandas().sort_values("_scan_bucket").reset_index(drop=True)
+        if bsums_ds is not None:
+            bsums = bsums_ds.to_pandas()
+        bsums = bsums.sort_values("_scan_bucket").reset_index(drop=True)
         bids = bsums["_scan_bucket"].to_numpy(dtype=np.int64)
         base = np.concatenate([[0], np.cumsum(bsums["s"].to_numpy(dtype=np.int64))])[:-1]
         base_ref = ray.put((bids, base))

@@ -177,6 +177,12 @@ def test_sorted_group_agg_matches_ray_aggregate(ray_session):
     check(np.zeros(500, dtype=np.int64), 5)     # ONE key spanning all blocks
     check(np.array([7], dtype=np.int64), 1)     # single row
 
+    # null group keys fail LOUDLY (pandas groupby would silently drop them,
+    # and the boundary merge cannot match NaN — silent data loss otherwise)
+    nulls = rd.from_pandas(pd.DataFrame({"k": [1.0, None, 2.0], "a": [1, 2, 3]}))
+    with pytest.raises(Exception, match="null values in group key"):
+        sorted_group_agg(nulls, "k", {"a": "sum"}).materialize()
+
     # empty input: zero rows with the (key + value) schema preserved on the
     # Dataset (Ray's to_pandas drops columns at zero rows, so assert schema())
     empty = rd.from_pandas(pd.DataFrame({"k": pd.Series([], dtype="int64"), "a": pd.Series([], dtype="int64")}))
