@@ -2245,3 +2245,94 @@ SELECT g.doc_id,
 FROM g JOIN tot USING (gram)
 GROUP BY g.doc_id ORDER BY g.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Frequent n-gram mining (boilerplate/template detection): every 5-word
+# window whose content occurs >= T times corpus-wide, with its exact count.
+# Threshold form, not top-k — no tie plateau at the cutoff, so the oracle
+# is a plain GROUP BY ... HAVING. Two passes: (1) count by 64-bit gram-fold
+# hash (sorted_group_agg — nearly-unique key space), survivors (tiny by
+# construction) collected + broadcast; (2) gram TEXT is rebuilt only for
+# survivor hits (a per-hit loop bounded by survivor occurrences, not corpus
+# size) — full gram strings never shuffle. Short docs emit the pinned
+# whole-doc gram (decontam kernel rule).
+# ---------------------------------------------------------------------------
+
+FREQ_NGRAM_K = 5
+FREQ_NGRAM_MIN = 2
+
+
+def docs_frequent_ngrams(sf_dir: str):
+    import ray
+
+    from ..stages.sketch import gram_hash_flat
+    from .relational import sorted_group_agg
+
+    K, T = FREQ_NGRAM_K, FREQ_NGRAM_MIN
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def gram_partial(b: pa.Table) -> pa.Table:
+        g, _, _ = gram_hash_flat(b["text"], K)
+        part = pd.DataFrame({"h": g.view(np.int64)})
+        part = part.groupby("h", as_index=False).size().rename(columns={"size": "m"})
+        return pa.table(
+            {
+                "h": pa.array(part["h"].to_numpy(dtype=np.int64), type=pa.int64()),
+                "m": pa.array(part["m"].to_numpy(dtype=np.int64), type=pa.int64()),
+            }
+        )
+
+    totals = sorted_group_agg(ds.map_batches(gram_partial, batch_format="pyarrow"), "h", {"m": "sum"})
+    surv_df = totals.map_batches(
+        lambda b: b.filter(pa.compute.greater_equal(b["m"], T)), batch_format="pyarrow"
+    ).to_pandas()
+    if len(surv_df) == 0:
+        return pd.DataFrame({"gram": pd.Series([], dtype="object"), "cnt": pd.Series([], dtype="int64")})
+    surv = np.sort(surv_df["h"].to_numpy(dtype=np.int64))
+    surv_ref = ray.put(surv)
+
+    def extract(b: pa.Table) -> pa.Table:
+        sv = ray.get(surv_ref)
+        g, go, docidx = gram_hash_flat(b["text"], K)
+        gi = g.view(np.int64)
+        pos = np.searchsorted(sv, gi)
+        hit = (pos < len(sv)) & (sv[np.clip(pos, 0, len(sv) - 1)] == gi)
+        idx = np.flatnonzero(hit)
+        if len(idx) == 0:
+            return pa.table({"h": pa.array([], type=pa.int64()), "gram": pa.array([], type=pa.string())})
+        texts = b["text"].to_pandas()
+        words_cache: dict[int, list[str]] = {}
+        out_h, out_t = [], []
+        # survivor-occurrence loop (bounded by the broadcast survivor set's
+        # hits in this batch, not by corpus size)
+        for i in idx.tolist():
+            d = int(docidx[i])
+            if d not in words_cache:
+                t = texts.iloc[d]
+                words_cache[d] = [w for w in t.split(" ") if w != ""] if isinstance(t, str) else []
+            words = words_cache[d]
+            p = i - int(go[d])
+            gram = " ".join(words[p : p + K]) if len(words) >= K else " ".join(words)
+            out_h.append(int(gi[i]))
+            out_t.append(gram)
+        df = pd.DataFrame({"h": out_h, "gram": out_t}).drop_duplicates("h")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    texts_df = ds.map_batches(extract, batch_format="pyarrow").to_pandas().drop_duplicates("h")
+    out = texts_df.merge(surv_df.rename(columns={"m": "cnt"}), on="h")[["gram", "cnt"]]
+    return out.sort_values("gram").reset_index(drop=True).astype({"cnt": "int64"})
+
+
+DOCS_FREQUENT_NGRAMS_SQL = f"""
+WITH toks AS (SELECT doc_id, list_filter(string_split(COALESCE(text, ''), ' '), x -> x <> '') AS w FROM documents),
+g AS (
+  SELECT CASE WHEN len(w) >= {FREQ_NGRAM_K} THEN array_to_string(w[i:i+{FREQ_NGRAM_K - 1}], ' ')
+              ELSE COALESCE(array_to_string(w, ' '), '') END AS gram
+  FROM toks, UNNEST(CASE WHEN len(w) >= {FREQ_NGRAM_K} THEN range(1, len(w) - {FREQ_NGRAM_K - 2})
+                         ELSE [CAST(1 AS BIGINT)] END) AS t(i)
+)
+SELECT gram, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM g GROUP BY gram HAVING COUNT(*) >= {FREQ_NGRAM_MIN}
+ORDER BY gram
+"""

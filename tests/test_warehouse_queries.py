@@ -43,6 +43,7 @@ NEW_QUERIES = [
     "docs_chunk_dedup",
     "docs_shuffle_rank",
     "docs_dup_spans",
+    "docs_frequent_ngrams",
 ]
 
 
