@@ -190,6 +190,7 @@ _SQL_CHECKED: dict[str, tuple[Callable[[str], Any], str]] = {
     "docs_shuffle_rank": (X.docs_shuffle_rank, X.DOCS_SHUFFLE_RANK_SQL),
     "docs_dup_spans": (X.docs_dup_spans, X.DOCS_DUP_SPANS_SQL),
     "docs_frequent_ngrams": (X.docs_frequent_ngrams, X.DOCS_FREQUENT_NGRAMS_SQL),
+    "embed_semantic_dedup": (T.embed_semantic_dedup, T.EMBED_SEMANTIC_DEDUP_SQL),
     "docs_repetition_stats": (X.docs_repetition_stats, X.DOCS_REPETITION_STATS_SQL),
     "events_props_redact": (X.events_props_redact, X.EVENTS_PROPS_REDACT_SQL),
     "docs_stratified_sample": (X.docs_stratified_sample, X.DOCS_STRATIFIED_SAMPLE_SQL),

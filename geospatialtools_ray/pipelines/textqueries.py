@@ -729,3 +729,84 @@ FROM d, s
 WHERE (d.lon - s.slon)*(d.lon - s.slon) + (d.lat - s.slat)*(d.lat - s.slat) <= {RADIUS_DEG * RADIUS_DEG}
 ORDER BY d.doc_id, s.station_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup keep-list (SemDeDup shape, Abbas et al. 2023): connected
+# components of the EXACT same-label cosine >= tau graph; every embedding
+# gets cluster_id = min vec_id of its component (singletons keep their own
+# id; the keep-list is vec_id == cluster_id). The pair graph is the
+# embed_neardup_pairs definition verbatim, so the oracle rebuilds the SAME
+# edges in SQL and closes them with a recursive CTE — a full-value oracle
+# for a graph-clustering result, not a rows-only check.
+# ---------------------------------------------------------------------------
+
+def embed_semantic_dedup(sf_dir: str):
+    import ray.data as rd
+
+    from ..stages.dedup import connected_components_minlabel
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+
+    def per_label_edges(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("vec_id").reset_index(drop=True)
+        E = sql_round(np.stack(g["embedding"].to_numpy()).astype(np.float64) * 1_000_000.0).astype(np.int64)
+        num = E @ E.T
+        den = np.sqrt((E * E).sum(axis=1).astype(np.float64))
+        cos = num.astype(np.float64) / (den[:, None] * den[None, :])
+        ii, jj = np.nonzero(np.triu(cos >= NEARDUP_TAU, k=1))
+        vid = g["vec_id"].to_numpy().astype(np.int64)
+        return pd.DataFrame({"id_a": vid[ii], "id_b": vid[jj]})
+
+    edges = ds.groupby("label").map_groups(per_label_edges, batch_format="pandas")
+    labels = connected_components_minlabel(edges)
+
+    from .joins import hash_join
+
+    vecs = ds.map_batches(
+        lambda b: pa.table({"vec_id": b["vec_id"].cast(pa.int64())}), batch_format="pyarrow"
+    )
+    lab = labels.map_batches(lambda b: b.rename_columns(["vec_id", "_cid"]), batch_format="pyarrow")
+    joined = hash_join(vecs, lab, on="vec_id", join_type="left_outer")
+
+    def finalize(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc2
+
+        return pa.table(
+            {
+                "vec_id": b["vec_id"],
+                "cluster_id": pc2.coalesce(b["_cid"].cast(pa.int64()), b["vec_id"].cast(pa.int64())),
+            }
+        )
+
+    df = joined.map_batches(finalize, batch_format="pyarrow").to_pandas()
+    return df.sort_values("vec_id").reset_index(drop=True).astype({"vec_id": "int64", "cluster_id": "int64"})
+
+
+EMBED_SEMANTIC_DEDUP_SQL = f"""
+WITH RECURSIVE flat AS (
+  SELECT vec_id, label, i, CAST(round(CAST(embedding[i] AS DOUBLE)*1000000) AS BIGINT) AS v
+  FROM embeddings, range(1, 65) t(i)
+), dots AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         SUM(a.v*b.v) AS num
+  FROM flat a JOIN flat b ON a.i = b.i AND a.label = b.label AND a.vec_id < b.vec_id
+  GROUP BY a.vec_id, b.vec_id
+), dens AS (
+  SELECT vec_id, SUM(v*v) AS den FROM flat GROUP BY vec_id
+), pairs AS (
+  SELECT vec_a, vec_b FROM dots
+  JOIN dens da ON dots.vec_a = da.vec_id JOIN dens db ON dots.vec_b = db.vec_id
+  WHERE CAST(num AS DOUBLE)/(sqrt(CAST(da.den AS DOUBLE))*sqrt(CAST(db.den AS DOUBLE))) >= {NEARDUP_TAU}
+), edges AS (
+  SELECT vec_a AS s, vec_b AS d FROM pairs UNION ALL SELECT vec_b, vec_a FROM pairs
+), reach(s, d) AS (
+  SELECT s, d FROM edges
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+), comp AS (
+  SELECT s AS vec_id, LEAST(MIN(d), s) AS cluster_id FROM reach GROUP BY s
+)
+SELECT v.vec_id, CAST(COALESCE(c.cluster_id, v.vec_id) AS BIGINT) AS cluster_id
+FROM embeddings v LEFT JOIN comp c USING (vec_id) ORDER BY v.vec_id
+"""

@@ -44,6 +44,7 @@ NEW_QUERIES = [
     "docs_shuffle_rank",
     "docs_dup_spans",
     "docs_frequent_ngrams",
+    "embed_semantic_dedup",
 ]
 
 
