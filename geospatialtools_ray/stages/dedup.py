@@ -85,24 +85,6 @@ def _shingle_sets(ds, text_col: str, id_col: str, k: int):
     return ds.map_batches(apply, batch_format="pyarrow")
 
 
-def _bucket_pairs_fn(id_col: str):
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.unique(g[id_col].to_numpy())
-        if len(ids) < 2:
-            return pd.DataFrame({"id_a": ids[:0], "id_b": ids[:0]})
-        # star (rep = min id) PLUS chain (consecutive sorted ids): if the
-        # representative fails verification against two true near-dups,
-        # the chain edge between them still carries connectivity (the
-        # round-1 advice finding on silent recall loss of star-only)
-        a = np.concatenate([np.full(len(ids) - 1, ids[0]), ids[:-1]])
-        b = np.concatenate([ids[1:], ids[1:]])
-        keep = a != b
-        df = pd.DataFrame({"id_a": a[keep], "id_b": b[keep]})
-        return df.drop_duplicates()
-
-    return bucket_pairs
-
-
 def minhash_lsh_candidate_pairs(
     ds,
     text_col: str = "text",
@@ -138,7 +120,89 @@ def minhash_lsh_candidate_pairs(
         )
 
     banded = ds.map_batches(bandify, batch_format="pyarrow")
-    pairs = banded.groupby(["band", "band_hash"]).map_groups(_bucket_pairs_fn(id_col), batch_format="pandas")
+    # Bucket pairing WITHOUT per-group Python: one range sort on
+    # (band, band_hash) co-locates buckets, then each block builds its
+    # star+chain pairs vectorized over group runs (ids sorted within a run,
+    # so the run head IS the star representative). A bucket straddling a
+    # block boundary has all its parts at block edges (sorted blocks hold
+    # disjoint key ranges — the sorted_group_agg argument), so a tiny
+    # per-block edge collect lets the driver stitch the parts with
+    # (max_i, min_j) chain links plus (min_i, min_j) star redundancy —
+    # connectivity inside a bucket is preserved, which is all the
+    # downstream verify + connected-components need. Replaced a
+    # groupby.map_groups over ~n_docs x bands near-unique buckets that
+    # spent 188 of 208 s of the 200k-doc dedup in per-group Python.
+    import ray.data as rd
+
+    s = banded.sort(["band", "band_hash"]).materialize()
+
+    def _runs(b: pa.Table):
+        band = b["band"].to_numpy(zero_copy_only=False)
+        bh = b["band_hash"].to_numpy(zero_copy_only=False).view(np.int64)
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, bh, band))
+        band, bh, ids = band[order], bh[order], ids[order]
+        new = np.ones(len(ids), dtype=bool)
+        new[1:] = (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])
+        return band, bh, ids, new
+
+    def block_pairs(b: pa.Table) -> pa.Table:
+        empty = pa.table({"id_a": pa.array([], type=pa.int64()), "id_b": pa.array([], type=pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        band, bh, ids, new = _runs(b)
+        gidx = np.cumsum(new) - 1
+        rep = ids[np.flatnonzero(new)][gidx]  # per-row group head = group min id
+        star_keep = ids != rep
+        chain_keep = ~new
+        a = np.concatenate([rep[star_keep], ids[:-1][chain_keep[1:]]])
+        bb = np.concatenate([ids[star_keep], ids[1:][chain_keep[1:]]])
+        keep = a != bb
+        a, bb = a[keep], bb[keep]
+        if len(a) == 0:
+            return empty
+        pair = np.stack([a, bb], axis=1)
+        pair = np.unique(pair, axis=0)
+        return pa.table({"id_a": pa.array(pair[:, 0], type=pa.int64()), "id_b": pa.array(pair[:, 1], type=pa.int64())})
+
+    def block_edges(b: pa.Table) -> pa.Table:
+        cols = {"band": pa.array([], type=pa.int32()), "band_hash": pa.array([], type=pa.int64()),
+                "pmin": pa.array([], type=pa.int64()), "pmax": pa.array([], type=pa.int64())}
+        if b.num_rows == 0:
+            return pa.table(cols)
+        band, bh, ids, new = _runs(b)
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(ids)) - 1
+        take = [0] if len(starts) == 1 else [0, len(starts) - 1]
+        return pa.table(
+            {
+                "band": pa.array(band[starts[take]].astype(np.int32), type=pa.int32()),
+                "band_hash": pa.array(bh[starts[take]], type=pa.int64()),
+                "pmin": pa.array(ids[starts[take]].astype(np.int64), type=pa.int64()),
+                "pmax": pa.array(ids[ends[take]].astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    pairs = s.map_batches(block_pairs, batch_size=None, batch_format="pyarrow")
+
+    edf = s.map_batches(block_edges, batch_size=None, batch_format="pyarrow").to_pandas()
+    extra = []
+    if len(edf):
+        for _, grp in edf.groupby(["band", "band_hash"]):
+            if len(grp) < 2:
+                continue
+            g = grp.sort_values("pmin").reset_index(drop=True)
+            for i in range(len(g) - 1):
+                extra.append((int(g["pmax"].iloc[i]), int(g["pmin"].iloc[i + 1])))
+                extra.append((int(g["pmin"].iloc[i]), int(g["pmin"].iloc[i + 1])))
+    if extra:
+        ex = np.asarray(extra, dtype=np.int64)
+        lo, hi = np.minimum(ex[:, 0], ex[:, 1]), np.maximum(ex[:, 0], ex[:, 1])
+        keep = lo != hi
+        ex_t = pa.table({"id_a": pa.array(lo[keep], type=pa.int64()), "id_b": pa.array(hi[keep], type=pa.int64())})
+        if ex_t.num_rows:
+            pairs = pairs.union(rd.from_arrow(ex_t))
+
     # distinct pairs across bands: nearly-unique composite key -> the
     # sort + per-block combine + boundary fix beats Ray's aggregate
     from ..pipelines.relational import sorted_group_agg
