@@ -138,3 +138,76 @@ def test_range_join_matches_bruteforce(ray_session):
             .astype("int64")
         )
         pd.testing.assert_frame_equal(got, want)
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_asof_join_boundary_straddle_stress(ray_session, direction):
+    """Force the sorted-block boundary stitch: 64 partitions over a corpus
+    dominated by one hot key (lefts vastly outnumber rights, so its run
+    spans many blocks with long right-free prefixes), plus keys with NO
+    right rows, plus equal-time pile-ups on both sides."""
+    import ray.data as rd
+
+    from geospatialtools_ray.stages.asof import asof_join
+
+    rng = np.random.default_rng(7)
+    nl = 3000
+    k = np.where(rng.random(nl) < 0.6, 3, rng.integers(0, 20, nl))  # hot key 3
+    L = pd.DataFrame(
+        {
+            "k": k.astype("int64"),
+            # coarse grid -> many exact time ties
+            "t": (rng.integers(0, 40, nl) * 100).astype("datetime64[s]").astype("datetime64[us]"),
+            "lid": np.arange(nl),
+        }
+    )
+    nr = 120
+    rk = rng.integers(0, 15, nr)  # keys 15..19 never get rights
+    R = pd.DataFrame(
+        {
+            "k": rk.astype("int64"),
+            "t": (rng.integers(0, 40, nr) * 100).astype("datetime64[s]").astype("datetime64[us]"),
+            "rv": rng.normal(size=nr).round(6),
+        }
+    )
+    for tol, join in ((None, "inner"), (np.timedelta64(500, "s"), "left")):
+        got = (
+            asof_join(
+                rd.from_pandas(L).repartition(64), rd.from_pandas(R).repartition(16),
+                "k", "t", ["lid"], ["rv"],
+                direction=direction, tolerance=tol, join=join,
+            )
+            .to_pandas()
+            .sort_values("lid")
+            .reset_index(drop=True)
+        )
+        want = _brute(L, R, direction, tol, join)
+        pd.testing.assert_frame_equal(
+            got[["k", "t", "lid", "rv"]].astype({"k": "int64", "lid": "int64"}).reset_index(drop=True),
+            want.astype({"k": "int64", "lid": "int64"}),
+            check_dtype=False,
+        )
+
+
+def test_asof_join_stitch_cap_fails_loudly(ray_session):
+    """A stitch bigger than max_stitch_rows raises with the bucketing hint
+    instead of silently flooding the driver."""
+    import ray.data as rd
+
+    from geospatialtools_ray.stages.asof import asof_join
+
+    L = pd.DataFrame(
+        {
+            "k": np.zeros(400, dtype="int64"),
+            "t": np.arange(400).astype("datetime64[s]").astype("datetime64[us]"),
+            "lid": np.arange(400),
+        }
+    )
+    R = pd.DataFrame(
+        {"k": [0], "t": np.array([0], dtype="datetime64[s]").astype("datetime64[us]"), "rv": [1.0]}
+    )
+    with pytest.raises(ValueError, match="pre-bucket"):
+        asof_join(
+            rd.from_pandas(L).repartition(32), rd.from_pandas(R),
+            "k", "t", ["lid"], ["rv"], direction="forward", max_stitch_rows=5,
+        ).to_pandas()
