@@ -30,21 +30,32 @@ def events_time_average(sf_dir: str):
     from ..functions.timeavg import time_average_values
 
     ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+    from ..stages.keyapply import bucketed_key_apply, key_run_starts
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # whole users per hash bucket; per-user chunk means computed for
+        # ALL users at once via one cumsum + an (n_users, NT_OUT) gather
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable").reset_index(drop=True)
         v = sql_round(g["value"].to_numpy() * 1000.0).astype(np.int64)
-        if len(v) < NT_OUT:
-            return pd.DataFrame()
-        dt = len(v) // NT_OUT
-        sums = v[: NT_OUT * dt].reshape(NT_OUT, dt).sum(axis=1)
-        avgs = sums.astype(np.float64) / (np.float64(dt) * 1000.0)
-        rec = {"user_id": [int(g["user_id"].iloc[0])], "nt_in": [len(v)]}
+        u = g["user_id"].to_numpy()
+        starts = np.flatnonzero(key_run_starts(u))
+        counts = np.diff(np.append(starts, len(g)))
+        keep = counts >= NT_OUT
+        rec = {"user_id": pd.Series(u[starts[keep]], dtype="int64"),
+               "nt_in": pd.Series(counts[keep], dtype="int64")}
+        if keep.any():
+            s, dt = starts[keep], counts[keep] // NT_OUT
+            cs = np.concatenate([[0], np.cumsum(v)])
+            ks = np.arange(NT_OUT)
+            sums = cs[s[:, None] + (ks[None, :] + 1) * dt[:, None]] - cs[s[:, None] + ks[None, :] * dt[:, None]]
+            avgs = sums.astype(np.float64) / (dt[:, None].astype(np.float64) * 1000.0)
+        else:
+            avgs = np.empty((0, NT_OUT))
         for k in range(NT_OUT):
-            rec[f"avg_{k + 1}"] = [avgs[k]]
+            rec[f"avg_{k + 1}"] = pd.Series(avgs[:, k], dtype="float64")
         return pd.DataFrame(rec)
 
-    out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas").to_pandas()
+    out = bucketed_key_apply(ds, "user_id", per_bucket).to_pandas()
     return out.sort_values("user_id").reset_index(drop=True)
 
 
@@ -255,16 +266,24 @@ SESSION_GAP_US = 30 * 60 * 1_000_000
 def events_sessionize(sf_dir: str):
     ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
+    from ..stages.keyapply import bucketed_key_apply, key_run_starts, run_start_index
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # whole users per hash bucket; session boundaries for ALL users in
+        # one vectorized pass (user change forces a new session, so gaps
+        # never leak across users), rollup via pandas' cython groupby
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable").reset_index(drop=True)
         # explicit unit conversion: a datetime64[ns] column would make the
         # bare int64 view nanoseconds and the 30-min gap silently 1.8 s
         us = g["ts"].to_numpy().astype("datetime64[us]").astype("int64")
-        new = np.ones(len(g), dtype=bool)
-        new[1:] = (us[1:] - us[:-1]) > SESSION_GAP_US
-        sid = np.cumsum(new)
+        u = g["user_id"].to_numpy()
+        new_user = key_run_starts(u)
+        new = new_user.copy()
+        new[1:] |= (us[1:] - us[:-1]) > SESSION_GAP_US
+        sid_global = np.cumsum(new)
+        sid = sid_global - sid_global[run_start_index(new_user)] + 1
         v = sql_round(g["value"].to_numpy() * 1000.0).astype(np.int64)
-        out = pd.DataFrame({"user_id": g["user_id"], "session": sid, "v": v, "us": us})
+        out = pd.DataFrame({"user_id": u, "session": sid, "v": v, "us": us})
         agg = out.groupby(["user_id", "session"], as_index=False).agg(
             n_events=("v", "size"),
             sum_v=("v", "sum"),
@@ -273,7 +292,7 @@ def events_sessionize(sf_dir: str):
         )
         return agg
 
-    df = ds.groupby("user_id").map_groups(per_user, batch_format="pandas").to_pandas()
+    df = bucketed_key_apply(ds, "user_id", per_bucket).to_pandas()
     df = df.sort_values(["user_id", "session"]).reset_index(drop=True)
     return pd.DataFrame(
         {
@@ -1160,18 +1179,25 @@ FROM w GROUP BY event_type ORDER BY event_type
 def events_user_running_total(sf_dir: str):
     ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
+    from ..stages.keyapply import bucketed_key_apply, key_run_starts, run_start_index
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # segmented cumsum over ALL users in the bucket: one global cumsum,
+        # re-based at each user's first row
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable").reset_index(drop=True)
         v = sql_round(g["value"].to_numpy() * 1000.0).astype(np.int64)
+        u = g["user_id"].to_numpy()
+        cs = np.cumsum(v)
+        start = run_start_index(key_run_starts(u))
         return pd.DataFrame(
             {
                 "event_id": g["event_id"].astype("int64"),
-                "user_id": g["user_id"].astype("int64"),
-                "cum_v": np.cumsum(v),
+                "user_id": pd.Series(u, dtype="int64"),
+                "cum_v": cs - (cs[start] - v[start]),
             }
         )
 
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return bucketed_key_apply(ds, "user_id", per_bucket)
 
 
 EVENTS_USER_RUNNING_TOTAL_SQL = """
@@ -1701,21 +1727,30 @@ def events_signup_funnel(sf_dir: str):
     ds = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
     from .relational import tree_group_sum
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+    from ..stages.keyapply import bucketed_key_apply
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # whole users per hash bucket: per-user first signup via a cython
+        # groupby-min, conversion via a merge of the bucket's purchases
+        # against those signups, then a per-day pre-aggregate
         et = g["event_type"].to_numpy()
         us = g["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        u = g["user_id"].to_numpy()
+        empty = pd.DataFrame({"day": pd.Series([], dtype=str), "n_users": pd.Series([], dtype=np.int64),
+                              "n_converted": pd.Series([], dtype=np.int64)})
         sm = et == "signup"
         if not sm.any():
-            return pd.DataFrame({"day": pd.Series([], dtype=str), "n_users": pd.Series([], dtype=np.int64),
-                                 "n_converted": pd.Series([], dtype=np.int64)})
-        s_us = us[sm].min()
-        conv = bool((((et == "purchase") & (us >= s_us) & (us < s_us + FUNNEL_WINDOW_US))).any())
-        day = np.datetime_as_string(
-            np.asarray([s_us], dtype="int64").astype("datetime64[us]").astype("datetime64[D]"), unit="D"
-        )[0]
-        return pd.DataFrame({"day": [day], "n_users": [np.int64(1)], "n_converted": [np.int64(1 if conv else 0)]})
+            return empty
+        m = pd.DataFrame({"u": u[sm], "s": us[sm]}).groupby("u", as_index=False)["s"].min()
+        pm = et == "purchase"
+        p = pd.DataFrame({"u": u[pm], "t": us[pm]}).merge(m, on="u")
+        conv_u = p.loc[(p["t"] >= p["s"]) & (p["t"] < p["s"] + FUNNEL_WINDOW_US), "u"].unique()
+        m["c"] = m["u"].isin(conv_u).astype(np.int64)
+        m["day"] = np.datetime_as_string(m["s"].to_numpy().astype("datetime64[us]").astype("datetime64[D]"), unit="D")
+        out = m.groupby("day", as_index=False).agg(n_users=("c", "size"), n_converted=("c", "sum"))
+        return out[["day", "n_users", "n_converted"]].astype({"n_users": np.int64, "n_converted": np.int64})
 
-    per = ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    per = bucketed_key_apply(ds, "user_id", per_bucket)
     df = tree_group_sum(per, ["day"], value_cols=["n_users", "n_converted"])
     df = df.sort_values("day").reset_index(drop=True)
     out = pd.DataFrame(

@@ -1,0 +1,77 @@
+"""Bucketed whole-key apply — the scalable replacement for
+``groupby(key).map_groups(per_key_fn)`` when key cardinality grows with
+the data (users, documents, entities).
+
+Ray's ``map_groups`` dispatches one Python call PER GROUP: at key-scale
+cardinality that dispatch dominates (measured 12.5 s for 1.8M rows ->
+100k keys on this host — the same regime ``pipelines.relational.
+sorted_group_agg`` exists for). Here the group axis is a HASH BUCKET of
+the key instead: every key's rows land in exactly one bucket, so the
+shuffle has a BOUNDED group count (``num_buckets``) and the kernel
+amortizes its dispatch over many whole keys. The kernel therefore sees a
+frame holding complete key groups (possibly several thousand of them)
+and MUST be vectorized over key runs — numpy segment ops or pandas'
+cython groupby — never a per-key Python loop.
+
+Scale note: a bucket's size is ~total_rows/num_buckets plus key skew
+(one key can never split, so the hottest key bounds the minimum bucket).
+Size ``num_buckets`` so a bucket fits a worker heap; the shuffle itself
+is one all-to-all on the bucket column, identical in volume to the
+``groupby(key)`` it replaces.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+_BUCKET = "__key_bucket"
+_KNUTH = np.uint64(0x9E3779B97F4A7C15)
+
+
+def key_bucket_of(arr: np.ndarray, num_buckets: int) -> np.ndarray:
+    """Deterministic bucket id per key value (integers via the pinned
+    Knuth multiplicative hash; other dtypes via pandas' stable hash)."""
+    arr = np.asarray(arr)
+    if np.issubdtype(arr.dtype, np.integer):
+        h = arr.astype(np.uint64, copy=False) * _KNUTH
+    else:
+        h = pd.util.hash_array(arr, categorize=False)
+    return ((h >> np.uint64(33)) % np.uint64(num_buckets)).astype(np.int32)
+
+
+def bucketed_key_apply(ds, key_col: str, fn, *, num_buckets: int = 256):
+    """``fn(frame) -> frame`` over hash-buckets of whole ``key_col``
+    groups. ``fn`` must return a consistent schema for every bucket
+    (including empty results: emit typed empty columns, never a
+    column-less frame)."""
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy(deep=False)
+        b[_BUCKET] = key_bucket_of(b[key_col].to_numpy(), num_buckets)
+        return b
+
+    def run(g: pd.DataFrame) -> pd.DataFrame:
+        return fn(g.drop(columns=[_BUCKET]))
+
+    return (
+        ds.map_batches(tag, batch_format="pandas")
+        .groupby(_BUCKET)
+        .map_groups(run, batch_format="pandas")
+    )
+
+
+def key_run_starts(keys: np.ndarray) -> np.ndarray:
+    """Boolean new-run mask over a key column already sorted by key:
+    True where a new key's run begins."""
+    n = len(keys)
+    new = np.ones(n, dtype=bool)
+    if n > 1:
+        new[1:] = keys[1:] != keys[:-1]
+    return new
+
+
+def run_start_index(new: np.ndarray) -> np.ndarray:
+    """Per-row index of its run's first row, from the new-run mask."""
+    idx = np.arange(len(new))
+    return np.maximum.accumulate(np.where(new, idx, 0))
