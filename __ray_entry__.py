@@ -151,6 +151,10 @@ _SQL_CHECKED: dict[str, tuple[Callable[[str], Any], str]] = {
     # sampling (pure per-batch filter, engine-reproducible), and exact
     # count-distinct (batch-local dedupe -> pair-bounded shuffle)
     "events_user_running_total": (X.events_user_running_total, X.EVENTS_USER_RUNNING_TOTAL_SQL),
+    # holistic per-key stat (exact median needs whole-key locality) and the
+    # bounded-frame rolling window — both on bucketed_key_apply
+    "events_user_median_value": (X.events_user_median_value, X.EVENTS_USER_MEDIAN_SQL),
+    "events_user_rolling_mean": (X.events_user_rolling_mean, X.EVENTS_USER_ROLLING_MEAN_SQL),
     "docs_top3_by_lang": (X.docs_top3_by_lang, X.DOCS_TOP3_BY_LANG_SQL),
     "events_type_hour_pivot": (X.events_type_hour_pivot, X.EVENTS_TYPE_HOUR_PIVOT_SQL),
     "docs_hash_sample": (X.docs_hash_sample, X.DOCS_HASH_SAMPLE_SQL),

@@ -1214,6 +1214,91 @@ FROM t ORDER BY user_id, event_id
 
 
 # ---------------------------------------------------------------------------
+# Per-user exact MEDIAN — a holistic per-key statistic (not decomposable
+# into mergeable partials like sum/min/max), so it NEEDS whole-key locality:
+# bucketed_key_apply gives that with a bounded group count. Quantized int
+# values make the even-count midpoint (a+b)/2 exact in float64 on both
+# engines (ints < 2^52; .5 halves exactly representable).
+# ---------------------------------------------------------------------------
+
+def events_user_median_value(sf_dir: str):
+    ds = _read(sf_dir, "events", ["user_id", "value"])
+    from ..stages.keyapply import bucketed_key_apply
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        v = sql_round(g["value"].to_numpy() * 1000.0).astype(np.int64)
+        out = (
+            pd.DataFrame({"user_id": g["user_id"].to_numpy().astype(np.int64), "v": v})
+            .groupby("user_id", as_index=False)["v"]
+            .median()
+        )
+        return pd.DataFrame({"user_id": out["user_id"].astype("int64"), "med_v": out["v"].astype("float64")})
+
+    df = bucketed_key_apply(ds, "user_id", per_bucket).to_pandas()
+    return df.sort_values("user_id").reset_index(drop=True)
+
+
+EVENTS_USER_MEDIAN_SQL = """
+SELECT user_id,
+       CAST(median(CAST(round(value*1000) AS BIGINT)) AS DOUBLE) AS med_v
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Per-user rolling mean over a bounded frame (ROWS BETWEEN 3 PRECEDING AND
+# CURRENT ROW) — the sliding-window-frame shape missing from the window
+# family (running total = unbounded frame; tumbling/sliding = time-bucket
+# windows). Vectorized for ALL users at once: one cumsum, per-row frame
+# start clamped to the user's run start. The division is the ONE pinned
+# IEEE op on both engines (exact int sum / exact int count).
+# ---------------------------------------------------------------------------
+
+ROLL_PRECEDING = 3
+
+
+def events_user_rolling_mean(sf_dir: str):
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+    from ..stages.keyapply import bucketed_key_apply, key_run_starts, run_start_index
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable").reset_index(drop=True)
+        v = sql_round(g["value"].to_numpy() * 1000.0).astype(np.int64)
+        u = g["user_id"].to_numpy()
+        n = len(g)
+        cs = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(v)])
+        idx = np.arange(n)
+        start = run_start_index(key_run_starts(u))
+        lo = np.maximum(idx - ROLL_PRECEDING, start)
+        cnt = idx + 1 - lo
+        roll = (cs[idx + 1] - cs[lo]).astype(np.float64) / cnt.astype(np.float64)
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].astype("int64"),
+                "user_id": pd.Series(u, dtype="int64"),
+                "roll_mean": roll,
+            }
+        )
+
+    return bucketed_key_apply(ds, "user_id", per_bucket)
+
+
+EVENTS_USER_ROLLING_MEAN_SQL = f"""
+WITH t AS (
+  SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS us,
+         CAST(round(value*1000) AS BIGINT) AS v
+  FROM events
+)
+SELECT event_id, user_id,
+       CAST(SUM(v) OVER w AS DOUBLE) / CAST(COUNT(v) OVER w AS DOUBLE) AS roll_mean
+FROM t
+WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+             ROWS BETWEEN {ROLL_PRECEDING} PRECEDING AND CURRENT ROW)
+ORDER BY user_id, event_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Per-group top-k WITHOUT a global sort: each batch keeps its own top-k per
 # group (vectorized sort + head), a combine level collapses up to 4096
 # partial rows, the driver ranks the tiny survivor set. Shuffle-free — the
