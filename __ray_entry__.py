@@ -211,6 +211,9 @@ _SQL_CHECKED: dict[str, tuple[Callable[[str], Any], str]] = {
     # weighted sampling with hash-derived priorities (oracle recomputes the
     # identical -ln(u)/w keys)
     "q10_returned_items": (R.q10_returned_items, R.Q10_SQL),
+    "q18_large_orders": (R.q18_large_orders, R.Q18_SQL),
+    "q4_order_priority": (R.q4_priority_semijoin, R.Q4_SQL),
+    "events_hll_registers": (X.events_hll_registers, X.EVENTS_HLL_SQL),
     "docs_radius_join": (T.docs_radius_join, T.DOCS_RADIUS_JOIN_SQL),
     "docs_weighted_sample": (X.docs_weighted_sample, X.DOCS_WEIGHTED_SAMPLE_SQL),
     # round 4 (cont.): sequence packing via the two-phase distributed scan

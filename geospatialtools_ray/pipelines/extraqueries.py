@@ -2456,3 +2456,78 @@ SELECT gram, CAST(COUNT(*) AS BIGINT) AS cnt
 FROM g GROUP BY gram HAVING COUNT(*) >= {FREQ_NGRAM_MIN}
 ORDER BY gram
 """
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog register table (Flajolet et al. 2007): the mergeable
+# count-distinct sketch a 100 TB pipeline uses when the exact pair shuffle
+# (events_daily_distinct_users) is too wide. The sketch is DETERMINISTIC
+# here — the pinned 32-bit Knuth hash, bucket = top HLL_B bits, rho =
+# leading zeros of the low HLL_W bits + 1 — so the DuckDB oracle rebuilds
+# the EXACT register values in pure SQL (length(bin(w)) is the integer
+# bit-length; no float log2, no approximation in the check). Registers
+# max-combine associatively: per-batch partials collapse each batch to
+# <= 2^HLL_B rows, two shuffle-free map_batches max-levels bound the
+# driver collect exactly like tree_group_sum. Same documented bound as
+# docs_hash_sample: exact SQL mirroring needs user_id < 2^31.
+# The cardinality ESTIMATE from these registers is asserted against the
+# exact count in tests/test_warehouse_queries.py (rel. err << 1.04/sqrt(m)
+# would be luck; < 5% is the bar there).
+# ---------------------------------------------------------------------------
+
+HLL_B = 12  # 2^12 = 4096 registers
+HLL_W = 20  # rho window: low 20 bits of the 32-bit hash
+
+
+def events_hll_registers(sf_dir: str):
+    ds = _read(sf_dir, "events", ["user_id"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (uid * np.uint64(KNUTH_MULT)) & np.uint64(0xFFFFFFFF)
+        bucket = (h >> np.uint64(HLL_W)).astype(np.int64)
+        w = (h & np.uint64((1 << HLL_W) - 1)).astype(np.int64)
+        # exact integer bit-length via frexp (every w < 2^53 is an exact
+        # double, and frexp's exponent IS the bit count — no log2 rounding)
+        _, e = np.frexp(w.astype(np.float64))
+        rho = np.where(w > 0, HLL_W + 1 - e, HLL_W + 1).astype(np.int64)
+        df = pd.DataFrame({"bucket": bucket, "max_rho": rho}).groupby("bucket", as_index=False).max()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def combine(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("bucket", as_index=False).max()
+
+    lvl = ds.map_batches(partial, batch_format="pyarrow")
+    lvl = lvl.map_batches(combine, batch_format="pandas", batch_size=4096)
+    lvl = lvl.map_batches(combine, batch_format="pandas", batch_size=4096)
+    df = lvl.to_pandas()
+    if df.empty:
+        return df.reindex(columns=["bucket", "max_rho"])
+    out = df.groupby("bucket", as_index=False).max().astype({"bucket": "int64", "max_rho": "int64"})
+    return out.sort_values("bucket").reset_index(drop=True)
+
+
+def hll_estimate(registers: "pd.DataFrame", b: int = HLL_B) -> float:
+    """Standard HLL estimator over an events_hll_registers result (missing
+    buckets are zero registers). Used by the accuracy test, not the gate."""
+    m = 1 << b
+    reg = np.zeros(m, dtype=np.int64)
+    if len(registers):
+        reg[registers["bucket"].to_numpy(dtype=np.int64)] = registers["max_rho"].to_numpy(dtype=np.int64)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-reg.astype(np.float64)))
+    zeros = int(np.count_nonzero(reg == 0))
+    if est <= 2.5 * m and zeros > 0:
+        est = m * np.log(m / zeros)
+    return float(est)
+
+
+EVENTS_HLL_SQL = f"""
+WITH h AS (
+  SELECT ((user_id * {KNUTH_MULT}) % 4294967296) AS hv FROM events
+)
+SELECT CAST((hv >> {HLL_W}) AS BIGINT) AS bucket,
+       CAST(MAX(CASE WHEN (hv % {1 << HLL_W}) = 0 THEN {HLL_W + 1}
+                     ELSE {HLL_W + 1} - length(bin(hv % {1 << HLL_W})) END) AS BIGINT) AS max_rho
+FROM h GROUP BY 1 ORDER BY 1
+"""

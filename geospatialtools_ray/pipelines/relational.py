@@ -749,3 +749,117 @@ def sorted_group_agg(ds, key, ops: dict[str, str]):
 
     kept = combined.map_batches(drop, batch_size=None, batch_format="pyarrow")
     return kept.union(rd.from_arrow(pa.Table.from_pandas(fixed, preserve_index=False)))
+
+
+# ---------------------------------------------------------------------------
+# TPC-H q18 shape (large-volume orders): the rollup key is l_orderkey — a
+# key space that grows LINEARLY with the data — so the per-order quantity
+# sum runs on sorted_group_agg (one range sort + vectorized block combine),
+# never Ray's per-group-Python aggregate and never a driver collect of the
+# full order table. The HAVING filter runs distributed; only its quantile
+# tail (~1.5% of orders at the pinned threshold) flows into the order
+# join, which uses the
+# always-correct hash join (no broadcast-size assumption), and only the
+# matched customer rows leave the dimension scan. Quantities are exact
+# integer hundredths on both engines (reference analogue: the per-key
+# aggregate+threshold shape of terrain_tools.py basin curation).
+# ---------------------------------------------------------------------------
+
+Q18_QTY_THRESHOLD = 250  # pinned in engine + SQL; selects a ~1.5% order tail
+
+
+def q18_large_orders(sf_dir: str):
+    from .joins import hash_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "l_orderkey": batch["l_orderkey"].to_numpy(zero_copy_only=False),
+                "qty": _q100(batch["l_quantity"].to_numpy(zero_copy_only=False)),
+            }
+        )
+        return pa.Table.from_pandas(df.groupby("l_orderkey", as_index=False).sum(), preserve_index=False)
+
+    per_order = sorted_group_agg(li.map_batches(partial, batch_format="pyarrow"), "l_orderkey", {"qty": "sum"})
+    thresh = Q18_QTY_THRESHOLD * 100
+    survivors = per_order.map_batches(
+        lambda b: b.filter(pc.greater(b["qty"], pa.scalar(thresh, type=pa.int64()))),
+        batch_format="pyarrow",
+    )
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+    joined = hash_join(orders, survivors, on="o_orderkey", right_on="l_orderkey")
+    out = joined.to_pandas()  # bounded by the HAVING tail, not the table
+    keys = np.sort(out["o_custkey"].to_numpy(dtype=np.int64))
+    cust = (
+        _read(sf_dir, "customer", ["c_custkey", "c_name"])
+        .map_batches(
+            lambda b: b.filter(pa.array(np.isin(b["c_custkey"].to_numpy(zero_copy_only=False), keys))),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    out = out.merge(cust, left_on="o_custkey", right_on="c_custkey")
+    out["sum_qty"] = out["qty"].astype(np.int64).astype(np.float64) / 100.0
+    out = out.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True]).reset_index(drop=True)
+    return out[["c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty"]]
+
+
+Q18_SQL = f"""
+SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+       CAST(t.qty AS DOUBLE)/100.0 AS sum_qty
+FROM (
+  SELECT l_orderkey, CAST(SUM(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS qty
+  FROM lineitem GROUP BY 1
+  HAVING SUM(CAST(round(l_quantity*100) AS BIGINT)) > {Q18_QTY_THRESHOLD * 100}
+) t
+JOIN orders o ON o.o_orderkey = t.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY o.o_totalprice DESC, o.o_orderkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H q4 shape (EXISTS semi-join at fact granularity): orders that have
+# at least one returned lineitem, counted by priority. The semi-join side
+# (distinct returned orderkeys) grows with the data, so it is NEVER
+# broadcast: batch-local unique cuts the exchange, sorted_group_agg
+# finishes the distinct at orderkey cardinality, and the probe is the
+# hash-partitioned Dataset join. The final priority rollup is tiny and
+# shuffle-free (tree_group_sum).
+# ---------------------------------------------------------------------------
+
+
+def q4_priority_semijoin(sf_dir: str):
+    from .joins import hash_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag"])
+
+    def rkeys(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.equal(batch["l_returnflag"], "R"))
+        k = np.unique(b["l_orderkey"].to_numpy(zero_copy_only=False))
+        return pa.table({"l_orderkey": pa.array(k, type=pa.int64())})
+
+    distinct = sorted_group_agg(li.map_batches(rkeys, batch_format="pyarrow"), "l_orderkey", {"n": "count"})
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    joined = hash_join(orders, distinct, on="o_orderkey", right_on="l_orderkey")
+
+    def pcount(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"o_orderpriority": b["o_orderpriority"].to_pandas(), "order_count": 1})
+        return pa.Table.from_pandas(df.groupby("o_orderpriority", as_index=False).sum(), preserve_index=False)
+
+    df = tree_group_sum(
+        joined.map_batches(pcount, batch_format="pyarrow"), ["o_orderpriority"], value_cols=["order_count"]
+    )
+    df["order_count"] = df["order_count"].astype("int64")
+    return df.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+Q4_SQL = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+GROUP BY 1 ORDER BY 1
+"""

@@ -45,6 +45,9 @@ NEW_QUERIES = [
     "docs_dup_spans",
     "docs_frequent_ngrams",
     "embed_semantic_dedup",
+    "q18_large_orders",
+    "q4_order_priority",
+    "events_hll_registers",
 ]
 
 
@@ -201,3 +204,15 @@ def test_decontaminate_empty_docs_match_oracle(ray_session, tmp_path):
     # gram; doc 2 shares no 5-gram with the eval side
     assert eng["doc_id"].tolist() == [1, 3]
     assert eng["n_hits"].tolist() == [1, 1]
+
+
+def test_hll_estimate_accuracy(entry, oracle_con):
+    """The register table is hash-checked against the SQL twin above; this
+    pins the other half of the contract — the ESTIMATE those registers
+    produce tracks the exact distinct count (m=4096 -> sigma ~1.6%)."""
+    from geospatialtools_ray.pipelines.extraqueries import hll_estimate
+
+    regs = entry.queries()["events_hll_registers"](SF)
+    exact = oracle_con.execute("SELECT COUNT(DISTINCT user_id) FROM events").fetchone()[0]
+    est = hll_estimate(regs)
+    assert abs(est - exact) / exact < 0.05, (est, exact)
