@@ -212,6 +212,8 @@ _SQL_CHECKED: dict[str, tuple[Callable[[str], Any], str]] = {
     # identical -ln(u)/w keys)
     "q10_returned_items": (R.q10_returned_items, R.Q10_SQL),
     "q18_large_orders": (R.q18_large_orders, R.Q18_SQL),
+    "q6_forecast_revenue": (R.q6_forecast_revenue, R.Q6_SQL),
+    "q14_promo_revenue": (R.q14_promo_revenue, R.Q14_SQL),
     "q4_order_priority": (R.q4_priority_semijoin, R.Q4_SQL),
     "events_hll_registers": (X.events_hll_registers, X.EVENTS_HLL_SQL),
     "docs_radius_join": (T.docs_radius_join, T.DOCS_RADIUS_JOIN_SQL),

@@ -24,10 +24,10 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
-def _read(sf_dir: str, table: str, columns=None):
+def _read(sf_dir: str, table: str, columns=None, **kw):
     from .. import io
 
-    return io.read_named(sf_dir, table, columns=columns)
+    return io.read_named(sf_dir, table, columns=columns, **kw)
 
 
 def _q100(arr):
@@ -862,4 +862,159 @@ FROM orders o
 WHERE EXISTS (SELECT 1 FROM lineitem l
               WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
 GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H q6 shape (forecasting revenue change): the one-pass predicate
+# aggregate. The date window is pushed INTO the parquet scan as a pyarrow
+# dataset filter expression (row groups outside 1996 never leave storage;
+# `filter=` rides io.read_named's passthrough to ray.data.read_parquet),
+# the band predicates run vectorized on integer-quantized values, and the
+# single global sum is two shuffle-free combine levels (tree_group_sum on
+# a constant key) — no groupby stage at all.
+# ---------------------------------------------------------------------------
+
+Q6_DATE_LO = "1996-01-01"
+Q6_DATE_HI = "1997-01-01"
+
+
+def q6_forecast_revenue(sf_dir: str):
+    import datetime as _dt
+
+    import pyarrow.dataset as pads
+
+    lo = _dt.datetime.fromisoformat(Q6_DATE_LO)
+    hi = _dt.datetime.fromisoformat(Q6_DATE_HI)
+    flt = (pads.field("l_shipdate") >= lo) & (pads.field("l_shipdate") < hi)
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_extendedprice", "l_discount", "l_quantity"],
+        filter=flt,
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        d = _q100(b["l_discount"].to_numpy(zero_copy_only=False))
+        q = _q100(b["l_quantity"].to_numpy(zero_copy_only=False))
+        keep = (d >= 5) & (d <= 7) & (q < 2400)
+        rev = int((_q100(b["l_extendedprice"].to_numpy(zero_copy_only=False))[keep] * d[keep]).sum())
+        return pa.table({"k": pa.array([0], type=pa.int64()),
+                         "rev": pa.array([rev], type=pa.int64()),
+                         "n": pa.array([int(keep.sum())], type=pa.int64())})
+
+    df = tree_group_sum(ds.map_batches(partial, batch_format="pyarrow"), ["k"], value_cols=["rev", "n"])
+    out = pd.DataFrame(
+        {
+            "revenue": [float(df["rev"].sum()) / 10000.0],
+            "n_rows": [int(df["n"].sum())],
+        }
+    )
+    return out
+
+
+Q6_SQL = f"""
+SELECT CAST(CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+                    * CAST(round(l_discount*100) AS BIGINT)) AS BIGINT) AS DOUBLE)/10000.0 AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '{Q6_DATE_LO}' AND l_shipdate < TIMESTAMP '{Q6_DATE_HI}'
+  AND CAST(round(l_discount*100) AS BIGINT) BETWEEN 5 AND 7
+  AND CAST(round(l_quantity*100) AS BIGINT) < 2400
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H q14 shape (promotion effect): fact x dimension join where the
+# dimension (part) GROWS with the scale factor, so the plan is measured,
+# not assumed — should_broadcast() checks the projected byte size against
+# the worker budget and picks broadcast-searchsorted (one ray.put, no
+# shuffle) or the hash-partitioned Dataset join (always correct). The
+# promo/total ratio is ONE pinned IEEE expression on both engines over
+# exact integer partials.
+# ---------------------------------------------------------------------------
+
+
+def q14_promo_revenue(sf_dir: str):
+    import datetime as _dt
+
+    import ray
+    import pyarrow.dataset as pads
+
+    from .joins import hash_join, should_broadcast
+
+    lo = _dt.datetime.fromisoformat(Q6_DATE_LO)
+    hi = _dt.datetime.fromisoformat(Q6_DATE_HI)
+    flt = (pads.field("l_shipdate") >= lo) & (pads.field("l_shipdate") < hi)
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"], filter=flt)
+
+    if should_broadcast(f"{sf_dir}/part.{_ext()}", ["p_partkey", "p_type"]):
+        from .. import io
+
+        pt = io.read_table_arrow(f"{sf_dir}/part.{_ext()}", columns=["p_partkey", "p_type"])
+        pk = pt["p_partkey"].to_numpy()
+        order = np.argsort(pk)
+        promo_ref = ray.put(
+            (pk[order], (pt["p_type"].to_numpy(zero_copy_only=False) == "PROMO")[order])
+        )
+
+        def partial(b: pa.Table) -> pa.Table:
+            keys, is_promo = ray.get(promo_ref)
+            lk = b["l_partkey"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(keys, lk)
+            pos = np.clip(pos, 0, max(len(keys) - 1, 0))
+            hit = (keys[pos] == lk) if len(keys) else np.zeros(len(lk), bool)
+            rev = _q100(b["l_extendedprice"].to_numpy(zero_copy_only=False)) * (
+                100 - _q100(b["l_discount"].to_numpy(zero_copy_only=False))
+            )
+            promo = int(rev[hit & is_promo[pos]].sum())
+            return pa.table({"k": pa.array([0], type=pa.int64()),
+                             "promo": pa.array([promo], type=pa.int64()),
+                             "total": pa.array([int(rev[hit].sum())], type=pa.int64())})
+
+        partials = li.map_batches(partial, batch_format="pyarrow")
+    else:  # dimension too big for a worker: hash-partitioned join
+        part = _read(sf_dir, "part", ["p_partkey", "p_type"])
+        joined = hash_join(li, part, on="l_partkey", right_on="p_partkey")
+
+        def partial(b: pa.Table) -> pa.Table:
+            rev = _q100(b["l_extendedprice"].to_numpy(zero_copy_only=False)) * (
+                100 - _q100(b["l_discount"].to_numpy(zero_copy_only=False))
+            )
+            promo_mask = b["p_type"].to_numpy(zero_copy_only=False) == "PROMO"
+            return pa.table({"k": pa.array([0], type=pa.int64()),
+                             "promo": pa.array([int(rev[promo_mask].sum())], type=pa.int64()),
+                             "total": pa.array([int(rev.sum())], type=pa.int64())})
+
+        partials = joined.map_batches(partial, batch_format="pyarrow")
+
+    df = tree_group_sum(partials, ["k"], value_cols=["promo", "total"])
+    p, t = float(df["promo"].sum()), float(df["total"].sum())
+    return pd.DataFrame(
+        {
+            "promo_pct": [100.0 * (p / t)],
+            "promo_revenue": [p / 10000.0],
+            "total_revenue": [t / 10000.0],
+        }
+    )
+
+
+def _ext() -> str:
+    from .. import io
+
+    return io.table_ext()
+
+
+Q14_SQL = f"""
+WITH t AS (
+  SELECT CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT)) AS rev,
+         p.p_type = 'PROMO' AS promo
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE l.l_shipdate >= TIMESTAMP '{Q6_DATE_LO}' AND l.l_shipdate < TIMESTAMP '{Q6_DATE_HI}'
+)
+SELECT 100.0 * (CAST(SUM(CASE WHEN promo THEN rev ELSE 0 END) AS DOUBLE)
+                / CAST(SUM(rev) AS DOUBLE)) AS promo_pct,
+       CAST(CAST(SUM(CASE WHEN promo THEN rev ELSE 0 END) AS BIGINT) AS DOUBLE)/10000.0 AS promo_revenue,
+       CAST(CAST(SUM(rev) AS BIGINT) AS DOUBLE)/10000.0 AS total_revenue
+FROM t
 """

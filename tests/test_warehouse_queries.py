@@ -48,6 +48,8 @@ NEW_QUERIES = [
     "q18_large_orders",
     "q4_order_priority",
     "events_hll_registers",
+    "q6_forecast_revenue",
+    "q14_promo_revenue",
 ]
 
 
@@ -67,7 +69,7 @@ def entry(ray_session):
 @pytest.fixture(scope="module")
 def oracle_con():
     con = duckdb.connect()
-    for t in ("events", "documents", "embeddings", "nation", "lineitem", "orders", "customer"):
+    for t in ("events", "documents", "embeddings", "nation", "lineitem", "orders", "customer", "part"):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
     return con
 
@@ -216,3 +218,20 @@ def test_hll_estimate_accuracy(entry, oracle_con):
     exact = oracle_con.execute("SELECT COUNT(DISTINCT user_id) FROM events").fetchone()[0]
     est = hll_estimate(regs)
     assert abs(est - exact) / exact < 0.05, (est, exact)
+
+
+def test_q14_shuffle_path_matches_broadcast(entry, oracle_con, monkeypatch):
+    """q14's dimension plan is measured; force the hash-join fallback and
+    assert it returns the same row as the broadcast path / the oracle."""
+    from geospatialtools_ray.pipelines import relational as R
+
+    broadcast = R.q14_promo_revenue(SF)
+    monkeypatch.setenv("GRAFT_BROADCAST_LIMIT", "1")
+    shuffled = R.q14_promo_revenue(SF)
+    pd.testing.assert_frame_equal(broadcast, shuffled, check_exact=True)
+    oracle = oracle_con.execute(entry.oracle_sql()["q14_promo_revenue"]).df()
+    cols = sorted(oracle.columns)
+    pd.testing.assert_frame_equal(
+        shuffled[cols].reset_index(drop=True), oracle[cols].reset_index(drop=True),
+        check_dtype=False, check_exact=True,
+    )
