@@ -2531,3 +2531,70 @@ SELECT CAST((hv >> {HLL_W}) AS BIGINT) AS bucket,
                      ELSE {HLL_W + 1} - length(bin(hv % {1 << HLL_W})) END) AS BIGINT) AS max_rho
 FROM h GROUP BY 1 ORDER BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch registers (Cormode & Muthukrishnan 2005): the mergeable
+# FREQUENCY sketch beside events_hll_registers' cardinality sketch. d=3
+# pinned affine hashes over the pinned 32-bit space, w=1024 buckets per
+# row; registers are per-(row,bucket) COUNTS, so partials sum exactly in
+# any order and the finish is the same shuffle-free tree combine as every
+# tiny-cardinality aggregate here (3072 groups). The DuckDB oracle
+# rebuilds the registers with the SAME three hash expressions (UNION ALL),
+# so the gate checks every register value, not an estimate. The CMS
+# guarantee (point estimate >= true count, overshoot <= eps*N w.h.p.) is
+# asserted in tests/test_warehouse_queries.py. Same documented bound as
+# docs_hash_sample: exact SQL mirroring needs user_id < 2^31.
+# ---------------------------------------------------------------------------
+
+CMS_W = 1024
+CMS_ROWS = ((2654435761, 0), (2246822519, 12345), (3266489917, 67890))  # (mult, add)
+
+
+def events_cms_registers(sf_dir: str):
+    ds = _read(sf_dir, "events", ["user_id"])
+    from .relational import tree_group_sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        rows, buckets, counts = [], [], []
+        for i, (a, c) in enumerate(CMS_ROWS):
+            h = ((uid * np.uint64(a) + np.uint64(c)) & np.uint64(0xFFFFFFFF)) % np.uint64(CMS_W)
+            cnt = np.bincount(h.astype(np.int64), minlength=CMS_W)
+            nz = np.nonzero(cnt)[0]
+            rows.append(np.full(len(nz), i, dtype=np.int64))
+            buckets.append(nz.astype(np.int64))
+            counts.append(cnt[nz].astype(np.int64))
+        return pa.table(
+            {
+                "row": pa.array(np.concatenate(rows)),
+                "bucket": pa.array(np.concatenate(buckets)),
+                "count": pa.array(np.concatenate(counts)),
+            }
+        )
+
+    df = tree_group_sum(ds.map_batches(partial, batch_format="pyarrow"), ["row", "bucket"], value_cols=["count"])
+    df = df.astype({"row": "int64", "bucket": "int64", "count": "int64"})
+    return df.sort_values(["row", "bucket"]).reset_index(drop=True)
+
+
+def cms_point_estimate(registers: "pd.DataFrame", key: int) -> int:
+    """min over rows of the key's register — the CMS point query (test
+    helper, not part of the gate)."""
+    est = None
+    for i, (a, c) in enumerate(CMS_ROWS):
+        b = int(((key * a + c) % (1 << 32)) % CMS_W)
+        hit = registers[(registers["row"] == i) & (registers["bucket"] == b)]
+        v = int(hit["count"].iloc[0]) if len(hit) else 0
+        est = v if est is None else min(est, v)
+    return int(est)
+
+
+EVENTS_CMS_SQL = " UNION ALL ".join(
+    f"""
+SELECT {i} AS row,
+       ((user_id * {a} + {c}) % 4294967296) % {CMS_W} AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS count
+FROM events GROUP BY 2"""
+    for i, (a, c) in enumerate(CMS_ROWS)
+)

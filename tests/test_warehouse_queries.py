@@ -50,6 +50,7 @@ NEW_QUERIES = [
     "events_hll_registers",
     "q6_forecast_revenue",
     "q14_promo_revenue",
+    "events_cms_registers",
 ]
 
 
@@ -235,3 +236,20 @@ def test_q14_shuffle_path_matches_broadcast(entry, oracle_con, monkeypatch):
         shuffled[cols].reset_index(drop=True), oracle[cols].reset_index(drop=True),
         check_dtype=False, check_exact=True,
     )
+
+
+def test_cms_point_query_guarantee(entry, oracle_con):
+    """CMS contract: every point estimate >= the true count (never under),
+    and the overshoot on the heaviest keys stays within eps*N (w=1024 ->
+    eps ~ 2.7e-3 per the e/w bound)."""
+    from geospatialtools_ray.pipelines.extraqueries import cms_point_estimate
+
+    regs = entry.queries()["events_cms_registers"](SF)
+    truth = oracle_con.execute(
+        "SELECT user_id, COUNT(*) c FROM events GROUP BY 1 ORDER BY c DESC"
+    ).df()
+    n_total = int(truth["c"].sum())
+    for _, r in truth.iterrows():
+        est = cms_point_estimate(regs, int(r["user_id"]))
+        assert est >= int(r["c"]), (int(r["user_id"]), est, int(r["c"]))
+        assert est - int(r["c"]) <= max(1, int(0.01 * n_total)), (est, int(r["c"]), n_total)
