@@ -217,6 +217,7 @@ _SQL_CHECKED: dict[str, tuple[Callable[[str], Any], str]] = {
     "q4_order_priority": (R.q4_priority_semijoin, R.Q4_SQL),
     "events_hll_registers": (X.events_hll_registers, X.EVENTS_HLL_SQL),
     "events_cms_registers": (X.events_cms_registers, X.EVENTS_CMS_SQL),
+    "docs_training_prep": (X.docs_training_prep, X.DOCS_TRAINING_PREP_SQL),
     "docs_radius_join": (T.docs_radius_join, T.DOCS_RADIUS_JOIN_SQL),
     "docs_weighted_sample": (X.docs_weighted_sample, X.DOCS_WEIGHTED_SAMPLE_SQL),
     # round 4 (cont.): sequence packing via the two-phase distributed scan

@@ -2598,3 +2598,147 @@ SELECT {i} AS row,
 FROM events GROUP BY 2"""
     for i, (a, c) in enumerate(CMS_ROWS)
 )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end LLM training-data prep funnel: the composition query — token
+# filter -> exact dedup -> decontamination -> sequence packing, reported
+# as per-stage (docs, tokens) totals. Every stage reuses the pinned rule
+# its standalone query already proves (regexp \s+ token counts ==
+# docs_token_stats; keeper = MIN(doc_id) per content group ==
+# docs_exact_dedup; the 5-gram eval-slice rule == docs_decontaminate; the
+# PACK_SEQ_LEN window == docs_pack_sequences), and the oracle is ONE pure
+# SQL CTE chain over the raw parquet — a full cross-engine check of the
+# composed pipeline, not of any staged fixture. Scale shape: stage totals
+# are shuffle-free tree combines; the dedup keep-list is painted back with
+# a hash-partitioned join on doc_id (keeper cardinality grows with the
+# corpus — never broadcast); each stage recomputes its upstream lazily
+# here (bounded corpus), where a production run would write each stage
+# through the resumable sink (state/lineage.py) and resume per stage.
+# NOTE the 2_exact_dedup stage drops 0 docs on the synthetic sf corpora
+# (they contain no exact-duplicate texts) — the stage still executes its
+# full distributed path and the oracle asserts the no-op.
+# ---------------------------------------------------------------------------
+
+TRAINPREP_MIN_TOKENS = 30
+
+
+def docs_training_prep(sf_dir: str):
+    import pyarrow.compute as pc
+    import ray
+
+    from ..hashing import text_hash_u64
+    from ..stages import decontam as DC
+    from .joins import hash_join
+    from .relational import sorted_group_agg, tree_group_sum
+
+    def totals(stage_ds, stage: str) -> tuple[str, int, int]:
+        def cnt(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "k": pa.array([0], type=pa.int64()),
+                    "n": pa.array([b.num_rows], type=pa.int64()),
+                    "tok": pa.array([int(pc.sum(b["n_tokens"]).as_py() or 0)], type=pa.int64()),
+                }
+            )
+
+        df = tree_group_sum(stage_ds.map_batches(cnt, batch_format="pyarrow"), ["k"], value_cols=["n", "tok"])
+        return (stage, int(df["n"].sum()), int(df["tok"].sum()))
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def with_tokens(b: pa.Table) -> pa.Table:
+        n = pc.list_value_length(pc.split_pattern_regex(b["text"], r"\s+")).cast(pa.int64())
+        return b.append_column("n_tokens", n)
+
+    base = ds.map_batches(with_tokens, batch_format="pyarrow")
+    f1 = base.map_batches(
+        lambda b: b.filter(pc.greater_equal(b["n_tokens"], pa.scalar(TRAINPREP_MIN_TOKENS, type=pa.int64()))),
+        batch_format="pyarrow",
+    )
+
+    # exact dedup: content-hash group-min via sorted_group_agg; the keeper
+    # ids ARE the kept docs, painted back with a hash join on doc_id
+    def add_hash(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"h": pa.array(text_hash_u64(b["text"]).view(np.int64)), "doc_id": b["doc_id"]}
+        )
+
+    keepers = sorted_group_agg(f1.map_batches(add_hash, batch_format="pyarrow"), "h", {"doc_id": "min"})
+    kept_ids = keepers.map_batches(lambda b: b.select(["doc_id"]), batch_format="pyarrow")
+    # checkpoint the deduped corpus: four consumers read d2 (stage totals,
+    # eval grams, train probe, clean paint) and lazy recompute would re-run
+    # the sort+join chain for each — materialize() is the in-sandbox
+    # stand-in for writing the stage through the resumable sink
+    # (state/lineage.py) as a production run would
+    d2 = hash_join(f1, kept_ids, on="doc_id").materialize()
+
+    # decontamination over the deduped survivors: pinned eval slice,
+    # eval-gram set broadcast once, train docs with any hit dropped —
+    # the surviving training set excludes the eval slice itself
+    def is_eval(b: pa.Table) -> np.ndarray:
+        did = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (did * np.uint64(KNUTH_MULT)) & np.uint64(0xFFFFFFFF)
+        return (h % np.uint64(100)) < np.uint64(EVAL_PCT)
+
+    eval_ds = d2.map_batches(lambda b: b.filter(pa.array(is_eval(b))), batch_format="pyarrow")
+    train_ds = d2.map_batches(lambda b: b.filter(pa.array(~is_eval(b))), batch_format="pyarrow").materialize()
+    grams = DC.gram_set_exact(eval_ds, "text", k=DECONTAM_K)
+    counts = DC.contamination_counts(train_ds, ray.put(grams), "text", "doc_id", k=DECONTAM_K)
+    clean_ids = counts.filter(expr="n_hits == 0").map_batches(
+        lambda b: b.select(["doc_id"]), batch_format="pyarrow"
+    )
+    d3 = hash_join(train_ds, clean_ids, on="doc_id")
+
+    rows = [
+        totals(base, "0_input"),
+        totals(f1, "1_token_filter"),
+        totals(d2, "2_exact_dedup"),
+        totals(d3, "3_decontam"),
+    ]
+    tok3 = rows[-1][2]
+    rows.append(("4_sequences", (tok3 + PACK_SEQ_LEN - 1) // PACK_SEQ_LEN, tok3))
+    out = pd.DataFrame(rows, columns=["stage", "n_docs", "n_tokens"]).astype(
+        {"n_docs": "int64", "n_tokens": "int64"}
+    )
+    return out.sort_values("stage").reset_index(drop=True)
+
+
+DOCS_TRAINING_PREP_SQL = f"""
+WITH base AS (
+  SELECT doc_id, text, CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+f1 AS (SELECT * FROM base WHERE n_tokens >= {TRAINPREP_MIN_TOKENS}),
+keepers AS (SELECT MIN(doc_id) AS doc_id FROM f1 GROUP BY text),
+d2 AS (SELECT f1.* FROM f1 JOIN keepers USING (doc_id)),
+toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w,
+         ((doc_id * {KNUTH_MULT}) % 4294967296) % 100 < {EVAL_PCT} AS is_eval
+  FROM d2
+),
+g AS (
+  SELECT doc_id, is_eval,
+         CASE WHEN len(w) >= {DECONTAM_K} THEN array_to_string(w[i:i+{DECONTAM_K - 1}], ' ')
+              ELSE COALESCE(array_to_string(w, ' '), '') END AS gram
+  FROM toks, UNNEST(CASE WHEN len(w) >= {DECONTAM_K} THEN range(1, len(w) - {DECONTAM_K - 2})
+                         ELSE [CAST(1 AS BIGINT)] END) AS t(i)
+),
+eg AS (SELECT DISTINCT gram FROM g WHERE is_eval),
+dirty AS (SELECT DISTINCT g.doc_id FROM g JOIN eg ON g.gram = eg.gram WHERE NOT g.is_eval),
+d3 AS (
+  SELECT d2.* FROM d2 JOIN toks USING (doc_id)
+  WHERE NOT toks.is_eval AND doc_id NOT IN (SELECT doc_id FROM dirty)
+),
+stages AS (
+  SELECT '0_input' AS stage, COUNT(*) AS n_docs, COALESCE(SUM(n_tokens), 0) AS n_tokens FROM base
+  UNION ALL SELECT '1_token_filter', COUNT(*), COALESCE(SUM(n_tokens), 0) FROM f1
+  UNION ALL SELECT '2_exact_dedup', COUNT(*), COALESCE(SUM(n_tokens), 0) FROM d2
+  UNION ALL SELECT '3_decontam', COUNT(*), COALESCE(SUM(n_tokens), 0) FROM d3
+  UNION ALL SELECT '4_sequences',
+            (COALESCE(SUM(n_tokens), 0) + {PACK_SEQ_LEN - 1}) // {PACK_SEQ_LEN},
+            COALESCE(SUM(n_tokens), 0) FROM d3
+)
+SELECT stage, CAST(n_docs AS BIGINT) AS n_docs, CAST(n_tokens AS BIGINT) AS n_tokens
+FROM stages ORDER BY stage
+"""

@@ -51,6 +51,7 @@ NEW_QUERIES = [
     "q6_forecast_revenue",
     "q14_promo_revenue",
     "events_cms_registers",
+    "docs_training_prep",
 ]
 
 
