@@ -914,8 +914,8 @@ def q6_forecast_revenue(sf_dir: str):
 
 
 Q6_SQL = f"""
-SELECT CAST(CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
-                    * CAST(round(l_discount*100) AS BIGINT)) AS BIGINT) AS DOUBLE)/10000.0 AS revenue,
+SELECT CAST(CAST(COALESCE(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+                    * CAST(round(l_discount*100) AS BIGINT)), 0) AS BIGINT) AS DOUBLE)/10000.0 AS revenue,
        CAST(COUNT(*) AS BIGINT) AS n_rows
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '{Q6_DATE_LO}' AND l_shipdate < TIMESTAMP '{Q6_DATE_HI}'
@@ -990,9 +990,11 @@ def q14_promo_revenue(sf_dir: str):
 
     df = tree_group_sum(partials, ["k"], value_cols=["promo", "total"])
     p, t = float(df["promo"].sum()), float(df["total"].sum())
+    # empty window: both engines pin the 0-revenue ratio to 0.0 (the SQL
+    # CASE below) instead of NULL/ZeroDivisionError
     return pd.DataFrame(
         {
-            "promo_pct": [100.0 * (p / t)],
+            "promo_pct": [100.0 * (p / t) if t else 0.0],
             "promo_revenue": [p / 10000.0],
             "total_revenue": [t / 10000.0],
         }
@@ -1012,9 +1014,10 @@ WITH t AS (
   FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
   WHERE l.l_shipdate >= TIMESTAMP '{Q6_DATE_LO}' AND l.l_shipdate < TIMESTAMP '{Q6_DATE_HI}'
 )
-SELECT 100.0 * (CAST(SUM(CASE WHEN promo THEN rev ELSE 0 END) AS DOUBLE)
-                / CAST(SUM(rev) AS DOUBLE)) AS promo_pct,
-       CAST(CAST(SUM(CASE WHEN promo THEN rev ELSE 0 END) AS BIGINT) AS DOUBLE)/10000.0 AS promo_revenue,
-       CAST(CAST(SUM(rev) AS BIGINT) AS DOUBLE)/10000.0 AS total_revenue
+SELECT CASE WHEN COALESCE(SUM(rev), 0) = 0 THEN 0.0
+            ELSE 100.0 * (CAST(SUM(CASE WHEN promo THEN rev ELSE 0 END) AS DOUBLE)
+                          / CAST(SUM(rev) AS DOUBLE)) END AS promo_pct,
+       CAST(CAST(COALESCE(SUM(CASE WHEN promo THEN rev ELSE 0 END), 0) AS BIGINT) AS DOUBLE)/10000.0 AS promo_revenue,
+       CAST(CAST(COALESCE(SUM(rev), 0) AS BIGINT) AS DOUBLE)/10000.0 AS total_revenue
 FROM t
 """

@@ -254,3 +254,47 @@ def test_cms_point_query_guarantee(entry, oracle_con):
         est = cms_point_estimate(regs, int(r["user_id"]))
         assert est >= int(r["c"]), (int(r["user_id"]), est, int(r["c"]))
         assert est - int(r["c"]) <= max(1, int(0.01 * n_total)), (est, int(r["c"]), n_total)
+
+
+def test_q6_q14_empty_window_pinned_zero(entry, tmp_path):
+    """Both engines pin the empty-window result: q6 revenue 0.0 (COALESCE'd
+    SUM), q14 ratios 0.0 instead of NULL / ZeroDivisionError. Corpus has
+    lineitem rows only OUTSIDE the pinned 1996 window."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sf = str(tmp_path)
+    n = 10
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array(np.arange(n), type=pa.int64()),
+                "l_partkey": pa.array(np.arange(n), type=pa.int64()),
+                "l_extendedprice": pa.array(np.linspace(10, 99, n)),
+                "l_discount": pa.array(np.full(n, 0.06)),
+                "l_quantity": pa.array(np.full(n, 5.0)),
+                "l_shipdate": pa.array(
+                    np.full(n, np.datetime64("1994-06-01", "us"))
+                ),
+            }
+        ),
+        f"{sf}/lineitem.parquet",
+    )
+    pq.write_table(
+        pa.table({"p_partkey": pa.array(np.arange(n), type=pa.int64()),
+                  "p_type": pa.array(["PROMO"] * n)}),
+        f"{sf}/part.parquet",
+    )
+    con = duckdb.connect()
+    for t in ("lineitem", "part"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+    for name in ("q6_forecast_revenue", "q14_promo_revenue"):
+        res = entry.queries()[name](sf)
+        oracle = con.execute(entry.oracle_sql()[name]).df()
+        cols = sorted(oracle.columns)
+        pd.testing.assert_frame_equal(
+            res[cols].reset_index(drop=True), oracle[cols].reset_index(drop=True),
+            check_dtype=False, check_exact=True, obj=name,
+        )
+        assert float(res.iloc[0, 0]) == 0.0 or name == "q6_forecast_revenue"
