@@ -215,6 +215,14 @@ _SQL_CHECKED: dict[str, tuple[Callable[[str], Any], str]] = {
     "q6_forecast_revenue": (R.q6_forecast_revenue, R.Q6_SQL),
     "q14_promo_revenue": (R.q14_promo_revenue, R.Q14_SQL),
     "q4_order_priority": (R.q4_priority_semijoin, R.Q4_SQL),
+    # q13: LEFT OUTER count distribution (zero bucket via counting identity);
+    # q17: correlated per-part avg via integer cross-multiplication;
+    # q22: global-scalar threshold + hash-partitioned anti-join;
+    # q7: bi-national volume rollup (nations^2 x years tree combine)
+    "q13_customer_orders": (R.q13_customer_orders_dist, R.Q13_SQL),
+    "q17_small_qty_revenue": (R.q17_small_qty_revenue, R.Q17_SQL),
+    "q22_idle_balance": (R.q22_idle_balance, R.Q22_SQL),
+    "q7_nation_volume": (R.q7_nation_volume, R.Q7_SQL),
     "events_hll_registers": (X.events_hll_registers, X.EVENTS_HLL_SQL),
     "events_cms_registers": (X.events_cms_registers, X.EVENTS_CMS_SQL),
     "docs_training_prep": (X.docs_training_prep, X.DOCS_TRAINING_PREP_SQL),

@@ -1021,3 +1021,347 @@ SELECT CASE WHEN COALESCE(SUM(rev), 0) = 0 THEN 0.0
        CAST(CAST(COALESCE(SUM(rev), 0) AS BIGINT) AS DOUBLE)/10000.0 AS total_revenue
 FROM t
 """
+
+
+# ---------------------------------------------------------------------------
+# TPC-H q13 shape (customer order-count distribution): the LEFT OUTER
+# aggregate whose zero bucket must survive. The per-customer count runs at
+# CUSTOMER cardinality (sorted_group_agg — never per-group Python, never a
+# driver collect of the count table); the zero-order customers are NOT
+# joined at all: the histogram of positive counts is tiny (max orders per
+# customer), so the c_count=0 row is derived exactly as
+# total_customers - customers_with_matches, turning the outer join into a
+# counting identity. Orders-side predicate pinned in engine + SQL.
+# ---------------------------------------------------------------------------
+
+Q13_EXCLUDED_PRIORITY = "1-URGENT"
+
+
+def q13_customer_orders_dist(sf_dir: str):
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        keep = b.filter(pc.not_equal(b["o_orderpriority"], Q13_EXCLUDED_PRIORITY))
+        k, n = np.unique(keep["o_custkey"].to_numpy(zero_copy_only=False), return_counts=True)
+        return pa.table({"o_custkey": pa.array(k, type=pa.int64()),
+                         "c_count": pa.array(n.astype(np.int64))})
+
+    per_cust = sorted_group_agg(orders.map_batches(partial, batch_format="pyarrow"),
+                                "o_custkey", {"c_count": "sum"})
+
+    def hist(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"c_count": pa.array([], type=pa.int64()),
+                             "custdist": pa.array([], type=pa.int64())})
+        c, n = np.unique(b["c_count"].to_numpy(zero_copy_only=False), return_counts=True)
+        return pa.table({"c_count": pa.array(c.astype(np.int64)),
+                         "custdist": pa.array(n.astype(np.int64))})
+
+    h = tree_group_sum(per_cust.map_batches(hist, batch_size=None, batch_format="pyarrow"),
+                       ["c_count"], value_cols=["custdist"])
+    # LEFT JOIN zero bucket as a counting identity: customers minus matched
+    total_cust = _read(sf_dir, "customer", ["c_custkey"]).count()
+    n_matched = int(h["custdist"].sum()) if len(h) else 0
+    if total_cust > n_matched:
+        h = pd.concat(
+            [h, pd.DataFrame({"c_count": [0], "custdist": [total_cust - n_matched]})],
+            ignore_index=True,
+        )
+    h = h.astype({"c_count": "int64", "custdist": "int64"})
+    return h.sort_values(["custdist", "c_count"], ascending=[False, False]).reset_index(drop=True)
+
+
+Q13_SQL = f"""
+WITH co AS (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c LEFT JOIN orders o
+    ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '{Q13_EXCLUDED_PRIORITY}'
+  GROUP BY c.c_custkey
+)
+SELECT CAST(c_count AS BIGINT) AS c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM co GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H q17 shape (small-quantity-order revenue): the correlated scalar
+# subquery — each lineitem compares against ITS part's average quantity.
+# The selected-part lineitem subset (brand+size filter, ~2% of parts) is
+# materialized ONCE as a Dataset and reused for both passes (stats + the
+# qualify scan), so lineitem is read exactly once. The per-part stats run
+# at selected-part cardinality via sorted_group_agg; the qualify predicate
+# is the integer cross-multiplication 5*qty_c*n < sum_qty_c — exact on
+# both engines, no float average anywhere. The part-dimension probe is
+# measured (broadcast searchsorted vs hash-partitioned join).
+# ---------------------------------------------------------------------------
+
+Q17_BRAND = "Brand#4"
+Q17_MAX_SIZE = 25
+
+
+def q17_small_qty_revenue(sf_dir: str):
+    import ray
+
+    from .joins import hash_join, should_broadcast
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice"])
+
+    if should_broadcast(f"{sf_dir}/part.{_ext()}", ["p_partkey", "p_brand", "p_size"]):
+        from .. import io
+
+        pt = io.read_table_arrow(f"{sf_dir}/part.{_ext()}", columns=["p_partkey", "p_brand", "p_size"])
+        sel = pc.and_(pc.equal(pt["p_brand"], Q17_BRAND),
+                      pc.less_equal(pt["p_size"], Q17_MAX_SIZE))
+        keys = np.sort(pt.filter(sel)["p_partkey"].to_numpy())
+        keys_ref = ray.put(keys)
+
+        def semi(b: pa.Table) -> pa.Table:
+            ks = ray.get(keys_ref)
+            return b.filter(pa.array(np.isin(b["l_partkey"].to_numpy(zero_copy_only=False), ks)))
+
+        li_sel = li.map_batches(semi, batch_format="pyarrow").materialize()
+    else:
+        part = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"]).map_batches(
+            lambda b: b.filter(
+                pc.and_(pc.equal(b["p_brand"], Q17_BRAND), pc.less_equal(b["p_size"], Q17_MAX_SIZE))
+            ).select(["p_partkey"]),
+            batch_format="pyarrow",
+        )
+        li_sel = hash_join(li, part, on="l_partkey", right_on="p_partkey").materialize()
+
+    def stats_partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "l_partkey": b["l_partkey"].to_numpy(zero_copy_only=False),
+            "s": _q100(b["l_quantity"].to_numpy(zero_copy_only=False)),
+            "n": np.int64(1),
+        })
+        return pa.Table.from_pandas(df.groupby("l_partkey", as_index=False).sum(), preserve_index=False)
+
+    stats = sorted_group_agg(li_sel.map_batches(stats_partial, batch_format="pyarrow"),
+                             "l_partkey", {"s": "sum", "n": "sum"})
+    # stats cardinality == selected parts (the measured-broadcastable side)
+    sdf = stats.to_pandas().sort_values("l_partkey")
+    st_ref = ray.put((sdf["l_partkey"].to_numpy(dtype=np.int64),
+                      sdf["s"].to_numpy(dtype=np.int64), sdf["n"].to_numpy(dtype=np.int64)))
+
+    def qualify(b: pa.Table) -> pa.Table:
+        pk_s, s_s, n_s = ray.get(st_ref)
+        lk = b["l_partkey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(pk_s, lk)  # every row's part IS in stats
+        q = _q100(b["l_quantity"].to_numpy(zero_copy_only=False))
+        # integer cross-multiplication: qty < 0.2 * (s/n)  <=>  5*q*n < s
+        ok = 5 * q * n_s[pos] < s_s[pos]
+        rev = int(_q100(b["l_extendedprice"].to_numpy(zero_copy_only=False))[ok].sum())
+        return pa.table({"k": pa.array([0], type=pa.int64()),
+                         "rev": pa.array([rev], type=pa.int64()),
+                         "n_rows": pa.array([int(ok.sum())], type=pa.int64())})
+
+    df = tree_group_sum(li_sel.map_batches(qualify, batch_format="pyarrow"), ["k"],
+                        value_cols=["rev", "n_rows"])
+    rev = float(df["rev"].sum()) if len(df) else 0.0
+    return pd.DataFrame({"avg_yearly": [rev / 100.0 / 7.0],
+                         "n_rows": [int(df["n_rows"].sum()) if len(df) else 0]})
+
+
+Q17_SQL = f"""
+WITH t AS (
+  SELECT l_partkey, SUM(CAST(round(l_quantity*100) AS BIGINT)) AS s, COUNT(*) AS n
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(CAST(COALESCE(SUM(CAST(round(l.l_extendedprice*100) AS BIGINT)), 0) AS BIGINT) AS DOUBLE)/100.0/7.0 AS avg_yearly,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN t ON t.l_partkey = l.l_partkey
+WHERE p.p_brand = '{Q17_BRAND}' AND p.p_size <= {Q17_MAX_SIZE}
+  AND 5 * CAST(round(l.l_quantity*100) AS BIGINT) * t.n < t.s
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H q22 shape (idle high-balance accounts): a two-phase dependency —
+# a GLOBAL scalar (avg positive balance) gates the row filter, then an
+# anti-join against the recently-active customer set, then a tiny nation
+# rollup. The scalar is two shuffle-free combine levels; the threshold is
+# the integer cross-multiplication bal_c * n_pos > s_pos (exact, no float
+# average; bal_c<=1e6 and s_pos<=~5e14 keep int64 exact past 1e9
+# customers). The active-key set grows with the data so it is NEVER
+# broadcast: distinct keys via batch-local unique + sorted_group_agg, the
+# anti probe is a hash-partitioned LEFT OUTER join filtered to the
+# null (unmatched) side. Only balance-qualified customers enter the join.
+# ---------------------------------------------------------------------------
+
+Q22_ACTIVE_CUTOFF = "1999-01-01"
+
+
+def q22_idle_balance(sf_dir: str):
+    from .joins import hash_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def bal_partial(b: pa.Table) -> pa.Table:
+        a = _q100(b["c_acctbal"].to_numpy(zero_copy_only=False))
+        pos = a > 0
+        return pa.table({"k": pa.array([0], type=pa.int64()),
+                         "s": pa.array([int(a[pos].sum())], type=pa.int64()),
+                         "n": pa.array([int(pos.sum())], type=pa.int64())})
+
+    tot = tree_group_sum(cust.map_batches(bal_partial, batch_format="pyarrow"), ["k"],
+                         value_cols=["s", "n"])
+    s_pos, n_pos = int(tot["s"].sum()), int(tot["n"].sum())
+
+    def qualified(b: pa.Table) -> pa.Table:
+        a = _q100(b["c_acctbal"].to_numpy(zero_copy_only=False))
+        keep = a * n_pos > s_pos  # bal > avg(positive bal), integer-exact
+        out = b.filter(pa.array(keep)).select(["c_custkey", "c_nationkey"])
+        return out.append_column("bal", pa.array(a[keep], type=pa.int64()))
+
+    rich = cust.map_batches(qualified, batch_format="pyarrow")
+
+    cutoff = pd.Timestamp(Q22_ACTIVE_CUTOFF)
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+
+    def active_keys(b: pa.Table) -> pa.Table:
+        keep = b.filter(pc.greater_equal(b["o_orderdate"], pa.scalar(cutoff)))
+        k = np.unique(keep["o_custkey"].to_numpy(zero_copy_only=False))
+        return pa.table({"o_custkey": pa.array(k, type=pa.int64())})
+
+    active = sorted_group_agg(orders.map_batches(active_keys, batch_format="pyarrow"),
+                              "o_custkey", {"hit": "count"})
+    joined = hash_join(rich, active, on="c_custkey", right_on="o_custkey",
+                       join_type="left_outer")
+
+    def idle_rollup(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        idle = df[df["hit"].isna()]
+        g = idle.groupby("c_nationkey", as_index=False).agg(
+            numcust=("bal", "size"), totbal=("bal", "sum"))
+        g["c_nationkey"] = g["c_nationkey"].astype(np.int64)
+        g["totbal"] = g["totbal"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    df = tree_group_sum(joined.map_batches(idle_rollup, batch_format="pyarrow"),
+                        ["c_nationkey"], value_cols=["numcust", "totbal"])
+    out = pd.DataFrame({
+        "c_nationkey": df["c_nationkey"].astype("int64"),
+        "numcust": df["numcust"].astype("int64"),
+        "totacctbal": df["totbal"].astype("float64") / 100.0,
+    })
+    return out.sort_values("c_nationkey").reset_index(drop=True)
+
+
+Q22_SQL = f"""
+WITH pos AS (
+  SELECT SUM(CAST(round(c_acctbal*100) AS BIGINT)) AS s, COUNT(*) AS n
+  FROM customer WHERE CAST(round(c_acctbal*100) AS BIGINT) > 0
+), rich AS (
+  SELECT c_custkey, c_nationkey, CAST(round(c_acctbal*100) AS BIGINT) AS bal
+  FROM customer, pos WHERE CAST(round(c_acctbal*100) AS BIGINT) * pos.n > pos.s
+)
+SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS numcust,
+       CAST(CAST(SUM(bal) AS BIGINT) AS DOUBLE)/100.0 AS totacctbal
+FROM rich r
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = r.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '{Q22_ACTIVE_CUTOFF}')
+GROUP BY c_nationkey ORDER BY c_nationkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H q7 shape (bi-national volume by year): the q5 skeleton with a
+# two-sided nation attribution — each lineitem is scored by (supplier
+# nation, customer nation, ship year) with supp != cust. Dimension nation
+# maps ride one ray.put; the orders probe is the measured
+# broadcast-vs-shuffle decision; group cardinality is nations^2 x years
+# (~4k) so the finish is the shuffle-free tree combine with (hi, lo)
+# split revenue partials (the q1/q5 overflow convention).
+# ---------------------------------------------------------------------------
+
+
+def q7_nation_volume(sf_dir: str):
+    import ray
+
+    from .joins import hash_join, should_broadcast
+
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    c_arr = np.full(int(cust["c_custkey"].max()) + 1, -1, dtype=np.int64)
+    c_arr[cust["c_custkey"].to_numpy()] = cust["c_nationkey"].to_numpy()
+    s_arr = np.full(int(supp["s_suppkey"].max()) + 1, -2, dtype=np.int64)
+    s_arr[supp["s_suppkey"].to_numpy()] = supp["s_nationkey"].to_numpy()
+    n_name_arr = np.empty(int(nation["n_nationkey"].max()) + 1, dtype=object)
+    n_name_arr[nation["n_nationkey"].to_numpy()] = nation["n_name"].to_numpy()
+    dims_ref = ray.put((c_arr, s_arr, n_name_arr))
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def vol_partial(batch: pa.Table, ck: np.ndarray) -> pa.Table:
+        _c, _s, _n = ray.get(dims_ref)
+        cn = np.where(ck >= 0, _c[np.clip(ck, 0, len(_c) - 1)], -1)
+        sk = batch["l_suppkey"].to_numpy(zero_copy_only=False)
+        sn = _s[np.clip(sk, 0, len(_s) - 1)]
+        keep = (cn >= 0) & (sn >= 0) & (cn != sn)
+        rev = (_q100(batch["l_extendedprice"].to_numpy(zero_copy_only=False)[keep])
+               * (100 - _q100(batch["l_discount"].to_numpy(zero_copy_only=False)[keep])))
+        yr = (batch["l_shipdate"].to_numpy(zero_copy_only=False)
+              .astype("datetime64[Y]").astype(np.int64) + 1970)[keep]
+        df = pd.DataFrame({
+            "supp_nation": _n[sn[keep]],
+            "cust_nation": _n[cn[keep]],
+            "l_year": yr,
+            "rev": rev,
+        }).groupby(["supp_nation", "cust_nation", "l_year"], as_index=False)["rev"].sum()
+        df["rev_hi"], df["rev_lo"] = divmod(df.pop("rev"), 10_000)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    if should_broadcast(f"{sf_dir}/orders.{_ext()}", ["o_orderkey", "o_custkey"]):
+        orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).to_pandas().sort_values("o_orderkey")
+        refs = ray.put((orders["o_orderkey"].to_numpy(), orders["o_custkey"].to_numpy()))
+
+        def partial(batch: pa.Table) -> pa.Table:
+            okeys_, ocust_ = ray.get(refs)
+            lk = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+            pos = np.clip(np.searchsorted(okeys_, lk), 0, len(okeys_) - 1)
+            ck = np.where(okeys_[pos] == lk, ocust_[pos], -1)
+            return vol_partial(batch, ck)
+
+        scored = li.map_batches(partial, batch_format="pyarrow")
+    else:
+        orders_ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+        joined = hash_join(li, orders_ds, on="l_orderkey", right_on="o_orderkey")
+        scored = joined.map_batches(
+            lambda b: vol_partial(b, b["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)),
+            batch_format="pyarrow",
+        )
+
+    df = tree_group_sum(scored, ["supp_nation", "cust_nation", "l_year"],
+                        value_cols=["rev_hi", "rev_lo"])
+    df = df.sort_values(["supp_nation", "cust_nation", "l_year"]).reset_index(drop=True)
+    rev = [float(int(h) * 10_000 + int(l)) for h, l in zip(df["rev_hi"], df["rev_lo"])]
+    return pd.DataFrame({
+        "supp_nation": df["supp_nation"],
+        "cust_nation": df["cust_nation"],
+        "l_year": df["l_year"].astype("int64"),
+        "revenue": np.asarray(rev) / 10000.0,
+    })
+
+
+Q7_SQL = """
+SELECT supp_nation, cust_nation, l_year, CAST(rev AS DOUBLE)/10000.0 AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+         SUM(CAST(round(l.l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l.l_discount*100) AS BIGINT))) AS rev
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+  JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+  WHERE s.s_nationkey <> c.c_nationkey
+  GROUP BY 1, 2, 3
+) ORDER BY supp_nation, cust_nation, l_year
+"""

@@ -52,6 +52,10 @@ NEW_QUERIES = [
     "q14_promo_revenue",
     "events_cms_registers",
     "docs_training_prep",
+    "q13_customer_orders",
+    "q17_small_qty_revenue",
+    "q22_idle_balance",
+    "q7_nation_volume",
 ]
 
 
@@ -71,7 +75,7 @@ def entry(ray_session):
 @pytest.fixture(scope="module")
 def oracle_con():
     con = duckdb.connect()
-    for t in ("events", "documents", "embeddings", "nation", "lineitem", "orders", "customer", "part"):
+    for t in ("events", "documents", "embeddings", "nation", "lineitem", "orders", "customer", "part", "supplier"):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
     return con
 
@@ -298,3 +302,48 @@ def test_q6_q14_empty_window_pinned_zero(entry, tmp_path):
             check_dtype=False, check_exact=True, obj=name,
         )
         assert float(res.iloc[0, 0]) == 0.0 or name == "q6_forecast_revenue"
+
+
+def test_q17_shuffle_path_matches_broadcast(entry, monkeypatch):
+    """q17's part-dimension plan is measured; force the hash-join fallback
+    and assert it returns the same single-row result as broadcast."""
+    from geospatialtools_ray.pipelines import relational as R
+
+    broadcast = R.q17_small_qty_revenue(SF)
+    monkeypatch.setenv("GRAFT_BROADCAST_LIMIT", "1")
+    shuffled = R.q17_small_qty_revenue(SF)
+    pd.testing.assert_frame_equal(broadcast, shuffled, check_exact=True)
+
+
+def test_q13_zero_bucket_counting_identity(entry, tmp_path):
+    """The LEFT OUTER zero bucket: a customer whose only orders carry the
+    excluded priority must land in c_count=0 (sf0.001 has no such customer,
+    so build one). Oracle = the same LEFT JOIN in DuckDB over the fixture."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from geospatialtools_ray.pipelines import relational as R
+
+    pq.write_table(
+        pa.table({"c_custkey": np.arange(1, 6, dtype=np.int64)}),
+        tmp_path / "customer.parquet",
+    )
+    # customer 5 has ONLY excluded-priority orders; 4 has none at all
+    pq.write_table(
+        pa.table({
+            "o_orderkey": pa.array([10, 11, 12, 13, 14], type=pa.int64()),
+            "o_custkey": pa.array([1, 1, 2, 3, 5], type=pa.int64()),
+            "o_orderpriority": ["2-HIGH", "3-MEDIUM", "2-HIGH", "1-URGENT", "1-URGENT"],
+        }),
+        tmp_path / "orders.parquet",
+    )
+    out = R.q13_customer_orders_dist(str(tmp_path))
+    con = duckdb.connect()
+    for t in ("customer", "orders"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{tmp_path}/{t}.parquet')")
+    oracle = con.execute(R.Q13_SQL).df()
+    pd.testing.assert_frame_equal(
+        out.reset_index(drop=True), oracle.reset_index(drop=True),
+        check_dtype=False, check_exact=True,
+    )
+    assert int(out.loc[out["c_count"] == 0, "custdist"].iloc[0]) == 3
