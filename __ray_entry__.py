@@ -219,6 +219,10 @@ _SQL_CHECKED: dict[str, tuple[Callable[[str], Any], str]] = {
     # q17: correlated per-part avg via integer cross-multiplication;
     # q22: global-scalar threshold + hash-partitioned anti-join;
     # q7: bi-national volume rollup (nations^2 x years tree combine)
+    # retrieval family: bigram posting lists (bucketed whole-gram build)
+    # and BM25 top-k scoring (shuffle-free corpus stats + batch-local top-k)
+    "docs_inverted_index": (X.docs_inverted_index, X.DOCS_INVERTED_INDEX_SQL),
+    "docs_bm25_topk": (X.docs_bm25_topk, X.DOCS_BM25_SQL),
     "q13_customer_orders": (R.q13_customer_orders_dist, R.Q13_SQL),
     "q17_small_qty_revenue": (R.q17_small_qty_revenue, R.Q17_SQL),
     "q22_idle_balance": (R.q22_idle_balance, R.Q22_SQL),

@@ -2742,3 +2742,184 @@ stages AS (
 SELECT stage, CAST(n_docs AS BIGINT) AS n_docs, CAST(n_tokens AS BIGINT) AS n_tokens
 FROM stages ORDER BY stage
 """
+
+
+# ---------------------------------------------------------------------------
+# Inverted index over word bigrams: the posting-list build every retrieval
+# / dedup-audit pipeline needs. Per batch, adjacent-word bigrams explode
+# vectorized (each doc lives in one batch, so batch-local distinct
+# (gram, doc_id) pairs are globally distinct); the posting lists assemble
+# inside bucketed_key_apply — whole grams hash-bucket into a BOUNDED group
+# count, and the per-gram ','.join is per OUTPUT row (the stage's own
+# cardinality, the chunker convention), never a per-token loop. Posting
+# lists ship as comma-joined doc_id strings sorted ascending — exactly
+# reproducible by string_agg ORDER BY in the oracle.
+# ---------------------------------------------------------------------------
+
+
+def _bigram_pairs(b: pa.Table) -> pd.DataFrame:
+    """Distinct (gram, doc_id) bigram pairs of one batch, vectorized:
+    split+explode, then adjacent pairs via a shifted concat within docs."""
+    df = b.to_pandas()
+    toks = df.set_index("doc_id")["text"].fillna("").str.split(" ").explode()
+    toks = toks[toks != ""]
+    if len(toks) == 0:
+        return pd.DataFrame({"gram": pd.Series([], dtype=object),
+                             "doc_id": pd.Series([], dtype="int64")})
+    t = toks.reset_index().rename(columns={"text": "w"})
+    nxt_w = t["w"].shift(-1)
+    same_doc = t["doc_id"].eq(t["doc_id"].shift(-1))
+    pairs = pd.DataFrame({
+        "gram": t["w"].str.cat(nxt_w, sep=" ")[same_doc],
+        "doc_id": t["doc_id"][same_doc],
+    })
+    return pairs.drop_duplicates()
+
+
+def docs_inverted_index(sf_dir: str):
+    from ..stages.keyapply import bucketed_key_apply
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    pairs = ds.map_batches(
+        lambda b: pa.Table.from_pandas(_bigram_pairs(b), preserve_index=False),
+        batch_format="pyarrow",
+    )
+
+    def postings_kernel(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({"gram": pd.Series([], dtype=object),
+                                 "df": pd.Series([], dtype="int64"),
+                                 "postings": pd.Series([], dtype=object)})
+        g = g.sort_values(["gram", "doc_id"])
+        ids = g["doc_id"].to_numpy().astype("U")  # one vectorized int->str
+        out = (
+            pd.DataFrame({"gram": g["gram"].to_numpy(), "_id": ids})
+            .groupby("gram", as_index=False)
+            .agg(df=("_id", "size"), postings=("_id", ",".join))
+        )
+        out["df"] = out["df"].astype("int64")
+        return out
+
+    idx = bucketed_key_apply(pairs, "gram", postings_kernel, num_buckets=64)
+    out = idx.to_pandas()  # vocabulary-bounded (grams), not corpus-bounded
+    return out.sort_values("gram").reset_index(drop=True)
+
+
+DOCS_INVERTED_INDEX_SQL = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(COALESCE(text, ''), ' '), x -> x <> '') AS w
+  FROM documents
+), g AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] AS gram
+  FROM toks, UNNEST(CASE WHEN len(w) >= 2 THEN range(1, len(w))
+                         ELSE CAST([] AS BIGINT[]) END) AS t(i)
+)
+SELECT gram, CAST(COUNT(*) AS BIGINT) AS df,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+FROM g GROUP BY gram ORDER BY gram
+"""
+
+
+# ---------------------------------------------------------------------------
+# BM25 top-k retrieval for a pinned term query (Robertson-Sparck Jones
+# k1/b form): the scoring pass every retrieval-quality pipeline runs over
+# a corpus. Two passes, both shuffle-free: (1) corpus stats — N, total
+# length, per-query-term document frequencies — as integer tree-combine
+# partials; (2) per-doc scores vectorized (tf via split/explode equality,
+# never substring matching), batch-local top-k, driver final top-k over
+# batches x k rows. The score is ONE pinned IEEE expression (term order
+# hash, join, scan; ln via libm on both engines) rounded to 6 dp per the
+# module convention; ties at the rounded score break by doc_id in both
+# engines.
+# ---------------------------------------------------------------------------
+
+BM25_TERMS = ("hash", "join", "scan")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 10
+
+
+def docs_bm25_topk(sf_dir: str):
+    from .relational import tree_group_sum
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def tf_frame(b: pa.Table) -> pd.DataFrame:
+        """Per-doc (dl, tf_<term>...) — vectorized split/explode."""
+        df = b.to_pandas()
+        toks = df.set_index("doc_id")["text"].fillna("").str.split(" ").explode()
+        toks = toks[toks != ""]
+        base = pd.DataFrame({"doc_id": df["doc_id"].to_numpy()}).set_index("doc_id")
+        base["dl"] = toks.groupby(level=0).size().reindex(base.index, fill_value=0)
+        for t in BM25_TERMS:
+            base[f"tf_{t}"] = (
+                (toks == t).groupby(level=0).sum().reindex(base.index, fill_value=0)
+            )
+        return base.reset_index().astype("int64")
+
+    def stats_partial(b: pa.Table) -> pa.Table:
+        f = tf_frame(b)
+        row = {"k": [0], "n_docs": [len(f)], "sum_len": [int(f["dl"].sum())]}
+        for t in BM25_TERMS:
+            row[f"df_{t}"] = [int((f[f"tf_{t}"] > 0).sum())]
+        return pa.table({c: pa.array(v, type=pa.int64()) for c, v in row.items()})
+
+    st = tree_group_sum(ds.map_batches(stats_partial, batch_format="pyarrow"), ["k"],
+                        value_cols=["n_docs", "sum_len"] + [f"df_{t}" for t in BM25_TERMS])
+    n = float(st["n_docs"].sum())
+    avgdl = float(st["sum_len"].sum()) / n
+    idf = {t: float(np.log((n - float(st[f"df_{t}"].sum()) + 0.5)
+                           / (float(st[f"df_{t}"].sum()) + 0.5) + 1.0))
+           for t in BM25_TERMS}
+
+    def score_topk(b: pa.Table) -> pa.Table:
+        f = tf_frame(b)
+        dl = f["dl"].to_numpy(dtype=np.float64)
+        score = np.zeros(len(f))
+        for t in BM25_TERMS:  # pinned term order = pinned FP summation order
+            tf = f[f"tf_{t}"].to_numpy(dtype=np.float64)
+            score = score + idf[t] * (tf * (BM25_K1 + 1.0)) / (
+                tf + BM25_K1 * (1.0 - BM25_B + BM25_B * (dl / avgdl))
+            )
+        f["score"] = sql_round(score * 1e6) / 1e6
+        top = f.sort_values(["score", "doc_id"], ascending=[False, True]).head(BM25_TOPK)
+        return pa.Table.from_pandas(top[["doc_id", "score"]], preserve_index=False)
+
+    cand = ds.map_batches(score_topk, batch_format="pyarrow").to_pandas()
+    out = cand.sort_values(["score", "doc_id"], ascending=[False, True]).head(BM25_TOPK)
+    return out.reset_index(drop=True)
+
+
+def _bm25_sql() -> str:
+    tf_cols = ",\n         ".join(
+        f"len(list_filter(w, x -> x = '{t}')) AS tf_{t}" for t in BM25_TERMS
+    )
+    df_cols = ", ".join(
+        f"COUNT(*) FILTER (WHERE tf_{t} > 0) AS df_{t}" for t in BM25_TERMS
+    )
+    score_terms = " + ".join(
+        f"ln((CAST(s.n AS DOUBLE) - s.df_{t} + 0.5)/(s.df_{t} + 0.5) + 1.0)"
+        f" * (CAST(tf.tf_{t} AS DOUBLE) * ({BM25_K1} + 1.0))"
+        f" / (CAST(tf.tf_{t} AS DOUBLE) + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * "
+        f"(CAST(tf.dl AS DOUBLE) / (CAST(s.sum_len AS DOUBLE)/CAST(s.n AS DOUBLE)))))"
+        for t in BM25_TERMS
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(COALESCE(text, ''), ' '), x -> x <> '') AS w
+  FROM documents
+), tf AS (
+  SELECT doc_id, len(w) AS dl,
+         {tf_cols}
+  FROM toks
+), s AS (
+  SELECT COUNT(*) AS n, SUM(dl) AS sum_len, {df_cols} FROM tf
+)
+SELECT doc_id, round({score_terms}, 6) AS score
+FROM tf, s
+ORDER BY score DESC, doc_id LIMIT {BM25_TOPK}
+"""
+
+
+DOCS_BM25_SQL = _bm25_sql()

@@ -56,6 +56,8 @@ NEW_QUERIES = [
     "q17_small_qty_revenue",
     "q22_idle_balance",
     "q7_nation_volume",
+    "docs_inverted_index",
+    "docs_bm25_topk",
 ]
 
 
@@ -347,3 +349,32 @@ def test_q13_zero_bucket_counting_identity(entry, tmp_path):
         check_dtype=False, check_exact=True,
     )
     assert int(out.loc[out["c_count"] == 0, "custdist"].iloc[0]) == 3
+
+
+def test_inverted_index_degenerate_docs(ray_session, tmp_path):
+    """Bigram edge rule: empty, single-word, whitespace-only and NULL
+    documents emit no grams; a two-word doc emits exactly one; repeated
+    bigrams within one doc post once (DISTINCT pairs). Oracle = the same
+    SQL over the fixture."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from geospatialtools_ray.pipelines import extraqueries as X
+
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array([1, 2, 3, 4, 5, 6], type=pa.int64()),
+            "text": ["a b", "", "solo", "   ", None, "a b a b"],
+        }),
+        tmp_path / "documents.parquet",
+    )
+    out = X.docs_inverted_index(str(tmp_path))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')")
+    oracle = con.execute(X.DOCS_INVERTED_INDEX_SQL).df()
+    pd.testing.assert_frame_equal(
+        out.reset_index(drop=True), oracle.reset_index(drop=True),
+        check_dtype=False, check_exact=True,
+    )
+    ab = out[out["gram"] == "a b"]
+    assert ab["postings"].iloc[0] == "1,6" and int(ab["df"].iloc[0]) == 2
