@@ -223,6 +223,11 @@ _SQL_CHECKED: dict[str, tuple[Callable[[str], Any], str]] = {
     # and BM25 top-k scoring (shuffle-free corpus stats + batch-local top-k)
     "docs_inverted_index": (X.docs_inverted_index, X.DOCS_INVERTED_INDEX_SQL),
     "docs_bm25_topk": (X.docs_bm25_topk, X.DOCS_BM25_SQL),
+    # embedding int8 quantization (per-dim min/max tree + pinned code expr),
+    # cohort retention matrix, per-user LAG delta (window family)
+    "embeddings_quantize": (X.embeddings_quantize, X.EMBEDDINGS_QUANTIZE_SQL),
+    "events_cohort_retention": (X.events_cohort_retention, X.EVENTS_COHORT_SQL),
+    "events_user_value_delta": (X.events_user_value_delta, X.EVENTS_USER_DELTA_SQL),
     "q13_customer_orders": (R.q13_customer_orders_dist, R.Q13_SQL),
     "q17_small_qty_revenue": (R.q17_small_qty_revenue, R.Q17_SQL),
     "q22_idle_balance": (R.q22_idle_balance, R.Q22_SQL),

@@ -2923,3 +2923,201 @@ ORDER BY score DESC, doc_id LIMIT {BM25_TOPK}
 
 
 DOCS_BM25_SQL = _bm25_sql()
+
+
+# ---------------------------------------------------------------------------
+# Int8 scalar quantization of the embedding table (the compression step
+# before shipping vectors to an ANN index): pass 1 computes per-dimension
+# min/max over 1e-6-quantized components as two shuffle-free min/max
+# combine levels (64 dims — the HLL register pattern with min+max instead
+# of max); pass 2 emits the LONG (vec_id, dim, code) table, codes from ONE
+# pinned IEEE expression — (q - mn)/(mx - mn)*255, rounded half-away —
+# evaluated identically in DuckDB, so the value hash covers every code.
+# Degenerate dimensions (mx == mn) pin code = 0 on both engines.
+# ---------------------------------------------------------------------------
+
+
+def embeddings_quantize(sf_dir: str):
+    import ray
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def minmax_partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"dim": pa.array([], type=pa.int64()),
+                             "mn": pa.array([], type=pa.int64()),
+                             "mx": pa.array([], type=pa.int64())})
+        emb = np.stack(b["embedding"].to_pandas().to_numpy())
+        q = sql_round(emb.astype(np.float64) * 1_000_000.0).astype(np.int64)
+        d = q.shape[1]
+        return pa.table({"dim": pa.array(np.arange(1, d + 1, dtype=np.int64)),
+                         "mn": pa.array(q.min(axis=0)),
+                         "mx": pa.array(q.max(axis=0))})
+
+    def combine(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("dim", as_index=False).agg(mn=("mn", "min"), mx=("mx", "max"))
+
+    lvl = ds.map_batches(minmax_partial, batch_format="pyarrow")
+    lvl = lvl.map_batches(combine, batch_format="pandas", batch_size=4096)
+    lvl = lvl.map_batches(combine, batch_format="pandas", batch_size=4096)
+    mm = combine(lvl.to_pandas()).sort_values("dim")
+    mn = mm["mn"].to_numpy(dtype=np.int64)
+    mx = mm["mx"].to_numpy(dtype=np.int64)
+    mm_ref = ray.put((mn, mx))
+
+    def codes(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"vec_id": pa.array([], type=pa.int64()),
+                             "dim": pa.array([], type=pa.int64()),
+                             "code": pa.array([], type=pa.int64())})
+        _mn, _mx = ray.get(mm_ref)
+        emb = np.stack(b["embedding"].to_pandas().to_numpy())
+        q = sql_round(emb.astype(np.float64) * 1_000_000.0).astype(np.int64)
+        rng = (_mx - _mn).astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            c = sql_round((q - _mn).astype(np.float64) / rng * 255.0)
+        c = np.where(_mx > _mn, c, 0.0).astype(np.int64)
+        n, d = q.shape
+        vid = b["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"vec_id": pa.array(np.repeat(vid, d)),
+                         "dim": pa.array(np.tile(np.arange(1, d + 1, dtype=np.int64), n)),
+                         "code": pa.array(c.reshape(-1))})
+
+    out = ds.map_batches(codes, batch_format="pyarrow").to_pandas()
+    return out.sort_values(["vec_id", "dim"]).reset_index(drop=True)
+
+
+EMBEDDINGS_QUANTIZE_SQL = """
+WITH comp AS (
+  SELECT vec_id,
+         CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000.0) AS BIGINT) AS q
+  FROM embeddings
+), mm AS (
+  SELECT dim, MIN(q) AS mn, MAX(q) AS mx FROM comp GROUP BY dim
+)
+SELECT c.vec_id, c.dim,
+       CASE WHEN m.mx > m.mn
+            THEN CAST(round(CAST(c.q - m.mn AS DOUBLE) / CAST(m.mx - m.mn AS DOUBLE) * 255.0) AS BIGINT)
+            ELSE 0 END AS code
+FROM comp c JOIN mm m ON m.dim = c.dim
+ORDER BY c.vec_id, c.dim
+"""
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention: the signup-week x activity-week matrix every growth
+# dashboard runs. Weeks are integer epoch-microsecond divisions (pinned
+# 604800000000 us/week — no calendar/timezone semantics to diverge on).
+# Per-user first week = sorted_group_agg min at user cardinality; distinct
+# (user, week) activity pairs = batch-local unique + composite-key
+# sorted_group_agg (pair-cardinality-bounded shuffle, the
+# events_daily_distinct_users pattern); the cohort x offset rollup is tiny
+# and shuffle-free.
+# ---------------------------------------------------------------------------
+
+WEEK_US = 604_800_000_000
+
+
+def events_cohort_retention(sf_dir: str):
+    from .joins import hash_join
+    from .relational import sorted_group_agg, tree_group_sum
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def weeks(b: pa.Table) -> pd.DataFrame:
+        us = b["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        return pd.DataFrame({
+            "user_id": b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+            "week": us // WEEK_US,
+        })
+
+    def first_partial(b: pa.Table) -> pa.Table:
+        g = weeks(b).groupby("user_id", as_index=False)["week"].min()
+        return pa.Table.from_pandas(g.rename(columns={"week": "cohort_week"}), preserve_index=False)
+
+    first = sorted_group_agg(ds.map_batches(first_partial, batch_format="pyarrow"),
+                             "user_id", {"cohort_week": "min"})
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        g = weeks(b).drop_duplicates()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    pairs = sorted_group_agg(ds.map_batches(pair_partial, batch_format="pyarrow"),
+                             ["user_id", "week"], {"n": "count"})
+    joined = hash_join(pairs, first, on="user_id")
+
+    def rollup(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        df["week_offset"] = (df["week"] - df["cohort_week"]).astype(np.int64)
+        g = df.groupby(["cohort_week", "week_offset"], as_index=False).agg(n_users=("user_id", "size"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = tree_group_sum(joined.map_batches(rollup, batch_format="pyarrow"),
+                         ["cohort_week", "week_offset"], value_cols=["n_users"])
+    out = out.astype({"cohort_week": "int64", "week_offset": "int64", "n_users": "int64"})
+    return out.sort_values(["cohort_week", "week_offset"]).reset_index(drop=True)
+
+
+EVENTS_COHORT_SQL = f"""
+WITH wk AS (
+  SELECT user_id, epoch_us(ts) // {WEEK_US} AS week FROM events
+), fw AS (
+  SELECT user_id, MIN(week) AS cohort_week FROM wk GROUP BY user_id
+), uw AS (SELECT DISTINCT user_id, week FROM wk)
+SELECT CAST(f.cohort_week AS BIGINT) AS cohort_week,
+       CAST(u.week - f.cohort_week AS BIGINT) AS week_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM uw u JOIN fw f ON f.user_id = u.user_id
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Per-user LAG delta (the window-function family's last missing member
+# beside running total / rolling mean / median): value - lag(value) over
+# (ts, event_id) order within each user. One shuffle on a hash BUCKET of
+# the key (bucketed_key_apply); the kernel sorts the bucket once and
+# differences whole user runs vectorized (run-first rows drop — they have
+# no predecessor). Values integer-quantized at 1e-3 so deltas are exact.
+# ---------------------------------------------------------------------------
+
+
+def events_user_value_delta(sf_dir: str):
+    from ..stages.keyapply import bucketed_key_apply, key_run_starts
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
+                                 "user_id": pd.Series([], dtype="int64"),
+                                 "delta": pd.Series([], dtype="float64")})
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        v = sql_round(g["value"].to_numpy(dtype=np.float64) * 1000.0).astype(np.int64)
+        new = key_run_starts(g["user_id"].to_numpy())
+        d = np.empty(len(v), dtype=np.int64)
+        d[1:] = v[1:] - v[:-1]
+        keep = ~new
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy()[keep],
+            "user_id": g["user_id"].to_numpy()[keep],
+            "delta": d[keep].astype(np.float64) / 1000.0,
+        })
+
+    out = bucketed_key_apply(ds, "user_id", kernel, num_buckets=256).to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+EVENTS_USER_DELTA_SQL = """
+SELECT event_id, user_id,
+       CAST(v - lv AS DOUBLE)/1000.0 AS delta
+FROM (
+  SELECT event_id, user_id,
+         CAST(round(value*1000) AS BIGINT) AS v,
+         LAG(CAST(round(value*1000) AS BIGINT))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS lv
+  FROM events
+)
+WHERE lv IS NOT NULL ORDER BY event_id
+"""

@@ -58,6 +58,9 @@ NEW_QUERIES = [
     "q7_nation_volume",
     "docs_inverted_index",
     "docs_bm25_topk",
+    "embeddings_quantize",
+    "events_cohort_retention",
+    "events_user_value_delta",
 ]
 
 
