@@ -90,3 +90,100 @@ def broadcast_semi_join(ds, keys_ref, key_col: str, anti: bool = False):
         return batch.filter(pa.array(~hit if anti else hit))
 
     return ds.map_batches(fil, batch_format="pyarrow")
+
+
+def bloom_from_keys(ds, key_col: str, expected_keys: int | None = None,
+                    fp_rate: float = 1e-3, n_bits: int | None = None,
+                    n_hashes: int | None = None):
+    """Bloom filter over a Dataset's join-key column, built with the
+    associative OR-fold tree (stages.decontam.bloom_from_dataset's lever):
+    per-batch partial filters collapse 64-to-1 through one map_batches
+    level, and the driver ORs the survivors — ONE fixed-size bit array
+    reaches the driver regardless of key count. Size via ``expected_keys``
+    (standard m/j Bloom sizing at ``fp_rate``) or pass n_bits/n_hashes
+    directly; the default (2^24 bits = 2 MiB) holds ~1.4M keys at 1e-3.
+
+    This is the RUNTIME-FILTER build half: see filtered_hash_join for the
+    use — prefiltering the fact side of a large-large inner join before
+    the hash shuffle, the standard 100-TB shuffle-volume lever (dynamic
+    filter pushdown in Spark/Trino terms).
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    from ..stages.decontam import BloomFilter
+
+    if n_bits is None or n_hashes is None:
+        if expected_keys is not None:
+            n_bits, n_hashes = BloomFilter.params_for(expected_keys, fp_rate)
+            n_bits = max(n_bits, 1 << 12)
+        else:
+            n_bits, n_hashes = 1 << 24, 10
+
+    def partial(b: pa.Table) -> pa.Table:
+        f = BloomFilter(n_bits, n_hashes)
+        k = b[key_col].to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+        f.add(k)
+        return pa.table({"bits": pa.array([f.bits.view(np.int64)])})
+
+    def combine(b: pa.Table) -> pa.Table:
+        arrs = [np.asarray(x, dtype=np.int64).view(np.uint64) for x in b["bits"].to_pylist()]
+        acc = arrs[0].copy()
+        for a in arrs[1:]:
+            acc |= a
+        return pa.table({"bits": pa.array([acc.view(np.int64)])})
+
+    # TWO 64-to-1 combine levels (OR is associative, any fold order works):
+    # the driver sees one fixed-size row per 4096 input blocks — a single
+    # level would still collect ~15k x n_bits/8 bytes at 10^6 blocks
+    lvl = ds.map_batches(partial, batch_format="pyarrow").map_batches(
+        combine, batch_format="pyarrow", batch_size=64
+    ).map_batches(combine, batch_format="pyarrow", batch_size=64)
+    rows = lvl.take_all()
+    acc = BloomFilter(n_bits, n_hashes)
+    for r in rows:
+        acc.bits |= np.asarray(r["bits"], dtype=np.int64).view(np.uint64)
+    return acc
+
+
+def bloom_prefilter(ds, key_col: str, bloom_ref):
+    """Drop rows whose key CANNOT be in the broadcast Bloom filter.
+    No false negatives, so an INNER join downstream is unchanged — false
+    positives merely ride the shuffle and fall out of the join itself."""
+    import numpy as np
+    import pyarrow as pa
+
+    def fil(b: pa.Table) -> pa.Table:
+        import ray
+
+        f = ray.get(bloom_ref) if hasattr(bloom_ref, "hex") else bloom_ref
+        k = b[key_col].to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+        return b.filter(pa.array(f.contains(k)))
+
+    return ds.map_batches(fil, batch_format="pyarrow")
+
+
+def filtered_hash_join(left, right, on, right_on=None,
+                       num_partitions: int | None = None,
+                       expected_right_keys: int | None = None):
+    """INNER hash join with a Bloom runtime filter: build a Bloom of the
+    RIGHT side's keys (the selective side — a HAVING tail, a distinct key
+    set), broadcast it once, prefilter LEFT before the all-to-all hash
+    shuffle. When the right side keeps r% of left's keys, the left shuffle
+    moves ~r% + fp of its bytes instead of 100%. Exactness: Bloom
+    membership has NO false negatives, so the inner join's result set is
+    bit-identical to hash_join (parity-tested); false positives only waste
+    shuffle bytes. The right side is materialized (it is consumed twice:
+    bloom build + join) — by contract the selective side, never the fact
+    table. Single-column keys only (the composite-key case should pack or
+    pre-project a key column first).
+    """
+    import ray
+
+    if not isinstance(on, str) or (right_on is not None and not isinstance(right_on, str)):
+        raise ValueError("filtered_hash_join: single-column keys only")
+    rkey = right_on or on
+    right = right.materialize()
+    bloom = bloom_from_keys(right, rkey, expected_keys=expected_right_keys)
+    left_f = bloom_prefilter(left, on, ray.put(bloom))
+    return hash_join(left_f, right, on, right_on=right_on, num_partitions=num_partitions)

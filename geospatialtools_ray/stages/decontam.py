@@ -131,10 +131,13 @@ def bloom_from_dataset(ds, text_col: str = "text", k: int = 5,
             acc |= a
         return pa.table({"bits": pa.array([acc.view(np.int64)])})
 
+    # TWO 64-to-1 combine levels: one fixed-size row per 4096 input blocks
+    # reaches the driver (a single level would still collect ~15k rows x
+    # n_bits/8 bytes at 10^6 blocks); OR is associative, any order works
     lvl = ds.map_batches(partial, batch_format="pyarrow").map_batches(
         combine, batch_format="pyarrow", batch_size=64
-    )
-    rows = lvl.take_all()  # bounded: one fixed-size row per 64 input blocks
+    ).map_batches(combine, batch_format="pyarrow", batch_size=64)
+    rows = lvl.take_all()
     acc = BloomFilter(n_bits, n_hashes)
     for r in rows:
         acc.bits |= np.asarray(r["bits"], dtype=np.int64).view(np.uint64)

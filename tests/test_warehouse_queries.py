@@ -381,3 +381,46 @@ def test_inverted_index_degenerate_docs(ray_session, tmp_path):
     )
     ab = out[out["gram"] == "a b"]
     assert ab["postings"].iloc[0] == "1,6" and int(ab["df"].iloc[0]) == 2
+
+
+def test_bloom_runtime_filter_join_parity(ray_session):
+    """filtered_hash_join must be bit-identical to hash_join on inner
+    joins (no false negatives by construction; false positives fall out of
+    the join), and the prefilter must actually drop non-candidate rows."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    from geospatialtools_ray.pipelines.joins import (
+        bloom_from_keys, bloom_prefilter, filtered_hash_join, hash_join,
+    )
+
+    rng = np.random.default_rng(7)
+    left = rd.from_arrow(pa.table({
+        "k": pa.array(rng.integers(0, 100_000, 20_000), type=pa.int64()),
+        "v": pa.array(np.arange(20_000, dtype=np.int64)),
+    })).repartition(8)
+    rkeys = np.unique(rng.integers(0, 100_000, 300)).astype(np.int64)
+    right = rd.from_arrow(pa.table({
+        "rk": pa.array(rkeys), "w": pa.array(rkeys * 10),
+    })).repartition(4)
+
+    plain = hash_join(left, right, on="k", right_on="rk").to_pandas()
+    filt = filtered_hash_join(left, right, on="k", right_on="rk",
+                              expected_right_keys=len(rkeys)).to_pandas()
+    cols = sorted(plain.columns)
+    pd.testing.assert_frame_equal(
+        plain[cols].sort_values(cols).reset_index(drop=True),
+        filt[cols].sort_values(cols).reset_index(drop=True),
+        check_exact=True,
+    )
+
+    # no false negatives + real selectivity: every true key survives the
+    # prefilter, and the kept fraction is near the true match rate
+    bloom = bloom_from_keys(right, "rk", expected_keys=len(rkeys))
+    kept = bloom_prefilter(left, "k", ray.put(bloom)).to_pandas()
+    true_mask = np.isin(left.to_pandas()["k"].to_numpy(), rkeys)
+    assert int(true_mask.sum()) == len(plain)
+    assert len(kept) >= int(true_mask.sum())
+    assert len(kept) <= int(true_mask.sum()) + int(0.05 * 20_000)  # fp budget
