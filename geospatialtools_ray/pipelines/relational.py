@@ -1107,7 +1107,7 @@ Q17_MAX_SIZE = 25
 def q17_small_qty_revenue(sf_dir: str):
     import ray
 
-    from .joins import hash_join, should_broadcast
+    from .joins import filtered_hash_join, should_broadcast
 
     li = _read(sf_dir, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice"])
 
@@ -1132,7 +1132,9 @@ def q17_small_qty_revenue(sf_dir: str):
             ).select(["p_partkey"]),
             batch_format="pyarrow",
         )
-        li_sel = hash_join(li, part, on="l_partkey", right_on="p_partkey").materialize()
+        # Bloom runtime filter: the brand+size dimension keeps ~2% of
+        # parts, so lineitem sheds ~98% of its shuffle bytes up front
+        li_sel = filtered_hash_join(li, part, on="l_partkey", right_on="p_partkey").materialize()
 
     def stats_partial(b: pa.Table) -> pa.Table:
         df = pd.DataFrame({
