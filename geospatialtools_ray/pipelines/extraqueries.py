@@ -2859,22 +2859,32 @@ def docs_bm25_topk(sf_dir: str):
         return base.reset_index().astype("int64")
 
     def stats_partial(b: pa.Table) -> pa.Table:
-        f = tf_frame(b)
+        f = b.to_pandas()  # already the per-doc tf table
         row = {"k": [0], "n_docs": [len(f)], "sum_len": [int(f["dl"].sum())]}
         for t in BM25_TERMS:
             row[f"df_{t}"] = [int((f[f"tf_{t}"] > 0).sum())]
         return pa.table({c: pa.array(v, type=pa.int64()) for c, v in row.items()})
 
-    st = tree_group_sum(ds.map_batches(stats_partial, batch_format="pyarrow"), ["k"],
+    # tokenize ONCE: the per-doc integer tf table feeds both the stats
+    # pass and the scoring pass (split/explode is the dominant cost)
+    tfds = ds.map_batches(
+        lambda b: pa.Table.from_pandas(tf_frame(b), preserve_index=False),
+        batch_format="pyarrow",
+    ).materialize()
+
+    st = tree_group_sum(tfds.map_batches(stats_partial, batch_format="pyarrow"), ["k"],
                         value_cols=["n_docs", "sum_len"] + [f"df_{t}" for t in BM25_TERMS])
     n = float(st["n_docs"].sum())
+    if n == 0:  # empty corpus: the oracle returns 0 rows, not a div-by-zero
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "score": pd.Series([], dtype="float64")})
     avgdl = float(st["sum_len"].sum()) / n
     idf = {t: float(np.log((n - float(st[f"df_{t}"].sum()) + 0.5)
                            / (float(st[f"df_{t}"].sum()) + 0.5) + 1.0))
            for t in BM25_TERMS}
 
     def score_topk(b: pa.Table) -> pa.Table:
-        f = tf_frame(b)
+        f = b.to_pandas()  # already the per-doc tf table
         dl = f["dl"].to_numpy(dtype=np.float64)
         score = np.zeros(len(f))
         for t in BM25_TERMS:  # pinned term order = pinned FP summation order
@@ -2886,7 +2896,7 @@ def docs_bm25_topk(sf_dir: str):
         top = f.sort_values(["score", "doc_id"], ascending=[False, True]).head(BM25_TOPK)
         return pa.Table.from_pandas(top[["doc_id", "score"]], preserve_index=False)
 
-    cand = ds.map_batches(score_topk, batch_format="pyarrow").to_pandas()
+    cand = tfds.map_batches(score_topk, batch_format="pyarrow").to_pandas()
     out = cand.sort_values(["score", "doc_id"], ascending=[False, True]).head(BM25_TOPK)
     return out.reset_index(drop=True)
 
@@ -3061,7 +3071,13 @@ def events_cohort_retention(sf_dir: str):
 
 EVENTS_COHORT_SQL = f"""
 WITH wk AS (
-  SELECT user_id, epoch_us(ts) // {WEEK_US} AS week FROM events
+  -- FLOOR division pinned for any sign: numpy // floors, DuckDB //
+  -- truncates toward zero, so a pre-1970 (negative epoch) timestamp
+  -- would land one week apart; subtracting the canonical non-negative
+  -- remainder first makes the quotient exact integer floor on both
+  SELECT user_id,
+         (epoch_us(ts) - ((epoch_us(ts) % {WEEK_US} + {WEEK_US}) % {WEEK_US})) // {WEEK_US} AS week
+  FROM events
 ), fw AS (
   SELECT user_id, MIN(week) AS cohort_week FROM wk GROUP BY user_id
 ), uw AS (SELECT DISTINCT user_id, week FROM wk)

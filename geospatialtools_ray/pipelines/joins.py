@@ -109,41 +109,28 @@ def bloom_from_keys(ds, key_col: str, expected_keys: int | None = None,
     filter pushdown in Spark/Trino terms).
     """
     import numpy as np
-    import pyarrow as pa
 
-    from ..stages.decontam import BloomFilter
+    from ..stages.decontam import BloomFilter, bloom_tree_fold
 
-    if n_bits is None or n_hashes is None:
+    # sizing: an explicitly-passed n_bits / n_hashes is ALWAYS respected
+    # (a caller's 1 MiB filter must not silently become the 2 MiB default
+    # because the other parameter was omitted); expected_keys sizes only
+    # the omitted ones
+    if n_bits is None:
         if expected_keys is not None:
-            n_bits, n_hashes = BloomFilter.params_for(expected_keys, fp_rate)
-            n_bits = max(n_bits, 1 << 12)
+            sized_bits, sized_hashes = BloomFilter.params_for(expected_keys, fp_rate)
+            n_bits = max(sized_bits, 1 << 12)
+            if n_hashes is None:
+                n_hashes = sized_hashes
         else:
-            n_bits, n_hashes = 1 << 24, 10
+            n_bits = 1 << 24
+    if n_hashes is None:
+        n_hashes = 10
 
-    def partial(b: pa.Table) -> pa.Table:
-        f = BloomFilter(n_bits, n_hashes)
-        k = b[key_col].to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
-        f.add(k)
-        return pa.table({"bits": pa.array([f.bits.view(np.int64)])})
+    def keys_of(b) -> np.ndarray:
+        return b[key_col].to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
 
-    def combine(b: pa.Table) -> pa.Table:
-        arrs = [np.asarray(x, dtype=np.int64).view(np.uint64) for x in b["bits"].to_pylist()]
-        acc = arrs[0].copy()
-        for a in arrs[1:]:
-            acc |= a
-        return pa.table({"bits": pa.array([acc.view(np.int64)])})
-
-    # TWO 64-to-1 combine levels (OR is associative, any fold order works):
-    # the driver sees one fixed-size row per 4096 input blocks — a single
-    # level would still collect ~15k x n_bits/8 bytes at 10^6 blocks
-    lvl = ds.map_batches(partial, batch_format="pyarrow").map_batches(
-        combine, batch_format="pyarrow", batch_size=64
-    ).map_batches(combine, batch_format="pyarrow", batch_size=64)
-    rows = lvl.take_all()
-    acc = BloomFilter(n_bits, n_hashes)
-    for r in rows:
-        acc.bits |= np.asarray(r["bits"], dtype=np.int64).view(np.uint64)
-    return acc
+    return bloom_tree_fold(ds, keys_of, n_bits, n_hashes)
 
 
 def bloom_prefilter(ds, key_col: str, bloom_ref):

@@ -317,11 +317,13 @@ def q5_region_revenue(sf_dir: str):
 
     def rev_partial(batch: pa.Table, ck: np.ndarray) -> pa.Table:
         """Shared scoring: given each row's customer key (-1 = no order
-        match), keep rows whose customer and supplier share a nation."""
+        match), keep rows whose customer and supplier share a nation.
+        Out-of-range keys drop like the oracle's inner join would — a
+        clip alone would alias them to the LAST dimension slot."""
         _c_arr, _s_arr, _n_name = ray.get(dims_ref)
-        cn = np.where(ck >= 0, _c_arr[np.clip(ck, 0, len(_c_arr) - 1)], -1)
+        cn = np.where((ck >= 0) & (ck < len(_c_arr)), _c_arr[np.clip(ck, 0, len(_c_arr) - 1)], -1)
         sk = batch["l_suppkey"].to_numpy(zero_copy_only=False)
-        sn = _s_arr[np.clip(sk, 0, len(_s_arr) - 1)]
+        sn = np.where((sk >= 0) & (sk < len(_s_arr)), _s_arr[np.clip(sk, 0, len(_s_arr) - 1)], -2)
         keep = (cn == sn) & (cn >= 0)
         rev = (
             _q100(batch["l_extendedprice"].to_numpy(zero_copy_only=False)[keep])
@@ -692,9 +694,39 @@ def sorted_group_agg(ds, key, ops: dict[str, str]):
     cols = list(ops)
     pd_ops = {c: ("sum" if op == "count" else op) for c, op in ops.items()}
 
+    # canonical output schema, fixed BEFORE the sort: Ray's empty sort
+    # blocks arrive schema-less, and passing them through breaks any
+    # downstream consumer that references columns (hash joins raise
+    # "No match for key field", filters KeyError) — every emitted block,
+    # including empties, must carry the (keys + value cols) schema
+    in_schema = ds.schema()
+    in_names = list(in_schema.names) if in_schema is not None else []
+    out_fields = [
+        pa.field(c, in_schema.types[in_names.index(c)] if c in in_names else pa.int64())
+        for c in keys + cols
+    ]
+    empty_out = pa.Table.from_arrays(
+        [pa.array([], type=f.type) for f in out_fields], schema=pa.schema(out_fields)
+    )
+
+    def drop_empty_blocks(out_ds):
+        """Ray's sort emits schema-LESS empty blocks on sparse partitions
+        and map_batches never invokes the UDF on them, so they survive
+        every per-block normalization and crash downstream consumers that
+        reference columns (pyarrow hash joins raise 'No match for key
+        field'). The result is already materialized here, so rebuilding
+        from the non-empty block refs is zero-copy."""
+        def nrows(blk):  # skipped empties keep the INPUT block format,
+            return blk.num_rows if hasattr(blk, "num_rows") else len(blk)
+
+        # so an empty block may be a pandas frame; every NON-empty block
+        # passed through comb/drop and is Arrow
+        refs = [r for r in out_ds.to_arrow_refs() if nrows(ray.get(r)) > 0]
+        return rd.from_arrow_refs(refs) if refs else rd.from_arrow(empty_out)
+
     def comb(b: pa.Table) -> pa.Table:
-        if b.num_rows == 0:  # empty sort blocks arrive schema-less
-            return b
+        if b.num_rows == 0:  # defensive: canonical schema for empties
+            return empty_out
         df = b.to_pandas()
         # fail loudly on null keys (Ray's groupby does too): pandas groupby
         # would silently DROP null-key rows here, and the boundary-fix merge
@@ -718,22 +750,12 @@ def sorted_group_agg(ds, key, ops: dict[str, str]):
 
     bdf = combined.map_batches(edges, batch_size=None, batch_format="pyarrow").to_pandas()
     if len(bdf) == 0:
-        # empty input: Ray's empty sort blocks are schema-less, so rebuild
-        # the (key + value) column contract from the INPUT schema (count
-        # columns, which need not pre-exist, become int64)
-        in_schema = ds.schema()
-        names = list(in_schema.names) if in_schema is not None else []
-        fields = [
-            pa.field(c, in_schema.types[names.index(c)] if c in names else pa.int64())
-            for c in keys + cols
-        ]
-        return rd.from_arrow(
-            pa.Table.from_arrays([pa.array([], type=f.type) for f in fields], schema=pa.schema(fields))
-        )
+        # empty input: the canonical empty table keeps the column contract
+        return rd.from_arrow(empty_out)
     sizes = bdf.groupby(keys).size()
     dup_df = sizes[sizes >= 2].reset_index()[keys]
     if len(dup_df) == 0:
-        return combined
+        return drop_empty_blocks(combined)
     fixed = bdf.merge(dup_df, on=keys).groupby(keys, as_index=False).agg(
         **{c: (c, pd_ops[c]) for c in cols}
     )
@@ -748,7 +770,9 @@ def sorted_group_agg(ds, key, ops: dict[str, str]):
         return b.filter(pa.array(~hit))
 
     kept = combined.map_batches(drop, batch_size=None, batch_format="pyarrow")
-    return kept.union(rd.from_arrow(pa.Table.from_pandas(fixed, preserve_index=False)))
+    return drop_empty_blocks(
+        kept.union(rd.from_arrow(pa.Table.from_pandas(fixed, preserve_index=False)))
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1053,6 +1077,15 @@ def q13_customer_orders_dist(sf_dir: str):
 
     per_cust = sorted_group_agg(orders.map_batches(partial, batch_format="pyarrow"),
                                 "o_custkey", {"c_count": "sum"})
+    # LEFT-JOIN-from-customer semantics need orphan o_custkeys (absent
+    # from customer) DROPPED, not counted: without this semi-join an
+    # orphan would both surface in a positive bucket and shrink the
+    # derived zero bucket (review finding). The probe is the hash-
+    # partitioned inner join — the customer key set is never broadcast.
+    from .joins import hash_join
+
+    cust_keys = _read(sf_dir, "customer", ["c_custkey"])
+    per_cust = hash_join(per_cust, cust_keys, on="o_custkey", right_on="c_custkey")
 
     def hist(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:
@@ -1107,7 +1140,7 @@ Q17_MAX_SIZE = 25
 def q17_small_qty_revenue(sf_dir: str):
     import ray
 
-    from .joins import filtered_hash_join, should_broadcast
+    from .joins import broadcast_semi_join, filtered_hash_join, should_broadcast
 
     li = _read(sf_dir, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice"])
 
@@ -1118,13 +1151,7 @@ def q17_small_qty_revenue(sf_dir: str):
         sel = pc.and_(pc.equal(pt["p_brand"], Q17_BRAND),
                       pc.less_equal(pt["p_size"], Q17_MAX_SIZE))
         keys = np.sort(pt.filter(sel)["p_partkey"].to_numpy())
-        keys_ref = ray.put(keys)
-
-        def semi(b: pa.Table) -> pa.Table:
-            ks = ray.get(keys_ref)
-            return b.filter(pa.array(np.isin(b["l_partkey"].to_numpy(zero_copy_only=False), ks)))
-
-        li_sel = li.map_batches(semi, batch_format="pyarrow").materialize()
+        li_sel = broadcast_semi_join(li, ray.put(keys), "l_partkey").materialize()
     else:
         part = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"]).map_batches(
             lambda b: b.filter(
@@ -1307,9 +1334,11 @@ def q7_nation_volume(sf_dir: str):
 
     def vol_partial(batch: pa.Table, ck: np.ndarray) -> pa.Table:
         _c, _s, _n = ray.get(dims_ref)
-        cn = np.where(ck >= 0, _c[np.clip(ck, 0, len(_c) - 1)], -1)
+        # out-of-range keys must DROP like the oracle's inner join, not
+        # clip-alias to the last dimension slot (review finding)
+        cn = np.where((ck >= 0) & (ck < len(_c)), _c[np.clip(ck, 0, len(_c) - 1)], -1)
         sk = batch["l_suppkey"].to_numpy(zero_copy_only=False)
-        sn = _s[np.clip(sk, 0, len(_s) - 1)]
+        sn = np.where((sk >= 0) & (sk < len(_s)), _s[np.clip(sk, 0, len(_s) - 1)], -2)
         keep = (cn >= 0) & (sn >= 0) & (cn != sn)
         rev = (_q100(batch["l_extendedprice"].to_numpy(zero_copy_only=False)[keep])
                * (100 - _q100(batch["l_discount"].to_numpy(zero_copy_only=False)[keep])))

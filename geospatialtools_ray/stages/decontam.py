@@ -111,17 +111,19 @@ def gram_set_exact(ds, text_col: str = "text", k: int = 5) -> np.ndarray:
     return np.unique(parts["g"].to_numpy(dtype=np.int64))
 
 
-def bloom_from_dataset(ds, text_col: str = "text", k: int = 5,
-                       n_bits: int = 1 << 20, n_hashes: int = 7) -> BloomFilter:
-    """Build a Bloom filter of a dataset's grams with a tree OR-combine:
-    per-batch partial filters fold pairwise inside ``map_batches`` levels,
-    so the driver receives ONE fixed-size bit array regardless of corpus
-    size (OR is associative + commutative — any combine order works)."""
+def bloom_tree_fold(ds, key_fn, n_bits: int, n_hashes: int) -> BloomFilter:
+    """Fold a Dataset into ONE Bloom filter with the associative tree
+    OR-combine: ``key_fn(batch) -> uint64 array`` extracts each batch's
+    keys, per-batch partial filters fold through TWO 64-to-1 map_batches
+    levels (one fixed-size row per 4096 input blocks reaches the driver —
+    a single level would still collect ~15k rows x n_bits/8 bytes at 10^6
+    blocks), and the driver ORs the survivors. OR is associative and
+    commutative, so any combine order gives the same bits. Shared by the
+    decontamination gram build and pipelines.joins.bloom_from_keys."""
 
     def partial(b: pa.Table) -> pa.Table:
-        g, _, _ = gram_hash_flat(b[text_col], k)
         f = BloomFilter(n_bits, n_hashes)
-        f.add(g)
+        f.add(key_fn(b))
         return pa.table({"bits": pa.array([f.bits.view(np.int64)])})
 
     def combine(b: pa.Table) -> pa.Table:
@@ -131,9 +133,6 @@ def bloom_from_dataset(ds, text_col: str = "text", k: int = 5,
             acc |= a
         return pa.table({"bits": pa.array([acc.view(np.int64)])})
 
-    # TWO 64-to-1 combine levels: one fixed-size row per 4096 input blocks
-    # reaches the driver (a single level would still collect ~15k rows x
-    # n_bits/8 bytes at 10^6 blocks); OR is associative, any order works
     lvl = ds.map_batches(partial, batch_format="pyarrow").map_batches(
         combine, batch_format="pyarrow", batch_size=64
     ).map_batches(combine, batch_format="pyarrow", batch_size=64)
@@ -142,6 +141,12 @@ def bloom_from_dataset(ds, text_col: str = "text", k: int = 5,
     for r in rows:
         acc.bits |= np.asarray(r["bits"], dtype=np.int64).view(np.uint64)
     return acc
+
+
+def bloom_from_dataset(ds, text_col: str = "text", k: int = 5,
+                       n_bits: int = 1 << 20, n_hashes: int = 7) -> BloomFilter:
+    """Bloom filter of a dataset's grams (the eval-side build at scale)."""
+    return bloom_tree_fold(ds, lambda b: gram_hash_flat(b[text_col], k)[0], n_bits, n_hashes)
 
 
 def contamination_counts(ds, member, text_col: str = "text", id_col: str = "doc_id", k: int = 5):

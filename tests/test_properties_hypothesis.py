@@ -172,3 +172,30 @@ def test_synth_kind_mix_honest(n_docs, geo_frac):
         return  # too few spans for a frequency assertion
     share = sum(1 for k in kinds if k == "geo") / len(kinds)
     assert abs(share - geo_frac) < 0.2
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    keys=st.lists(st.integers(min_value=0, max_value=2**63 - 1), min_size=0, max_size=200),
+    probes=st.lists(st.integers(min_value=0, max_value=2**63 - 1), min_size=1, max_size=100),
+    split=st.integers(min_value=0, max_value=200),
+)
+def test_bloom_no_false_negatives_and_merge(keys, probes, split):
+    """BloomFilter invariants the runtime-filter join rests on: (1) every
+    inserted key tests positive (no false negatives, any key set); (2) a
+    union of two partial filters answers exactly like one bulk-built
+    filter (the associative OR-fold's correctness)."""
+    from geospatialtools_ray.stages.decontam import BloomFilter
+
+    ka = np.asarray(keys, dtype=np.uint64)
+    f = BloomFilter(1 << 12, 5)
+    f.add(ka)
+    if len(ka):
+        assert bool(f.contains(ka).all())
+    cut = min(split, len(ka))
+    fa, fb = BloomFilter(1 << 12, 5), BloomFilter(1 << 12, 5)
+    fa.add(ka[:cut])
+    fb.add(ka[cut:])
+    merged = fa.union(fb)
+    pa_ = np.asarray(probes, dtype=np.uint64)
+    assert np.array_equal(merged.contains(pa_), f.contains(pa_))

@@ -333,12 +333,15 @@ def test_q13_zero_bucket_counting_identity(entry, tmp_path):
         pa.table({"c_custkey": np.arange(1, 6, dtype=np.int64)}),
         tmp_path / "customer.parquet",
     )
-    # customer 5 has ONLY excluded-priority orders; 4 has none at all
+    # customer 5 has ONLY excluded-priority orders; 4 has none at all;
+    # custkey 99 is an ORPHAN (no customer row) whose orders the LEFT
+    # JOIN must ignore entirely (review finding: it must neither surface
+    # in a positive bucket nor shrink the zero bucket)
     pq.write_table(
         pa.table({
-            "o_orderkey": pa.array([10, 11, 12, 13, 14], type=pa.int64()),
-            "o_custkey": pa.array([1, 1, 2, 3, 5], type=pa.int64()),
-            "o_orderpriority": ["2-HIGH", "3-MEDIUM", "2-HIGH", "1-URGENT", "1-URGENT"],
+            "o_orderkey": pa.array([10, 11, 12, 13, 14, 15], type=pa.int64()),
+            "o_custkey": pa.array([1, 1, 2, 3, 5, 99], type=pa.int64()),
+            "o_orderpriority": ["2-HIGH", "3-MEDIUM", "2-HIGH", "1-URGENT", "1-URGENT", "2-HIGH"],
         }),
         tmp_path / "orders.parquet",
     )
