@@ -427,3 +427,53 @@ def test_bloom_runtime_filter_join_parity(ray_session):
     assert int(true_mask.sum()) == len(plain)
     assert len(kept) >= int(true_mask.sum())
     assert len(kept) <= int(true_mask.sum()) + int(0.05 * 20_000)  # fp budget
+
+
+def test_salted_hash_join_parity_under_skew(ray_session):
+    """salted_hash_join must return exactly the plain join's multiset under
+    heavy skew — one key holding ~50% of the fact side, duplicate keys on
+    BOTH sides (each left row must meet each matching right row exactly
+    once, across all salts), plus the no-hot-keys fallback path."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geospatialtools_ray.pipelines.joins import hash_join, salted_hash_join
+
+    rng = np.random.default_rng(3)
+    n = 40_000
+    k = np.where(rng.random(n) < 0.5, 7, rng.integers(0, 5_000, n))
+    left = rd.from_arrow(pa.table({
+        "k": pa.array(k, type=pa.int64()),
+        "v": pa.array(np.arange(n, dtype=np.int64)),
+    })).repartition(8)
+    # right: the hot key appears TWICE (duplicate), plus 400 cold keys
+    rk = np.concatenate([[7, 7], np.unique(rng.integers(0, 5_000, 400))]).astype(np.int64)
+    right = rd.from_arrow(pa.table({
+        "rk": pa.array(rk), "w": pa.array(np.arange(len(rk), dtype=np.int64)),
+    })).repartition(4)
+
+    plain = hash_join(left, right, on="k", right_on="rk").to_pandas()
+    salted = salted_hash_join(left, right, on="k", right_on="rk", n_salts=8).to_pandas()
+    cols = sorted(plain.columns)
+    assert sorted(salted.columns) == cols
+    pd.testing.assert_frame_equal(
+        plain[cols].sort_values(cols).reset_index(drop=True),
+        salted[cols].sort_values(cols).reset_index(drop=True),
+        check_exact=True,
+    )
+    # the hot key's rows meet BOTH duplicate right rows
+    assert (plain["k"] == 7).sum() == 2 * (k == 7).sum()
+
+    # uniform keys -> no hot keys detected -> plain-join fallback, same rows
+    ul = rd.from_arrow(pa.table({
+        "k": pa.array(rng.integers(0, 30_000, 20_000), type=pa.int64()),
+        "v": pa.array(np.arange(20_000, dtype=np.int64)),
+    })).repartition(4)
+    pu = hash_join(ul, right, on="k", right_on="rk").to_pandas()
+    su = salted_hash_join(ul, right, on="k", right_on="rk").to_pandas()
+    pd.testing.assert_frame_equal(
+        pu[cols].sort_values(cols).reset_index(drop=True),
+        su[cols].sort_values(cols).reset_index(drop=True),
+        check_exact=True,
+    )
