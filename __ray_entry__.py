@@ -232,6 +232,10 @@ _SQL_CHECKED: dict[str, tuple[Callable[[str], Any], str]] = {
     "q17_small_qty_revenue": (R.q17_small_qty_revenue, R.Q17_SQL),
     "q22_idle_balance": (R.q22_idle_balance, R.Q22_SQL),
     "q7_nation_volume": (R.q7_nation_volume, R.Q7_SQL),
+    # q8: grouped ratio with a flagged numerator (region+type+window filter);
+    # q19: disjunctive fact x dimension predicate, measured part probe
+    "q8_market_share": (R.q8_market_share, R.Q8_SQL),
+    "q19_branded_revenue": (R.q19_branded_revenue, R.Q19_SQL),
     "events_hll_registers": (X.events_hll_registers, X.EVENTS_HLL_SQL),
     "events_cms_registers": (X.events_cms_registers, X.EVENTS_CMS_SQL),
     "docs_training_prep": (X.docs_training_prep, X.DOCS_TRAINING_PREP_SQL),

@@ -1401,3 +1401,259 @@ FROM (
   GROUP BY 1, 2, 3
 ) ORDER BY supp_nation, cust_nation, l_year
 """
+
+
+# ---------------------------------------------------------------------------
+# TPC-H q8 shape (national market share): a ratio of grouped sums where
+# the numerator is a FLAG on one dimension attribute (supplier nation)
+# inside a multi-dimension filter (customer region, part type, date
+# window). Tiny dims (nation, region) ride one ray.put; the two
+# SF-growing dims are measured independently — the windowed orders and
+# the part-type flag each pick broadcast-searchsorted or the
+# hash-partitioned join by projected byte size. Revenue partials ship
+# (hi, lo) split (the q1/q5/q7 overflow convention); the share is ONE
+# pinned IEEE ratio, 0.0 on an empty numerator.
+# ---------------------------------------------------------------------------
+
+Q8_REGION = "EUROPE"
+Q8_PART_TYPE = "ECONOMY"
+Q8_SUPP_NATION = "NATION_7"
+Q8_DATE_LO = "1996-01-01"
+Q8_DATE_HI = "1998-01-01"
+
+
+def q8_market_share(sf_dir: str):
+    import ray
+
+    from .joins import hash_join, should_broadcast
+
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    region = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    rname = np.empty(int(region["r_regionkey"].max()) + 1, dtype=object)
+    rname[region["r_regionkey"].to_numpy()] = region["r_name"].to_numpy()
+    n_region = rname[nation["n_regionkey"].to_numpy()]
+    in_region = np.zeros(int(nation["n_nationkey"].max()) + 1, dtype=bool)
+    in_region[nation["n_nationkey"].to_numpy()] = n_region == Q8_REGION
+    is_target = np.zeros(int(nation["n_nationkey"].max()) + 1, dtype=bool)
+    is_target[nation["n_nationkey"].to_numpy()] = nation["n_name"].to_numpy() == Q8_SUPP_NATION
+    c_arr = np.full(int(cust["c_custkey"].max()) + 1, -1, dtype=np.int64)
+    c_arr[cust["c_custkey"].to_numpy()] = cust["c_nationkey"].to_numpy()
+    s_arr = np.full(int(supp["s_suppkey"].max()) + 1, -1, dtype=np.int64)
+    s_arr[supp["s_suppkey"].to_numpy()] = supp["s_nationkey"].to_numpy()
+    dims_ref = ray.put((c_arr, s_arr, in_region, is_target))
+
+    lo, hi = pd.Timestamp(Q8_DATE_LO), pd.Timestamp(Q8_DATE_HI)
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_partkey", "l_extendedprice", "l_discount"])
+
+    def score(batch: pa.Table, ck: np.ndarray, yr: np.ndarray, is_econ: np.ndarray) -> pa.Table:
+        """ck/yr = matched order attrs (-1 = no window match); is_econ =
+        part-type flag per row. Emits per-year (hi, lo) revenue partials
+        for the region+type filter and the target-nation numerator."""
+        _c, _s, _in_r, _tgt = ray.get(dims_ref)
+        cn = np.where((ck >= 0) & (ck < len(_c)), _c[np.clip(ck, 0, len(_c) - 1)], -1)
+        sk = batch["l_suppkey"].to_numpy(zero_copy_only=False)
+        sn = np.where((sk >= 0) & (sk < len(_s)), _s[np.clip(sk, 0, len(_s) - 1)], -1)
+        keep = (cn >= 0) & (sn >= 0) & _in_r[np.clip(cn, 0, len(_in_r) - 1)] & is_econ
+        rev = (_q100(batch["l_extendedprice"].to_numpy(zero_copy_only=False)[keep])
+               * (100 - _q100(batch["l_discount"].to_numpy(zero_copy_only=False)[keep])))
+        df = pd.DataFrame({
+            "l_year": yr[keep],
+            "rev": rev,
+            "nume": np.where(_tgt[np.clip(sn[keep], 0, len(_tgt) - 1)], rev, 0),
+        }).groupby("l_year", as_index=False).sum()
+        df["rev_hi"], df["rev_lo"] = divmod(df.pop("rev"), 10_000)
+        df["nume_hi"], df["nume_lo"] = divmod(df.pop("nume"), 10_000)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    # dim 1: windowed orders — measured broadcast vs hash join
+    odim = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        lambda b: b.filter(pc.and_(pc.greater_equal(b["o_orderdate"], pa.scalar(lo)),
+                                   pc.less(b["o_orderdate"], pa.scalar(hi)))),
+        batch_format="pyarrow",
+    )
+    # dim 2: part-type flag — measured broadcast vs hash join
+    part_bcast = should_broadcast(f"{sf_dir}/part.{_ext()}", ["p_partkey", "p_type"])
+    if part_bcast:
+        from .. import io
+
+        pt = io.read_table_arrow(f"{sf_dir}/part.{_ext()}", columns=["p_partkey", "p_type"])
+        pk = pt["p_partkey"].to_numpy()
+        order = np.argsort(pk)
+        part_ref = ray.put((pk[order], (pt["p_type"].to_numpy(zero_copy_only=False) == Q8_PART_TYPE)[order]))
+
+        def econ_of(b: pa.Table) -> np.ndarray:
+            keys, flag = ray.get(part_ref)
+            lk = b["l_partkey"].to_numpy(zero_copy_only=False)
+            pos = np.clip(np.searchsorted(keys, lk), 0, max(len(keys) - 1, 0))
+            return (keys[pos] == lk) & flag[pos] if len(keys) else np.zeros(len(lk), bool)
+    else:
+        part_ds = _read(sf_dir, "part", ["p_partkey", "p_type"])
+        li = hash_join(li, part_ds, on="l_partkey", right_on="p_partkey")
+
+        def econ_of(b: pa.Table) -> np.ndarray:
+            return b["p_type"].to_numpy(zero_copy_only=False) == Q8_PART_TYPE
+
+    if should_broadcast(f"{sf_dir}/orders.{_ext()}", ["o_orderkey", "o_custkey", "o_orderdate"]):
+        od = odim.to_pandas().sort_values("o_orderkey")  # the WINDOW only
+        oyr = od["o_orderdate"].to_numpy().astype("datetime64[Y]").astype(np.int64) + 1970
+        o_ref = ray.put((od["o_orderkey"].to_numpy(), od["o_custkey"].to_numpy(), oyr))
+
+        def partial(b: pa.Table) -> pa.Table:
+            ks, cs, ys = ray.get(o_ref)
+            lk = b["l_orderkey"].to_numpy(zero_copy_only=False)
+            pos = np.clip(np.searchsorted(ks, lk), 0, max(len(ks) - 1, 0))
+            hit = (ks[pos] == lk) if len(ks) else np.zeros(len(lk), bool)
+            ck = np.where(hit, cs[pos], -1)
+            yr = np.where(hit, ys[pos], -1)
+            return score(b, ck, yr, econ_of(b))
+
+        scored = li.map_batches(partial, batch_format="pyarrow")
+    else:
+        joined = hash_join(li, odim, on="l_orderkey", right_on="o_orderkey")
+
+        def partial(b: pa.Table) -> pa.Table:
+            yr = (b["o_orderdate"].to_numpy(zero_copy_only=False)
+                  .astype("datetime64[Y]").astype(np.int64) + 1970)
+            ck = b["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return score(b, ck, yr, econ_of(b))
+
+        scored = joined.map_batches(partial, batch_format="pyarrow")
+
+    df = tree_group_sum(scored, ["l_year"],
+                        value_cols=["rev_hi", "rev_lo", "nume_hi", "nume_lo"])
+    df = df.sort_values("l_year").reset_index(drop=True)
+    tot = [float(int(h) * 10_000 + int(l)) for h, l in zip(df["rev_hi"], df["rev_lo"])]
+    num = [float(int(h) * 10_000 + int(l)) for h, l in zip(df["nume_hi"], df["nume_lo"])]
+    tot = np.asarray(tot)
+    num = np.asarray(num)
+    return pd.DataFrame({
+        "l_year": df["l_year"].astype("int64"),
+        "mkt_share": np.where(tot > 0, num / np.where(tot > 0, tot, 1.0), 0.0),
+        "target_revenue": num / 10000.0,
+        "total_revenue": tot / 10000.0,
+    })
+
+
+Q8_SQL = f"""
+WITH t AS (
+  SELECT CAST(year(o.o_orderdate) AS BIGINT) AS l_year,
+         SUM(CAST(round(l.l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l.l_discount*100) AS BIGINT))) AS rev,
+         SUM(CASE WHEN n1.n_name = '{Q8_SUPP_NATION}'
+                  THEN CAST(round(l.l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l.l_discount*100) AS BIGINT))
+                  ELSE 0 END) AS nume
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = n2.n_regionkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+  JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE r.r_name = '{Q8_REGION}' AND p.p_type = '{Q8_PART_TYPE}'
+    AND o.o_orderdate >= TIMESTAMP '{Q8_DATE_LO}' AND o.o_orderdate < TIMESTAMP '{Q8_DATE_HI}'
+  GROUP BY 1
+)
+SELECT l_year,
+       CASE WHEN rev > 0 THEN CAST(nume AS DOUBLE) / CAST(rev AS DOUBLE) ELSE 0.0 END AS mkt_share,
+       CAST(CAST(nume AS BIGINT) AS DOUBLE)/10000.0 AS target_revenue,
+       CAST(CAST(rev AS BIGINT) AS DOUBLE)/10000.0 AS total_revenue
+FROM t ORDER BY l_year
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H q19 shape (discounted revenue, disjunctive predicates): the OR of
+# three (brand, size-band, quantity-band) conjunctions — the predicate
+# spans BOTH the fact and the dimension, so it cannot push into either
+# scan alone. The part attributes ride the measured broadcast (two dense
+# arrays) or the hash join; the whole disjunction evaluates as one
+# vectorized boolean expression per batch; the global sum is shuffle-free.
+# ---------------------------------------------------------------------------
+
+Q19_BRANCHES = (  # (brand, size_lo, size_hi, qty_lo_c, qty_hi_c) — qty in hundredths
+    ("Brand#1", 1, 5, 100, 1100),
+    ("Brand#2", 1, 10, 1000, 2000),
+    ("Brand#3", 1, 15, 2000, 3000),
+)
+
+
+def q19_branded_revenue(sf_dir: str):
+    import ray
+
+    from .joins import hash_join, should_broadcast
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"])
+
+    def branch_mask(brand_arr: np.ndarray, size_arr: np.ndarray, qty_c: np.ndarray) -> np.ndarray:
+        m = np.zeros(len(qty_c), dtype=bool)
+        for brand, slo, shi, qlo, qhi in Q19_BRANCHES:
+            m |= ((brand_arr == brand) & (size_arr >= slo) & (size_arr <= shi)
+                  & (qty_c >= qlo) & (qty_c <= qhi))
+        return m
+
+    if should_broadcast(f"{sf_dir}/part.{_ext()}", ["p_partkey", "p_brand", "p_size"]):
+        from .. import io
+
+        pt = io.read_table_arrow(f"{sf_dir}/part.{_ext()}", columns=["p_partkey", "p_brand", "p_size"])
+        pk = pt["p_partkey"].to_numpy()
+        order = np.argsort(pk)
+        part_ref = ray.put((pk[order],
+                            pt["p_brand"].to_numpy(zero_copy_only=False)[order],
+                            pt["p_size"].to_numpy()[order]))
+
+        def partial(b: pa.Table) -> pa.Table:
+            keys, brands, sizes = ray.get(part_ref)
+            lk = b["l_partkey"].to_numpy(zero_copy_only=False)
+            pos = np.clip(np.searchsorted(keys, lk), 0, max(len(keys) - 1, 0))
+            hit = (keys[pos] == lk) if len(keys) else np.zeros(len(lk), bool)
+            qty = _q100(b["l_quantity"].to_numpy(zero_copy_only=False))
+            keep = hit & branch_mask(brands[pos], sizes[pos], qty)
+            rev = (_q100(b["l_extendedprice"].to_numpy(zero_copy_only=False)[keep])
+                   * (100 - _q100(b["l_discount"].to_numpy(zero_copy_only=False)[keep])))
+            return pa.table({"k": pa.array([0], type=pa.int64()),
+                             "rev": pa.array([int(rev.sum())], type=pa.int64()),
+                             "n_rows": pa.array([int(keep.sum())], type=pa.int64())})
+
+        partials = li.map_batches(partial, batch_format="pyarrow")
+    else:
+        part = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"])
+        joined = hash_join(li, part, on="l_partkey", right_on="p_partkey")
+
+        def partial(b: pa.Table) -> pa.Table:
+            qty = _q100(b["l_quantity"].to_numpy(zero_copy_only=False))
+            keep = branch_mask(b["p_brand"].to_numpy(zero_copy_only=False),
+                               b["p_size"].to_numpy(zero_copy_only=False), qty)
+            rev = (_q100(b["l_extendedprice"].to_numpy(zero_copy_only=False)[keep])
+                   * (100 - _q100(b["l_discount"].to_numpy(zero_copy_only=False)[keep])))
+            return pa.table({"k": pa.array([0], type=pa.int64()),
+                             "rev": pa.array([int(rev.sum())], type=pa.int64()),
+                             "n_rows": pa.array([int(keep.sum())], type=pa.int64())})
+
+        partials = joined.map_batches(partial, batch_format="pyarrow")
+
+    df = tree_group_sum(partials, ["k"], value_cols=["rev", "n_rows"])
+    return pd.DataFrame({
+        "revenue": [float(df["rev"].sum()) / 10000.0 if len(df) else 0.0],
+        "n_rows": [int(df["n_rows"].sum()) if len(df) else 0],
+    })
+
+
+def _q19_where() -> str:
+    parts = []
+    for brand, slo, shi, qlo, qhi in Q19_BRANCHES:
+        parts.append(
+            f"(p.p_brand = '{brand}' AND p.p_size BETWEEN {slo} AND {shi}"
+            f" AND CAST(round(l.l_quantity*100) AS BIGINT) BETWEEN {qlo} AND {qhi})"
+        )
+    return " OR ".join(parts)
+
+
+Q19_SQL = f"""
+SELECT CAST(CAST(COALESCE(SUM(CAST(round(l.l_extendedprice*100) AS BIGINT)
+                * (100 - CAST(round(l.l_discount*100) AS BIGINT))), 0) AS BIGINT) AS DOUBLE)/10000.0 AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE {_q19_where()}
+"""

@@ -61,6 +61,8 @@ NEW_QUERIES = [
     "embeddings_quantize",
     "events_cohort_retention",
     "events_user_value_delta",
+    "q8_market_share",
+    "q19_branded_revenue",
 ]
 
 
@@ -80,7 +82,7 @@ def entry(ray_session):
 @pytest.fixture(scope="module")
 def oracle_con():
     con = duckdb.connect()
-    for t in ("events", "documents", "embeddings", "nation", "lineitem", "orders", "customer", "part", "supplier"):
+    for t in ("events", "documents", "embeddings", "nation", "lineitem", "orders", "customer", "part", "supplier", "region"):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
     return con
 
