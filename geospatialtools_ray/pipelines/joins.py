@@ -57,7 +57,16 @@ def hash_join(left, right, on, right_on=None, num_partitions: int | None = None,
     `on`/`right_on` accept a column name or a tuple of names (composite
     keys avoid packed-int64 overflow at planetary cell counts).
     num_partitions defaults to the cluster CPU count — a fixed large value
-    deadlocks the hash-shuffle aggregator actors on small sessions."""
+    deadlocks the hash-shuffle aggregator actors on small sessions.
+
+    Known upstream limitation (probed on Ray 2.49): a side that reaches
+    the shuffle with ZERO rows — an empty table, or a side whose rows
+    were all filtered away — crashes at aggregator finalize with
+    ArrowInvalid "No match for key field" (the missing partitions
+    finalize schema-less). Callers whose side can be provably empty at
+    plan time should early-exit (filtered_hash_join guards its
+    materialized right side this way); the gate queries never produce an
+    empty join side on FK-consistent data."""
     if num_partitions is None:
         import ray
 
@@ -167,10 +176,26 @@ def filtered_hash_join(left, right, on, right_on=None,
     """
     import ray
 
+    import pyarrow as pa
+    import ray.data as rd
+
     if not isinstance(on, str) or (right_on is not None and not isinstance(right_on, str)):
         raise ValueError("filtered_hash_join: single-column keys only")
     rkey = right_on or on
     right = right.materialize()
+    if right.count() == 0:
+        # Ray's Dataset.join crashes on an empty side (missing shuffle
+        # partitions finalize schema-less: "No match for key field" —
+        # probed on plain hash_join too). The right side is materialized
+        # here so the check is free; emit the typed empty result with the
+        # join's output contract (left cols + right non-key cols).
+        ls, rs = left.schema(), right.schema()
+        fields = [pa.field(n, t) for n, t in zip(ls.names, ls.types)] + [
+            pa.field(n, t) for n, t in zip(rs.names, rs.types) if n != rkey
+        ]
+        return rd.from_arrow(pa.Table.from_arrays(
+            [pa.array([], type=f.type) for f in fields], schema=pa.schema(fields)
+        ))
     bloom = bloom_from_keys(right, rkey, expected_keys=expected_right_keys)
     left_f = bloom_prefilter(left, on, ray.put(bloom))
     return hash_join(left_f, right, on, right_on=right_on, num_partitions=num_partitions)

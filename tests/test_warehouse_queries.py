@@ -479,3 +479,24 @@ def test_salted_hash_join_parity_under_skew(ray_session):
         su[cols].sort_values(cols).reset_index(drop=True),
         check_exact=True,
     )
+
+
+def test_filtered_hash_join_empty_right(ray_session):
+    """Degenerate runtime-filter edge: an empty right side builds an
+    all-zeros Bloom (everything filtered), and the inner join must return
+    the typed empty result rather than crash."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geospatialtools_ray.pipelines.joins import filtered_hash_join
+
+    left = rd.from_arrow(pa.table({
+        "k": pa.array(np.arange(100, dtype=np.int64)),
+        "v": pa.array(np.arange(100, dtype=np.int64)),
+    })).repartition(4)
+    right = rd.from_arrow(pa.table({
+        "rk": pa.array([], type=pa.int64()), "w": pa.array([], type=pa.int64()),
+    }))
+    out = filtered_hash_join(left, right, on="k", right_on="rk").to_pandas()
+    assert len(out) == 0
