@@ -2878,7 +2878,11 @@ def docs_bm25_topk(sf_dir: str):
     if n == 0:  # empty corpus: the oracle returns 0 rows, not a div-by-zero
         return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
                              "score": pd.Series([], dtype="float64")})
-    avgdl = float(st["sum_len"].sum()) / n
+    # zero-word corpus (every doc empty/whitespace): avgdl would be 0 and
+    # dl/avgdl = 0/0 = NaN, which pandas sorts LAST but DuckDB's DESC
+    # sorts FIRST (review finding). tf is necessarily 0 everywhere, so any
+    # positive avgdl gives the same 0.0 scores — pin 1.0 on both engines.
+    avgdl = (float(st["sum_len"].sum()) / n) or 1.0
     idf = {t: float(np.log((n - float(st[f"df_{t}"].sum()) + 0.5)
                            / (float(st[f"df_{t}"].sum()) + 0.5) + 1.0))
            for t in BM25_TERMS}
@@ -2912,7 +2916,8 @@ def _bm25_sql() -> str:
         f"ln((CAST(s.n AS DOUBLE) - s.df_{t} + 0.5)/(s.df_{t} + 0.5) + 1.0)"
         f" * (CAST(tf.tf_{t} AS DOUBLE) * ({BM25_K1} + 1.0))"
         f" / (CAST(tf.tf_{t} AS DOUBLE) + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * "
-        f"(CAST(tf.dl AS DOUBLE) / (CAST(s.sum_len AS DOUBLE)/CAST(s.n AS DOUBLE)))))"
+        f"(CAST(tf.dl AS DOUBLE) / (CASE WHEN s.sum_len = 0 THEN 1.0 "
+        f"ELSE CAST(s.sum_len AS DOUBLE)/CAST(s.n AS DOUBLE) END))))"
         for t in BM25_TERMS
     )
     return f"""

@@ -208,14 +208,18 @@ _SALT_KNUTH = 0x9E3779B97F4A7C15
 def detect_hot_keys(ds, key_col: str, sample_rows: int = 500_000,
                     hot_frac: float = 0.01):
     """Sample-based hot-key detection for skew handling: collect up to
-    ``sample_rows`` rows' keys from the dataset's FIRST blocks (limit() is
-    a prefix read — no full scan) and return the keys whose sampled
-    frequency exceeds ``hot_frac``. A key that is hot overall is hot in a
-    uniform prefix with overwhelming probability; a missed warm key only
-    costs balance, never correctness."""
+    ``sample_rows`` rows' keys from a RANDOMIZED block order (the block
+    list is shuffled — metadata-only — before the prefix limit, so only a
+    few blocks are read but they are spread across the dataset; a plain
+    prefix would be blind to a hot key on key-sorted or range-partitioned
+    input, silently disabling the skew insurance). Residual: clustering
+    WITHIN a sampled block is fine — whole blocks are read. A missed warm
+    key only costs balance, never correctness."""
     import numpy as np
 
-    keys = ds.limit(sample_rows).to_pandas()[key_col].to_numpy()
+    keys = (
+        ds.randomize_block_order(seed=0).limit(sample_rows).to_pandas()[key_col].to_numpy()
+    )
     if len(keys) == 0:
         return np.empty(0, dtype=np.int64)
     vals, counts = np.unique(keys, return_counts=True)
@@ -291,17 +295,23 @@ def salted_hash_join(left, right, on, right_on=None, n_salts: int = 16,
         )
         hot_idx = np.flatnonzero(is_hot)
         if len(hot_idx) == 0:
-            return cold
-        rep = b.take(np.repeat(hot_idx, n_salts))
-        rep_k = np.repeat(k[hot_idx], n_salts)
-        rep_salt = np.tile(np.arange(n_salts, dtype=np.int64), len(hot_idx))
-        rep = rep.append_column(SALT_KEY, pa.array(pack(rep_k, rep_salt), type=pa.int64()))
-        return pa.concat_tables([cold, rep])
+            out = cold
+        else:
+            rep = b.take(np.repeat(hot_idx, n_salts))
+            rep_k = np.repeat(k[hot_idx], n_salts)
+            rep_salt = np.tile(np.arange(n_salts, dtype=np.int64), len(hot_idx))
+            rep = rep.append_column(SALT_KEY, pa.array(pack(rep_k, rep_salt), type=pa.int64()))
+            out = pa.concat_tables([cold, rep])
+        # the raw right key is redundant once packed (the LEFT key column
+        # survives on every matched row) — and keeping it would crash the
+        # join with a duplicate field whenever rkey == on (same-name keys,
+        # the right_on=None default; review finding confirmed by probe:
+        # 'Field "k" exists 2 times in schema')
+        return out.drop_columns([rkey])
 
     lsalted = left.map_batches(salt_left, batch_format="pyarrow")
     rsalted = right.map_batches(replicate_right, batch_format="pyarrow")
     joined = hash_join(lsalted, rsalted, on=SALT_KEY, num_partitions=num_partitions)
-    # match hash_join's output contract: Ray's join on (on, right_on)
-    # merges the key into one left-named column, so the surviving right
-    # key (equal to the left key on every matched row) drops too
-    return joined.drop_columns([SALT_KEY] + ([rkey] if rkey != on else []))
+    # output contract matches hash_join: left cols + right non-key cols
+    # (the right key was dropped at replication)
+    return joined.drop_columns([SALT_KEY])

@@ -343,8 +343,11 @@ def q5_region_revenue(sf_dir: str):
         def partial(batch: pa.Table) -> pa.Table:
             okeys_, ocust_ = ray.get(refs)
             lk = batch["l_orderkey"].to_numpy(zero_copy_only=False)
-            pos = np.clip(np.searchsorted(okeys_, lk), 0, len(okeys_) - 1)
-            ck = np.where(okeys_[pos] == lk, ocust_[pos], -1)
+            # max(..., 0) + len guard: an EMPTY orders table would clip to
+            # -1 and index out of bounds (same fix as q7/q8)
+            pos = np.clip(np.searchsorted(okeys_, lk), 0, max(len(okeys_) - 1, 0))
+            hit = (okeys_[pos] == lk) if len(okeys_) else np.zeros(len(lk), bool)
+            ck = np.where(hit, ocust_[pos] if len(okeys_) else -1, -1)
             return rev_partial(batch, ck)
 
         scored = li.map_batches(partial, batch_format="pyarrow")
@@ -714,14 +717,17 @@ def sorted_group_agg(ds, key, ops: dict[str, str]):
         and map_batches never invokes the UDF on them, so they survive
         every per-block normalization and crash downstream consumers that
         reference columns (pyarrow hash joins raise 'No match for key
-        field'). The result is already materialized here, so rebuilding
-        from the non-empty block refs is zero-copy."""
-        def nrows(blk):  # skipped empties keep the INPUT block format,
-            return blk.num_rows if hasattr(blk, "num_rows") else len(blk)
-
-        # so an empty block may be a pandas frame; every NON-empty block
-        # passed through comb/drop and is Arrow
-        refs = [r for r in out_ds.to_arrow_refs() if nrows(ray.get(r)) > 0]
+        field'). Emptiness comes from BLOCK METADATA (num_rows), so no
+        block ever moves to the driver — a ray.get-per-block probe would
+        serially pull the whole aggregate through driver memory (review
+        finding). Unknown-row-count blocks are kept (only knowable-empty
+        blocks are the hazard; materialized blocks always know num_rows);
+        every non-empty block passed through comb/drop and is Arrow."""
+        refs = []
+        for bundle in out_ds.iter_internal_ref_bundles():
+            for block_ref, meta in bundle.blocks:
+                if meta.num_rows is None or meta.num_rows > 0:
+                    refs.append(block_ref)
         return rd.from_arrow_refs(refs) if refs else rd.from_arrow(empty_out)
 
     def comb(b: pa.Table) -> pa.Table:
@@ -1082,9 +1088,16 @@ def q13_customer_orders_dist(sf_dir: str):
     # orphan would both surface in a positive bucket and shrink the
     # derived zero bucket (review finding). The probe is the hash-
     # partitioned inner join — the customer key set is never broadcast.
+    # total_cust comes from the SAME read dataset (Ray serves count() on
+    # an untransformed parquet read from metadata — no second scan), and
+    # an all-excluded orders table skips the join entirely (Ray's join
+    # crashes on an empty side; the answer is the pure zero bucket).
     from .joins import hash_join
 
     cust_keys = _read(sf_dir, "customer", ["c_custkey"])
+    total_cust = cust_keys.count()
+    if per_cust.count() == 0:
+        return pd.DataFrame({"c_count": [0], "custdist": [total_cust]}).astype("int64")
     per_cust = hash_join(per_cust, cust_keys, on="o_custkey", right_on="c_custkey")
 
     def hist(b: pa.Table) -> pa.Table:
@@ -1098,7 +1111,6 @@ def q13_customer_orders_dist(sf_dir: str):
     h = tree_group_sum(per_cust.map_batches(hist, batch_size=None, batch_format="pyarrow"),
                        ["c_count"], value_cols=["custdist"])
     # LEFT JOIN zero bucket as a counting identity: customers minus matched
-    total_cust = _read(sf_dir, "customer", ["c_custkey"]).count()
     n_matched = int(h["custdist"].sum()) if len(h) else 0
     if total_cust > n_matched:
         h = pd.concat(
@@ -1262,8 +1274,19 @@ def q22_idle_balance(sf_dir: str):
 
     active = sorted_group_agg(orders.map_batches(active_keys, batch_format="pyarrow"),
                               "o_custkey", {"hit": "count"})
-    joined = hash_join(rich, active, on="c_custkey", right_on="o_custkey",
-                       join_type="left_outer")
+    if active.count() == 0:
+        # no recent orders at all: EVERY balance-qualified customer is
+        # idle. Skip the join — Ray's Dataset.join crashes on an empty
+        # side (see hash_join docstring) and the correct answer here is
+        # the full rich rollup, not an empty frame (review finding: the
+        # standard TPC-H date range ends before this cutoff).
+        joined = rich.map_batches(
+            lambda b: b.append_column("hit", pa.nulls(b.num_rows, type=pa.int64())),
+            batch_format="pyarrow",
+        )
+    else:
+        joined = hash_join(rich, active, on="c_custkey", right_on="o_custkey",
+                           join_type="left_outer")
 
     def idle_rollup(b: pa.Table) -> pa.Table:
         df = b.to_pandas()
@@ -1360,8 +1383,11 @@ def q7_nation_volume(sf_dir: str):
         def partial(batch: pa.Table) -> pa.Table:
             okeys_, ocust_ = ray.get(refs)
             lk = batch["l_orderkey"].to_numpy(zero_copy_only=False)
-            pos = np.clip(np.searchsorted(okeys_, lk), 0, len(okeys_) - 1)
-            ck = np.where(okeys_[pos] == lk, ocust_[pos], -1)
+            # max(..., 0): an EMPTY orders table would clip to -1 and
+            # index out of bounds (review finding — the q8 guard pattern)
+            pos = np.clip(np.searchsorted(okeys_, lk), 0, max(len(okeys_) - 1, 0))
+            hit = (okeys_[pos] == lk) if len(okeys_) else np.zeros(len(lk), bool)
+            ck = np.where(hit, ocust_[pos] if len(okeys_) else -1, -1)
             return vol_partial(batch, ck)
 
         scored = li.map_batches(partial, batch_format="pyarrow")
@@ -1495,8 +1521,15 @@ def q8_market_share(sf_dir: str):
         def econ_of(b: pa.Table) -> np.ndarray:
             return b["p_type"].to_numpy(zero_copy_only=False) == Q8_PART_TYPE
 
+    empty_q8 = pd.DataFrame({"l_year": pd.Series([], dtype="int64"),
+                             "mkt_share": pd.Series([], dtype="float64"),
+                             "target_revenue": pd.Series([], dtype="float64"),
+                             "total_revenue": pd.Series([], dtype="float64")})
     if should_broadcast(f"{sf_dir}/orders.{_ext()}", ["o_orderkey", "o_custkey", "o_orderdate"]):
-        od = odim.to_pandas().sort_values("o_orderkey")  # the WINDOW only
+        od = odim.to_pandas()  # the WINDOW only
+        if len(od) == 0:  # all-empty to_pandas loses its columns entirely
+            return empty_q8
+        od = od.sort_values("o_orderkey")
         oyr = od["o_orderdate"].to_numpy().astype("datetime64[Y]").astype(np.int64) + 1970
         o_ref = ray.put((od["o_orderkey"].to_numpy(), od["o_custkey"].to_numpy(), oyr))
 
@@ -1511,6 +1544,13 @@ def q8_market_share(sf_dir: str):
 
         scored = li.map_batches(partial, batch_format="pyarrow")
     else:
+        # the window join shuffles odim entirely anyway, so materializing
+        # it first costs one object-store copy and buys the empty-window
+        # guard (Ray's join crashes on an empty side; the broadcast branch
+        # and the oracle both return the empty/0.0 result — review finding)
+        odim = odim.materialize()
+        if odim.count() == 0:
+            return empty_q8
         joined = hash_join(li, odim, on="l_orderkey", right_on="o_orderkey")
 
         def partial(b: pa.Table) -> pa.Table:

@@ -500,3 +500,127 @@ def test_filtered_hash_join_empty_right(ray_session):
     }))
     out = filtered_hash_join(left, right, on="k", right_on="rk").to_pandas()
     assert len(out) == 0
+
+
+def test_salted_join_same_name_keys(ray_session):
+    """The right_on=None default (same key name both sides) used to crash
+    with a duplicate 'k' field after the packed-key join (review finding,
+    probe-confirmed) — parity against the plain join under skew."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geospatialtools_ray.pipelines.joins import hash_join, salted_hash_join
+
+    rng = np.random.default_rng(9)
+    k = np.where(rng.random(20_000) < 0.5, 3, rng.integers(0, 2_000, 20_000)).astype(np.int64)
+    left = rd.from_arrow(pa.table({"k": pa.array(k), "v": pa.array(np.arange(20_000, dtype=np.int64))})).repartition(8)
+    rk = np.concatenate([[3], np.unique(rng.integers(0, 2_000, 200))]).astype(np.int64)
+    right = rd.from_arrow(pa.table({"k": pa.array(rk), "w": pa.array(rk + 1)})).repartition(2)
+    plain = hash_join(left, right, on="k").to_pandas()
+    salted = salted_hash_join(left, right, on="k", n_salts=8).to_pandas()
+    cols = sorted(plain.columns)
+    assert sorted(salted.columns) == cols
+    pd.testing.assert_frame_equal(
+        plain[cols].sort_values(cols).reset_index(drop=True),
+        salted[cols].sort_values(cols).reset_index(drop=True),
+        check_exact=True,
+    )
+
+
+def test_degenerate_corpora_match_oracle(entry, tmp_path):
+    """Review-finding edges, each vs its DuckDB oracle on a purpose-built
+    fixture: (a) q22 with NO post-cutoff orders (every rich customer is
+    idle — the realistic TPC-H date range); (b) q13 where every order has
+    the excluded priority (pure zero bucket); (c) BM25 over an all-empty
+    corpus (scores pinned 0.0, no NaN ordering divergence)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from geospatialtools_ray.pipelines import extraqueries as X
+    from geospatialtools_ray.pipelines import relational as R
+
+    sf = str(tmp_path)
+    pq.write_table(pa.table({
+        "c_custkey": pa.array(np.arange(1, 9, dtype=np.int64)),
+        "c_nationkey": pa.array(np.arange(8, dtype=np.int64) % 3),
+        "c_acctbal": pa.array(np.linspace(-100, 900, 8)),
+    }), f"{sf}/customer.parquet")
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2, 3], type=pa.int64()),
+        "o_custkey": pa.array([1, 2, 3], type=pa.int64()),
+        "o_orderdate": pa.array(np.array(["1997-01-01", "1997-06-01", "1998-01-01"], dtype="datetime64[us]")),
+        "o_orderpriority": ["1-URGENT", "1-URGENT", "1-URGENT"],
+    }), f"{sf}/orders.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "text": ["", "   ", None],
+    }), f"{sf}/documents.parquet")
+    con = duckdb.connect()
+    for t in ("customer", "orders", "documents"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+
+    for name, fn, sql in (
+        ("q22", R.q22_idle_balance, R.Q22_SQL),
+        ("q13", R.q13_customer_orders_dist, R.Q13_SQL),
+        ("bm25", X.docs_bm25_topk, X.DOCS_BM25_SQL),
+    ):
+        res = fn(sf)
+        oracle = con.execute(sql).df()
+        cols = sorted(res.columns)
+        assert sorted(oracle.columns) == cols, name
+        pd.testing.assert_frame_equal(
+            res[cols].sort_values(cols).reset_index(drop=True),
+            oracle[cols].sort_values(cols).reset_index(drop=True),
+            check_dtype=False, check_exact=True, obj=name,
+        )
+    # q22: rich customers exist and NONE are active -> non-empty result
+    assert R.q22_idle_balance(sf)["numcust"].sum() > 0
+    # q13: the single row is the zero bucket
+    q13 = R.q13_customer_orders_dist(sf)
+    assert len(q13) == 1 and int(q13["c_count"].iloc[0]) == 0 and int(q13["custdist"].iloc[0]) == 8
+
+
+def test_q8_empty_window_both_plans(entry, tmp_path, monkeypatch):
+    """q8 with every order OUTSIDE the date window must return the empty
+    frame on BOTH plans — the broadcast branch (len-guarded searchsorted)
+    and the forced hash-join branch, whose empty-side crash the
+    materialize+count guard now prevents (review finding)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from geospatialtools_ray.pipelines import relational as R
+
+    sf = str(tmp_path)
+    pq.write_table(pa.table({"r_regionkey": pa.array([0], type=pa.int64()),
+                             "r_name": ["EUROPE"]}), f"{sf}/region.parquet")
+    pq.write_table(pa.table({"n_nationkey": pa.array([0], type=pa.int64()),
+                             "n_name": ["NATION_7"],
+                             "n_regionkey": pa.array([0], type=pa.int64())}), f"{sf}/nation.parquet")
+    pq.write_table(pa.table({"c_custkey": pa.array([1], type=pa.int64()),
+                             "c_nationkey": pa.array([0], type=pa.int64())}), f"{sf}/customer.parquet")
+    pq.write_table(pa.table({"s_suppkey": pa.array([1], type=pa.int64()),
+                             "s_nationkey": pa.array([0], type=pa.int64())}), f"{sf}/supplier.parquet")
+    pq.write_table(pa.table({"p_partkey": pa.array([1], type=pa.int64()),
+                             "p_type": ["ECONOMY"]}), f"{sf}/part.parquet")
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1], type=pa.int64()),
+        "o_custkey": pa.array([1], type=pa.int64()),
+        "o_orderdate": pa.array(np.array(["1994-06-01"], dtype="datetime64[us]")),
+    }), f"{sf}/orders.parquet")
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([1], type=pa.int64()),
+        "l_suppkey": pa.array([1], type=pa.int64()),
+        "l_partkey": pa.array([1], type=pa.int64()),
+        "l_extendedprice": pa.array([100.0]),
+        "l_discount": pa.array([0.05]),
+    }), f"{sf}/lineitem.parquet")
+
+    broadcast = R.q8_market_share(sf)
+    assert len(broadcast) == 0
+    monkeypatch.setenv("GRAFT_BROADCAST_LIMIT", "1")
+    shuffled = R.q8_market_share(sf)
+    assert len(shuffled) == 0
+    assert sorted(broadcast.columns) == sorted(shuffled.columns)
