@@ -245,6 +245,17 @@ _SQL_CHECKED: dict[str, tuple[Callable[[str], Any], str]] = {
     # (per-bucket sums -> tiny driver prefix -> one groupby(bucket) local
     # cumsum); oracle = SUM() OVER (ORDER BY doc_id) window cumsum
     "docs_pack_sequences": (X.docs_pack_sequences, X.DOCS_PACK_SEQUENCES_SQL),
+    # round 4 (cont.): interleaved-span analytics — asset-level media dedup
+    # (the decode-each-asset-once keep-list), per-kind span rollup, and
+    # ORDER-SENSITIVE kind-transition counts; all three oracles recompute
+    # from the raw list<struct> spans parquet with UNNEST (cross-engine)
+    "docs_media_dedup": (X.docs_media_dedup, X._media_dedup_sql()),
+    "docs_span_kind_stats": (X.docs_span_kind_stats, X._span_kind_stats_sql()),
+    "docs_kind_transitions": (X.docs_kind_transitions, X._kind_transitions_sql()),
+    # round 4 (cont.): exact distributed Gram matrix (X^T X, the PCA/
+    # covariance reduction) — 1e-3-quantized int64 BLAS partials, tree
+    # combine; oracle = UNNEST self-join on generate_subscripts
+    "embeddings_gram_matrix": (X.embeddings_gram_matrix, X.EMBEDDINGS_GRAM_SQL),
 }
 
 # rows-only checks (none left — every query has an oracle)

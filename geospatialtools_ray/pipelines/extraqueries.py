@@ -3142,3 +3142,242 @@ FROM (
 )
 WHERE lv IS NOT NULL ORDER BY event_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Interleaved-span analytics family (BASELINE.json input_hint payload).
+# All four oracles below are CROSS-ENGINE: DuckDB recomputes the answer from
+# the raw list<struct> spans parquet with UNNEST/generate_subscripts — no
+# staged twins. The engine side reads the same file with ray.data and never
+# rebuilds the spans column (north-rule sequence invariant untouched).
+# ---------------------------------------------------------------------------
+
+def docs_media_dedup(sf_dir: str):
+    """Asset-level exact dedup over the interleaved corpus's media spans:
+    per distinct media_ref, the number of referencing documents, total span
+    occurrences, and the keeper document (MIN doc id) — the keep-list a
+    decode stage would use to fetch/decode each asset exactly ONCE and
+    paint features back by hash join (the dominant multimodal-corpus
+    pattern: asset reuse across pages means naive per-span decode does the
+    same work many times over). Uses the dense-blob corpus fixture so reuse
+    actually occurs at test scale. Distributed: vectorized span explode ->
+    batch-local (ref, doc) pre-combine -> sorted_group_agg at ASSET
+    cardinality (grows with data; never a broadcast)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from . import oracle_fixtures as OF
+    from ..stages import spans
+    from .relational import sorted_group_agg
+
+    raw = OF.stage_docs_spans_dense(sf_dir)
+    ds = rd.read_parquet(raw)
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        t = spans.explode_spans(batch, fields=("media_ref",), kind="media")
+        doc = pc.cast(pc.utf8_slice_codeunits(t["doc_id"], start=4, stop=64), pa.int64())
+        df = pd.DataFrame({"media_ref": t["media_ref"].to_pandas(), "doc": doc.to_pandas()})
+        # batch-local combine: only (ref, doc, occ) triples leave the batch
+        g = df.groupby(["media_ref", "doc"], as_index=False).size().rename(columns={"size": "occ"})
+        return pa.Table.from_pandas(g.astype({"occ": "int64"}), preserve_index=False)
+
+    # (ref, doc) pairs may straddle batches (a doc lives in one batch, but a
+    # ref spans many docs): first collapse to one row per (ref, doc), then
+    # roll up per ref. Both levels run at data-growing cardinality, so both
+    # use the sorted combine, never a driver groupby.
+    per_doc = sorted_group_agg(ds.map_batches(pairs, batch_format="pyarrow"),
+                               ["media_ref", "doc"], {"occ": "sum"})
+    per_ref = sorted_group_agg(per_doc, "media_ref",
+                               {"n_docs": "count", "occ": "sum", "doc": "min"})
+    df = per_ref.to_pandas().rename(columns={"occ": "n_occ", "doc": "keeper_doc"})
+    df = df.astype({"n_docs": "int64", "n_occ": "int64", "keeper_doc": "int64"})
+    return df.sort_values("media_ref").reset_index(drop=True)[
+        ["media_ref", "n_docs", "n_occ", "keeper_doc"]
+    ]
+
+
+def _media_dedup_sql() -> str:
+    from .. import oracles as O
+
+    return f"""
+WITH s AS (SELECT doc_id, unnest(spans) AS sp
+           FROM read_parquet('{O.fixture_path("docs_spans_dense")}')),
+m AS (SELECT CAST(doc_id[5:] AS BIGINT) AS doc, sp.media_ref AS media_ref
+      FROM s WHERE sp.kind = 'media'),
+d AS (SELECT media_ref, doc, COUNT(*) AS occ FROM m GROUP BY 1, 2)
+SELECT media_ref,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(occ) AS BIGINT) AS n_occ,
+       CAST(MIN(doc) AS BIGINT) AS keeper_doc
+FROM d GROUP BY media_ref ORDER BY media_ref
+"""
+
+
+def docs_span_kind_stats(sf_dir: str):
+    """Per-kind corpus rollup over the interleaved spans: span count, total
+    text chars, offset sum, and the number of documents containing the
+    kind. Every doc is ONE row, so batch-local distinct (kind, doc) pairs
+    are globally distinct and the distinct-doc count is a plain summable
+    partial — the whole query is per-batch partials + the shuffle-free
+    tree combine (3 groups; no groupby stage at all). Text is ASCII by
+    construction; both engines count characters (utf8_length / length)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from . import oracle_fixtures as OF
+    from ..stages import spans
+    from .relational import tree_group_sum
+
+    raw = OF.stage_docs_spans_raw(sf_dir)
+    ds = rd.read_parquet(raw)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = spans.explode_spans(batch, fields=("kind", "text", "offset"))
+        df = pd.DataFrame(
+            {
+                "kind": t["kind"].to_pandas(),
+                "chars": pc.utf8_length(t["text"]).to_numpy(zero_copy_only=False).astype(np.int64),
+                "off": t["offset"].to_numpy(zero_copy_only=False).astype(np.int64),
+                "doc": t["doc_id"].to_pandas(),
+            }
+        )
+        g = df.groupby("kind", as_index=False).agg(
+            n_spans=("kind", "size"), text_chars=("chars", "sum"),
+            sum_offset=("off", "sum"), n_docs=("doc", "nunique"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = tree_group_sum(
+        ds.map_batches(partial, batch_format="pyarrow"), ["kind"],
+        value_cols=["n_spans", "text_chars", "sum_offset", "n_docs"],
+    )
+    out = out.astype({c: "int64" for c in ["n_spans", "text_chars", "sum_offset", "n_docs"]})
+    return out.sort_values("kind").reset_index(drop=True)
+
+
+def _span_kind_stats_sql() -> str:
+    from .. import oracles as O
+
+    return f"""
+WITH s AS (SELECT doc_id, unnest(spans) AS sp
+           FROM read_parquet('{O.fixture_path("docs_spans_raw")}'))
+SELECT sp.kind AS kind,
+       CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(SUM(length(sp.text)) AS BIGINT) AS text_chars,
+       CAST(SUM(sp."offset") AS BIGINT) AS sum_offset,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM s GROUP BY 1 ORDER BY 1
+"""
+
+
+_KINDS = ("geo", "media", "text")  # alphabetical; codes = index
+
+
+def docs_kind_transitions(sf_dir: str):
+    """Corpus-wide counts of CONSECUTIVE span-kind transitions (from_kind ->
+    to_kind over adjacent spans within each doc) — an ORDER-SENSITIVE
+    statistic over the interleaved sequence, so any pipeline that perturbs
+    span order (the north-rule invariant) changes this answer. Distributed:
+    adjacency is computed vectorized inside each batch (a doc is one row,
+    so every adjacent pair is batch-local), partials are a <=9-group
+    bincount, finish is the shuffle-free tree combine."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from . import oracle_fixtures as OF
+    from .relational import tree_group_sum
+
+    raw = OF.stage_docs_spans_raw(sf_dir)
+    ds = rd.read_parquet(raw)
+    kinds = pa.array(list(_KINDS))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        spans_col = batch["spans"].combine_chunks()
+        flat = spans_col.flatten()
+        code = pc.index_in(flat.field("kind"), value_set=kinds).to_numpy(zero_copy_only=False)
+        offsets = spans_col.offsets.to_numpy(zero_copy_only=False)
+        parent = np.repeat(np.arange(len(offsets) - 1), np.diff(offsets))
+        if len(code) < 2:
+            return pa.table({"from_kind": pa.array([], type=pa.string()),
+                             "to_kind": pa.array([], type=pa.string()),
+                             "n": pa.array([], type=pa.int64())})
+        ok = parent[:-1] == parent[1:]
+        packed = code[:-1][ok] * 3 + code[1:][ok]
+        cnt = np.bincount(packed.astype(np.int64), minlength=9)
+        nz = np.flatnonzero(cnt)
+        return pa.table(
+            {
+                "from_kind": pa.array([_KINDS[i // 3] for i in nz], type=pa.string()),
+                "to_kind": pa.array([_KINDS[i % 3] for i in nz], type=pa.string()),
+                "n": pa.array(cnt[nz].astype(np.int64)),
+            }
+        )
+
+    out = tree_group_sum(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["from_kind", "to_kind"], value_cols=["n"],
+    )
+    out = out.astype({"n": "int64"})
+    return out.sort_values(["from_kind", "to_kind"]).reset_index(drop=True)
+
+
+def _kind_transitions_sql() -> str:
+    from .. import oracles as O
+
+    return f"""
+WITH s AS (SELECT doc_id, unnest(spans) AS sp, generate_subscripts(spans, 1) AS ord
+           FROM read_parquet('{O.fixture_path("docs_spans_raw")}'))
+SELECT a.sp.kind AS from_kind, b.sp.kind AS to_kind, CAST(COUNT(*) AS BIGINT) AS n
+FROM s a JOIN s b ON a.doc_id = b.doc_id AND b.ord = a.ord + 1
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact distributed Gram matrix (X^T X) over the embedding column — the
+# covariance/PCA building block and the one dense-linear-algebra reduction a
+# training-data pipeline needs (whitening, low-rank probes). Components are
+# 1e-3-quantized so per-batch int64 BLAS partials sum exactly in any merge
+# order; output is the upper triangle in long (i, j, s) form so the value
+# hash covers every entry. Scale: one d(d+1)/2-row partial per batch,
+# combined shuffle-free (combine_batch raised so each tree level still
+# reduces ~60x at d=64; bound documented at tree_group_sum).
+# ---------------------------------------------------------------------------
+
+def embeddings_gram_matrix(sf_dir: str):
+    from .relational import tree_group_sum
+
+    ds = _read(sf_dir, "embeddings", ["embedding"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        emb = batch["embedding"].combine_chunks()
+        n = batch.num_rows
+        X = np.asarray(emb.flatten(), dtype=np.float64).reshape(n, -1)
+        q = sql_round(X * 1000.0).astype(np.int64)
+        G = q.T @ q
+        iu, ju = np.triu_indices(G.shape[0])
+        # 1-based indices: generate_subscripts is 1-based on the SQL side
+        return pa.table(
+            {
+                "i": pa.array((iu + 1).astype(np.int64)),
+                "j": pa.array((ju + 1).astype(np.int64)),
+                "s": pa.array(G[iu, ju].astype(np.int64)),
+            }
+        )
+
+    out = tree_group_sum(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["i", "j"], combine_batch=131072, value_cols=["s"],
+    )
+    out = out.astype({"i": "int64", "j": "int64", "s": "int64"})
+    return out.sort_values(["i", "j"]).reset_index(drop=True)
+
+
+EMBEDDINGS_GRAM_SQL = """
+WITH e AS (SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i
+           FROM embeddings),
+q AS (SELECT vec_id, i, CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT) AS qx FROM e)
+SELECT a.i AS i, b.i AS j, CAST(SUM(a.qx * b.qx) AS BIGINT) AS s
+FROM q a JOIN q b ON a.vec_id = b.vec_id AND b.i >= a.i
+GROUP BY 1, 2 ORDER BY 1, 2
+"""

@@ -1242,6 +1242,24 @@ def stage_docs_spans_raw(sf_dir: str) -> str:
     return O.stage_fixture_table("docs_spans_raw", pa.table(batch))
 
 
+def stage_docs_spans_dense(sf_dir: str) -> str:
+    """The raw interleaved corpus with a DENSE media-ref universe
+    (blob_space=509, a prime): at a few thousand docs each media asset is
+    referenced ~4-5x across documents, so asset-level dedup over the
+    exploded media spans is non-trivial. Same input_hint schema and
+    generator as stage_docs_spans_raw; only the ref universe differs.
+    The matching oracles recompute their answers from this raw parquet
+    with UNNEST — cross-engine, not staged twins."""
+    import pyarrow as pa
+
+    from .. import synth
+
+    n_li = io.table_num_rows(io.table_path(sf_dir, "lineitem"))
+    n_docs = max(500, min(4000, n_li // 30))
+    batch = synth.make_docs_batch(np.arange(n_docs, dtype=np.uint64), blob_space=509)
+    return O.stage_fixture_table("docs_spans_dense", pa.table(batch))
+
+
 # chr(31)/chr(30) mirror the \x1f field / \x1e record separators used by
 # stages/spans.py::span_signature (pc.binary_join_element_wise + binary_join)
 DOCS_SPAN_SIGNATURE_SQL = f"""

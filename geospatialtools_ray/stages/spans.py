@@ -108,6 +108,34 @@ def attach_cell(batch: pa.Table, res: int, lon_col: str = "lon", lat_col: str = 
     return batch.append_column("cell", pa.array(cells, type=pa.uint64()))
 
 
+def explode_spans(batch: pa.Table, fields: tuple[str, ...] = ("kind",),
+                  kind: str | None = None) -> pa.Table:
+    """docs batch -> one row per span: (doc_id, span_ord, <fields...>),
+    optionally filtered to a single span kind. Fully vectorized (Arrow
+    list-flatten + parent indices); the `spans` column is only READ —
+    the north-rule sequence invariant is untouched. `span_ord` is the
+    span's 0-based position within its doc, so order-sensitive consumers
+    (kind-transition counts, signature checks) can reconstruct adjacency
+    after the explode."""
+    spans = batch["spans"].combine_chunks()
+    flat = spans.flatten()
+    offsets = spans.offsets.to_numpy(zero_copy_only=False)
+    total = len(flat)
+    ords = np.arange(total, dtype=np.int32) - np.repeat(offsets[:-1], np.diff(offsets)).astype(np.int32)
+    parent = pc.list_parent_indices(spans)
+    doc_id = batch["doc_id"].combine_chunks().take(parent)
+    cols: dict[str, pa.Array] = {
+        "doc_id": doc_id,
+        "span_ord": pa.array(ords, type=pa.int32()),
+    }
+    for f in fields:
+        cols[f] = flat.field(f)
+    out = pa.table(cols)
+    if kind is not None:
+        out = out.filter(pc.equal(flat.field("kind"), kind))
+    return out
+
+
 def span_signature(batch: pa.Table) -> pa.Table:
     """Per-doc stable signature of the span sequence (kind,text,media_ref,
     order) — used by tests and lineage to assert span-sequence equality

@@ -73,13 +73,20 @@ def geo_lonlat(keys: np.ndarray, stream: int = 900) -> tuple[np.ndarray, np.ndar
     return np.clip(lon, -179.999, 179.999), np.clip(lat, -89.999, 89.999)
 
 
-def make_docs_batch(doc_ids: np.ndarray, geo_frac: float = 0.2) -> dict:
+def make_docs_batch(doc_ids: np.ndarray, geo_frac: float = 0.2,
+                    blob_space: int = 100_000_000) -> dict:
     """Synthesize one batch of interleaved docs (input_hint schema):
     doc_id:string, spans:list<struct<kind,text,media_ref,offset:int32>>.
 
     geo_frac controls the share of geo spans (default 0.2; the bench's
     scaling corpus uses a geo-heavy variant so the measured work per doc is
     larger without changing synthesis cost).
+
+    blob_space is the size of the media-ref universe (refs are
+    ``media://blob/<hash % blob_space:08x>``). The default keeps refs
+    effectively unique at test scale; asset-dedup fixtures pass a small
+    prime so cross-document media reuse actually occurs. Defaults leave
+    every previously-generated corpus bit-identical.
 
     Returned as a dict of numpy/object arrays ready for `pyarrow.table` /
     Ray Data map_batches output.
@@ -130,7 +137,7 @@ def make_docs_batch(doc_ids: np.ndarray, geo_frac: float = 0.2) -> dict:
     idx_m = np.flatnonzero(kind == "media")
     if idx_m.size:
         media_col[idx_m] = [
-            f"media://blob/{int(k) % 100_000_000:08x}" for k in _mix(DOC_SEED, span_key[idx_m], 13)
+            f"media://blob/{int(k) % blob_space:08x}" for k in _mix(DOC_SEED, span_key[idx_m], 13)
         ]
     offsets = (span_idx * 17 + (_mix(DOC_SEED, span_key, 14) % np.uint64(9)).astype(np.int64)).astype(np.int32)
 

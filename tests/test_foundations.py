@@ -149,3 +149,41 @@ def test_explode_drops_malformed_geo_spans():
     dirty = spans.explode_geo_points(t2)
     assert dirty.num_rows == clean.num_rows - 1
     assert dirty["lon"].null_count == 0
+
+
+def test_explode_spans_matches_python_oracle():
+    t = pa.table(synth.make_docs_batch(np.arange(300, dtype=np.uint64)))
+    got = spans.explode_spans(t, fields=("kind", "media_ref", "offset"))
+    exp = []
+    for did, row in zip(t["doc_id"].to_pylist(), t["spans"].to_pylist()):
+        for i, s in enumerate(row):
+            exp.append((did, i, s["kind"], s["media_ref"], s["offset"]))
+    assert got.num_rows == len(exp)
+    for grow, erow in zip(got.to_pylist(), exp):
+        assert (grow["doc_id"], grow["span_ord"], grow["kind"],
+                grow["media_ref"], grow["offset"]) == erow
+    # kind filter: subset equality
+    media = spans.explode_spans(t, fields=("media_ref",), kind="media")
+    exp_m = [(d, i, m) for (d, i, k, m, o) in exp if k == "media"]
+    assert media.num_rows == len(exp_m)
+    for grow, erow in zip(media.to_pylist(), exp_m):
+        assert (grow["doc_id"], grow["span_ord"], grow["media_ref"]) == erow
+    # empty batch keeps the schema
+    empty = spans.explode_spans(t.slice(0, 0), fields=("kind",))
+    assert empty.num_rows == 0 and empty.column_names == ["doc_id", "span_ord", "kind"]
+
+
+def test_dense_blob_space_creates_reuse_and_defaults_unchanged():
+    ids = np.arange(400, dtype=np.uint64)
+    base = pa.table(synth.make_docs_batch(ids))
+    dense = pa.table(synth.make_docs_batch(ids, blob_space=509))
+    # default blob_space leaves the corpus bit-identical to the historical one
+    assert base.equals(pa.table(synth.make_docs_batch(ids)))
+    # the dense universe actually creates cross-document reuse
+    refs = spans.explode_spans(dense, fields=("media_ref",), kind="media")["media_ref"].to_pylist()
+    assert len(refs) > len(set(refs))
+    # and ONLY media_ref differs from the default corpus
+    for col in ("kind", "text", "offset"):
+        b = spans.explode_spans(base, fields=(col,))[col].to_pylist()
+        d = spans.explode_spans(dense, fields=(col,))[col].to_pylist()
+        assert b == d
