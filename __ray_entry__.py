@@ -256,6 +256,15 @@ _SQL_CHECKED: dict[str, tuple[Callable[[str], Any], str]] = {
     # covariance reduction) — 1e-3-quantized int64 BLAS partials, tree
     # combine; oracle = UNNEST self-join on generate_subscripts
     "embeddings_gram_matrix": (X.embeddings_gram_matrix, X.EMBEDDINGS_GRAM_SQL),
+    # round 4 (cont.): the decode-once multimodal composition — distinct
+    # assets -> actor-pool decode -> hash-join features back to every
+    # referencing span; twin decodes at every occurrence (the work dedup
+    # avoids), equality proves the composition lossless
+    "docs_media_decode_dedup": (X.docs_media_decode_dedup, X._media_decode_dedup_sql()),
+    # round 4 (cont.): asset-linked document clustering — star-reduced
+    # doc<->asset edges into the distributed min-label CC; oracle closes
+    # the same shared-asset graph with a RECURSIVE CTE (full-value check)
+    "docs_asset_components": (X.docs_asset_components, X._asset_components_sql()),
 }
 
 # rows-only checks (none left — every query has an oracle)

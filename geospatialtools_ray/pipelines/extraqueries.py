@@ -3381,3 +3381,159 @@ SELECT a.i AS i, b.i AS j, CAST(SUM(a.qx * b.qx) AS BIGINT) AS s
 FROM q a JOIN q b ON a.vec_id = b.vec_id AND b.i >= a.i
 GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+def docs_media_decode_dedup(sf_dir: str):
+    """The decode-once multimodal composition: explode media spans, reduce
+    to DISTINCT assets (sorted combine at asset cardinality), synthesize +
+    decode each asset exactly ONCE through the actor-pool ImageDecode
+    stage (small batches; payload bytes never ship to the span table), and
+    hash-join the per-asset features back to every referencing span. At
+    ~4-5x asset reuse this does ~4-5x less decode work than per-span
+    decode — the dominant cost lever for a multimodal corpus where decode
+    dwarfs the join. Oracle: a single-process naive loop that decodes at
+    every OCCURRENCE (stage_docs_media_decode_dedup) — equality proves the
+    dedup+join-back is lossless at span granularity."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from . import oracle_fixtures as OF
+    from ..stages import spans
+    from ..stages.multimodal import decode_pipeline, synth_media_batch
+    from .joins import hash_join
+    from .relational import sorted_group_agg
+
+    OF.stage_docs_media_decode_dedup(sf_dir)
+    raw = OF.stage_docs_spans_dense(sf_dir)
+    ds = rd.read_parquet(raw)
+
+    def media_spans(batch: pa.Table) -> pa.Table:
+        t = spans.explode_spans(batch, fields=("media_ref",), kind="media")
+        doc = pc.cast(pc.utf8_slice_codeunits(t["doc_id"], start=4, stop=64), pa.int64())
+        return pa.table({"doc": doc, "span_ord": t["span_ord"], "media_ref": t["media_ref"]})
+
+    # reused twice (distinct-asset reduce + join-back probe): materialize
+    # once so the explode doesn't run again per consumer
+    span_tbl = ds.map_batches(media_spans, batch_format="pyarrow").materialize()
+
+    distinct = sorted_group_agg(
+        span_tbl.select_columns(["media_ref"]), "media_ref", {"n_spans": "count"}
+    )
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        t = synth_media_batch(batch["media_ref"].to_pylist())
+        return t.append_column("n_spans", batch["n_spans"])
+
+    media = distinct.map_batches(to_media, batch_format="pyarrow", batch_size=64)
+    decoded = decode_pipeline(media, concurrency=(1, 4), batch_size=64)
+
+    def feat(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        f = np.asarray(
+            batch["image_features"].combine_chunks().flatten(), dtype=np.float32
+        ).reshape(n, -1).astype(np.float64)
+        return pa.table(
+            {
+                "media_ref": batch["media_ref"],
+                "media_kind": batch["media_kind"],
+                "n_spans": batch["n_spans"],
+                "feat_sum_um": pa.array(np.round(f.sum(axis=1) * 1e6).astype(np.int64)),
+            }
+        )
+
+    feats = decoded.map_batches(feat, batch_format="pyarrow")
+    out = hash_join(span_tbl, feats, on="media_ref").to_pandas()
+    out = out.astype({"doc": "int64", "span_ord": "int32", "n_spans": "int64", "feat_sum_um": "int64"})
+    out["media_kind"] = out["media_kind"].astype(str)
+    return out.sort_values(["doc", "span_ord"]).reset_index(drop=True)[
+        ["doc", "span_ord", "media_ref", "media_kind", "n_spans", "feat_sum_um"]
+    ]
+
+
+def _media_decode_dedup_sql() -> str:
+    from .. import oracles as O
+
+    return O.fixture_sql("docs_media_decode_dedup", "doc, span_ord")
+
+
+def docs_asset_components(sf_dir: str):
+    """Asset-linked document clustering: connected components over the
+    doc<->media_ref bipartite graph (docs sharing any media asset join one
+    component) — the URL/asset-graph dedup shape for a multimodal corpus.
+    Distributed: star-reduced edges (per asset, every referencing doc
+    links to the asset's MIN doc — O(fanout) edges per asset instead of
+    O(fanout^2), same connectivity) feed the iterative min-label CC; docs
+    with no shared asset come back as singletons via a left-outer join.
+    The oracle rebuilds doc-doc shared-asset edges in SQL and closes them
+    with a RECURSIVE CTE — a full-value cross-engine check of a
+    graph-clustering result."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from . import oracle_fixtures as OF
+    from ..stages import spans
+    from ..stages.dedup import connected_components_minlabel
+    from .joins import hash_join
+    from .relational import sorted_group_agg
+
+    raw = OF.stage_docs_spans_linked(sf_dir)
+    ds = rd.read_parquet(raw)
+
+    def media_spans(batch: pa.Table) -> pa.Table:
+        t = spans.explode_spans(batch, fields=("media_ref",), kind="media")
+        doc = pc.cast(pc.utf8_slice_codeunits(t["doc_id"], start=4, stop=64), pa.int64())
+        return pa.table({"doc": doc, "media_ref": t["media_ref"]})
+
+    pairs = ds.map_batches(media_spans, batch_format="pyarrow").materialize()
+    # star reduction: one row per (asset, doc) would also work, but CC input
+    # wants doc-doc edges — anchor every doc of an asset to the asset's min
+    anchor = sorted_group_agg(pairs, "media_ref", {"doc": "min"}).map_batches(
+        lambda b: b.rename_columns(["media_ref", "anchor"]), batch_format="pyarrow"
+    )
+    edges = hash_join(pairs, anchor, on="media_ref").map_batches(
+        lambda b: pa.table(
+            {"id_a": b["anchor"].cast(pa.int64()), "id_b": b["doc"].cast(pa.int64())}
+        ).filter(pc.not_equal(b["anchor"], b["doc"])),
+        batch_format="pyarrow",
+    )
+    labels = connected_components_minlabel(edges)
+
+    all_docs = ds.map_batches(
+        lambda b: pa.table(
+            {"doc": pc.cast(pc.utf8_slice_codeunits(b["doc_id"], start=4, stop=64), pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+    lab = labels.map_batches(lambda b: b.rename_columns(["doc", "_cid"]), batch_format="pyarrow")
+    joined = hash_join(all_docs, lab, on="doc", join_type="left_outer")
+    df = joined.map_batches(
+        lambda b: pa.table(
+            {
+                "doc": b["doc"],
+                "component_id": pc.coalesce(b["_cid"].cast(pa.int64()), b["doc"].cast(pa.int64())),
+            }
+        ),
+        batch_format="pyarrow",
+    ).to_pandas()
+    return df.sort_values("doc").reset_index(drop=True).astype({"doc": "int64", "component_id": "int64"})
+
+
+def _asset_components_sql() -> str:
+    from .. import oracles as O
+
+    return f"""
+WITH RECURSIVE s AS (SELECT doc_id, unnest(spans) AS sp
+           FROM read_parquet('{O.fixture_path("docs_spans_linked")}')),
+m AS (SELECT DISTINCT CAST(doc_id[5:] AS BIGINT) AS doc, sp.media_ref AS ref
+      FROM s WHERE sp.kind = 'media'),
+e0 AS (SELECT a.doc AS s, b.doc AS d FROM m a JOIN m b ON a.ref = b.ref AND a.doc <> b.doc),
+reach(s, d) AS (
+  SELECT s, d FROM e0
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN e0 e ON r.d = e.s
+),
+comp AS (SELECT s AS doc, LEAST(MIN(d), s) AS component_id FROM reach GROUP BY s),
+docs AS (SELECT DISTINCT CAST(doc_id[5:] AS BIGINT) AS doc FROM s)
+SELECT doc, CAST(COALESCE(c.component_id, doc) AS BIGINT) AS component_id
+FROM docs LEFT JOIN comp c USING (doc) ORDER BY doc
+"""

@@ -1242,22 +1242,86 @@ def stage_docs_spans_raw(sf_dir: str) -> str:
     return O.stage_fixture_table("docs_spans_raw", pa.table(batch))
 
 
-def stage_docs_spans_dense(sf_dir: str) -> str:
+def _dense_docs_table(sf_dir: str):
     """The raw interleaved corpus with a DENSE media-ref universe
     (blob_space=509, a prime): at a few thousand docs each media asset is
     referenced ~4-5x across documents, so asset-level dedup over the
     exploded media spans is non-trivial. Same input_hint schema and
-    generator as stage_docs_spans_raw; only the ref universe differs.
-    The matching oracles recompute their answers from this raw parquet
-    with UNNEST — cross-engine, not staged twins."""
+    generator as stage_docs_spans_raw; only the ref universe differs."""
     import pyarrow as pa
 
     from .. import synth
 
     n_li = io.table_num_rows(io.table_path(sf_dir, "lineitem"))
     n_docs = max(500, min(4000, n_li // 30))
-    batch = synth.make_docs_batch(np.arange(n_docs, dtype=np.uint64), blob_space=509)
-    return O.stage_fixture_table("docs_spans_dense", pa.table(batch))
+    return pa.table(synth.make_docs_batch(np.arange(n_docs, dtype=np.uint64), blob_space=509))
+
+
+def stage_docs_spans_dense(sf_dir: str) -> str:
+    """Stage the dense-blob corpus as a parquet fixture; the matching
+    oracles recompute their answers from this raw parquet with UNNEST —
+    cross-engine, not staged twins."""
+    return O.stage_fixture_table("docs_spans_dense", _dense_docs_table(sf_dir))
+
+
+def stage_docs_spans_linked(sf_dir: str) -> str:
+    """The interleaved corpus with blob_space=4099: sparse enough that the
+    shared-asset doc graph is SUBCRITICAL (hundreds of small multi-doc
+    components, max ~73 docs at 4000 docs) — sized so the oracle's
+    recursive-CTE closure stays tractable while the engine's distributed
+    CC still has real multi-round work."""
+    import pyarrow as pa
+
+    from .. import synth
+
+    n_li = io.table_num_rows(io.table_path(sf_dir, "lineitem"))
+    n_docs = max(500, min(4000, n_li // 30))
+    t = pa.table(synth.make_docs_batch(np.arange(n_docs, dtype=np.uint64), blob_space=4099))
+    return O.stage_fixture_table("docs_spans_linked", t)
+
+
+def stage_docs_media_decode_dedup(sf_dir: str) -> str:
+    """Single-process twin of the decode-once composition: a naive loop
+    that decodes the payload AT EVERY SPAN OCCURRENCE (exactly the
+    repeated work the engine's dedup avoids) and must therefore equal the
+    engine's decode-each-distinct-asset-once + hash-join-back result.
+    Like stage_docs_media_features, the fake codec is shared (it defines
+    the stub); what the twin proves is the composition — distinct-asset
+    reduction, actor-pool decode, and join-back completeness at span
+    granularity."""
+    from collections import Counter
+
+    from ..stages.multimodal import ImageDecode, synth_media_batch
+
+    t = _dense_docs_table(sf_dir)
+    dec = ImageDecode(use_fake=True)
+    doc_ids = t["doc_id"].to_pylist()
+    span_rows = t["spans"].to_pylist()
+    fanout = Counter(
+        s["media_ref"] for row in span_rows for s in row if s["kind"] == "media"
+    )
+    rows = []
+    for did, row in zip(doc_ids, span_rows):
+        for i, s in enumerate(row):
+            if s["kind"] != "media":
+                continue
+            m = synth_media_batch([s["media_ref"]])
+            feats = dec._decode_fake(m["media_bytes"][0].as_py())
+            f32 = np.asarray(feats, dtype=np.float32).astype(np.float64)
+            rows.append(
+                {
+                    "doc": int(did[4:]),
+                    "span_ord": i,
+                    "media_ref": s["media_ref"],
+                    "media_kind": m["media_kind"][0].as_py(),
+                    "n_spans": int(fanout[s["media_ref"]]),
+                    "feat_sum_um": int(np.round(f32.sum() * 1e6)),
+                }
+            )
+    out = pd.DataFrame(rows).astype(
+        {"doc": "int64", "span_ord": "int32", "n_spans": "int64", "feat_sum_um": "int64"}
+    )
+    return O.stage_fixture("docs_media_decode_dedup", out.sort_values(["doc", "span_ord"]))
 
 
 # chr(31)/chr(30) mirror the \x1f field / \x1e record separators used by
