@@ -265,6 +265,10 @@ _SQL_CHECKED: dict[str, tuple[Callable[[str], Any], str]] = {
     # doc<->asset edges into the distributed min-label CC; oracle closes
     # the same shared-asset graph with a RECURSIVE CTE (full-value check)
     "docs_asset_components": (X.docs_asset_components, X._asset_components_sql()),
+    # round 4 (cont.): deterministic integer PageRank over the doc<->asset
+    # bipartite graph (3 iterations, pinned int64 micro-unit arithmetic);
+    # oracle unrolls the SAME iterations in SQL — exact, no float hazard
+    "docs_asset_pagerank": (X.docs_asset_pagerank, X._asset_pagerank_sql()),
 }
 
 # rows-only checks (none left — every query has an oracle)

@@ -3429,6 +3429,17 @@ def docs_media_decode_dedup(sf_dir: str):
 
     def feat(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
+        if n == 0:
+            # 0-row blocks reach per-batch UDFs after upstream stages;
+            # reshape(0, -1) raises, so emit the typed empty table
+            return pa.table(
+                {
+                    "media_ref": pa.array([], type=pa.string()),
+                    "media_kind": pa.array([], type=pa.string()),
+                    "n_spans": pa.array([], type=pa.int64()),
+                    "feat_sum_um": pa.array([], type=pa.int64()),
+                }
+            )
         f = np.asarray(
             batch["image_features"].combine_chunks().flatten(), dtype=np.float32
         ).reshape(n, -1).astype(np.float64)
@@ -3536,4 +3547,125 @@ comp AS (SELECT s AS doc, LEAST(MIN(d), s) AS component_id FROM reach GROUP BY s
 docs AS (SELECT DISTINCT CAST(doc_id[5:] AS BIGINT) AS doc FROM s)
 SELECT doc, CAST(COALESCE(c.component_id, doc) AS BIGINT) AS component_id
 FROM docs LEFT JOIN comp c USING (doc) ORDER BY doc
+"""
+
+
+# ---------------------------------------------------------------------------
+# Deterministic integer PageRank over the doc<->asset bipartite graph — the
+# iterative graph-ranking shape (link analysis over a multimodal corpus:
+# which docs/assets sit at reuse hubs). All arithmetic is pinned int64
+# micro-units (pr//deg truncating contribution, (85*sum)//100 damping), so
+# the SQL oracle unrolls the SAME three iterations exactly — no float
+# accumulation-order hazard anywhere. Every node with an edge receives at
+# least one contribution per round (the graph is symmetric), so no node
+# drops out of the unrolled CTEs.
+# ---------------------------------------------------------------------------
+
+PAGERANK_ITERS = 3
+_ASSET_BASE = 1_000_000_000
+
+
+def docs_asset_pagerank(sf_dir: str):
+    import pyarrow.compute as pc
+    import ray
+    import ray.data as rd
+
+    from . import oracle_fixtures as OF
+    from ..stages import spans
+    from .relational import sorted_group_agg
+
+    raw = OF.stage_docs_spans_dense(sf_dir)
+    ds = rd.read_parquet(raw)
+
+    def edges_batch(batch: pa.Table) -> pa.Table:
+        t = spans.explode_spans(batch, fields=("media_ref",), kind="media")
+        doc = pc.cast(pc.utf8_slice_codeunits(t["doc_id"], start=4, stop=64), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        asset = spans.hex8_to_int(t["media_ref"]) + _ASSET_BASE
+        # distinct (doc, asset) pairs: a doc is ONE row, so batch-local
+        # distinct is globally distinct
+        pairs = pd.DataFrame({"doc": doc, "asset": asset}).drop_duplicates()
+        s = np.concatenate([pairs["doc"].to_numpy(), pairs["asset"].to_numpy()])
+        d = np.concatenate([pairs["asset"].to_numpy(), pairs["doc"].to_numpy()])
+        return pa.table({"s": pa.array(s, type=pa.int64()), "d": pa.array(d, type=pa.int64())})
+
+    edges = ds.map_batches(edges_batch, batch_format="pyarrow").materialize()
+    n_edges = edges.count()
+    # small joins must collapse to few partitions (empty hash-join
+    # partitions finalize schema-less — same guard as the distributed CC)
+    parts = int(max(2, min(ray.cluster_resources().get("CPU", 8), (n_edges + 9_999) // 10_000)))
+
+    deg = sorted_group_agg(edges, "s", {"deg": "count"}).materialize()
+    e_deg = edges.join(deg, join_type="inner", num_partitions=parts, on=("s",)).materialize()
+
+    pr = deg.map_batches(
+        lambda b: pa.table(
+            {"node": b["s"], "pr": pa.array(np.full(b.num_rows, 1_000_000, dtype=np.int64))}
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    for _ in range(PAGERANK_ITERS):
+        contrib = e_deg.join(pr, join_type="inner", num_partitions=parts, on=("s",), right_on=("node",))
+        per_dst = contrib.map_batches(
+            lambda b: pa.table(
+                {
+                    "d": b["d"],
+                    "c": pa.array(
+                        b["pr"].to_numpy(zero_copy_only=False) // b["deg"].to_numpy(zero_copy_only=False)
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        summed = sorted_group_agg(per_dst, "d", {"c": "sum"})
+        nxt = summed.map_batches(
+            lambda b: pa.table(
+                {
+                    "node": b["d"],
+                    "pr": pa.array(150_000 + (85 * b["c"].to_numpy(zero_copy_only=False)) // 100),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        # plan cut: each round's plan embeds the last through the join —
+        # rebuild from materialized block refs (terrain.dist._rebound rule)
+        pr = rd.from_arrow_refs(nxt.materialize().to_arrow_refs())
+
+    docs_only = pr.map_batches(
+        lambda b: b.filter(pc.less(b["node"], _ASSET_BASE)), batch_format="pyarrow"
+    )
+    df = docs_only.to_pandas()
+    df = df.rename(columns={"node": "doc"}).astype({"doc": "int64", "pr": "int64"})
+    return df.sort_values("doc").reset_index(drop=True)
+
+
+def _asset_pagerank_sql() -> str:
+    from .. import oracles as O
+
+    hexval = (
+        "SUM((CASE WHEN ascii(substr(ref, 14 + i, 1)) >= 97 "
+        "THEN ascii(substr(ref, 14 + i, 1)) - 87 "
+        "ELSE ascii(substr(ref, 14 + i, 1)) - 48 END) * (CAST(1 AS BIGINT) << (4 * (7 - i))))"
+    )
+    it = (
+        "SELECT e.d AS node, 150000 + (85 * SUM(p.pr // g.deg)) // 100 AS pr "
+        "FROM e JOIN {prev} p ON e.s = p.node JOIN deg g ON e.s = g.s GROUP BY e.d"
+    )
+    return f"""
+WITH s AS (SELECT doc_id, unnest(spans) AS sp
+           FROM read_parquet('{O.fixture_path("docs_spans_dense")}')),
+m0 AS (SELECT DISTINCT CAST(doc_id[5:] AS BIGINT) AS doc, sp.media_ref AS ref
+       FROM s WHERE sp.kind = 'media'),
+m AS (SELECT doc, 1000000000 + CAST({hexval} AS BIGINT) AS asset
+      FROM m0, range(8) t(i) GROUP BY doc, ref),
+e AS (SELECT doc AS s, asset AS d FROM m UNION ALL SELECT asset, doc FROM m),
+deg AS (SELECT s, COUNT(*) AS deg FROM e GROUP BY s),
+pr0 AS (SELECT s AS node, CAST(1000000 AS BIGINT) AS pr FROM deg),
+it1 AS ({it.format(prev="pr0")}),
+it2 AS ({it.format(prev="it1")}),
+it3 AS ({it.format(prev="it2")})
+SELECT CAST(node AS BIGINT) AS doc, CAST(pr AS BIGINT) AS pr FROM it3
+WHERE node < 1000000000 ORDER BY doc
 """

@@ -108,6 +108,37 @@ def attach_cell(batch: pa.Table, res: int, lon_col: str = "lon", lat_col: str = 
     return batch.append_column("cell", pa.array(cells, type=pa.uint64()))
 
 
+def hex8_to_int(refs: pa.Array, prefix_len: int = 13) -> np.ndarray:
+    """Vectorized parse of the 8-hex-digit suffix of `media://blob/%08x`
+    refs to int64 — a per-row pure function, so asset ids never need a
+    broadcast ref->id map (scale-wrong at planetary asset counts). No
+    Python loop: the fixed-width suffix is viewed as a (n, 8) uint8 matrix
+    and dotted with the 16^k place values. Raises on malformed refs (any
+    non-hex byte) rather than aliasing assets silently."""
+    if isinstance(refs, pa.ChunkedArray):
+        refs = refs.combine_chunks()
+    n = len(refs)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    suffix = pc.utf8_slice_codeunits(refs, start=prefix_len, stop=prefix_len + 8)
+    lens = pc.binary_length(suffix).to_numpy(zero_copy_only=False)
+    if not (lens == 8).all():
+        raise ValueError("hex8_to_int: ref suffix not 8 chars — malformed media_ref")
+    # zero-copy: the flat value buffer of a no-null fixed-width string
+    # array IS the (n, 8) digit matrix
+    arr = suffix.combine_chunks() if isinstance(suffix, pa.ChunkedArray) else suffix
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)[arr.offset: arr.offset + n + 1]
+    mat = data[offs[0]: offs[0] + 8 * n].reshape(n, 8)
+    digit = mat.astype(np.int64) - 48
+    alpha = mat >= 97
+    digit[alpha] = mat[alpha].astype(np.int64) - 87
+    if ((digit < 0) | (digit > 15)).any():
+        raise ValueError("hex8_to_int: non-hex byte in media_ref suffix")
+    place = (np.int64(16) ** np.arange(7, -1, -1, dtype=np.int64))
+    return digit @ place
+
+
 def explode_spans(batch: pa.Table, fields: tuple[str, ...] = ("kind",),
                   kind: str | None = None) -> pa.Table:
     """docs batch -> one row per span: (doc_id, span_ord, <fields...>),

@@ -187,3 +187,20 @@ def test_dense_blob_space_creates_reuse_and_defaults_unchanged():
         b = spans.explode_spans(base, fields=(col,))[col].to_pylist()
         d = spans.explode_spans(dense, fields=(col,))[col].to_pylist()
         assert b == d
+
+
+def test_hex8_to_int_parses_media_refs():
+    from geospatialtools_ray.stages.spans import hex8_to_int
+
+    vals = [0, 1, 255, 4098, 0xDEADBEEF, 0xFFFFFFFF]
+    refs = pa.array([f"media://blob/{v:08x}" for v in vals])
+    assert hex8_to_int(refs).tolist() == vals
+    # sliced (nonzero offset) arrays parse identically
+    assert hex8_to_int(refs.slice(2, 3)).tolist() == vals[2:5]
+    assert hex8_to_int(refs.slice(0, 0)).tolist() == []
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        hex8_to_int(pa.array(["media://blob/zzzz0000"]))
+    with _pytest.raises(ValueError):
+        hex8_to_int(pa.array(["media://blob/123"]))
