@@ -269,6 +269,11 @@ _SQL_CHECKED: dict[str, tuple[Callable[[str], Any], str]] = {
     # bipartite graph (3 iterations, pinned int64 micro-unit arithmetic);
     # oracle unrolls the SAME iterations in SQL — exact, no float hazard
     "docs_asset_pagerank": (X.docs_asset_pagerank, X._asset_pagerank_sql()),
+    # round 4 (cont.): per-user event-sequence trigrams (path analysis) and
+    # degree-ordered distributed triangle counting over the shared-asset
+    # doc graph (wedge join + packed-key membership join)
+    "events_type_trigrams": (X.events_type_trigrams, X.EVENTS_TYPE_TRIGRAMS_SQL),
+    "docs_asset_triangles": (X.docs_asset_triangles, X._asset_triangles_sql()),
 }
 
 # rows-only checks (none left — every query has an oracle)

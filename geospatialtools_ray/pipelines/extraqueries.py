@@ -3352,6 +3352,9 @@ def embeddings_gram_matrix(sf_dir: str):
     def partial(batch: pa.Table) -> pa.Table:
         emb = batch["embedding"].combine_chunks()
         n = batch.num_rows
+        if n == 0:  # reshape(0, -1) raises; typed empty keeps the contract
+            return pa.table({"i": pa.array([], pa.int64()), "j": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.int64())})
         X = np.asarray(emb.flatten(), dtype=np.float64).reshape(n, -1)
         q = sql_round(X * 1000.0).astype(np.int64)
         G = q.T @ q
@@ -3668,4 +3671,230 @@ it2 AS ({it.format(prev="it1")}),
 it3 AS ({it.format(prev="it2")})
 SELECT CAST(node AS BIGINT) AS doc, CAST(pr AS BIGINT) AS pr FROM it3
 WHERE node < 1000000000 ORDER BY doc
+"""
+
+
+# ---------------------------------------------------------------------------
+# Per-user event-sequence trigrams — the path/funnel-analysis shape: counts
+# of consecutive (type, type, type) transitions within each user's ordered
+# stream, corpus-wide. Whole-user locality via bucketed_key_apply (ordering
+# is per user; a user never splits across buckets), trigram space is
+# |types|^3-bounded so the finish is the shuffle-free tree combine.
+# ---------------------------------------------------------------------------
+
+def events_type_trigrams(sf_dir: str):
+    from ..stages.keyapply import bucketed_key_apply
+    from .relational import tree_group_sum
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "event_type"])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"t1": pd.Series([], dtype=str), "t2": pd.Series([], dtype=str),
+             "t3": pd.Series([], dtype=str), "n": pd.Series([], dtype="int64")}
+        )
+        if len(g) < 3:
+            return empty
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable").reset_index(drop=True)
+        u = g["user_id"].to_numpy()
+        t = g["event_type"].to_numpy()
+        same = u[:-1] == u[1:]
+        ok = same[:-1] & same[1:]
+        if not ok.any():
+            return empty
+        i = np.flatnonzero(ok)
+        df = pd.DataFrame({"t1": t[i], "t2": t[i + 1], "t3": t[i + 2]})
+        out = df.groupby(["t1", "t2", "t3"], as_index=False).size().rename(columns={"size": "n"})
+        return out.astype({"n": "int64"})
+
+    parts = bucketed_key_apply(ds, "user_id", per_bucket)
+    out = tree_group_sum(parts, ["t1", "t2", "t3"], value_cols=["n"]).astype({"n": "int64"})
+    return out.sort_values(["t1", "t2", "t3"]).reset_index(drop=True)
+
+
+EVENTS_TYPE_TRIGRAMS_SQL = """
+WITH o AS (
+  SELECT event_type AS t1,
+         LEAD(event_type, 1) OVER w AS t2,
+         LEAD(event_type, 2) OVER w AS t3
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT t1, t2, t3, CAST(COUNT(*) AS BIGINT) AS n
+FROM o WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# Distributed triangle counting over the shared-asset doc graph — the classic
+# MPC graph primitive. Edges are doc pairs sharing >= 1 asset (fanout-capped:
+# assets referenced by more than TRIANGLE_FANOUT_CAP docs are excluded on
+# BOTH engines — the standard heavy-hitter exclusion that bounds per-asset
+# pair generation at O(CAP^2)); counting uses the degree-ordered orientation
+# (every edge points from lower (deg, id) to higher), so each triangle is the
+# unique wedge u->v->w whose closing edge u->w exists — one hash join for
+# wedges + one for membership, no per-node adjacency broadcast. Doc ids are
+# < 2^31 (documented corpus bound shared with docs_hash_sample), so edge
+# membership keys pack into one int64.
+# ---------------------------------------------------------------------------
+
+TRIANGLE_FANOUT_CAP = 64
+
+
+def docs_asset_triangles(sf_dir: str):
+    import pyarrow.compute as pc
+    import ray
+    import ray.data as rd
+
+    from . import oracle_fixtures as OF
+    from ..stages import spans
+    from ..stages.keyapply import bucketed_key_apply, key_run_starts, run_start_index
+    from .joins import hash_join
+    from .relational import sorted_group_agg
+
+    raw = OF.stage_docs_spans_linked(sf_dir)
+    ds = rd.read_parquet(raw)
+
+    def media_pairs(batch: pa.Table) -> pa.Table:
+        t = spans.explode_spans(batch, fields=("media_ref",), kind="media")
+        doc = pc.cast(pc.utf8_slice_codeunits(t["doc_id"], start=4, stop=64), pa.int64())
+        df = pd.DataFrame({"media_ref": t["media_ref"].to_pandas(), "doc": doc.to_numpy(zero_copy_only=False)})
+        return pa.Table.from_pandas(df.drop_duplicates(), preserve_index=False)
+
+    pairs = ds.map_batches(media_pairs, batch_format="pyarrow")
+
+    def ref_edges(g: pd.DataFrame) -> pd.DataFrame:
+        """Whole refs per bucket: emit all a<b doc pairs per ref. Runs are
+        grouped BY LENGTH so the all-pairs construction is one vectorized
+        triu gather per distinct run length (<= CAP iterations), never a
+        per-ref Python loop."""
+        empty = pd.DataFrame({"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64")})
+        if len(g) == 0:
+            return empty
+        g = g.sort_values(["media_ref", "doc"], kind="stable").reset_index(drop=True)
+        docs = g["doc"].to_numpy()
+        starts = run_start_index(key_run_starts(g["media_ref"].to_numpy()))
+        lens = np.diff(np.append(starts, len(g)))
+        keep = lens <= TRIANGLE_FANOUT_CAP
+        outs = []
+        for k in np.unique(lens[keep]):
+            if k < 2:
+                continue
+            st = starts[keep][lens[keep] == k]
+            mat = docs[st[:, None] + np.arange(k)[None, :]]
+            iu, ju = np.triu_indices(int(k), 1)
+            outs.append(pd.DataFrame({"a": mat[:, iu].ravel(), "b": mat[:, ju].ravel()}))
+        if not outs:
+            return empty
+        return pd.concat(outs, ignore_index=True).astype({"a": "int64", "b": "int64"})
+
+    raw_edges = bucketed_key_apply(pairs, "media_ref", ref_edges)
+
+    # distinct edges: pack (a, b) into one int64 (a < b < 2^31) and dedupe
+    # at edge cardinality via the sorted combine
+    def pack(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"k": (b["a"].to_numpy() << np.int64(31)) | b["b"].to_numpy()})
+
+    edges_packed = sorted_group_agg(
+        raw_edges.map_batches(pack, batch_format="pandas"), "k", {"cnt": "count"}
+    ).materialize()
+
+    def unpack(b: pa.Table) -> pa.Table:
+        k = b["k"].to_numpy(zero_copy_only=False)
+        return pa.table({"a": pa.array(k >> np.int64(31)), "b": pa.array(k & np.int64((1 << 31) - 1))})
+
+    edges = edges_packed.map_batches(unpack, batch_format="pyarrow").materialize()
+    n_edges = edges.count()
+    parts = int(max(2, min(ray.cluster_resources().get("CPU", 8), (n_edges + 9_999) // 10_000)))
+
+    both = edges.map_batches(
+        lambda b: pa.table({"doc": pa.concat_arrays(
+            [b["a"].combine_chunks(), b["b"].combine_chunks()])}),
+        batch_format="pyarrow",
+    )
+    deg = sorted_group_agg(both, "doc", {"dg": "count"}).materialize()
+
+    # orient: s = endpoint with smaller (deg, id); two deg lookups by join
+    # (Ray's join drops the right key column, so e1 = (a, b, dga))
+    deg_a = deg.map_batches(lambda b: b.rename_columns(["doc", "dga"]), batch_format="pyarrow")
+    e1 = hash_join(edges, deg_a, on="a", right_on="doc", num_partitions=parts)
+    e2 = hash_join(e1, deg, on="b", right_on="doc", num_partitions=parts)
+
+    def orient(b: pa.Table) -> pa.Table:
+        a = b["a"].to_numpy(zero_copy_only=False)
+        bb = b["b"].to_numpy(zero_copy_only=False)
+        da = b["dga"].to_numpy(zero_copy_only=False)
+        db = b["dg"].to_numpy(zero_copy_only=False)
+        a_first = (da < db) | ((da == db) & (a < bb))
+        s = np.where(a_first, a, bb)
+        d = np.where(a_first, bb, a)
+        return pa.table({"s": pa.array(s), "d": pa.array(d),
+                         "sd": pa.array((s << np.int64(31)) | d)})
+
+    eo = e2.map_batches(orient, batch_format="pyarrow").materialize()
+
+    # wedges u->v->w (join on the middle vertex), then close with the
+    # membership join on the packed (u, w) key
+    left = eo.map_batches(lambda b: b.select(["s", "d"]).rename_columns(["u", "v"]), batch_format="pyarrow")
+    right = eo.map_batches(lambda b: b.select(["s", "d"]).rename_columns(["v", "w"]), batch_format="pyarrow")
+    wedges = hash_join(left, right, on="v", num_partitions=parts).map_batches(
+        lambda b: pa.table({
+            "u": b["u"], "v": b["v"], "w": b["w"],
+            "uw": pa.array((b["u"].to_numpy(zero_copy_only=False) << np.int64(31))
+                           | b["w"].to_numpy(zero_copy_only=False)),
+        }),
+        batch_format="pyarrow",
+    )
+    closing = eo.map_batches(lambda b: b.select(["sd"]).rename_columns(["uw"]), batch_format="pyarrow")
+    tris = hash_join(wedges, closing, on="uw", num_partitions=parts)
+
+    corners = tris.map_batches(
+        lambda b: pa.table({"doc": pa.concat_arrays(
+            [b["u"].combine_chunks(), b["v"].combine_chunks(), b["w"].combine_chunks()])}),
+        batch_format="pyarrow",
+    )
+    per_doc = sorted_group_agg(corners, "doc", {"n_tri": "count"})
+
+    all_docs = ds.map_batches(
+        lambda b: pa.table({"doc": pc.cast(
+            pc.utf8_slice_codeunits(b["doc_id"], start=4, stop=64), pa.int64())}),
+        batch_format="pyarrow",
+    )
+    joined = hash_join(all_docs, per_doc, on="doc", join_type="left_outer", num_partitions=parts)
+    df = joined.map_batches(
+        lambda b: pa.table({
+            "doc": b["doc"],
+            "n_tri": pc.coalesce(b["n_tri"].cast(pa.int64()), pa.scalar(0, pa.int64())),
+        }),
+        batch_format="pyarrow",
+    ).to_pandas()
+    return df.sort_values("doc").reset_index(drop=True).astype({"doc": "int64", "n_tri": "int64"})
+
+
+def _asset_triangles_sql() -> str:
+    from .. import oracles as O
+
+    return f"""
+WITH s AS (SELECT doc_id, unnest(spans) AS sp
+           FROM read_parquet('{O.fixture_path("docs_spans_linked")}')),
+m AS (SELECT DISTINCT CAST(doc_id[5:] AS BIGINT) AS doc, sp.media_ref AS ref
+      FROM s WHERE sp.kind = 'media'),
+fan AS (SELECT ref, COUNT(*) AS f FROM m GROUP BY ref),
+mok AS (SELECT m.doc, m.ref FROM m JOIN fan USING (ref) WHERE fan.f <= {TRIANGLE_FANOUT_CAP}),
+e0 AS (SELECT DISTINCT a.doc AS a, b.doc AS b
+       FROM mok a JOIN mok b ON a.ref = b.ref AND a.doc < b.doc),
+deg AS (SELECT doc, COUNT(*) AS dg
+        FROM (SELECT a AS doc FROM e0 UNION ALL SELECT b FROM e0) GROUP BY doc),
+eo AS (SELECT CASE WHEN (da.dg, e0.a) < (db.dg, e0.b) THEN e0.a ELSE e0.b END AS s,
+              CASE WHEN (da.dg, e0.a) < (db.dg, e0.b) THEN e0.b ELSE e0.a END AS d
+       FROM e0 JOIN deg da ON e0.a = da.doc JOIN deg db ON e0.b = db.doc),
+tri AS (SELECT e1.s AS u, e1.d AS v, e2.d AS w
+        FROM eo e1 JOIN eo e2 ON e1.d = e2.s
+        JOIN eo e3 ON e3.s = e1.s AND e3.d = e2.d),
+cnt AS (SELECT doc, COUNT(*) AS n_tri
+        FROM (SELECT u AS doc FROM tri UNION ALL SELECT v FROM tri UNION ALL SELECT w FROM tri)
+        GROUP BY doc),
+docs AS (SELECT DISTINCT CAST(doc_id[5:] AS BIGINT) AS doc FROM s)
+SELECT doc, CAST(COALESCE(n_tri, 0) AS BIGINT) AS n_tri
+FROM docs LEFT JOIN cnt USING (doc) ORDER BY doc
 """
