@@ -274,6 +274,11 @@ _SQL_CHECKED: dict[str, tuple[Callable[[str], Any], str]] = {
     # doc graph (wedge join + packed-key membership join)
     "events_type_trigrams": (X.events_type_trigrams, X.EVENTS_TYPE_TRIGRAMS_SQL),
     "docs_asset_triangles": (X.docs_asset_triangles, X._asset_triangles_sql()),
+    # round 4 (cont.): FULL OUTER join shape (the last missing join type)
+    # and the interval-OVERLAP join (interval x interval, bucket cover +
+    # anchor-bucket exactly-once rule) over padded user sessions
+    "events_user_full_outer": (X.events_user_full_outer, X.EVENTS_USER_FULL_OUTER_SQL),
+    "events_session_overlap": (X.events_session_overlap, X.EVENTS_SESSION_OVERLAP_SQL),
 }
 
 # rows-only checks (none left — every query has an oracle)

@@ -3898,3 +3898,202 @@ docs AS (SELECT DISTINCT CAST(doc_id[5:] AS BIGINT) AS doc FROM s)
 SELECT doc, CAST(COALESCE(n_tri, 0) AS BIGINT) AS n_tri
 FROM docs LEFT JOIN cnt USING (doc) ORDER BY doc
 """
+
+
+# ---------------------------------------------------------------------------
+# FULL OUTER join shape — the one join type not yet on the gate: per-user
+# high-value purchase rollup vs per-user high-value error rollup, where each
+# side has users the other lacks (threshold chosen so both unmatched sides
+# are non-empty at every sf). Both sides aggregate at USER cardinality via
+# the sorted combine; the full-outer hash join coalesces the key across
+# sides (Ray emits one key column), and missing-side aggregates pin to 0.
+# ---------------------------------------------------------------------------
+
+FULL_OUTER_VALUE_MIN = 100.0
+
+
+def events_user_full_outer(sf_dir: str):
+    import pyarrow.compute as pc
+
+    from .joins import hash_join
+    from .relational import sorted_group_agg
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "value"])
+
+    def side(batch: pa.Table, etype: str, ncol: str, vcol: str | None) -> pa.Table:
+        mask = pc.and_(pc.equal(batch["event_type"], etype),
+                       pc.greater(batch["value"], FULL_OUTER_VALUE_MIN))
+        t = batch.filter(mask)
+        cols = {"user_id": t["user_id"]}
+        if vcol is not None:
+            v = sql_round(t["value"].to_numpy(zero_copy_only=False) * 1000.0).astype(np.int64)
+            cols[vcol] = pa.array(v)
+        return pa.table(cols)
+
+    left = sorted_group_agg(
+        ds.map_batches(lambda b: side(b, "purchase", "n_purch", "purch_v"), batch_format="pyarrow"),
+        "user_id", {"n_purch": "count", "purch_v": "sum"},
+    )
+    right = sorted_group_agg(
+        ds.map_batches(lambda b: side(b, "error", "n_err", None), batch_format="pyarrow"),
+        "user_id", {"n_err": "count"},
+    )
+    joined = hash_join(left, right, on="user_id", join_type="full_outer", num_partitions=4)
+
+    def finish(b: pa.Table) -> pa.Table:
+        z = pa.scalar(0, pa.int64())
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "n_purch": pc.coalesce(b["n_purch"].cast(pa.int64()), z),
+                "purch_v": pc.coalesce(b["purch_v"].cast(pa.int64()), z),
+                "n_err": pc.coalesce(b["n_err"].cast(pa.int64()), z),
+            }
+        )
+
+    df = joined.map_batches(finish, batch_format="pyarrow").to_pandas()
+    df["purch_v"] = df["purch_v"].astype("float64") / 1000.0
+    df = df.astype({"user_id": "int64", "n_purch": "int64", "n_err": "int64"})
+    return df.sort_values("user_id").reset_index(drop=True)[
+        ["user_id", "n_purch", "purch_v", "n_err"]
+    ]
+
+
+EVENTS_USER_FULL_OUTER_SQL = f"""
+WITH l AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_purch,
+         CAST(SUM(CAST(round(value*1000) AS BIGINT)) AS BIGINT) AS pv
+  FROM events WHERE event_type = 'purchase' AND value > {FULL_OUTER_VALUE_MIN}
+  GROUP BY user_id
+),
+r AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_err
+  FROM events WHERE event_type = 'error' AND value > {FULL_OUTER_VALUE_MIN}
+  GROUP BY user_id
+)
+SELECT COALESCE(l.user_id, r.user_id) AS user_id,
+       COALESCE(l.n_purch, 0) AS n_purch,
+       CAST(COALESCE(l.pv, 0) AS DOUBLE) / 1000.0 AS purch_v,
+       COALESCE(r.n_err, 0) AS n_err
+FROM l FULL OUTER JOIN r ON l.user_id = r.user_id
+ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Interval-OVERLAP join (interval x interval — the operator range_join's
+# point-in-interval shape cannot express): co-present user sessions. Each
+# padded session interval [lo, hi) explodes to the width-W buckets it
+# covers; a candidate pair meets wherever both cover a bucket, and the
+# ANCHOR-BUCKET rule (count the pair only in the bucket containing
+# max(lo_a, lo_b) — covered by both sides of every true overlap) makes each
+# pair meet exactly ONCE, no dedup shuffle. Partitioning assumption: W is
+# chosen so per-bucket session counts stay bounded (hot buckets would route
+# through the salted join). Oracle: window-function sessionize + the plain
+# quadratic inequality join — cross-engine.
+# ---------------------------------------------------------------------------
+
+SESSION_GAP_US = 1_800_000_000          # 30 min, the sessionize convention
+SESSION_PAD_US = 1_800_000_000          # ±30 min co-presence padding
+OVERLAP_BUCKET_US = 21_600_000_000      # 6 h cover buckets
+
+
+def events_session_overlap(sf_dir: str):
+    import pyarrow.compute as pc
+
+    from ..stages.keyapply import bucketed_key_apply, key_run_starts
+    from .joins import hash_join
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def intervals(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({c: pd.Series([], dtype="int64")
+                              for c in ("user_id", "sid", "lo", "hi")})
+        if len(g) == 0:
+            return empty
+        g = g.sort_values(["user_id", "ts"], kind="stable").reset_index(drop=True)
+        us = g["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        u = g["user_id"].to_numpy()
+        new_user = key_run_starts(u)
+        brk = new_user.copy()
+        brk[1:] |= (us[1:] - us[:-1]) > SESSION_GAP_US
+        sid_global = np.cumsum(brk) - 1          # global session ordinal
+        # per-user 0-based session id (matches the SQL SUM(brk) window - 1)
+        first_sid = np.zeros(len(g), dtype=np.int64)
+        starts = np.flatnonzero(new_user)
+        first_sid = np.repeat(sid_global[starts], np.diff(np.append(starts, len(g))))
+        sid = sid_global - first_sid
+        df = pd.DataFrame({"user_id": u, "sid": sid, "us": us})
+        out = df.groupby(["user_id", "sid"], as_index=False).agg(lo=("us", "min"), hi=("us", "max"))
+        out["lo"] = out["lo"] - SESSION_PAD_US
+        out["hi"] = out["hi"] + SESSION_PAD_US
+        return out.astype({"user_id": "int64", "sid": "int64", "lo": "int64", "hi": "int64"})
+
+    iv = bucketed_key_apply(ds, "user_id", intervals).materialize()
+
+    W = OVERLAP_BUCKET_US
+
+    def explode(b: pa.Table) -> pa.Table:
+        lo = b["lo"].to_numpy(zero_copy_only=False)
+        hi = b["hi"].to_numpy(zero_copy_only=False)
+        nb = ((hi - 1) // W - lo // W + 1).astype(np.int64)
+        idx = np.repeat(np.arange(len(lo)), nb)
+        total = int(nb.sum())
+        run0 = np.repeat(np.cumsum(nb) - nb, nb)  # start offset of each row's run
+        off = np.arange(total, dtype=np.int64) - run0
+        bucket = (lo // W)[idx] + off
+        t = b.take(pa.array(idx))
+        return t.append_column("bucket", pa.array(bucket.astype(np.int64)))
+
+    ex = iv.map_batches(explode, batch_format="pyarrow").materialize()
+    exb = ex.map_batches(
+        lambda b: b.rename_columns(["user_b", "sid_b", "lo_b", "hi_b", "bucket"]),
+        batch_format="pyarrow",
+    )
+    cand = hash_join(ex, exb, on="bucket", num_partitions=8)
+
+    def filt(b: pa.Table) -> pa.Table:
+        lo_a = b["lo"].to_numpy(zero_copy_only=False)
+        hi_a = b["hi"].to_numpy(zero_copy_only=False)
+        lo_b = b["lo_b"].to_numpy(zero_copy_only=False)
+        hi_b = b["hi_b"].to_numpy(zero_copy_only=False)
+        bucket = b["bucket"].to_numpy(zero_copy_only=False)
+        anchor = np.maximum(lo_a, lo_b) // W
+        ok = (
+            (b["user_id"].to_numpy(zero_copy_only=False) < b["user_b"].to_numpy(zero_copy_only=False))
+            & (lo_a < hi_b) & (lo_b < hi_a) & (anchor == bucket)
+        )
+        t = b.filter(pa.array(ok))
+        ov = (np.minimum(t["hi"].to_numpy(zero_copy_only=False), t["hi_b"].to_numpy(zero_copy_only=False))
+              - np.maximum(t["lo"].to_numpy(zero_copy_only=False), t["lo_b"].to_numpy(zero_copy_only=False)))
+        return pa.table(
+            {
+                "user_a": t["user_id"].cast(pa.int64()),
+                "sid_a": t["sid"].cast(pa.int64()),
+                "user_b": t["user_b"].cast(pa.int64()),
+                "sid_b": t["sid_b"].cast(pa.int64()),
+                "overlap_us": pa.array(ov.astype(np.int64)),
+            }
+        )
+
+    df = cand.map_batches(filt, batch_format="pyarrow").to_pandas()
+    return df.sort_values(["user_a", "sid_a", "user_b", "sid_b"]).reset_index(drop=True).astype(
+        {c: "int64" for c in df.columns}
+    )
+
+
+EVENTS_SESSION_OVERLAP_SQL = f"""
+WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+o AS (SELECT user_id, us, LAG(us) OVER (PARTITION BY user_id ORDER BY us) AS prev FROM e),
+s AS (SELECT user_id, us,
+             CASE WHEN prev IS NULL OR us - prev > {SESSION_GAP_US} THEN 1 ELSE 0 END AS brk
+      FROM o),
+sess AS (SELECT user_id, SUM(brk) OVER (PARTITION BY user_id ORDER BY us) - 1 AS sid, us FROM s),
+iv AS (SELECT user_id, sid, MIN(us) - {SESSION_PAD_US} AS lo, MAX(us) + {SESSION_PAD_US} AS hi
+       FROM sess GROUP BY 1, 2)
+SELECT a.user_id AS user_a, CAST(a.sid AS BIGINT) AS sid_a,
+       b.user_id AS user_b, CAST(b.sid AS BIGINT) AS sid_b,
+       CAST(LEAST(a.hi, b.hi) - GREATEST(a.lo, b.lo) AS BIGINT) AS overlap_us
+FROM iv a JOIN iv b ON a.lo < b.hi AND b.lo < a.hi AND a.user_id < b.user_id
+ORDER BY user_a, sid_a, user_b, sid_b
+"""
