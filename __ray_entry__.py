@@ -279,6 +279,10 @@ _SQL_CHECKED: dict[str, tuple[Callable[[str], Any], str]] = {
     # anchor-bucket exactly-once rule) over padded user sessions
     "events_user_full_outer": (X.events_user_full_outer, X.EVENTS_USER_FULL_OUTER_SQL),
     "events_session_overlap": (X.events_session_overlap, X.EVENTS_SESSION_OVERLAP_SQL),
+    # round 4 (cont.): CDC compaction (newest record per key) and the
+    # global NTILE window via the two-phase distributed scan
+    "events_latest_per_user_type": (X.events_latest_per_user_type, X.EVENTS_LATEST_SQL),
+    "events_value_ntile": (X.events_value_ntile, X.EVENTS_VALUE_NTILE_SQL),
 }
 
 # rows-only checks (none left — every query has an oracle)

@@ -4097,3 +4097,117 @@ SELECT a.user_id AS user_a, CAST(a.sid AS BIGINT) AS sid_a,
 FROM iv a JOIN iv b ON a.lo < b.hi AND b.lo < a.hi AND a.user_id < b.user_id
 ORDER BY user_a, sid_a, user_b, sid_b
 """
+
+
+# ---------------------------------------------------------------------------
+# CDC-style compaction: latest event per (user, type) — the upsert/merge
+# shape every 100-TB change-log pipeline needs (keep the newest record per
+# key, drop superseded versions). Whole-user locality via bucketed_key_apply
+# (the composite key's first component is the bucket key, so every
+# (user, type) group is bucket-local); the kernel is one vectorized sort +
+# keep-last. Oracle: ROW_NUMBER() OVER (... ORDER BY ts DESC, event_id
+# DESC) = 1 — the pinned newest-wins tie rule on both engines.
+# ---------------------------------------------------------------------------
+
+def events_latest_per_user_type(sf_dir: str):
+    from ..stages.keyapply import bucketed_key_apply
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "event_id", "ts", "value"])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "user_id": pd.Series([], dtype="int64"),
+                "event_type": pd.Series([], dtype=str),
+                "last_event_id": pd.Series([], dtype="int64"),
+                "last_ts_us": pd.Series([], dtype="int64"),
+                "last_value": pd.Series([], dtype="float64"),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        g = g.copy()
+        g["ts_us"] = g["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        g = g.sort_values(["user_id", "event_type", "ts_us", "event_id"], kind="stable")
+        last = g.drop_duplicates(["user_id", "event_type"], keep="last")
+        return pd.DataFrame(
+            {
+                "user_id": last["user_id"].astype("int64"),
+                "event_type": last["event_type"],
+                "last_event_id": last["event_id"].astype("int64"),
+                "last_ts_us": last["ts_us"].astype("int64"),
+                "last_value": sql_round(last["value"].to_numpy() * 1000.0) / 1000.0,
+            }
+        )
+
+    df = bucketed_key_apply(ds, "user_id", per_bucket).to_pandas()
+    return df.sort_values(["user_id", "event_type"]).reset_index(drop=True)
+
+
+EVENTS_LATEST_SQL = """
+SELECT user_id, event_type,
+       CAST(event_id AS BIGINT) AS last_event_id,
+       CAST(epoch_us(ts) AS BIGINT) AS last_ts_us,
+       CAST(round(value*1000) AS DOUBLE) / 1000.0 AS last_value
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+WHERE rn = 1 ORDER BY user_id, event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Distributed NTILE: every event's decile by (value, event_id) order — the
+# global-rank window function at table cardinality. Rank comes from the
+# two-phase distributed scan over a packed unique key (quantized value in
+# the high bits, event_id tiebreak in the low 40 — documented bound shared
+# with the other packed keys); the decile then applies SQL's exact NTILE
+# fill rule (first n%k buckets get the extra row), so the oracle is the
+# native NTILE(10) window itself — cross-engine on the real SQL semantics.
+# ---------------------------------------------------------------------------
+
+NTILE_K = 10
+
+
+def events_value_ntile(sf_dir: str):
+    from ..stages.scan import ordered_prefix_sum
+
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+    n = ds.count()  # parquet metadata count
+
+    def key(b: pa.Table) -> pa.Table:
+        eid = b["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if (eid >= (1 << 40)).any() or (eid < 0).any():
+            raise ValueError("events_value_ntile: event_id exceeds the 40-bit pack bound")
+        qv = sql_round(b["value"].to_numpy(zero_copy_only=False) * 1000.0).astype(np.int64)
+        k = (qv << np.int64(40)) | eid
+        return pa.table({"k": pa.array(k), "one": pa.array(np.ones(len(k), dtype=np.int64))})
+
+    bw = max((int(ds.max("value") * 1000.0) + 2 << 40) // max(n // 4096, 64), 1)
+    scanned = ordered_prefix_sum(ds.map_batches(key, batch_format="pyarrow"), "k", "one", bucket_width=bw)
+
+    q, rem = divmod(n, NTILE_K)
+
+    def finish(b: pa.Table) -> pa.Table:
+        k = b["k"].to_numpy(zero_copy_only=False)
+        r = b["cum"].to_numpy(zero_copy_only=False)  # 1-based rank
+        cut = rem * (q + 1)
+        tile = np.where(r <= cut, (r - 1) // (q + 1) + 1, rem + (r - 1 - cut) // max(q, 1) + 1)
+        return pa.table(
+            {
+                "event_id": pa.array(k & np.int64((1 << 40) - 1), type=pa.int64()),
+                "tile": pa.array(tile.astype(np.int64)),
+            }
+        )
+
+    df = scanned.map_batches(finish, batch_format="pyarrow").to_pandas()
+    return df.sort_values("event_id").reset_index(drop=True)
+
+
+EVENTS_VALUE_NTILE_SQL = f"""
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       CAST(NTILE({NTILE_K}) OVER (ORDER BY CAST(round(value*1000) AS BIGINT), event_id) AS BIGINT) AS tile
+FROM events ORDER BY event_id
+"""
