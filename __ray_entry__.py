@@ -283,6 +283,12 @@ _SQL_CHECKED: dict[str, tuple[Callable[[str], Any], str]] = {
     # global NTILE window via the two-phase distributed scan
     "events_latest_per_user_type": (X.events_latest_per_user_type, X.EVENTS_LATEST_SQL),
     "events_value_ntile": (X.events_value_ntile, X.EVENTS_VALUE_NTILE_SQL),
+    # round 4 (cont.): lossless JSONL ingest/egress round-trip (per-lang
+    # rollup + doc_id checksum vs the original parquet) and the map-tile
+    # geocell pyramid (each coarser level derived from the previous level's
+    # integer partials, never re-scanning the corpus)
+    "docs_jsonl_roundtrip": (X.docs_jsonl_roundtrip, X.DOCS_JSONL_ROUNDTRIP_SQL),
+    "docs_cell_pyramid": (X.docs_cell_pyramid, X._cell_pyramid_sql()),
 }
 
 # rows-only checks (none left — every query has an oracle)

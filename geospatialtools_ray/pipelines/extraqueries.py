@@ -4211,3 +4211,147 @@ SELECT CAST(event_id AS BIGINT) AS event_id,
        CAST(NTILE({NTILE_K}) OVER (ORDER BY CAST(round(value*1000) AS BIGINT), event_id) AS BIGINT) AS tile
 FROM events ORDER BY event_id
 """
+
+
+# ---------------------------------------------------------------------------
+# JSONL ingest/egress round-trip — LLM training corpora ship as
+# newline-delimited JSON, so the engine must read/write it losslessly. The
+# corpus goes parquet -> distributed JSONL shards -> read_json -> per-lang
+# rollup with a doc_id checksum column; the oracle computes the SAME rollup
+# from the original parquet, so any row lost, duplicated, or text-mangled
+# by the JSON codec breaks the hash. Shard count = input blocks (resumable
+# one-file-per-shard layout, same rule as the parquet sink).
+# ---------------------------------------------------------------------------
+
+def docs_jsonl_roundtrip(sf_dir: str):
+    import tempfile
+
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from .relational import tree_group_sum
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    out_dir = tempfile.mkdtemp(prefix="graft_jsonl_")
+    ds.write_json(out_dir)
+    back = rd.read_json(out_dir)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.list_value_length(pc.split_pattern_regex(batch["text"], r"\s+")).cast(pa.int64())
+        df = pd.DataFrame(
+            {
+                "lang": batch["lang"].to_pandas(),
+                "t": toks.to_pandas(),
+                "d": batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+            }
+        )
+        return pa.Table.from_pandas(
+            df.groupby("lang", as_index=False).agg(
+                n_docs=("t", "size"), total_tokens=("t", "sum"), sum_doc_id=("d", "sum")
+            ),
+            preserve_index=False,
+        )
+
+    df = tree_group_sum(
+        back.map_batches(partial, batch_format="pyarrow"), ["lang"],
+        value_cols=["n_docs", "total_tokens", "sum_doc_id"],
+    )
+    df = df.astype({c: "int64" for c in ["n_docs", "total_tokens", "sum_doc_id"]})
+    return df.sort_values("lang").reset_index(drop=True)
+
+
+DOCS_JSONL_ROUNDTRIP_SQL = """
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(regexp_split_to_array(text, '\\s+'))) AS BIGINT) AS total_tokens,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# Geocell pyramid rollup — the map-tile aggregation pattern: geo-span counts
+# at resolution 6, with every coarser level (5, 4, 3) derived from the
+# PREVIOUS level's integer partials by the parent rule (iy//2, ix//2) —
+# never re-scanning the corpus, exactly how tile pyramids build at scale.
+# Finest level aggregates at cell cardinality on the sorted combine; the
+# oracle recomputes all four levels from the raw span text with the same
+# pinned IEEE cell arithmetic ((coord+off)/span*n, floor, clamp).
+# ---------------------------------------------------------------------------
+
+PYRAMID_RES = 6
+
+
+def docs_cell_pyramid(sf_dir: str):
+    import ray.data as rd
+
+    from . import oracle_fixtures as OF
+    from .. import geocell
+    from ..stages import spans
+    from .relational import sorted_group_agg
+
+    raw = OF.stage_docs_spans_raw(sf_dir)
+    ds = rd.read_parquet(raw)
+    nx, ny = geocell.ncells(PYRAMID_RES)
+
+    def finest(batch: pa.Table) -> pa.Table:
+        pts = spans.explode_geo_points(batch)
+        lon = pts["lon"].to_numpy(zero_copy_only=False)
+        lat = pts["lat"].to_numpy(zero_copy_only=False)
+        _, iy, ix = geocell.unpack(geocell.cell_of(lon, lat, PYRAMID_RES))
+        packed = iy * nx + ix
+        u, cnt = np.unique(packed, return_counts=True)
+        return pa.table(
+            {
+                "iy": pa.array(u // nx, type=pa.int64()),
+                "ix": pa.array(u % nx, type=pa.int64()),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    lvl = sorted_group_agg(ds.map_batches(finest, batch_format="pyarrow"),
+                           ["iy", "ix"], {"n": "sum"}).materialize()
+    frames = [lvl.to_pandas().assign(res=PYRAMID_RES)]
+    for r in range(PYRAMID_RES - 1, PYRAMID_RES - 4, -1):
+        parent = lvl.map_batches(
+            lambda b: pa.table(
+                {
+                    "iy": pa.array(b["iy"].to_numpy(zero_copy_only=False) // 2),
+                    "ix": pa.array(b["ix"].to_numpy(zero_copy_only=False) // 2),
+                    "n": b["n"],
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        lvl = sorted_group_agg(parent, ["iy", "ix"], {"n": "sum"}).materialize()
+        frames.append(lvl.to_pandas().assign(res=r))
+    df = pd.concat(frames, ignore_index=True).astype(
+        {"res": "int64", "iy": "int64", "ix": "int64", "n": "int64"}
+    )
+    return df.sort_values(["res", "iy", "ix"]).reset_index(drop=True)[["res", "iy", "ix", "n"]]
+
+
+def _cell_pyramid_sql() -> str:
+    from .. import geocell
+    from .. import oracles as O
+
+    nx, ny = geocell.ncells(PYRAMID_RES)
+    lvls = []
+    for k, r in enumerate(range(PYRAMID_RES, PYRAMID_RES - 4, -1)):
+        d = 1 << k
+        lvls.append(
+            f"SELECT {r} AS res, (iy // {d}) AS iy, (ix // {d}) AS ix, CAST(SUM(n) AS BIGINT) AS n "
+            "FROM c6 GROUP BY 1, 2, 3"
+        )
+    union = "\nUNION ALL\n".join(lvls)
+    return f"""
+WITH s AS (SELECT unnest(spans) AS sp
+           FROM read_parquet('{O.fixture_path("docs_spans_raw")}')),
+pt AS (SELECT CAST(regexp_extract(sp.text, 'POINT\\(([-0-9.eE+]+) ([-0-9.eE+]+)\\)', 1) AS DOUBLE) AS lon,
+              CAST(regexp_extract(sp.text, 'POINT\\(([-0-9.eE+]+) ([-0-9.eE+]+)\\)', 2) AS DOUBLE) AS lat
+       FROM s WHERE sp.kind = 'geo'),
+c6 AS (SELECT LEAST(GREATEST(CAST(FLOOR((lat + 90.0) / 180.0 * {ny}) AS BIGINT), 0), {ny - 1}) AS iy,
+              LEAST(GREATEST(CAST(FLOOR((lon + 180.0) / 360.0 * {nx}) AS BIGINT), 0), {nx - 1}) AS ix,
+              COUNT(*) AS n
+       FROM pt GROUP BY 1, 2)
+SELECT * FROM ({union}) ORDER BY res, iy, ix
+"""
