@@ -289,6 +289,11 @@ _SQL_CHECKED: dict[str, tuple[Callable[[str], Any], str]] = {
     # integer partials, never re-scanning the corpus)
     "docs_jsonl_roundtrip": (X.docs_jsonl_roundtrip, X.DOCS_JSONL_ROUNDTRIP_SQL),
     "docs_cell_pyramid": (X.docs_cell_pyramid, X._cell_pyramid_sql()),
+    # round 4 (cont.): filtered vector search (label predicate pushed into
+    # the parquet scan, q6's lever applied to ANN) and pinned-regex text
+    # normalization with the normalized text as a result column
+    "ann_filtered_topk": (X.ann_filtered_topk, X.ANN_FILTERED_TOPK_SQL),
+    "docs_text_normalize": (X.docs_text_normalize, X.DOCS_TEXT_NORMALIZE_SQL),
 }
 
 # rows-only checks (none left — every query has an oracle)

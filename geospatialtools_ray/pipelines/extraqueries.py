@@ -4355,3 +4355,125 @@ c6 AS (SELECT LEAST(GREATEST(CAST(FLOOR((lat + 90.0) / 180.0 * {ny}) AS BIGINT),
        FROM pt GROUP BY 1, 2)
 SELECT * FROM ({union}) ORDER BY res, iy, ix
 """
+
+
+# ---------------------------------------------------------------------------
+# Filtered vector search — top-k cosine restricted by a metadata predicate
+# (the "filtered ANN" shape every vector store names): the label predicate
+# pushes into the parquet SCAN (row groups that can't match never leave
+# storage — the q6 lever applied to vector search), scoring is the same
+# broadcast-query int64 kernel with block-local partial top-k. Oracle =
+# the exact SQL scoring with the same WHERE.
+# ---------------------------------------------------------------------------
+
+ANN_FILTER_LABELS = (1, 2)
+
+
+def ann_filtered_topk(sf_dir: str, k: int = 10):
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+    import ray
+
+    flt = pads.field("label").isin(list(ANN_FILTER_LABELS))
+    ds = io.read_named(sf_dir, "embeddings", columns=["vec_id", "embedding", "label"], filter=flt)
+
+    q_full = io.read_table_arrow(io.table_path(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    q_row = q_full.filter(pc.equal(q_full["vec_id"], 0))
+    q = sql_round(np.asarray(q_row["embedding"][0].as_py(), dtype=np.float64) * 1_000_000.0).astype(np.int64)
+    q_ref = ray.put(q)
+
+    def score_topk(batch: pa.Table) -> pa.Table:
+        qv = ray.get(q_ref)
+        if batch.num_rows == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "cos_sim": pa.array([], pa.float64())})
+        emb = batch["embedding"].combine_chunks()
+        E = sql_round(
+            np.asarray(emb.flatten(), dtype=np.float64).reshape(batch.num_rows, -1) * 1_000_000.0
+        ).astype(np.int64)
+        num = E @ qv
+        den1 = (E * E).sum(axis=1)
+        den0 = int(qv @ qv)
+        cos = num.astype(np.float64) / (np.sqrt(den1.astype(np.float64)) * np.sqrt(np.float64(den0)))
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        kk = min(k, len(ids))
+        part = np.argpartition(-cos, kk - 1)[:kk] if kk < len(cos) else np.arange(len(cos))
+        return pa.table({"vec_id": pa.array(ids[part], type=pa.int64()),
+                         "cos_sim": pa.array(cos[part], type=pa.float64())})
+
+    partials = ds.map_batches(score_topk, batch_format="pyarrow").to_pandas()
+    top = partials.sort_values(["cos_sim", "vec_id"], ascending=[False, True]).head(k)
+    return top.reset_index(drop=True).astype({"vec_id": "int64", "cos_sim": "float64"})
+
+
+ANN_FILTERED_TOPK_SQL = f"""
+WITH flat AS (
+  SELECT vec_id, label, i, CAST(round(CAST(embedding[i] AS DOUBLE)*1000000) AS BIGINT) AS v
+  FROM embeddings, range(1, 65) t(i)
+), q AS (
+  SELECT i, v FROM flat WHERE vec_id = 0
+), den0 AS (
+  SELECT SUM(v*v) AS d0 FROM q
+), dots AS (
+  SELECT f.vec_id, SUM(f.v*q.v) AS num, SUM(f.v*f.v) AS den1
+  FROM flat f JOIN q USING (i)
+  WHERE f.label IN {ANN_FILTER_LABELS}
+  GROUP BY f.vec_id
+)
+SELECT vec_id,
+       CAST(num AS DOUBLE)/(sqrt(CAST(den1 AS DOUBLE))*sqrt(CAST(d0 AS DOUBLE))) AS cos_sim
+FROM dots, den0
+ORDER BY cos_sim DESC, vec_id LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text normalization — the first stage of every LLM prep pipeline:
+# lowercase, strip to [a-z0-9 ], collapse whitespace runs, trim. One
+# vectorized Arrow regex chain per batch; the SAME pinned regexes run in
+# DuckDB (RE2 semantics both sides), and the normalized TEXT itself is a
+# result column — string equality is the check, like span_signature. The
+# lowercase step is Unicode-fold-sensitive in general; this corpus is pure
+# ASCII (verified), and any non-ASCII survivor of lower() is stripped by
+# the [^a-z0-9\s] pass on both engines anyway.
+# ---------------------------------------------------------------------------
+
+def docs_text_normalize(sf_dir: str):
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def norm(batch: pa.Table) -> pa.Table:
+        t = pc.utf8_lower(batch["text"])
+        t = pc.replace_substring_regex(t, r"[^a-z0-9\s]", "")
+        t = pc.replace_substring_regex(t, r"\s+", " ")
+        t = pc.utf8_trim_whitespace(t)
+        toks = pc.if_else(
+            pc.equal(t, ""), pa.scalar(0, pa.int64()),
+            pc.list_value_length(pc.split_pattern(t, " ")).cast(pa.int64()),
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "norm_text": t,
+                "n_tokens": toks,
+                "n_chars": pc.utf8_length(t).cast(pa.int64()),
+            }
+        )
+
+    df = ds.map_batches(norm, batch_format="pyarrow").to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+DOCS_TEXT_NORMALIZE_SQL = """
+WITH n AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
+                             '\\s+', ' ', 'g')) AS t
+  FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, t AS norm_text,
+       CAST(CASE WHEN t = '' THEN 0 ELSE len(string_split(t, ' ')) END AS BIGINT) AS n_tokens,
+       CAST(length(t) AS BIGINT) AS n_chars
+FROM n ORDER BY doc_id
+"""
