@@ -3510,7 +3510,7 @@ def docs_asset_components(sf_dir: str):
         ).filter(pc.not_equal(b["anchor"], b["doc"])),
         batch_format="pyarrow",
     )
-    labels = connected_components_minlabel(edges)
+    labels = connected_components_minlabel(edges).materialize()
 
     all_docs = ds.map_batches(
         lambda b: pa.table(
@@ -3518,6 +3518,14 @@ def docs_asset_components(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
+    if labels.count() == 0:
+        # no shared assets anywhere: every doc is its own component (an
+        # empty right side would crash the hash-shuffle finalize)
+        df = all_docs.to_pandas()
+        df["component_id"] = df["doc"]
+        return df.sort_values("doc").reset_index(drop=True).astype(
+            {"doc": "int64", "component_id": "int64"}
+        )
     lab = labels.map_batches(lambda b: b.rename_columns(["doc", "_cid"]), batch_format="pyarrow")
     joined = hash_join(all_docs, lab, on="doc", join_type="left_outer")
     df = joined.map_batches(
@@ -3595,6 +3603,11 @@ def docs_asset_pagerank(sf_dir: str):
 
     edges = ds.map_batches(edges_batch, batch_format="pyarrow").materialize()
     n_edges = edges.count()
+    if n_edges == 0:
+        # no media spans at all: the rank table is empty (the oracle's it3
+        # is empty too); an empty join side would crash the shuffle
+        return pd.DataFrame({"doc": pd.Series([], dtype="int64"),
+                             "pr": pd.Series([], dtype="int64")})
     # small joins must collapse to few partitions (empty hash-join
     # partitions finalize schema-less — same guard as the distributed CC)
     parts = int(max(2, min(ray.cluster_resources().get("CPU", 8), (n_edges + 9_999) // 10_000)))
@@ -3805,6 +3818,18 @@ def docs_asset_triangles(sf_dir: str):
 
     edges = edges_packed.map_batches(unpack, batch_format="pyarrow").materialize()
     n_edges = edges.count()
+    if n_edges == 0:
+        # no doc pair shares an asset: zero triangles for every doc (an
+        # empty join side would crash the shuffle)
+        all_docs_df = ds.map_batches(
+            lambda b: pa.table({"doc": pc.cast(
+                pc.utf8_slice_codeunits(b["doc_id"], start=4, stop=64), pa.int64())}),
+            batch_format="pyarrow",
+        ).to_pandas()
+        all_docs_df["n_tri"] = np.int64(0)
+        return all_docs_df.sort_values("doc").reset_index(drop=True).astype(
+            {"doc": "int64", "n_tri": "int64"}
+        )
     parts = int(max(2, min(ray.cluster_resources().get("CPU", 8), (n_edges + 9_999) // 10_000)))
 
     both = edges.map_batches(
@@ -3853,13 +3878,20 @@ def docs_asset_triangles(sf_dir: str):
             [b["u"].combine_chunks(), b["v"].combine_chunks(), b["w"].combine_chunks()])}),
         batch_format="pyarrow",
     )
-    per_doc = sorted_group_agg(corners, "doc", {"n_tri": "count"})
+    per_doc = sorted_group_agg(corners, "doc", {"n_tri": "count"}).materialize()
 
     all_docs = ds.map_batches(
         lambda b: pa.table({"doc": pc.cast(
             pc.utf8_slice_codeunits(b["doc_id"], start=4, stop=64), pa.int64())}),
         batch_format="pyarrow",
     )
+    if per_doc.count() == 0:
+        # edges but no triangles (sparse graph) — zero-fill without a join
+        df = all_docs.to_pandas()
+        df["n_tri"] = np.int64(0)
+        return df.sort_values("doc").reset_index(drop=True).astype(
+            {"doc": "int64", "n_tri": "int64"}
+        )
     joined = hash_join(all_docs, per_doc, on="doc", join_type="left_outer", num_partitions=parts)
     df = joined.map_batches(
         lambda b: pa.table({
@@ -3938,20 +3970,43 @@ def events_user_full_outer(sf_dir: str):
         ds.map_batches(lambda b: side(b, "error", "n_err", None), batch_format="pyarrow"),
         "user_id", {"n_err": "count"},
     )
-    joined = hash_join(left, right, on="user_id", join_type="full_outer", num_partitions=4)
+    # a provably-empty join side crashes Ray's hash-shuffle finalize (see
+    # hash_join); a corpus where one threshold filters everything away must
+    # degrade to the other side with zero-pinned missing aggregates
+    left = left.materialize()
+    right = right.materialize()
 
     def finish(b: pa.Table) -> pa.Table:
         z = pa.scalar(0, pa.int64())
+
+        def col(name):
+            if name in b.column_names:
+                return pc.coalesce(b[name].cast(pa.int64()), z)
+            return pa.array(np.zeros(b.num_rows, dtype=np.int64))
+
         return pa.table(
             {
                 "user_id": b["user_id"],
-                "n_purch": pc.coalesce(b["n_purch"].cast(pa.int64()), z),
-                "purch_v": pc.coalesce(b["purch_v"].cast(pa.int64()), z),
-                "n_err": pc.coalesce(b["n_err"].cast(pa.int64()), z),
+                "n_purch": col("n_purch"),
+                "purch_v": col("purch_v"),
+                "n_err": col("n_err"),
             }
         )
 
-    df = joined.map_batches(finish, batch_format="pyarrow").to_pandas()
+    empty_out = pd.DataFrame(
+        {"user_id": pd.Series([], dtype="int64"), "n_purch": pd.Series([], dtype="int64"),
+         "purch_v": pd.Series([], dtype="int64"), "n_err": pd.Series([], dtype="int64")}
+    )
+    if left.count() == 0 and right.count() == 0:
+        df = empty_out
+    else:
+        if left.count() == 0:
+            joined = right
+        elif right.count() == 0:
+            joined = left
+        else:
+            joined = hash_join(left, right, on="user_id", join_type="full_outer", num_partitions=4)
+        df = joined.map_batches(finish, batch_format="pyarrow").to_pandas()
     df["purch_v"] = df["purch_v"].astype("float64") / 1000.0
     df = df.astype({"user_id": "int64", "n_purch": "int64", "n_err": "int64"})
     return df.sort_values("user_id").reset_index(drop=True)[
@@ -4030,6 +4085,11 @@ def events_session_overlap(sf_dir: str):
         return out.astype({"user_id": "int64", "sid": "int64", "lo": "int64", "hi": "int64"})
 
     iv = bucketed_key_apply(ds, "user_id", intervals).materialize()
+    if iv.count() == 0:
+        # empty events table: no sessions, no pairs (an empty self-join
+        # side would crash the hash shuffle)
+        return pd.DataFrame({c: pd.Series([], dtype="int64")
+                             for c in ("user_a", "sid_a", "user_b", "sid_b", "overlap_us")})
 
     W = OVERLAP_BUCKET_US
 
