@@ -294,6 +294,11 @@ _SQL_CHECKED: dict[str, tuple[Callable[[str], Any], str]] = {
     # normalization with the normalized text as a result column
     "ann_filtered_topk": (X.ann_filtered_topk, X.ANN_FILTERED_TOPK_SQL),
     "docs_text_normalize": (X.docs_text_normalize, X.DOCS_TEXT_NORMALIZE_SQL),
+    # round 4 (cont.): dead-letter-queue routing (deterministic corruption
+    # -> quarantine row beside the valid-path rollup) and the incremental
+    # snapshot-delta aggregation identity (base + new-docs delta == full)
+    "events_quarantine_routing": (X.events_quarantine_routing, X.EVENTS_QUARANTINE_SQL),
+    "docs_incremental_lang_totals": (X.docs_incremental_lang_totals, X.DOCS_INCREMENTAL_SQL),
 }
 
 # rows-only checks (none left — every query has an oracle)

@@ -4537,3 +4537,115 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, t AS norm_text,
        CAST(length(t) AS BIGINT) AS n_chars
 FROM n ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Dead-letter-queue (quarantine) routing — production ETL never drops
+# malformed rows silently: they route to a quarantine partition with a
+# reason, and the valid path proceeds. A deterministic ~5% of props payloads
+# is corrupted by the pinned Knuth-hash rule on BOTH engines; validity is
+# one compiled full-match regex per batch. Output: per-k_bucket rollup of
+# the valid path plus the k_bucket = -1 quarantine row — one table, so the
+# hash covers routing AND the downstream aggregate together.
+# ---------------------------------------------------------------------------
+
+QUARANTINE_PCT = 5
+PROPS_VALID_RE = r'\{"k": -?[0-9]+\}'
+
+
+def events_quarantine_routing(sf_dir: str):
+    import re
+
+    from .relational import tree_group_sum
+
+    ds = _read(sf_dir, "events", ["event_id", "props", "value"])
+    rx_valid = re.compile(PROPS_VALID_RE + r"\Z")
+    rx_k = re.compile(r'"k": (-?[0-9]+)')
+
+    def partial(b: pa.Table) -> pa.Table:
+        eid = b["event_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        corrupt = ((eid * np.uint64(KNUTH_MULT)) & np.uint64(0xFFFFFFFF)) % np.uint64(100) < QUARANTINE_PCT
+        s = b["props"].to_pandas()
+        s = s.where(~corrupt, s + "x")  # the deterministic corruption
+        ok = s.str.fullmatch(rx_valid.pattern).to_numpy()
+        v = sql_round(b["value"].to_numpy(zero_copy_only=False) * 1000.0).astype(np.int64)
+        k = np.full(len(s), -1, dtype=np.int64)
+        kv = s[ok].str.extract(rx_k, expand=False)
+        k[ok] = kv.to_numpy(dtype=np.int64) % 10
+        df = pd.DataFrame({"k_bucket": k, "n": 1, "sum_v": v})
+        return pa.Table.from_pandas(df.groupby("k_bucket", as_index=False).sum(), preserve_index=False)
+
+    df = tree_group_sum(ds.map_batches(partial, batch_format="pyarrow"),
+                        ["k_bucket"], value_cols=["n", "sum_v"])
+    out = pd.DataFrame({"k_bucket": df["k_bucket"].astype("int64"), "n": df["n"].astype("int64")})
+    out["sum_value"] = df["sum_v"].astype("float64") / 1000.0
+    return out.sort_values("k_bucket").reset_index(drop=True)
+
+
+EVENTS_QUARANTINE_SQL = f"""
+WITH t AS (
+  SELECT CASE WHEN ((event_id * {KNUTH_MULT}) % 4294967296) % 100 < {QUARANTINE_PCT}
+              THEN props || 'x' ELSE props END AS p,
+         CAST(round(value*1000) AS BIGINT) AS v
+  FROM events
+),
+r AS (
+  SELECT CASE WHEN regexp_full_match(p, '{PROPS_VALID_RE}')
+              THEN CAST(regexp_extract(p, '"k": (-?[0-9]+)', 1) AS BIGINT) % 10
+              ELSE -1 END AS k_bucket,
+         v
+  FROM t
+)
+SELECT CAST(k_bucket AS BIGINT) AS k_bucket, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(v) AS DOUBLE) / 1000.0 AS sum_value
+FROM r GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Incremental aggregation — the snapshot-delta pattern: yesterday's totals
+# (docs with doc_id % 10 != 0, the "previous snapshot") plus a delta pass
+# that SCANS ONLY THE NEW DOCS, merged per group — never recomputing the
+# base. The oracle computes the full totals directly, so base + delta ==
+# full is the checked identity. At 100 TB this is the difference between
+# re-reading the corpus daily and reading 1% of it.
+# ---------------------------------------------------------------------------
+
+def docs_incremental_lang_totals(sf_dir: str):
+    import pyarrow.compute as pc
+
+    from .relational import tree_group_sum
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def partial(where: str):
+        def f(batch: pa.Table) -> pa.Table:
+            did = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            mask = (did % 10 == 0) if where == "new" else (did % 10 != 0)
+            t = batch.filter(pa.array(mask))
+            toks = pc.list_value_length(pc.split_pattern_regex(t["text"], r"\s+")).cast(pa.int64())
+            df = pd.DataFrame({"lang": t["lang"].to_pandas(), "t": toks.to_pandas()})
+            return pa.Table.from_pandas(
+                df.groupby("lang", as_index=False).agg(n_docs=("t", "size"), total_tokens=("t", "sum")),
+                preserve_index=False,
+            )
+        return f
+
+    base = tree_group_sum(ds.map_batches(partial("old"), batch_format="pyarrow"),
+                          ["lang"], value_cols=["n_docs", "total_tokens"])
+    delta = tree_group_sum(ds.map_batches(partial("new"), batch_format="pyarrow"),
+                           ["lang"], value_cols=["n_docs", "total_tokens"])
+    # base + delta merge: group count = languages, a driver-sized frame
+    out = (
+        pd.concat([base, delta], ignore_index=True)
+        .groupby("lang", as_index=False).sum()
+        .astype({"n_docs": "int64", "total_tokens": "int64"})
+    )
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+DOCS_INCREMENTAL_SQL = """
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(regexp_split_to_array(text, '\\s+'))) AS BIGINT) AS total_tokens
+FROM documents GROUP BY lang ORDER BY lang
+"""
