@@ -533,3 +533,23 @@ def test_dup_span_stats_overlapping_window_semantics(ray_session):
     assert out.loc[out["doc_id"] == 2, "n_dup_windows"].iloc[0] == 1
     assert out.loc[out["doc_id"] == 3, "n_dup_windows"].iloc[0] > 0
     assert out.loc[out["doc_id"] == 4, ["n_windows", "n_dup_windows"]].values.tolist() == [[1, 0]]
+
+
+def test_connected_components_deep_chain_pointer_jump(ray_session):
+    """A 200-node path graph has diameter 199 — far beyond the 25-round
+    budget if propagation were one hop per round. Pointer jumping must
+    converge it (rounds ~ log2(199) hops-equivalent) to the single min
+    label, bit-identical to the trivial answer."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geospatialtools_ray.stages.dedup import connected_components_minlabel
+
+    n = 200
+    edges = rd.from_arrow(
+        pa.table({"id_a": pa.array(list(range(n - 1)), pa.int64()),
+                  "id_b": pa.array(list(range(1, n)), pa.int64())})
+    )
+    lab = connected_components_minlabel(edges).to_pandas().sort_values("node")
+    assert lab["node"].tolist() == list(range(n))
+    assert set(lab["cluster_id"]) == {0}
