@@ -299,6 +299,10 @@ _SQL_CHECKED: dict[str, tuple[Callable[[str], Any], str]] = {
     # snapshot-delta aggregation identity (base + new-docs delta == full)
     "events_quarantine_routing": (X.events_quarantine_routing, X.EVENTS_QUARANTINE_SQL),
     "docs_incremental_lang_totals": (X.docs_incremental_lang_totals, X.DOCS_INCREMENTAL_SQL),
+    # round 4 (cont.): raster zonal statistics with the first fully-SQL
+    # point-in-polygon oracle (the engine's even-odd crossing expression
+    # mirrored over a staged closed-edge table — no twin)
+    "raster_zonal_stats": (X.raster_zonal_stats, X._zonal_stats_sql()),
 }
 
 # rows-only checks (none left — every query has an oracle)

@@ -4649,3 +4649,109 @@ SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(len(regexp_split_to_array(text, '\\s+'))) AS BIGINT) AS total_tokens
 FROM documents GROUP BY lang ORDER BY lang
 """
+
+
+# ---------------------------------------------------------------------------
+# Raster zonal statistics — THE classic raster x vector operator (per-zone
+# stats of a gridded field; the reference's basin/hillslope properties are
+# the terrain-specific case). A res-8 synthetic DEM grid (131k cell
+# centers, value a pure function of (iy, ix)) joins the broadcast polygon
+# layer through the REAL engine path (PolygonIndex buckets -> bbox -> even-
+# odd crossing test inside SpatialJoin tasks), then rolls up per zone at
+# zone cardinality. The oracle runs the SAME even-odd crossing expression
+# in SQL over the staged closed-edge table — point-in-polygon proven
+# cross-engine, no twin. DuckDB's float x/0 is NULL, which the crossing
+# conjunct masks exactly like numpy's ignored inf.
+# ---------------------------------------------------------------------------
+
+# res 10 (0.176-deg cells, 2.1M centers): 155 of the 200 polygons catch at
+# least one center — non-trivial zones — while the oracle's bbox range join
+# stays ~3 s in DuckDB
+ZONAL_RES = 10
+ZONAL_NPOLY = 200
+
+
+def raster_zonal_stats(sf_dir: str):
+    import ray
+    import ray.data as rd
+
+    from . import oracle_fixtures as OF
+    from .. import synth
+    from ..stages.spatial_join import PolygonIndex, SpatialJoin
+    from .relational import sorted_group_agg
+
+    OF.stage_zonal_polys(sf_dir, ZONAL_NPOLY)
+    nx, ny = 2 ** (ZONAL_RES + 1), 2 ** ZONAL_RES
+    step = 180.0 / (2.0 ** ZONAL_RES)
+
+    def grid(batch) -> pa.Table:
+        i = batch["id"].to_numpy(zero_copy_only=False)
+        iy = i // nx
+        ix = i % nx
+        return pa.table(
+            {
+                "lon": pa.array(-180.0 + (ix + 0.5) * step),
+                "lat": pa.array(-90.0 + (iy + 0.5) * step),
+                "dem": pa.array(((iy * 13 + ix * 7) % 97).astype(np.int64)),
+            }
+        )
+
+    cells = rd.range(ny * nx, override_num_blocks=32).map_batches(grid, batch_format="pyarrow")
+    layer = synth.make_polygons(ZONAL_NPOLY, cover_res=6)
+    idx_ref = ray.put(PolygonIndex.from_synth(layer, cover_res=6))
+    hits = cells.map_batches(
+        SpatialJoin, fn_constructor_kwargs={"index_ref": idx_ref},
+        batch_format="pyarrow", concurrency=(1, 4),
+    ).map_batches(
+        lambda b: pa.table({"poly_id": b["poly_id"], "dem": b["dem"],
+                            "dmin": b["dem"], "dmax": b["dem"]}),
+        batch_format="pyarrow",
+    )
+    out = sorted_group_agg(
+        hits, "poly_id", {"n_cells": "count", "dem": "sum", "dmin": "min", "dmax": "max"}
+    ).to_pandas()
+    out = out.rename(columns={"dem": "sum_dem", "dmin": "min_dem", "dmax": "max_dem"}).astype(
+        {c: "int64" for c in ["poly_id", "n_cells", "sum_dem", "min_dem", "max_dem"]}
+    )
+    return out.sort_values("poly_id").reset_index(drop=True)[
+        ["poly_id", "n_cells", "sum_dem", "min_dem", "max_dem"]
+    ]
+
+
+def _zonal_stats_sql() -> str:
+    from .. import oracles as O
+
+    nx, ny = 2 ** (ZONAL_RES + 1), 2 ** ZONAL_RES
+    step = 180.0 / (2.0 ** ZONAL_RES)
+    return f"""
+WITH g AS (
+  SELECT (i // {nx}) AS iy, (i % {nx}) AS ix FROM range({ny * nx}) t(i)
+),
+cells AS (
+  SELECT -180.0 + (ix + 0.5) * {step!r} AS lon,
+         -90.0 + (iy + 0.5) * {step!r} AS lat,
+         CAST((iy * 13 + ix * 7) % 97 AS BIGINT) AS dem
+  FROM g
+),
+cand AS (
+  SELECT c.lon, c.lat, c.dem, b.poly_id
+  FROM cells c JOIN read_parquet('{O.fixture_path("zonal_bbox")}') b
+    ON c.lon >= b.b0 AND c.lon <= b.b2 AND c.lat >= b.b1 AND c.lat <= b.b3
+),
+hits AS (
+  SELECT c.lon, c.lat, c.dem, c.poly_id,
+         COUNT(*) FILTER (
+           WHERE ((e.y0 <= c.lat) <> (e.y1 <= c.lat))
+             AND c.lon < e.x0 + (c.lat - e.y0) * (e.x1 - e.x0) / (e.y1 - e.y0)
+         ) AS k
+  FROM cand c JOIN read_parquet('{O.fixture_path("zonal_edges")}') e USING (poly_id)
+  GROUP BY 1, 2, 3, 4
+)
+SELECT CAST(poly_id AS BIGINT) AS poly_id,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(dem) AS BIGINT) AS sum_dem,
+       CAST(MIN(dem) AS BIGINT) AS min_dem,
+       CAST(MAX(dem) AS BIGINT) AS max_dem
+FROM hits WHERE k % 2 = 1
+GROUP BY 1 ORDER BY 1
+"""

@@ -1337,3 +1337,35 @@ SELECT doc_id,
 FROM read_parquet('{O.fixture_path("docs_spans_raw")}')
 ORDER BY doc_id
 """
+
+
+def stage_zonal_polys(sf_dir: str, n_poly: int = 200) -> None:
+    """Stage the deterministic polygon layer as RAW relational fixtures —
+    a closed-edge table (poly_id, x0, y0, x1, y1; all rings flattened,
+    exactly the PolygonIndex CSR construction) and a bbox table — so the
+    zonal-stats oracle can run point-in-polygon ENTIRELY in SQL with the
+    engine's own even-odd crossing expression. This is the first PIP
+    proof that is fully cross-engine (the flagship oracle is a staged
+    scalar-loop twin)."""
+    from .. import synth, wkb
+
+    layer = synth.make_polygons(n_poly, cover_res=6)
+    eid, ex0, ey0, ex1, ey1 = [], [], [], [], []
+    for i, blob in enumerate(layer["geom_wkb"]):
+        for ring in wkb.parse_polygon(blob):
+            r = ring if np.array_equal(ring[0], ring[-1]) else np.vstack([ring, ring[:1]])
+            n = len(r) - 1
+            eid.append(np.full(n, layer["poly_id"][i], dtype=np.int64))
+            ex0.append(r[:-1, 0]); ey0.append(r[:-1, 1])
+            ex1.append(r[1:, 0]);  ey1.append(r[1:, 1])
+    edges = pd.DataFrame(
+        {"poly_id": np.concatenate(eid), "x0": np.concatenate(ex0), "y0": np.concatenate(ey0),
+         "x1": np.concatenate(ex1), "y1": np.concatenate(ey1)}
+    )
+    bb = np.asarray(layer["bbox"], dtype=np.float64).reshape(len(layer["poly_id"]), 4)
+    bbox = pd.DataFrame(
+        {"poly_id": np.asarray(layer["poly_id"], dtype=np.int64),
+         "b0": bb[:, 0], "b1": bb[:, 1], "b2": bb[:, 2], "b3": bb[:, 3]}
+    )
+    O.stage_fixture("zonal_edges", edges)
+    O.stage_fixture("zonal_bbox", bbox)
