@@ -303,6 +303,10 @@ _SQL_CHECKED: dict[str, tuple[Callable[[str], Any], str]] = {
     # point-in-polygon oracle (the engine's even-odd crossing expression
     # mirrored over a staged closed-edge table — no twin)
     "raster_zonal_stats": (X.raster_zonal_stats, X._zonal_stats_sql()),
+    # round 4 (cont.): RANGE-frame window (time-based trailing sum with the
+    # SQL peer-group rule) — completes the window family beside ROWS frame,
+    # cumulative, LAG, median, NTILE
+    "events_user_trailing_1h": (X.events_user_trailing_1h, X.EVENTS_TRAILING_1H_SQL),
 }
 
 # rows-only checks (none left — every query has an oracle)

@@ -4755,3 +4755,64 @@ SELECT CAST(poly_id AS BIGINT) AS poly_id,
 FROM hits WHERE k % 2 = 1
 GROUP BY 1 ORDER BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# RANGE-frame window — trailing 1-hour sum per user: the time-based frame
+# (RANGE BETWEEN x PRECEDING AND CURRENT ROW) is semantically different
+# from the ROWS frame the rolling mean covers — the frame holds every row
+# whose timestamp falls in the window INCLUDING later-ordered peers at the
+# exact same timestamp (SQL peer-group rule, pinned on both engines via a
+# searchsorted right bound). Whole-user locality via bucketed_key_apply;
+# the trailing sum is one cumsum + two searchsorted gathers per user run.
+# ---------------------------------------------------------------------------
+
+TRAIL_WINDOW_US = 3_600_000_000  # 1 h
+
+
+def events_user_trailing_1h(sf_dir: str):
+    from ..stages.keyapply import bucketed_key_apply, key_run_starts
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"event_id": pd.Series([], dtype="int64"), "user_id": pd.Series([], dtype="int64"),
+             "trail_v": pd.Series([], dtype="float64")}
+        )
+        if len(g) == 0:
+            return empty
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable").reset_index(drop=True)
+        us = g["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        u = g["user_id"].to_numpy()
+        v = sql_round(g["value"].to_numpy() * 1000.0).astype(np.int64)
+        cs = np.concatenate([[0], np.cumsum(v)])
+        starts = np.flatnonzero(key_run_starts(u))
+        ends = np.append(starts[1:], len(g))
+        out_v = np.empty(len(g), dtype=np.int64)
+        for s, e in zip(starts, ends):  # per USER run — vectorized inside
+            ts_run = us[s:e]
+            lo = s + np.searchsorted(ts_run, ts_run - TRAIL_WINDOW_US, side="left")
+            hi = s + np.searchsorted(ts_run, ts_run, side="right")  # peer-inclusive
+            out_v[s:e] = cs[hi] - cs[lo]
+        return pd.DataFrame(
+            {"event_id": g["event_id"].astype("int64"), "user_id": pd.Series(u, dtype="int64"),
+             "trail_v": out_v.astype(np.float64) / 1000.0}
+        )
+
+    df = bucketed_key_apply(ds, "user_id", per_bucket).to_pandas()
+    return df.sort_values("event_id").reset_index(drop=True)
+
+
+EVENTS_TRAILING_1H_SQL = f"""
+SELECT event_id, user_id,
+       CAST(SUM(v) OVER (PARTITION BY user_id ORDER BY us
+                         RANGE BETWEEN {TRAIL_WINDOW_US} PRECEDING AND CURRENT ROW)
+            AS DOUBLE) / 1000.0 AS trail_v
+FROM (
+  SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS us,
+         CAST(round(value*1000) AS BIGINT) AS v
+  FROM events
+)
+ORDER BY event_id
+"""
