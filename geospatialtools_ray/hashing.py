@@ -56,11 +56,37 @@ def text_hash_u64(texts) -> np.ndarray:
 
         if isinstance(texts, pa.ChunkedArray):
             texts = texts.combine_chunks()
-        if isinstance(texts, pa.Array):
-            s = pl.from_arrow(texts)
-        else:
-            s = pl.Series(list(texts), dtype=pl.Utf8)
-        return s.hash(seed=0).to_numpy().astype(np.uint64)
+        # A Ray worker can inherit a HALF-EXECUTED polars module: if the
+        # worker process template forked while some thread was mid-import,
+        # every module in the polars package tree is registered in
+        # sys.modules but its body never finished ("polars._reexport has
+        # no attribute 'Series'", observed intermittently per worker pid,
+        # persistent within that worker). Sleeping cannot fix a snapshot —
+        # the repair is to EVICT the whole package tree and re-import
+        # fresh in this process. If that still fails, raise LOUDLY: a
+        # per-call fallback to a different hash function would let two
+        # workers key the same text differently (silent dedup misses).
+        last_err = None
+        for attempt in range(3):
+            try:
+                if isinstance(texts, pa.Array):
+                    s = pl.from_arrow(texts)
+                else:
+                    s = pl.Series(list(texts), dtype=pl.Utf8)
+                return s.hash(seed=0).to_numpy().astype(np.uint64)
+            except AttributeError as e:  # pragma: no cover - fork snapshot
+                last_err = e
+                import sys as _sys
+
+                for mod in [m for m in _sys.modules if m == "polars" or m.startswith("polars.")]:
+                    del _sys.modules[mod]
+                import polars as pl  # noqa: F811 - deliberate fresh import
+        raise RuntimeError(
+            "text_hash_u64: polars unusable in this worker even after a "
+            "fresh re-import — refusing the blake2b fallback mid-run "
+            "because mixed hash functions across workers silently break "
+            "hash-partitioned dedup"
+        ) from last_err
     except ImportError:  # pragma: no cover
         import hashlib
 

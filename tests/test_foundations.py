@@ -204,3 +204,26 @@ def test_hex8_to_int_parses_media_refs():
         hex8_to_int(pa.array(["media://blob/zzzz0000"]))
     with _pytest.raises(ValueError):
         hex8_to_int(pa.array(["media://blob/123"]))
+
+
+def test_text_hash_survives_broken_polars_module():
+    """A Ray worker can inherit a half-executed polars package (fork-time
+    snapshot: modules registered but bodies unfinished). text_hash_u64 must
+    repair it by evicting the package tree and re-importing — and must keep
+    producing the SAME hashes (never a silent fallback to a different hash
+    function)."""
+    from geospatialtools_ray.hashing import text_hash_u64
+
+    arr = pa.array(["alpha", "beta"])  # Arrow input forces the from_arrow
+    ref = text_hash_u64(arr)           # path, whose wrap_s resolves
+    # simulate the snapshot: strip the attribute wrap_s needs
+    import polars._reexport as rx
+
+    saved = rx.Series
+    del rx.Series
+    try:
+        got = text_hash_u64(arr)
+    finally:
+        # the repair re-imported polars, so rx may be stale; restore anyway
+        rx.Series = saved
+    assert (got == ref).all()
