@@ -307,6 +307,10 @@ _SQL_CHECKED: dict[str, tuple[Callable[[str], Any], str]] = {
     # SQL peer-group rule) — completes the window family beside ROWS frame,
     # cumulative, LAG, median, NTILE
     "events_user_trailing_1h": (X.events_user_trailing_1h, X.EVENTS_TRAILING_1H_SQL),
+    # round 4 (cont.): heavy hitters — mergeable Misra-Gries summaries
+    # tree-combined (bounded state, no term-cardinality shuffle) + exact
+    # candidate recount, provably equal to the plain groupby-HAVING oracle
+    "docs_heavy_hitters": (X.docs_heavy_hitters, X.DOCS_HEAVY_HITTERS_SQL),
 }
 
 # rows-only checks (none left — every query has an oracle)

@@ -4816,3 +4816,103 @@ FROM (
 )
 ORDER BY event_id
 """
+
+# ---------------------------------------------------------------------------
+# Heavy hitters via mergeable Misra-Gries summaries + exact recount (the
+# bounded-state alternative to docs_frequent_ngrams' full-cardinality
+# shuffle). Pass 1 builds a <=HH_K-counter MG summary per block (exact
+# block counts, then subtract the (k+1)-th largest and keep positive —
+# the optimal MG summary of the block, error <= n_b/(k+1)); summaries
+# tree-combine with the Agarwal et al. "Mergeable Summaries" rule (sum
+# per term, re-truncate), which preserves total error <= N/(k+1) under
+# ANY merge tree — multi-way included, since (k+1)*d <= surviving mass.
+# Every term with true count >= T = N//(HH_K+1)+1 > N/(k+1) therefore
+# survives into the final <=HH_K-term summary; pass 2 recounts exactly
+# those candidates (broadcast isin filter, tiny tree_group_sum) and the
+# >=T filter removes false positives, so the output EQUALS the plain SQL
+# groupby-HAVING oracle while only ever shuffling <=HH_K+1 rows per block.
+# At 100 TB this is the shape that matters: no term-cardinality shuffle,
+# driver sees O(blocks/combine^2 * HH_K) then <=HH_K rows. The "__N "
+# sentinel (contains a space, so unreachable by split(' ') tokens)
+# carries the token total through the same summary stream.
+# ---------------------------------------------------------------------------
+
+HH_K = 63
+
+
+def _hh_tokens(texts: pd.Series) -> pd.Series:
+    toks = texts.fillna("").str.split(" ").explode()
+    return toks[(toks != "") & toks.notna()]
+
+
+def _mg_truncate(real: pd.DataFrame) -> pd.DataFrame:
+    """Keep <=HH_K counters: subtract the (k+1)-th largest, drop <=0."""
+    if len(real) <= HH_K:
+        return real
+    top = np.sort(real["c"].to_numpy(dtype=np.int64))[::-1]
+    d = int(top[HH_K])
+    real = real.assign(c=real["c"].to_numpy(dtype=np.int64) - d)
+    return real[real["c"] > 0]
+
+
+def _mg_combine(b: pd.DataFrame) -> pd.DataFrame:
+    g = b.groupby("term", as_index=False)["c"].sum()
+    sent = g["term"] == "__N "
+    n = int(g.loc[sent, "c"].sum())
+    real = _mg_truncate(g[~sent])
+    return pd.concat(
+        [pd.DataFrame({"term": ["__N "], "c": np.array([n], dtype=np.int64)}), real]
+    ).reset_index(drop=True)
+
+
+def docs_heavy_hitters(sf_dir: str):
+    import ray
+
+    from .relational import tree_group_sum
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def mg_partial(b: pa.Table) -> pa.Table:
+        toks = _hh_tokens(b["text"].to_pandas())
+        vc = toks.value_counts()
+        real = _mg_truncate(pd.DataFrame({"term": vc.index, "c": vc.to_numpy(dtype=np.int64)}))
+        terms = np.concatenate([["__N "], real["term"].to_numpy(dtype=object)])
+        cnts = np.concatenate([[np.int64(len(toks))], real["c"].to_numpy(dtype=np.int64)])
+        return pa.table({"term": pa.array(terms, pa.string()), "c": pa.array(cnts, pa.int64())})
+
+    lvl = ds.map_batches(mg_partial, batch_format="pyarrow")
+    lvl = lvl.map_batches(_mg_combine, batch_format="pandas", batch_size=4096)
+    lvl = lvl.map_batches(_mg_combine, batch_format="pandas", batch_size=4096)
+    summ = _mg_combine(lvl.to_pandas())
+
+    n_total = int(summ.loc[summ["term"] == "__N ", "c"].iloc[0])
+    empty = pd.DataFrame({"term": pd.Series([], dtype="object"), "cnt": pd.Series([], dtype="int64")})
+    if n_total == 0:
+        return empty
+    thresh = n_total // (HH_K + 1) + 1
+    cands = np.sort(summ.loc[summ["term"] != "__N ", "term"].to_numpy(dtype=object))
+    if len(cands) == 0:
+        return empty
+    cand_ref = ray.put(pd.Index(cands))
+
+    def recount(b: pa.Table) -> pd.DataFrame:
+        toks = _hh_tokens(b["text"].to_pandas())
+        vc = toks[toks.isin(ray.get(cand_ref))].value_counts()
+        return pd.DataFrame({"term": vc.index.astype(object), "cnt": vc.to_numpy(dtype=np.int64)})
+
+    totals = tree_group_sum(
+        ds.map_batches(recount, batch_format="pyarrow"), ["term"], value_cols=["cnt"]
+    )
+    out = totals[totals["cnt"] >= thresh]
+    return out.sort_values("term").reset_index(drop=True).astype({"cnt": "int64"})
+
+
+DOCS_HEAVY_HITTERS_SQL = f"""
+WITH toks AS (SELECT unnest(string_split(COALESCE(text, ''), ' ')) AS term FROM documents),
+t AS (SELECT term FROM toks WHERE term <> ''),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM t)
+SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM t GROUP BY term
+HAVING COUNT(*) >= (SELECT n // {HH_K + 1} + 1 FROM n)
+ORDER BY term
+"""

@@ -66,3 +66,55 @@ def test_degree_orientation_counts_each_triangle_exactly_once():
     # uniqueness: every triangle closes by exactly one oriented wedge
     closed = [tuple(sorted((u, v, w))) for (u, v, w) in wedges if (u, w) in oriented]
     assert len(closed) == len(set(closed))
+
+
+def test_misra_gries_merge_preserves_heavy_hitter_guarantee():
+    """Any term with true count >= N//(K+1)+1 must survive an arbitrary
+    multi-way merge tree of per-block MG summaries (the docs_heavy_hitters
+    invariant): total undercount stays <= N/(K+1) because each truncation's
+    subtracted d satisfies (K+1)*d <= mass present at that merge."""
+    import pandas as pd
+
+    from geospatialtools_ray.pipelines.extraqueries import HH_K, _mg_combine, _mg_truncate
+
+    rng = np.random.default_rng(7)
+    for trial in range(8):
+        # skewed stream: a few heavy terms + a long uniform tail, split
+        # into ragged blocks so truncation fires at every level
+        heavy = [f"h{i}" for i in range(5)]
+        tail_card = int(rng.integers(200, 2000))
+        stream = []
+        for h in heavy:
+            stream += [h] * int(rng.integers(50, 400))
+        stream += [f"t{int(x)}" for x in rng.integers(0, tail_card, size=int(rng.integers(1000, 8000)))]
+        rng.shuffle(stream)
+        n_total = len(stream)
+
+        cuts = np.sort(rng.choice(np.arange(1, n_total), size=int(rng.integers(3, 40)), replace=False))
+        blocks = np.split(np.asarray(stream, dtype=object), cuts)
+
+        summaries = []
+        for blk in blocks:
+            vc = pd.Series(blk).value_counts()
+            real = _mg_truncate(pd.DataFrame({"term": vc.index, "c": vc.to_numpy(np.int64)}))
+            summaries.append(
+                pd.concat([pd.DataFrame({"term": ["__N "], "c": [np.int64(len(blk))]}), real])
+            )
+        # multi-way merge in random fan-ins (mimics map_batches batching)
+        while len(summaries) > 1:
+            fan = int(rng.integers(2, min(5, len(summaries)) + 1))
+            group, summaries = summaries[:fan], summaries[fan:]
+            summaries.append(_mg_combine(pd.concat(group)))
+        final = summaries[0]
+
+        assert int(final.loc[final["term"] == "__N ", "c"].iloc[0]) == n_total
+        thresh = n_total // (HH_K + 1) + 1
+        exact = pd.Series(stream).value_counts()
+        must_survive = set(exact[exact >= thresh].index)
+        surv = set(final.loc[final["term"] != "__N ", "term"])
+        assert must_survive <= surv, (trial, must_survive - surv)
+        assert len(surv) <= HH_K
+        # stored counts never exceed true counts (undercount-only summary)
+        real_final = final[final["term"] != "__N "]
+        for t, c in zip(real_final["term"], real_final["c"]):
+            assert c <= exact.get(t, 0)
