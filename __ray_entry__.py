@@ -311,6 +311,9 @@ _SQL_CHECKED: dict[str, tuple[Callable[[str], Any], str]] = {
     # tree-combined (bounded state, no term-cardinality shuffle) + exact
     # candidate recount, provably equal to the plain groupby-HAVING oracle
     "docs_heavy_hitters": (X.docs_heavy_hitters, X.DOCS_HEAVY_HITTERS_SQL),
+    # round 4 (cont.): product-quantization ANN — codebook compression +
+    # ADC LUT scan + exact re-rank; oracle = shared-kernel twin fixture
+    "ann_pq_topk": (X.ann_pq_topk, OF.ANN_PQ_TOPK_SQL),
 }
 
 # rows-only checks (none left — every query has an oracle)

@@ -4916,3 +4916,23 @@ FROM t GROUP BY term
 HAVING COUNT(*) >= (SELECT n // {HH_K + 1} + 1 FROM n)
 ORDER BY term
 """
+
+
+def ann_pq_topk(sf_dir: str):
+    """Product-quantization ANN (Jegou et al. 2011): per-subspace
+    deterministic-KMeans codebooks -> uint8 codes + stored norm (32x
+    compression at dim=64) -> ADC LUT scan -> exact-cosine re-rank of the
+    top-RERANK candidates. Oracle = single-process twin replaying the same
+    shared pure kernels whole-array."""
+    from ..stages.ann import pq_topk
+    from . import oracle_fixtures as OF
+
+    OF.stage_ann_pq_topk(sf_dir)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    q_tbl = io.read_table_arrow(io.table_path(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    Q = np.stack([np.asarray(q_tbl["embedding"][i].as_py()) for i in range(3)]).astype(np.float64)
+    out = pq_topk(ds, Q, k=5, m=8, ksub=16, rerank=50)
+    out["query_id"] = out["query_id"].astype("int64")
+    out["vec_id"] = out["vec_id"].astype("int64")
+    out["cos_sim"] = out["cos_sim"].round(6)
+    return out.sort_values(["query_id", "vec_id"]).reset_index(drop=True)

@@ -1369,3 +1369,47 @@ def stage_zonal_polys(sf_dir: str, n_poly: int = 200) -> None:
     )
     O.stage_fixture("zonal_edges", edges)
     O.stage_fixture("zonal_bbox", bbox)
+
+
+def stage_ann_pq_topk(sf_dir: str, k: int = 5, m: int = 8, ksub: int = 16, rerank: int = 50) -> str:
+    """Single-process twin of the PQ ANN path: the SAME shared pure
+    functions (capped deterministic fit sample -> pq_fit codebooks ->
+    pq_encode codes+norms -> pq_adc_scores LUT scan -> top-RERANK by
+    (adc desc, id asc) -> exact-cosine top-k), replayed whole-array with
+    no Ray. Bitwise parity holds because every float step is per-row
+    independent of the batch split (LUT matvecs have fixed shapes; the
+    gather-accumulate runs in fixed subspace order)."""
+    from ..functions.cluster import deterministic_sample_mask, effective_sample_rate
+    from ..stages.ann import pq_adc_scores, pq_encode, pq_fit
+
+    tbl = io.read_table_arrow(io.table_path(sf_dir, "embeddings"), columns=["vec_id", "embedding"]).to_pandas()
+    E = np.stack([np.asarray(e) for e in tbl["embedding"]]).astype(np.float64)
+    ids = tbl["vec_id"].astype("int64").to_numpy()
+    Q = E[:3].copy()
+
+    rate = effective_sample_rate(len(ids), 0.25, 200_000)
+    mask = deterministic_sample_mask(ids, rate)
+    order = np.argsort(ids[mask], kind="stable")
+    books = pq_fit(E[mask][order], m, ksub)
+
+    codes, norms = pq_encode(E, books)
+    En = E / np.maximum(np.linalg.norm(E, axis=1, keepdims=True), 1e-30)
+    rows = []
+    for qi in range(len(Q)):
+        adc = pq_adc_scores(Q[qi], books, codes, norms)
+        r = min(rerank, len(ids))
+        top = np.argpartition(-adc, r - 1)[:r] if r < len(adc) else np.arange(len(adc))
+        top = top[np.lexsort((ids[top], -adc[top]))][:r]
+        qn = Q[qi] / max(float(np.linalg.norm(Q[qi])), 1e-30)
+        cos = En[top] @ qn
+        kk = min(k, len(top))
+        sel = np.lexsort((ids[top], -cos))[:kk]
+        for j in sel:
+            rows.append((qi, int(ids[top][j]), round(float(cos[j]), 6)))
+    out = pd.DataFrame(rows, columns=["query_id", "vec_id", "cos_sim"])
+    out["query_id"] = out["query_id"].astype("int64")
+    out["vec_id"] = out["vec_id"].astype("int64")
+    return O.stage_fixture("ann_pq_topk", out)
+
+
+ANN_PQ_TOPK_SQL = O.fixture_sql("ann_pq_topk", "query_id, vec_id")

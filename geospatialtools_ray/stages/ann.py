@@ -380,3 +380,149 @@ def ivf_partitioned_topk(
 
     listed = ds.map_batches(assign, batch_format="pyarrow")
     return _scored_topk_partials(listed, "ivf_list", ray.put(b2q), Q, k, id_col, emb_col)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jegou et al. 2011, "Product Quantization for
+# Nearest Neighbor Search"): the compressed-domain ANN path. Vectors are
+# split into M contiguous subspaces; each subspace gets its own
+# deterministic-KMeans codebook (KSUB centroids), so a vector compresses
+# to M uint8 codes + one stored float norm (64-dim float64 512 B ->
+# 8 B + 8 B = 32x). Queries scan codes via ADC lookup tables (one
+# (KSUB,) matvec per subspace, then gather+add — no decompression), and
+# the top-RERANK ADC candidates are re-ranked with exact cosine. Every
+# step is a shared pure function so the single-process oracle twin
+# replays the identical fit/encode/scan/re-rank arithmetic.
+# ---------------------------------------------------------------------------
+
+
+def pq_fit(X: np.ndarray, m: int, ksub: int) -> list[np.ndarray]:
+    """Per-subspace deterministic-KMeans codebooks for (n, d) sample X.
+    d must divide evenly into m contiguous subspaces."""
+    from ..functions.cluster import kmeans_fit
+
+    n, d = X.shape
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible into {m} subspaces")
+    dsub = d // m
+    return [
+        kmeans_fit(np.ascontiguousarray(X[:, j * dsub : (j + 1) * dsub]), min(ksub, n))
+        for j in range(m)
+    ]
+
+
+def pq_encode(E: np.ndarray, codebooks: list[np.ndarray]) -> tuple[np.ndarray, np.ndarray]:
+    """Encode (n, d) vectors: (n, m) uint8 codes + (n,) true float64 norms
+    (the stored norm turns ADC inner product into approximate cosine)."""
+    from ..functions.cluster import kmeans_predict
+
+    m = len(codebooks)
+    n, d = E.shape
+    dsub = d // m
+    codes = np.empty((n, m), dtype=np.uint8)
+    for j, C in enumerate(codebooks):
+        codes[:, j] = kmeans_predict(np.ascontiguousarray(E[:, j * dsub : (j + 1) * dsub]), C).astype(np.uint8)
+    return codes, np.linalg.norm(E, axis=1)
+
+
+def pq_adc_scores(q: np.ndarray, codebooks: list[np.ndarray], codes: np.ndarray, norms: np.ndarray) -> np.ndarray:
+    """Approximate cosine of every coded vector to query q: subspace LUT
+    gathers accumulated in fixed subspace order (deterministic float path),
+    divided by |q| * stored true norm."""
+    m = len(codebooks)
+    dsub = q.shape[0] // m
+    ip = np.zeros(len(codes), dtype=np.float64)
+    for j, C in enumerate(codebooks):
+        lut = C @ q[j * dsub : (j + 1) * dsub]
+        ip += lut[codes[:, j].astype(np.int64)]
+    qn = max(float(np.linalg.norm(q)), 1e-30)
+    return ip / (qn * np.maximum(norms, 1e-30))
+
+
+def pq_topk(
+    ds,
+    queries: np.ndarray,
+    k: int = 5,
+    m: int = 8,
+    ksub: int = 16,
+    rerank: int = 50,
+    sample_rate: float = 0.25,
+    max_sample_rows: int = 200_000,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> pd.DataFrame:
+    """Distributed PQ ANN: fit codebooks on the same capped deterministic
+    sample discipline as IVF, broadcast them once, then one map_batches
+    pass per block does encode -> ADC scan -> per-batch top-RERANK per
+    query -> exact cosine for just those candidates (cheap: <=RERANK rows).
+    The driver merges bounded partials (RERANK x queries x blocks rows):
+    global top-RERANK by (adc desc, id asc), then final top-k by exact
+    cosine — candidate embeddings never ship, only (id, adc, cos) trios.
+    At 100 TB the steady state stores (codes, norm) beside the table and
+    skips the encode, so the scan touches 32 B/vector instead of 512."""
+    import ray
+
+    from ..functions.cluster import deterministic_sample_mask, effective_sample_rate
+
+    Q = np.asarray(queries, dtype=np.float64)
+    rate = effective_sample_rate(ds.count(), sample_rate, max_sample_rows)
+
+    def sample_batch(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(deterministic_sample_mask(ids, rate)))
+
+    # canonical order for the order-sensitive deterministic fit (Ray does
+    # not preserve block order)
+    sample = ds.map_batches(sample_batch, batch_format="pyarrow").to_pandas().sort_values(id_col)
+    X = np.stack([np.asarray(e) for e in sample[emb_col]]).astype(np.float64)
+    books = pq_fit(X, m, ksub)
+    books_ref = ray.put(books)
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-30)
+    q_ref = ray.put((Q, Qn))
+
+    def scan(batch: pa.Table) -> pd.DataFrame:
+        bks = ray.get(books_ref)
+        Q_, Qn_ = ray.get(q_ref)
+        if batch.num_rows == 0:
+            return pd.DataFrame(
+                {"query_id": pd.Series(dtype="int64"), id_col: pd.Series(dtype="int64"),
+                 "adc": pd.Series(dtype="float64"), "cos_sim": pd.Series(dtype="float64")}
+            )
+        E = _emb_matrix(batch, emb_col)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        codes, norms = pq_encode(E, bks)
+        En = E / np.maximum(np.linalg.norm(E, axis=1, keepdims=True), 1e-30)
+        frames = []
+        for qi in range(len(Q_)):
+            adc = pq_adc_scores(Q_[qi], bks, codes, norms)
+            r = min(rerank, len(ids))
+            top = np.argpartition(-adc, r - 1)[:r] if r < len(adc) else np.arange(len(adc))
+            top = top[np.lexsort((ids[top], -adc[top]))]
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "query_id": np.int64(qi),
+                        id_col: ids[top],
+                        "adc": adc[top],
+                        "cos_sim": En[top] @ Qn_[qi],
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    partials = ds.map_batches(scan, batch_format="pyarrow").to_pandas()
+    if not len(partials):
+        return pd.DataFrame(columns=["query_id", id_col, "cos_sim"])
+    cand = (
+        partials.sort_values(["query_id", "adc", id_col], ascending=[True, False, True])
+        .groupby("query_id", as_index=False)
+        .head(rerank)
+    )
+    out = (
+        cand.sort_values(["query_id", "cos_sim", id_col], ascending=[True, False, True])
+        .groupby("query_id", as_index=False)
+        .head(k)
+        .drop(columns=["adc"])
+        .reset_index(drop=True)
+    )
+    return out
