@@ -314,6 +314,9 @@ _SQL_CHECKED: dict[str, tuple[Callable[[str], Any], str]] = {
     # round 4 (cont.): product-quantization ANN — codebook compression +
     # ADC LUT scan + exact re-rank; oracle = shared-kernel twin fixture
     "ann_pq_topk": (X.ann_pq_topk, OF.ANN_PQ_TOPK_SQL),
+    # round 4 (cont.): k-core decomposition — parallel peel with bounded
+    # per-round joins, completing the graph family; twin-fixture oracle
+    "docs_asset_kcore": (X.docs_asset_kcore, OF.DOCS_ASSET_KCORE_SQL),
 }
 
 # rows-only checks (none left — every query has an oracle)

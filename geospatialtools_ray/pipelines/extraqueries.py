@@ -4936,3 +4936,79 @@ def ann_pq_topk(sf_dir: str):
     out["vec_id"] = out["vec_id"].astype("int64")
     out["cos_sim"] = out["cos_sim"].round(6)
     return out.sort_values(["query_id", "vec_id"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (parallel peel): completes the graph family beside
+# connected components, PageRank, and triangle counting. Each round drops
+# EVERY node whose current degree is < K at once, so the round count is
+# the graph's "peeling complexity" (small on real shared-asset graphs —
+# 9 on this corpus; O(V) only on adversarial paths, guarded by a loud
+# max_rounds raise). Rounds are two bounded hash joins (edge endpoint
+# x surviving-node set) + one degree aggregate, with the CC/PageRank plan
+# cut between rounds; nothing node- or edge-cardinality ever reaches the
+# driver. Oracle = single-process twin running the same peel whole-array.
+# ---------------------------------------------------------------------------
+
+KCORE_K = 2
+
+
+def docs_asset_kcore(sf_dir: str):
+    import pyarrow.compute as pc
+    import ray
+    import ray.data as rd
+
+    from . import oracle_fixtures as OF
+    from ..stages import spans
+    from .relational import sorted_group_agg
+
+    OF.stage_docs_asset_kcore(sf_dir)
+    raw = OF.stage_docs_spans_dense(sf_dir)
+    ds = rd.read_parquet(raw)
+
+    def edges_batch(batch: pa.Table) -> pa.Table:
+        t = spans.explode_spans(batch, fields=("media_ref",), kind="media")
+        doc = pc.cast(pc.utf8_slice_codeunits(t["doc_id"], start=4, stop=64), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        asset = spans.hex8_to_int(t["media_ref"]) + _ASSET_BASE
+        pairs = pd.DataFrame({"doc": doc, "asset": asset}).drop_duplicates()
+        s = np.concatenate([pairs["doc"].to_numpy(), pairs["asset"].to_numpy()])
+        d = np.concatenate([pairs["asset"].to_numpy(), pairs["doc"].to_numpy()])
+        return pa.table({"s": pa.array(s, type=pa.int64()), "d": pa.array(d, type=pa.int64())})
+
+    empty = pd.DataFrame({"node": pd.Series([], dtype="int64"), "core_deg": pd.Series([], dtype="int64")})
+    cur = ds.map_batches(edges_batch, batch_format="pyarrow").materialize()
+    n_edges = cur.count()
+    if n_edges == 0:
+        return empty
+    parts = int(max(2, min(ray.cluster_resources().get("CPU", 8), (n_edges + 9_999) // 10_000)))
+
+    max_rounds = 64
+    for rnd in range(max_rounds + 1):
+        deg = sorted_group_agg(cur, "s", {"deg": "count"})
+        act = deg.map_batches(
+            lambda b: pa.table({"node": b.filter(pa.compute.greater_equal(b["deg"], KCORE_K))["s"]}),
+            batch_format="pyarrow",
+        ).materialize()
+        if act.count() == 0:
+            return empty
+        kept = cur.join(act, join_type="inner", num_partitions=parts, on=("s",), right_on=("node",))
+        kept = kept.map_batches(lambda b: b.select(["s", "d"]), batch_format="pyarrow")
+        kept = kept.join(act, join_type="inner", num_partitions=parts, on=("d",), right_on=("node",))
+        kept = kept.map_batches(lambda b: b.select(["s", "d"]), batch_format="pyarrow")
+        # plan cut: the joins embed the previous round's plan
+        nxt = rd.from_arrow_refs(kept.materialize().to_arrow_refs())
+        n_nxt = nxt.count()
+        if n_nxt == cur.count():
+            break
+        cur = nxt
+        if rnd == max_rounds:
+            raise RuntimeError(
+                f"k-core peel did not converge in {max_rounds} rounds — "
+                "adversarial peeling depth; raise max_rounds explicitly"
+            )
+
+    core_deg = sorted_group_agg(cur, "s", {"core_deg": "count"}).to_pandas()
+    out = core_deg.rename(columns={"s": "node"}).astype({"node": "int64", "core_deg": "int64"})
+    return out.sort_values("node").reset_index(drop=True)

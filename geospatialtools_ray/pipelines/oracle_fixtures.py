@@ -1413,3 +1413,35 @@ def stage_ann_pq_topk(sf_dir: str, k: int = 5, m: int = 8, ksub: int = 16, reran
 
 
 ANN_PQ_TOPK_SQL = O.fixture_sql("ann_pq_topk", "query_id, vec_id")
+
+
+def stage_docs_asset_kcore(sf_dir: str, K: int = 2) -> str:
+    """Single-process twin of the k-core peel: same edge construction
+    (distinct doc-asset pairs, symmetrized), same parallel peel rule
+    (drop ALL nodes with degree < K each round), run whole-array."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..stages import spans
+
+    tbl = _dense_docs_table(sf_dir)
+    t = spans.explode_spans(tbl, fields=("media_ref",), kind="media")
+    doc = pc.cast(pc.utf8_slice_codeunits(t["doc_id"], start=4, stop=64), pa.int64()).to_numpy(
+        zero_copy_only=False
+    )
+    asset = spans.hex8_to_int(t["media_ref"]) + 1_000_000_000
+    pairs = pd.DataFrame({"s": doc, "d": asset}).drop_duplicates()
+    cur = pd.concat([pairs, pairs.rename(columns={"s": "d", "d": "s"})], ignore_index=True)
+    while True:
+        deg = cur.groupby("s").size()
+        act = deg[deg >= K].index
+        nxt = cur[cur["s"].isin(act) & cur["d"].isin(act)]
+        if len(nxt) == len(cur):
+            break
+        cur = nxt
+    core = cur.groupby("s").size().rename("core_deg").reset_index().rename(columns={"s": "node"})
+    core = core.astype({"node": "int64", "core_deg": "int64"}).sort_values("node").reset_index(drop=True)
+    return O.stage_fixture("docs_asset_kcore", core)
+
+
+DOCS_ASSET_KCORE_SQL = O.fixture_sql("docs_asset_kcore", "node")

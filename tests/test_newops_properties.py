@@ -118,3 +118,46 @@ def test_misra_gries_merge_preserves_heavy_hitter_guarantee():
         real_final = final[final["term"] != "__N "]
         for t, c in zip(real_final["term"], real_final["c"]):
             assert c <= exact.get(t, 0)
+
+
+def test_kcore_parallel_peel_equals_sequential_peel():
+    """The k-core is order-independent: removing all deg<K nodes per round
+    (the distributed rule) and removing ONE minimal node at a time must
+    yield the same maximal subgraph — and every surviving node has
+    degree >= K inside it."""
+    import pandas as pd
+
+    K = 2
+    for trial in range(10):
+        m = int(_rand(1, 10, 120, 100 + trial)[0])
+        s = _rand(m, 0, 40, 200 + trial)
+        d = _rand(m, 0, 40, 300 + trial)
+        keep = s != d
+        pairs = pd.DataFrame({"s": s[keep], "d": d[keep]}).drop_duplicates()
+        edges = pd.concat([pairs, pairs.rename(columns={"s": "d", "d": "s"})], ignore_index=True).drop_duplicates()
+
+        # parallel peel (the engine rule)
+        cur = edges.copy()
+        while True:
+            deg = cur.groupby("s").size()
+            act = deg[deg >= K].index
+            nxt = cur[cur["s"].isin(act) & cur["d"].isin(act)]
+            if len(nxt) == len(cur):
+                break
+            cur = nxt
+
+        # sequential peel: one minimal node at a time
+        seq = edges.copy()
+        while True:
+            deg = seq.groupby("s").size()
+            low = deg[deg < K]
+            if low.empty:
+                break
+            v = low.index[0]
+            seq = seq[(seq["s"] != v) & (seq["d"] != v)]
+
+        a = set(map(tuple, cur[["s", "d"]].to_numpy()))
+        b = set(map(tuple, seq[["s", "d"]].to_numpy()))
+        assert a == b, trial
+        if len(cur):
+            assert cur.groupby("s").size().min() >= K
