@@ -317,6 +317,20 @@ _SQL_CHECKED: dict[str, tuple[Callable[[str], Any], str]] = {
     # round 4 (cont.): k-core decomposition — parallel peel with bounded
     # per-round joins, completing the graph family; twin-fixture oracle
     "docs_asset_kcore": (X.docs_asset_kcore, OF.DOCS_ASSET_KCORE_SQL),
+    # round 4 (cont.): multi-source BFS hop distance (pinned-round min
+    # relaxation; the oracle unrolls the identical iterations — fully
+    # cross-engine) — completes the graph family's traversal shape
+    "docs_asset_hops": (X.docs_asset_hops, X._asset_hops_sql()),
+    # round 4 (cont.): TF-IDF top-3 terms per doc (broadcast idf table,
+    # pinned score expression) and the corpus-LM mean-token-surprisal
+    # quality filter (int64 micro-nat sums — order-free at any
+    # parallelism); both fully cross-engine from raw text
+    "docs_tfidf_top3": (X.docs_tfidf_top3, X.DOCS_TFIDF_TOP3_SQL),
+    "docs_unigram_surprisal": (X.docs_unigram_surprisal, X.DOCS_UNIGRAM_SURPRISAL_SQL),
+    # round 4 (cont.): exact SimHash Hamming<=3 pair join — pigeonhole
+    # band candidates + XOR popcount verify; oracle = fully-SQL quadratic
+    # bit_count(xor(...)) self-join over the staged twin sketches
+    "docs_simhash_hamming_pairs": (X.docs_simhash_hamming_pairs, OF.DOCS_SIMHASH_HAMMING_SQL),
 }
 
 # rows-only checks (none left — every query has an oracle)

@@ -5012,3 +5012,327 @@ def docs_asset_kcore(sf_dir: str):
     core_deg = sorted_group_agg(cur, "s", {"core_deg": "count"}).to_pandas()
     out = core_deg.rename(columns={"s": "node"}).astype({"node": "int64", "core_deg": "int64"})
     return out.sort_values("node").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Multi-source BFS hop distance over the doc<->asset bipartite graph — the
+# neighborhood-expansion shape (link-graph crawl frontier, contamination
+# blast radius). Per round: one bounded hash join (edges x frontier) and
+# one min-combine at node cardinality; the iteration count is PINNED so
+# the DuckDB oracle unrolls the identical min-relaxation — fully
+# cross-engine, no staged twin. Hop values over the bipartite graph are
+# even for doc nodes (doc -> asset -> doc), so the 4-round cap reaches
+# doc-to-doc distance 2.
+# ---------------------------------------------------------------------------
+
+BFS_HOPS_MOD = 13
+BFS_HOPS_ROUNDS = 4
+
+
+def docs_asset_hops(sf_dir: str):
+    import pyarrow.compute as pc
+    import ray
+    import ray.data as rd
+
+    from . import oracle_fixtures as OF
+    from ..stages import spans
+    from .relational import sorted_group_agg
+
+    raw = OF.stage_docs_spans_dense(sf_dir)
+    ds = rd.read_parquet(raw)
+
+    def edges_batch(batch: pa.Table) -> pa.Table:
+        t = spans.explode_spans(batch, fields=("media_ref",), kind="media")
+        doc = pc.cast(
+            pc.utf8_slice_codeunits(t["doc_id"], start=4, stop=64), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        asset = spans.hex8_to_int(t["media_ref"]) + _ASSET_BASE
+        pairs = pd.DataFrame({"doc": doc, "asset": asset}).drop_duplicates()
+        s = np.concatenate([pairs["doc"].to_numpy(), pairs["asset"].to_numpy()])
+        d = np.concatenate([pairs["asset"].to_numpy(), pairs["doc"].to_numpy()])
+        return pa.table({"s": pa.array(s, type=pa.int64()), "d": pa.array(d, type=pa.int64())})
+
+    empty = pd.DataFrame(
+        {"doc": pd.Series([], dtype="int64"), "hops": pd.Series([], dtype="int64")}
+    )
+    edges = ds.map_batches(edges_batch, batch_format="pyarrow").materialize()
+    n_edges = edges.count()
+    if n_edges == 0:
+        return empty
+    parts = int(max(2, min(ray.cluster_resources().get("CPU", 8), (n_edges + 9_999) // 10_000)))
+
+    def seed_batch(b: pa.Table) -> pa.Table:
+        s = b["s"].to_numpy(zero_copy_only=False)
+        m = (s < _ASSET_BASE) & (s % BFS_HOPS_MOD == 0)
+        u = np.unique(s[m])
+        return pa.table(
+            {"node": pa.array(u, type=pa.int64()),
+             "h": pa.array(np.zeros(len(u), dtype=np.int64))}
+        )
+
+    # seed set from the edge endpoints themselves (duplicates across
+    # batches collapse in the min-combine; h is 0 everywhere)
+    seeds = edges.map_batches(seed_batch, batch_format="pyarrow")
+    dist = sorted_group_agg(seeds, "node", {"h": "min"}).materialize()
+    if dist.count() == 0:
+        return empty
+    for _ in range(BFS_HOPS_ROUNDS):
+        relax = edges.join(dist, join_type="inner", num_partitions=parts, on=("s",), right_on=("node",))
+        step = relax.map_batches(
+            lambda b: pa.table(
+                {"node": b["d"],
+                 "h": pa.array(b["h"].to_numpy(zero_copy_only=False) + 1)}
+            ),
+            batch_format="pyarrow",
+        )
+        nxt = sorted_group_agg(dist.union(step), "node", {"h": "min"})
+        # plan cut: the join embeds the previous round's plan (the
+        # CC/PageRank rebound rule)
+        dist = rd.from_arrow_refs(nxt.materialize().to_arrow_refs())
+    out = dist.map_batches(
+        lambda b: b.filter(pc.less(b["node"], _ASSET_BASE)), batch_format="pyarrow"
+    ).to_pandas()
+    out = out.rename(columns={"node": "doc", "h": "hops"}).astype({"doc": "int64", "hops": "int64"})
+    return out.sort_values("doc").reset_index(drop=True)
+
+
+def _asset_hops_sql() -> str:
+    from .. import oracles as O
+
+    hexval = (
+        "SUM((CASE WHEN ascii(substr(ref, 14 + i, 1)) >= 97 "
+        "THEN ascii(substr(ref, 14 + i, 1)) - 87 "
+        "ELSE ascii(substr(ref, 14 + i, 1)) - 48 END) * (CAST(1 AS BIGINT) << (4 * (7 - i))))"
+    )
+    rel = (
+        "SELECT node, MIN(h) AS h FROM ("
+        "SELECT node, h FROM {prev} "
+        "UNION ALL "
+        "SELECT e.d AS node, p.h + 1 AS h FROM e JOIN {prev} p ON e.s = p.node"
+        ") GROUP BY node"
+    )
+    return f"""
+WITH s AS (SELECT doc_id, unnest(spans) AS sp
+           FROM read_parquet('{O.fixture_path("docs_spans_dense")}')),
+m0 AS (SELECT DISTINCT CAST(doc_id[5:] AS BIGINT) AS doc, sp.media_ref AS ref
+       FROM s WHERE sp.kind = 'media'),
+m AS (SELECT doc, 1000000000 + CAST({hexval} AS BIGINT) AS asset
+      FROM m0, range(8) t(i) GROUP BY doc, ref),
+e AS (SELECT doc AS s, asset AS d FROM m UNION ALL SELECT asset, doc FROM m),
+d0 AS (SELECT DISTINCT s AS node, CAST(0 AS BIGINT) AS h FROM e
+       WHERE s < 1000000000 AND s % {BFS_HOPS_MOD} = 0),
+d1 AS ({rel.format(prev="d0")}),
+d2 AS ({rel.format(prev="d1")}),
+d3 AS ({rel.format(prev="d2")}),
+d4 AS ({rel.format(prev="d3")})
+SELECT CAST(node AS BIGINT) AS doc, CAST(h AS BIGINT) AS hops FROM d4
+WHERE node < 1000000000 ORDER BY doc
+"""
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms per document — the keyword-extraction / relevance shape.
+# Pass A: document frequency per term (vocabulary-bounded partials, no
+# shuffle); idf table broadcast ONCE via ray.put. Pass B: per-doc tf +
+# score + top-3, exact per batch because a document is one row. The score
+# is ONE pinned IEEE expression (tf * ln(N/df) * 1e6, rounded half away)
+# evaluated identically in DuckDB, ties broken by term — fully
+# cross-engine.
+# ---------------------------------------------------------------------------
+
+def docs_tfidf_top3(sf_dir: str):
+    import ray
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    from .relational import tree_group_sum
+
+    def df_partial(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        toks = df.set_index("doc_id")["text"].str.split(" ").explode()
+        toks = toks[(toks != "") & toks.notna()]
+        t = toks.reset_index().rename(columns={"text": "term"}).drop_duplicates()
+        out = t.groupby("term", as_index=False).size().rename(columns={"size": "df"})
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    dftab = tree_group_sum(
+        ds.map_batches(df_partial, batch_format="pyarrow"), ["term"], value_cols=["df"]
+    )
+    empty = pd.DataFrame(
+        {"doc_id": pd.Series([], dtype="int64"), "rk": pd.Series([], dtype="int64"),
+         "term": pd.Series([], dtype=str), "score": pd.Series([], dtype="int64")}
+    )
+    if dftab.empty:
+        return empty
+    n_docs = io.table_num_rows(io.table_path(sf_dir, "documents"))
+    dftab = dftab.sort_values("term").reset_index(drop=True)
+    vocab = dftab["term"].to_numpy()
+    idf = np.log(float(n_docs) / dftab["df"].to_numpy(dtype=np.float64))
+    idf_ref = ray.put((vocab, idf))
+
+    def score_batch(b: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        v, iv = _ray.get(idf_ref)
+        df = b.to_pandas()
+        toks = df.set_index("doc_id")["text"].str.split(" ").explode()
+        toks = toks[(toks != "") & toks.notna()]
+        if toks.empty:
+            return pa.Table.from_pandas(empty, preserve_index=False)
+        t = toks.reset_index().rename(columns={"text": "term"})
+        tf = t.groupby(["doc_id", "term"], as_index=False).size().rename(columns={"size": "tf"})
+        pos = np.searchsorted(v, tf["term"].to_numpy())
+        tf["score"] = sql_round(
+            tf["tf"].to_numpy(dtype=np.float64) * iv[pos] * 1e6
+        ).astype(np.int64)
+        tf = tf.sort_values(
+            ["doc_id", "score", "term"], ascending=[True, False, True], kind="stable"
+        ).reset_index(drop=True)
+        rk = tf.groupby("doc_id").cumcount().to_numpy() + 1
+        keep = rk <= 3
+        out = tf.loc[keep, ["doc_id", "term", "score"]].copy()
+        out.insert(1, "rk", rk[keep].astype(np.int64))
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    out = ds.map_batches(score_batch, batch_format="pyarrow").to_pandas()
+    out = out.astype({"doc_id": "int64", "rk": "int64", "score": "int64"})
+    return out.sort_values(["doc_id", "rk"]).reset_index(drop=True)
+
+
+DOCS_TFIDF_TOP3_SQL = """
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+t AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY doc_id, term),
+df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM t GROUP BY term),
+n AS (SELECT COUNT(*) AS n FROM documents),
+sc AS (SELECT tf.doc_id, tf.term,
+         CAST(round(CAST(tf.tf AS DOUBLE)
+                    * LN(CAST(n.n AS DOUBLE) / CAST(df.df AS DOUBLE))
+                    * 1000000, 0) AS BIGINT) AS score
+       FROM tf JOIN df USING (term) CROSS JOIN n),
+r AS (SELECT doc_id, term, score,
+        ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rk
+      FROM sc)
+SELECT doc_id, CAST(rk AS BIGINT) AS rk, term, score FROM r
+WHERE rk <= 3 ORDER BY doc_id, rk
+"""
+
+
+# ---------------------------------------------------------------------------
+# Corpus-LM mean token surprisal per document — the CCNet-style quality
+# filter shape (score each doc against a language model fit on the corpus
+# itself). Pass A: global unigram counts (vocabulary-bounded, shuffle-free
+# tree combine); per-term surprisal quantized ONCE to int64 micro-nats in
+# the broadcast table, so the per-doc sum is an ORDER-FREE integer sum —
+# no float-accumulation hazard at any parallelism. One float division +
+# pinned rounding at the end. Fully cross-engine (DuckDB recomputes the
+# LM from raw text).
+# ---------------------------------------------------------------------------
+
+def docs_unigram_surprisal(sf_dir: str):
+    import ray
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    from .relational import tree_group_sum
+
+    def tf_partial(b: pa.Table) -> pa.Table:
+        toks = b.to_pandas()["text"].str.split(" ").explode()
+        toks = toks[(toks != "") & toks.notna()]
+        out = (
+            toks.to_frame("term").groupby("term", as_index=False).size()
+            .rename(columns={"size": "tf"})
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    tftab = tree_group_sum(
+        ds.map_batches(tf_partial, batch_format="pyarrow"), ["term"], value_cols=["tf"]
+    )
+    empty = pd.DataFrame(
+        {"doc_id": pd.Series([], dtype="int64"), "n_tokens": pd.Series([], dtype="int64"),
+         "surprisal": pd.Series([], dtype="float64")}
+    )
+    if tftab.empty:
+        return empty
+    tftab = tftab.sort_values("term").reset_index(drop=True)
+    total = float(tftab["tf"].sum())
+    vocab = tftab["term"].to_numpy()
+    smic = sql_round(
+        -np.log(tftab["tf"].to_numpy(dtype=np.float64) / total) * 1e6
+    ).astype(np.int64)
+    lm_ref = ray.put((vocab, smic))
+
+    def score_batch(b: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        v, sm = _ray.get(lm_ref)
+        toks = b.to_pandas().set_index("doc_id")["text"].str.split(" ").explode()
+        toks = toks[(toks != "") & toks.notna()]
+        if toks.empty:
+            return pa.Table.from_pandas(
+                pd.DataFrame(
+                    {"doc_id": pd.Series([], dtype="int64"),
+                     "n_tokens": pd.Series([], dtype="int64"),
+                     "ssum": pd.Series([], dtype="int64")}
+                ),
+                preserve_index=False,
+            )
+        t = toks.reset_index().rename(columns={"text": "term"})
+        t["s"] = sm[np.searchsorted(v, t["term"].to_numpy())]
+        g = t.groupby("doc_id").agg(n_tokens=("s", "size"), ssum=("s", "sum")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    g = ds.map_batches(score_batch, batch_format="pyarrow").to_pandas()
+    if g.empty:
+        return empty
+    surpr = (
+        sql_round(g["ssum"].to_numpy(dtype=np.float64) / g["n_tokens"].to_numpy(dtype=np.float64))
+        / 1e6
+    )
+    out = pd.DataFrame(
+        {"doc_id": g["doc_id"].astype("int64"), "n_tokens": g["n_tokens"].astype("int64"),
+         "surprisal": surpr}
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+DOCS_UNIGRAM_SURPRISAL_SQL = """
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+t AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+tf AS (SELECT term, COUNT(*) AS tf FROM t GROUP BY term),
+tot AS (SELECT CAST(SUM(tf) AS DOUBLE) AS total FROM tf),
+lm AS (SELECT term,
+         CAST(round(-LN(CAST(tf AS DOUBLE) / tot.total) * 1000000, 0) AS BIGINT) AS s
+       FROM tf CROSS JOIN tot)
+SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       round(CAST(SUM(lm.s) AS DOUBLE) / COUNT(*), 0) / 1000000.0 AS surprisal
+FROM t JOIN lm USING (term)
+GROUP BY t.doc_id ORDER BY t.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact SimHash Hamming-pair join (pigeonhole band candidates + XOR
+# popcount verify, stages/dedup.py::simhash_hamming_pairs). The oracle is
+# a fully-SQL quadratic self-join with bit_count(xor(...)) over a staged
+# per-doc simhash table (twin kernel) — the pair DEFINITION is engine-
+# independent, so the band-bucketing + all-pairs-within-bucket + verify
+# path is checked end to end.
+# ---------------------------------------------------------------------------
+
+def docs_simhash_hamming_pairs(sf_dir: str):
+    from . import oracle_fixtures as OF
+    from ..stages.dedup import simhash_hamming_pairs
+
+    OF.stage_docs_simhash_hamming(sf_dir)
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = simhash_hamming_pairs(ds, max_hamming=3).to_pandas()
+    if pairs.empty:
+        return pd.DataFrame(
+            {"doc_a": pd.Series([], dtype="int64"), "doc_b": pd.Series([], dtype="int64"),
+             "hamming": pd.Series([], dtype="int64")}
+        )
+    pk = pairs["pk"].to_numpy(dtype=np.int64)
+    out = pd.DataFrame(
+        {"doc_a": pk >> np.int64(31), "doc_b": pk & np.int64((1 << 31) - 1),
+         "hamming": pairs["hamming"].astype("int64")}
+    )
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)

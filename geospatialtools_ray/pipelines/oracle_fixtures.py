@@ -1445,3 +1445,31 @@ def stage_docs_asset_kcore(sf_dir: str, K: int = 2) -> str:
 
 
 DOCS_ASSET_KCORE_SQL = O.fixture_sql("docs_asset_kcore", "node")
+
+
+def stage_docs_simhash_hamming(sf_dir: str) -> str:
+    """Per-doc 64-bit simhash (single-process twin kernel, i64 view); the
+    Hamming-pair ORACLE is then fully SQL — a quadratic self-join with
+    bit_count(xor(...)) <= T in DuckDB — so the pigeonhole band join's
+    candidate generation + verify is checked against an engine-independent
+    pair definition (only the sketch kernel is shared, as in
+    docs_simhash_buckets)."""
+    df = _docs(sf_dir, ["doc_id", "text"])
+    rows = [
+        (int(d), _u64_to_i64(O.simhash_one(t, 3)))
+        for d, t in zip(df["doc_id"].astype("int64"), df["text"])
+    ]
+    out = pd.DataFrame(rows, columns=["doc_id", "simhash"])
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    return O.stage_fixture("docs_simhash_hamming", out)
+
+
+DOCS_SIMHASH_HAMMING_SQL = f"""
+WITH h AS (SELECT doc_id, simhash
+           FROM read_parquet('{O.fixture_path("docs_simhash_hamming")}'))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM h a JOIN h b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+ORDER BY doc_a, doc_b
+"""

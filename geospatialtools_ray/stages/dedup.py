@@ -670,3 +670,106 @@ def dup_span_stats(ds, text_col: str = "text", id_col: str = "doc_id", k: int = 
         id_col,
         {"n_windows": "sum", "n_dup_windows": "sum"},
     )
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Set-bit count per uint64 (vectorized: 8-byte view -> unpackbits)."""
+    x = np.ascontiguousarray(x, dtype=np.uint64)
+    if len(x) == 0:
+        return np.empty(0, dtype=np.int64)
+    return np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1).astype(np.int64)
+
+
+def simhash_hamming_pairs(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    num_buckets: int = 256,
+):
+    """EXACT SimHash near-dup pair join: every (id_a < id_b) pair whose
+    64-bit simhashes differ in <= `max_hamming` bits, plus the distance.
+
+    Pigeonhole candidate generation (Manku et al. 2007, WWW — the SimHash
+    web-dedup paper): the sketch splits into 4 disjoint 16-bit bands, so
+    any pair within Hamming distance 3 agrees EXACTLY on >= 1 band.
+    Candidates therefore come from within-band-bucket pairs only — never
+    an all-pairs scan — and each candidate verifies with one XOR+popcount.
+    Requires max_hamming <= 3 (4 bands); asserts loudly otherwise.
+
+    Shape: simhash_buckets (vectorized sketch, 4 rows/doc) -> whole-bucket
+    hash partition (bucketed_key_apply on the packed (band, band_key)
+    key) -> per-run all-pairs generation vectorized by RUN LENGTH (one
+    triu gather per distinct bucket size — the triangles convention) with
+    the Hamming verify INSIDE the bucket task (candidates never ship
+    unverified) -> distinct across bands via one packed-key
+    sorted_group_agg. Per-bucket work is O(m^2) in bucket size — inherent
+    to the operator's exact output — and bucket sizes are band-hash
+    balanced; id space must fit 31 bits for the packed pair key (loud
+    guard; at larger id spaces key on the 2-column pair instead).
+    """
+    if max_hamming > 3:
+        raise ValueError("pigeonhole with 4 x 16-bit bands is exact only for max_hamming <= 3")
+
+    from ..pipelines.relational import sorted_group_agg
+    from .keyapply import bucketed_key_apply, key_run_starts
+
+    banded = simhash_buckets(ds, text_col=text_col, id_col=id_col)
+
+    def add_bucket_key(b: pa.Table) -> pa.Table:
+        band = b["band"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bk = b["band_key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "bkey": pa.array((band << np.int64(32)) | bk, type=pa.int64()),
+                id_col: b[id_col],
+                "simhash": pa.array(
+                    b["simhash"].to_numpy(zero_copy_only=False).view(np.int64), type=pa.int64()
+                ),
+            }
+        )
+
+    keyed = banded.map_batches(add_bucket_key, batch_format="pyarrow")
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"pk": pd.Series([], dtype="int64"), "hamming": pd.Series([], dtype="int64")}
+        )
+        if len(g) < 2:
+            return empty
+        g = g.sort_values(["bkey", id_col], kind="stable")
+        keys = g["bkey"].to_numpy()
+        ids = g[id_col].to_numpy(dtype=np.int64)
+        sh = g["simhash"].to_numpy(dtype=np.int64)
+        if ids.max() >= (1 << 31):
+            raise ValueError(
+                "simhash_hamming_pairs packs (id_a, id_b) into one int64; "
+                f"id {ids.max()} needs >= 31 bits — key on the 2-column pair instead"
+            )
+        new = key_run_starts(keys)
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.append(starts, len(keys)))
+        a_parts, b_parts = [], []
+        for run_len in np.unique(lens):
+            if run_len < 2:
+                continue
+            st = starts[lens == run_len]
+            iu0, iu1 = np.triu_indices(int(run_len), 1)
+            a_parts.append((st[:, None] + iu0[None, :]).ravel())
+            b_parts.append((st[:, None] + iu1[None, :]).ravel())
+        if not a_parts:
+            return empty
+        ai = np.concatenate(a_parts)
+        bi = np.concatenate(b_parts)
+        ham = _popcount64(sh[ai].view(np.uint64) ^ sh[bi].view(np.uint64))
+        keep = ham <= max_hamming
+        if not keep.any():
+            return empty
+        # ids ascend within a run, so id_a < id_b by construction
+        pk = (ids[ai[keep]] << np.int64(31)) | ids[bi[keep]]
+        return pd.DataFrame({"pk": pk, "hamming": ham[keep]})
+
+    pairs = bucketed_key_apply(keyed, "bkey", bucket_pairs, num_buckets=num_buckets)
+    # a pair found in k matching bands appears k times with the SAME
+    # distance — distinct via one packed-key combine (min == the value)
+    return sorted_group_agg(pairs, "pk", {"hamming": "min"})

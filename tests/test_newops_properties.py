@@ -161,3 +161,113 @@ def test_kcore_parallel_peel_equals_sequential_peel():
         assert a == b, trial
         if len(cur):
             assert cur.groupby("s").size().min() >= K
+
+
+def test_pigeonhole_bands_cover_all_hamming3_pairs_and_verify_is_exact():
+    """4 disjoint 16-bit bands: any u64 pair within Hamming distance 3
+    shares >= 1 exact band (pigeonhole), so band-bucket candidates are a
+    SUPERSET of the true pair set; XOR+popcount then recovers it exactly.
+    Random sketches plus planted near-dups (random <=3-bit flips)."""
+    from geospatialtools_ray.stages.dedup import _popcount64
+
+    rng_u = h64(np.arange(400, dtype=np.uint64), 77)
+    # plant near-dups: doc i in [200, 400) is doc i-200 with <= 3 bit flips
+    planted = rng_u.copy()
+    for i in range(200, 400):
+        flips = int(h64(np.uint64(i), 5) % np.uint64(4))
+        v = rng_u[i - 200]
+        for f in range(flips):
+            bit = int(h64(np.uint64(i * 8 + f), 6) % np.uint64(64))
+            v = v ^ (np.uint64(1) << np.uint64(bit))
+        planted[i] = v
+    sk = planted
+    n = len(sk)
+    # brute truth
+    xor = sk[:, None] ^ sk[None, :]
+    pop = np.unpackbits(xor.view(np.uint8).reshape(n, n, 8), axis=2).sum(axis=2)
+    iu = np.triu_indices(n, 1)
+    truth = {(int(a), int(b)) for a, b in zip(*iu) if pop[a, b] <= 3}
+    assert len(truth) >= 150  # planted pairs actually exist
+    # pigeonhole candidates
+    cands = set()
+    for band in range(4):
+        key = (sk >> np.uint64(16 * band)) & np.uint64(0xFFFF)
+        from collections import defaultdict
+
+        buckets = defaultdict(list)
+        for i, k in enumerate(key.tolist()):
+            buckets[k].append(i)
+        for members in buckets.values():
+            for x in range(len(members)):
+                for y in range(x + 1, len(members)):
+                    cands.add((members[x], members[y]))
+    assert truth <= cands
+    # verify recovers exactly the truth
+    ca = np.array([a for a, b in cands], dtype=np.int64)
+    cb = np.array([b for a, b in cands], dtype=np.int64)
+    ham = _popcount64(sk[ca] ^ sk[cb])
+    got = {(int(a), int(b)) for a, b, h in zip(ca, cb, ham) if h <= 3}
+    assert got == truth
+
+
+def test_bfs_min_relaxation_rounds_equal_true_hop_distance():
+    """R rounds of dist' = min(dist, min_nbr(dist)+1) equal true BFS hop
+    distance for every node within R hops of a seed (and leave farther
+    nodes unlabeled) — the docs_asset_hops iteration rule."""
+    n = 60
+    a = _rand(150, 0, n, 21)
+    b = _rand(150, 0, n, 22)
+    edges = {(int(x), int(y)) for x, y in zip(a, b) if x != y}
+    sym = edges | {(y, x) for x, y in edges}
+    seeds = [v for v in range(n) if v % 7 == 0]
+    R = 4
+    # iterated min relaxation
+    INF = 1 << 30
+    dist = {v: (0 if v in seeds else INF) for v in range(n)}
+    for _ in range(R):
+        nxt = dict(dist)
+        for s, d in sym:
+            if dist[s] + 1 < nxt[d]:
+                nxt[d] = dist[s] + 1
+        dist = nxt
+    # true BFS
+    from collections import deque
+
+    true = {v: INF for v in range(n)}
+    dq = deque()
+    for s in seeds:
+        true[s] = 0
+        dq.append(s)
+    adj = {}
+    for s, d in sym:
+        adj.setdefault(s, []).append(d)
+    while dq:
+        u = dq.popleft()
+        for w in adj.get(u, []):
+            if true[w] > true[u] + 1:
+                true[w] = true[u] + 1
+                dq.append(w)
+    for v in range(n):
+        if true[v] <= R:
+            assert dist[v] == true[v]
+        else:
+            assert dist[v] == INF
+
+
+def test_surprisal_integer_micro_nat_sum_is_order_free():
+    """Quantizing per-term surprisal to int64 micro-nats BEFORE the sum
+    makes the per-doc total exact under ANY accumulation order — the
+    docs_unigram_surprisal no-float-hazard argument (a float sum of the
+    same logs differs across orders on adversarial magnitudes)."""
+    from geospatialtools_ray.numerics import sql_round
+
+    tf = np.array([1, 2, 3, 1000000, 5, 7, 11], dtype=np.float64)
+    total = tf.sum()
+    smic = sql_round(-np.log(tf / total) * 1e6).astype(np.int64)
+    doc = np.array([0, 1, 2, 3, 4, 5, 6] * 300, dtype=np.int64)
+    rng = np.random.default_rng(9)
+    for _ in range(5):
+        perm = rng.permutation(len(doc))
+        s1 = int(smic[doc % 7].sum())
+        s2 = int(smic[doc[perm] % 7].sum())
+        assert s1 == s2
