@@ -331,6 +331,12 @@ _SQL_CHECKED: dict[str, tuple[Callable[[str], Any], str]] = {
     # band candidates + XOR popcount verify; oracle = fully-SQL quadratic
     # bit_count(xor(...)) self-join over the staged twin sketches
     "docs_simhash_hamming_pairs": (X.docs_simhash_hamming_pairs, OF.DOCS_SIMHASH_HAMMING_SQL),
+    # round 4 (cont.): data-mix quota sampling (exact per-lang rank via the
+    # packed-key two-phase distributed scan — no whole-lang bucket) and PMI
+    # collocations (vocab^2-bounded pair partials + pinned micro-nat
+    # expression); both fully cross-engine
+    "docs_lang_quota_mix": (X.docs_lang_quota_mix, X.DOCS_LANG_QUOTA_MIX_SQL),
+    "docs_term_pmi": (X.docs_term_pmi, X.DOCS_TERM_PMI_SQL),
 }
 
 # rows-only checks (none left — every query has an oracle)

@@ -5336,3 +5336,198 @@ def docs_simhash_hamming_pairs(sf_dir: str):
          "hamming": pairs["hamming"].astype("int64")}
     )
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Data-mix quota sampling — curate a training mix by taking a FIXED
+# fraction of each language deterministically (the mixture-reweighting
+# shape). Per-lang quota = n_lang // 5; membership = the quota smallest
+# (hash, doc_id) per lang, i.e. an exact per-group rank. Rank is the
+# two-phase distributed scan (stages/scan.py::ordered_prefix_sum) over a
+# packed (lang_idx | hash | doc_id) key — rank-within-lang falls out as
+# global_rank - per-lang base offset (tiny lang table, broadcast once).
+# No per-group sort, no whole-lang bucket. Fully cross-engine: the oracle
+# is ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hash, doc_id).
+# ---------------------------------------------------------------------------
+
+QUOTA_MIX_DENOM = 5  # keep 1/5 of each language
+
+
+def docs_lang_quota_mix(sf_dir: str):
+    import ray
+
+    from ..stages.scan import ordered_prefix_sum
+    from .relational import tree_group_sum
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def lang_partial(b: pa.Table) -> pa.Table:
+        out = (
+            b.to_pandas().groupby("lang", as_index=False).size().rename(columns={"size": "n"})
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    lt = tree_group_sum(ds.map_batches(lang_partial, batch_format="pyarrow"), ["lang"], value_cols=["n"])
+    empty = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"), "lang": pd.Series([], dtype=str)})
+    if lt.empty:
+        return empty
+    lt = lt.sort_values("lang").reset_index(drop=True)
+    if len(lt) >= 256:
+        raise ValueError("docs_lang_quota_mix packs lang_idx into 8 bits — >=256 languages needs a wider key")
+    langs = lt["lang"].to_numpy()
+    n_l = lt["n"].to_numpy(dtype=np.int64)
+    offsets = np.concatenate([[0], np.cumsum(n_l)[:-1]])  # rows in all smaller lang_idx
+    quotas = n_l // QUOTA_MIX_DENOM
+    mix_ref = ray.put((langs, offsets, quotas))
+
+    def key(b: pa.Table) -> pa.Table:
+        did = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if (did >= (1 << 23)).any() or (did < 0).any():
+            raise ValueError(
+                "docs_lang_quota_mix packs doc_id into 23 bits — widen to a "
+                "2-column rank key past 8.4M ids"
+            )
+        import ray as _ray
+
+        v, _, _ = _ray.get(mix_ref)
+        li = np.searchsorted(v, b["lang"].to_numpy(zero_copy_only=False)).astype(np.int64)
+        hv = ((did.astype(np.uint64) * np.uint64(KNUTH_MULT)) % np.uint64(1 << 32)).astype(np.int64)
+        k = (li << np.int64(55)) | (hv << np.int64(23)) | did
+        return pa.table({"k": pa.array(k), "one": pa.array(np.ones(len(k), dtype=np.int64))})
+
+    keyed = ds.map_batches(key, batch_format="pyarrow")
+    n = ds.count()
+    max_k = ((len(lt) - 1) << 55) | (((1 << 32) - 1) << 23) | ((1 << 23) - 1)
+    bw = max(max_k // max(n // 4096, 64), 1)
+    scanned = ordered_prefix_sum(keyed, "k", "one", bucket_width=bw)
+
+    def finish(b: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        v, off, q = _ray.get(mix_ref)
+        k = b["k"].to_numpy(zero_copy_only=False)
+        li = (k >> np.int64(55)).astype(np.int64)
+        rank = b["cum"].to_numpy(zero_copy_only=False) - off[li]  # 1-based within lang
+        keep = rank <= q[li]
+        did = (k & np.int64((1 << 23) - 1))[keep]
+        return pa.table(
+            {"doc_id": pa.array(did, type=pa.int64()),
+             "lang": pa.array(v[li[keep]], type=pa.string())}
+        )
+
+    out = scanned.map_batches(finish, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True).astype({"doc_id": "int64"})
+
+
+DOCS_LANG_QUOTA_MIX_SQL = f"""
+WITH q AS (SELECT lang, COUNT(*) // {QUOTA_MIX_DENOM} AS quota FROM documents GROUP BY lang),
+r AS (SELECT doc_id, lang,
+        ROW_NUMBER() OVER (
+          PARTITION BY lang
+          ORDER BY (doc_id * {KNUTH_MULT}) % 4294967296, doc_id) AS rk
+      FROM documents)
+SELECT r.doc_id, r.lang FROM r JOIN q USING (lang)
+WHERE rk <= quota ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations — pointwise mutual information over within-document
+# term co-occurrence (the classic phrase/collocation detector). Per-doc
+# DISTINCT term pairs generate vectorized (triu gather per distinct
+# per-doc term count — a doc is one row, so batch partials are exact);
+# the (term_a, term_b) space is vocabulary^2-bounded, finished by the
+# shuffle-free tree combine; doc frequencies ride the same pass. PMI =
+# ln(c_ab * N / (df_a * df_b)) as ONE pinned IEEE expression in int64
+# micro-nats; support floor keeps the result stable. Fully cross-engine.
+# ---------------------------------------------------------------------------
+
+PMI_MIN_SUPPORT = 5
+
+
+def docs_term_pmi(sf_dir: str):
+    import ray
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    from .relational import tree_group_sum
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        toks = df.set_index("doc_id")["text"].str.split(" ").explode()
+        toks = toks[(toks != "") & toks.notna()]
+        t = toks.reset_index().rename(columns={"text": "term"}).drop_duplicates()
+        t = t.sort_values(["doc_id", "term"], kind="stable").reset_index(drop=True)
+        terms = t["term"].to_numpy()
+        doc = t["doc_id"].to_numpy()
+        new = np.ones(len(t), dtype=bool)
+        new[1:] = doc[1:] != doc[:-1]
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.append(starts, len(t)))
+        a_parts, b_parts = [], []
+        for run_len in np.unique(lens):
+            if run_len < 2:
+                continue
+            st = starts[lens == run_len]
+            iu0, iu1 = np.triu_indices(int(run_len), 1)
+            a_parts.append((st[:, None] + iu0[None, :]).ravel())
+            b_parts.append((st[:, None] + iu1[None, :]).ravel())
+        if a_parts:
+            pairs = pd.DataFrame(
+                {"term_a": terms[np.concatenate(a_parts)], "term_b": terms[np.concatenate(b_parts)]}
+            )
+            pc_ = pairs.groupby(["term_a", "term_b"], as_index=False).size().rename(columns={"size": "c_ab"})
+        else:
+            pc_ = pd.DataFrame({"term_a": pd.Series([], dtype=str), "term_b": pd.Series([], dtype=str),
+                                "c_ab": pd.Series([], dtype="int64")})
+        return pa.Table.from_pandas(pc_, preserve_index=False)
+
+    def df_partial(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        toks = df.set_index("doc_id")["text"].str.split(" ").explode()
+        toks = toks[(toks != "") & toks.notna()]
+        t = toks.reset_index().rename(columns={"text": "term"}).drop_duplicates()
+        out = t.groupby("term", as_index=False).size().rename(columns={"size": "df"})
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    pairs = tree_group_sum(
+        ds.map_batches(pair_partial, batch_format="pyarrow"), ["term_a", "term_b"], value_cols=["c_ab"]
+    )
+    dftab = tree_group_sum(
+        ds.map_batches(df_partial, batch_format="pyarrow"), ["term"], value_cols=["df"]
+    )
+    empty = pd.DataFrame(
+        {"term_a": pd.Series([], dtype=str), "term_b": pd.Series([], dtype=str),
+         "c_ab": pd.Series([], dtype="int64"), "pmi_micro": pd.Series([], dtype="int64")}
+    )
+    if pairs.empty or dftab.empty:
+        return empty
+    pairs = pairs[pairs["c_ab"] >= PMI_MIN_SUPPORT].reset_index(drop=True)
+    if pairs.empty:
+        return empty
+    n = io.table_num_rows(io.table_path(sf_dir, "documents"))
+    dfmap = dftab.set_index("term")["df"]
+    dfa = dfmap.loc[pairs["term_a"]].to_numpy(dtype=np.int64)
+    dfb = dfmap.loc[pairs["term_b"]].to_numpy(dtype=np.int64)
+    c = pairs["c_ab"].to_numpy(dtype=np.float64)
+    x = (c * float(n)) / (dfa * dfb).astype(np.float64)
+    pairs["pmi_micro"] = sql_round(np.log(x) * 1e6).astype(np.int64)
+    pairs["c_ab"] = pairs["c_ab"].astype("int64")
+    return pairs.sort_values(["term_a", "term_b"]).reset_index(drop=True)
+
+
+DOCS_TERM_PMI_SQL = f"""
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+t AS (SELECT DISTINCT doc_id, term FROM toks WHERE term <> ''),
+p AS (SELECT a.term AS term_a, b.term AS term_b, COUNT(*) AS c_ab
+      FROM t a JOIN t b ON a.doc_id = b.doc_id AND a.term < b.term
+      GROUP BY a.term, b.term HAVING COUNT(*) >= {PMI_MIN_SUPPORT}),
+df AS (SELECT term, COUNT(*) AS df FROM t GROUP BY term),
+n AS (SELECT COUNT(*) AS n FROM documents)
+SELECT p.term_a, p.term_b, CAST(p.c_ab AS BIGINT) AS c_ab,
+       CAST(round(LN(CAST(p.c_ab AS DOUBLE) * n.n / (da.df * db.df)) * 1000000, 0) AS BIGINT) AS pmi_micro
+FROM p
+JOIN df da ON da.term = p.term_a
+JOIN df db ON db.term = p.term_b
+CROSS JOIN n
+ORDER BY p.term_a, p.term_b
+"""

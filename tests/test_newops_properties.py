@@ -271,3 +271,29 @@ def test_surprisal_integer_micro_nat_sum_is_order_free():
         s1 = int(smic[doc % 7].sum())
         s2 = int(smic[doc[perm] % 7].sum())
         assert s1 == s2
+
+
+def test_packed_key_global_rank_minus_offset_equals_per_group_rank():
+    """The quota-mix rank identity: sorting by the packed
+    (group_idx | hash | id) key, a row's global 1-based rank minus the
+    total count of all smaller groups equals its within-group rank by
+    (hash, id) — for ANY group sizes and hash collisions."""
+    rng = np.random.default_rng(3)
+    n = 500
+    gi = rng.integers(0, 7, n).astype(np.int64)
+    hv = rng.integers(0, 50, n).astype(np.int64)  # small range -> collisions
+    did = np.arange(n, dtype=np.int64)
+    k = (gi << np.int64(55)) | (hv << np.int64(23)) | did
+    order = np.argsort(k, kind="stable")
+    grank = np.empty(n, dtype=np.int64)
+    grank[order] = np.arange(1, n + 1)
+    counts = np.bincount(gi, minlength=7)
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    within = grank - offsets[gi]
+    # expected: per-group rank by (hv, did)
+    import pandas as pd
+
+    df = pd.DataFrame({"g": gi, "h": hv, "d": did})
+    df["rk"] = df.sort_values(["g", "h", "d"]).groupby("g").cumcount() + 1
+    exp = df.sort_index()["rk"].to_numpy()
+    assert (within == exp).all()
