@@ -5140,22 +5140,36 @@ WHERE node < 1000000000 ORDER BY doc
 # cross-engine.
 # ---------------------------------------------------------------------------
 
+def _doc_terms(b: pa.Table, distinct: bool) -> pd.DataFrame:
+    """THE pinned tokenization rule shared by every term-statistics query
+    (tfidf / surprisal / pmi — and mirrored by their SQL oracles'
+    string_split + WHERE term <> ''): split on single spaces, drop empty
+    tokens, optionally distinct per doc. One definition so the convention
+    can never desynchronize across queries."""
+    toks = b.to_pandas().set_index("doc_id")["text"].str.split(" ").explode()
+    toks = toks[(toks != "") & toks.notna()]
+    t = toks.reset_index().rename(columns={"text": "term"})
+    return t.drop_duplicates() if distinct else t
+
+
+def _df_partial(b: pa.Table) -> pa.Table:
+    """Per-batch document-frequency partial (docs are rows, so batch-local
+    distinct (doc, term) pairs are globally distinct)."""
+    out = (
+        _doc_terms(b, distinct=True)
+        .groupby("term", as_index=False).size().rename(columns={"size": "df"})
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def docs_tfidf_top3(sf_dir: str):
     import ray
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     from .relational import tree_group_sum
 
-    def df_partial(b: pa.Table) -> pa.Table:
-        df = b.to_pandas()
-        toks = df.set_index("doc_id")["text"].str.split(" ").explode()
-        toks = toks[(toks != "") & toks.notna()]
-        t = toks.reset_index().rename(columns={"text": "term"}).drop_duplicates()
-        out = t.groupby("term", as_index=False).size().rename(columns={"size": "df"})
-        return pa.Table.from_pandas(out, preserve_index=False)
-
     dftab = tree_group_sum(
-        ds.map_batches(df_partial, batch_format="pyarrow"), ["term"], value_cols=["df"]
+        ds.map_batches(_df_partial, batch_format="pyarrow"), ["term"], value_cols=["df"]
     )
     empty = pd.DataFrame(
         {"doc_id": pd.Series([], dtype="int64"), "rk": pd.Series([], dtype="int64"),
@@ -5173,12 +5187,9 @@ def docs_tfidf_top3(sf_dir: str):
         import ray as _ray
 
         v, iv = _ray.get(idf_ref)
-        df = b.to_pandas()
-        toks = df.set_index("doc_id")["text"].str.split(" ").explode()
-        toks = toks[(toks != "") & toks.notna()]
-        if toks.empty:
+        t = _doc_terms(b, distinct=False)
+        if t.empty:
             return pa.Table.from_pandas(empty, preserve_index=False)
-        t = toks.reset_index().rename(columns={"text": "term"})
         tf = t.groupby(["doc_id", "term"], as_index=False).size().rename(columns={"size": "tf"})
         pos = np.searchsorted(v, tf["term"].to_numpy())
         tf["score"] = sql_round(
@@ -5235,11 +5246,9 @@ def docs_unigram_surprisal(sf_dir: str):
     from .relational import tree_group_sum
 
     def tf_partial(b: pa.Table) -> pa.Table:
-        toks = b.to_pandas()["text"].str.split(" ").explode()
-        toks = toks[(toks != "") & toks.notna()]
         out = (
-            toks.to_frame("term").groupby("term", as_index=False).size()
-            .rename(columns={"size": "tf"})
+            _doc_terms(b, distinct=False)
+            .groupby("term", as_index=False).size().rename(columns={"size": "tf"})
         )
         return pa.Table.from_pandas(out, preserve_index=False)
 
@@ -5264,9 +5273,8 @@ def docs_unigram_surprisal(sf_dir: str):
         import ray as _ray
 
         v, sm = _ray.get(lm_ref)
-        toks = b.to_pandas().set_index("doc_id")["text"].str.split(" ").explode()
-        toks = toks[(toks != "") & toks.notna()]
-        if toks.empty:
+        t = _doc_terms(b, distinct=False)
+        if t.empty:
             return pa.Table.from_pandas(
                 pd.DataFrame(
                     {"doc_id": pd.Series([], dtype="int64"),
@@ -5275,7 +5283,6 @@ def docs_unigram_surprisal(sf_dir: str):
                 ),
                 preserve_index=False,
             )
-        t = toks.reset_index().rename(columns={"text": "term"})
         t["s"] = sm[np.searchsorted(v, t["term"].to_numpy())]
         g = t.groupby("doc_id").agg(n_tokens=("s", "size"), ssum=("s", "sum")).reset_index()
         return pa.Table.from_pandas(g, preserve_index=False)
@@ -5437,7 +5444,8 @@ WHERE rk <= quota ORDER BY doc_id
 # DISTINCT term pairs generate vectorized (triu gather per distinct
 # per-doc term count — a doc is one row, so batch partials are exact);
 # the (term_a, term_b) space is vocabulary^2-bounded, finished by the
-# shuffle-free tree combine; doc frequencies ride the same pass. PMI =
+# shuffle-free tree combine; doc frequencies read the SAME materialized
+# tokenize (the corpus is split exactly once). PMI =
 # ln(c_ab * N / (df_a * df_b)) as ONE pinned IEEE expression in int64
 # micro-nats; support floor keeps the result stable. Fully cross-engine.
 # ---------------------------------------------------------------------------
@@ -5449,32 +5457,29 @@ def docs_term_pmi(sf_dir: str):
     import ray
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    from ..stages.keyapply import run_all_pairs
     from .relational import tree_group_sum
 
+    # tokenize ONCE: the distinct (doc_id, term) explode is materialized and
+    # feeds BOTH the pair partials and the doc-frequency partials (each
+    # downstream pass runs per block — batch_size=None — so a doc's rows
+    # stay whole, exactly as they left the tokenize batch)
+    dt = ds.map_batches(
+        lambda b: pa.Table.from_pandas(_doc_terms(b, distinct=True), preserve_index=False),
+        batch_format="pyarrow",
+    ).materialize()
+
     def pair_partial(b: pa.Table) -> pa.Table:
-        df = b.to_pandas()
-        toks = df.set_index("doc_id")["text"].str.split(" ").explode()
-        toks = toks[(toks != "") & toks.notna()]
-        t = toks.reset_index().rename(columns={"text": "term"}).drop_duplicates()
-        t = t.sort_values(["doc_id", "term"], kind="stable").reset_index(drop=True)
+        t = b.to_pandas().sort_values(["doc_id", "term"], kind="stable").reset_index(drop=True)
         terms = t["term"].to_numpy()
         doc = t["doc_id"].to_numpy()
         new = np.ones(len(t), dtype=bool)
         new[1:] = doc[1:] != doc[:-1]
         starts = np.flatnonzero(new)
         lens = np.diff(np.append(starts, len(t)))
-        a_parts, b_parts = [], []
-        for run_len in np.unique(lens):
-            if run_len < 2:
-                continue
-            st = starts[lens == run_len]
-            iu0, iu1 = np.triu_indices(int(run_len), 1)
-            a_parts.append((st[:, None] + iu0[None, :]).ravel())
-            b_parts.append((st[:, None] + iu1[None, :]).ravel())
-        if a_parts:
-            pairs = pd.DataFrame(
-                {"term_a": terms[np.concatenate(a_parts)], "term_b": terms[np.concatenate(b_parts)]}
-            )
+        ai, bi = run_all_pairs(starts, lens)
+        if len(ai):
+            pairs = pd.DataFrame({"term_a": terms[ai], "term_b": terms[bi]})
             pc_ = pairs.groupby(["term_a", "term_b"], as_index=False).size().rename(columns={"size": "c_ab"})
         else:
             pc_ = pd.DataFrame({"term_a": pd.Series([], dtype=str), "term_b": pd.Series([], dtype=str),
@@ -5482,18 +5487,18 @@ def docs_term_pmi(sf_dir: str):
         return pa.Table.from_pandas(pc_, preserve_index=False)
 
     def df_partial(b: pa.Table) -> pa.Table:
-        df = b.to_pandas()
-        toks = df.set_index("doc_id")["text"].str.split(" ").explode()
-        toks = toks[(toks != "") & toks.notna()]
-        t = toks.reset_index().rename(columns={"text": "term"}).drop_duplicates()
-        out = t.groupby("term", as_index=False).size().rename(columns={"size": "df"})
+        out = (
+            b.to_pandas().groupby("term", as_index=False).size().rename(columns={"size": "df"})
+        )
         return pa.Table.from_pandas(out, preserve_index=False)
 
     pairs = tree_group_sum(
-        ds.map_batches(pair_partial, batch_format="pyarrow"), ["term_a", "term_b"], value_cols=["c_ab"]
+        dt.map_batches(pair_partial, batch_size=None, batch_format="pyarrow"),
+        ["term_a", "term_b"], value_cols=["c_ab"],
     )
     dftab = tree_group_sum(
-        ds.map_batches(df_partial, batch_format="pyarrow"), ["term"], value_cols=["df"]
+        dt.map_batches(df_partial, batch_size=None, batch_format="pyarrow"),
+        ["term"], value_cols=["df"],
     )
     empty = pd.DataFrame(
         {"term_a": pd.Series([], dtype=str), "term_b": pd.Series([], dtype=str),

@@ -712,7 +712,7 @@ def simhash_hamming_pairs(
         raise ValueError("pigeonhole with 4 x 16-bit bands is exact only for max_hamming <= 3")
 
     from ..pipelines.relational import sorted_group_agg
-    from .keyapply import bucketed_key_apply, key_run_starts
+    from .keyapply import bucketed_key_apply, key_run_starts, run_all_pairs
 
     banded = simhash_buckets(ds, text_col=text_col, id_col=id_col)
 
@@ -741,26 +741,18 @@ def simhash_hamming_pairs(
         keys = g["bkey"].to_numpy()
         ids = g[id_col].to_numpy(dtype=np.int64)
         sh = g["simhash"].to_numpy(dtype=np.int64)
-        if ids.max() >= (1 << 31):
+        if ids.max() >= (1 << 31) or ids.min() < 0:
             raise ValueError(
                 "simhash_hamming_pairs packs (id_a, id_b) into one int64; "
-                f"id {ids.max()} needs >= 31 bits — key on the 2-column pair instead"
+                f"ids must be in [0, 2^31) (got min {ids.min()}, max {ids.max()}) "
+                "— key on the 2-column pair instead"
             )
         new = key_run_starts(keys)
         starts = np.flatnonzero(new)
         lens = np.diff(np.append(starts, len(keys)))
-        a_parts, b_parts = [], []
-        for run_len in np.unique(lens):
-            if run_len < 2:
-                continue
-            st = starts[lens == run_len]
-            iu0, iu1 = np.triu_indices(int(run_len), 1)
-            a_parts.append((st[:, None] + iu0[None, :]).ravel())
-            b_parts.append((st[:, None] + iu1[None, :]).ravel())
-        if not a_parts:
+        ai, bi = run_all_pairs(starts, lens)
+        if len(ai) == 0:
             return empty
-        ai = np.concatenate(a_parts)
-        bi = np.concatenate(b_parts)
         ham = _popcount64(sh[ai].view(np.uint64) ^ sh[bi].view(np.uint64))
         keep = ham <= max_hamming
         if not keep.any():

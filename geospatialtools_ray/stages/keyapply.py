@@ -75,3 +75,22 @@ def run_start_index(new: np.ndarray) -> np.ndarray:
     """Per-row index of its run's first row, from the new-run mask."""
     idx = np.arange(len(new))
     return np.maximum.accumulate(np.where(new, idx, 0))
+
+
+def run_all_pairs(starts: np.ndarray, lens: np.ndarray):
+    """(ai, bi) index arrays of ALL within-run ordered pairs (ai < bi),
+    vectorized by RUN LENGTH: one triu gather per distinct run length —
+    never per-run Python. Shared by the bucket pair joins (SimHash
+    Hamming, PMI co-occurrence); runs of length < 2 contribute nothing."""
+    a_parts, b_parts = [], []
+    for run_len in np.unique(lens):
+        if run_len < 2:
+            continue
+        st = starts[lens == run_len]
+        iu0, iu1 = np.triu_indices(int(run_len), 1)
+        a_parts.append((st[:, None] + iu0[None, :]).ravel())
+        b_parts.append((st[:, None] + iu1[None, :]).ravel())
+    if not a_parts:
+        e = np.empty(0, dtype=np.int64)
+        return e, e
+    return np.concatenate(a_parts), np.concatenate(b_parts)

@@ -255,22 +255,69 @@ def test_bfs_min_relaxation_rounds_equal_true_hop_distance():
 
 
 def test_surprisal_integer_micro_nat_sum_is_order_free():
-    """Quantizing per-term surprisal to int64 micro-nats BEFORE the sum
-    makes the per-doc total exact under ANY accumulation order — the
-    docs_unigram_surprisal no-float-hazard argument (a float sum of the
-    same logs differs across orders on adversarial magnitudes)."""
+    """The docs_unigram_surprisal no-float-hazard argument, exercised for
+    real: on adversarial magnitudes a float64 running sum of per-token
+    surprisals DIFFERS across accumulation orders (so a float pipeline
+    would be parallelism-dependent), while quantizing each term's
+    surprisal to int64 micro-nats FIRST makes every order's sequential
+    running sum bit-identical and equal to the exact integer total."""
     from geospatialtools_ray.numerics import sql_round
 
-    tf = np.array([1, 2, 3, 1000000, 5, 7, 11], dtype=np.float64)
-    total = tf.sum()
-    smic = sql_round(-np.log(tf / total) * 1e6).astype(np.int64)
-    doc = np.array([0, 1, 2, 3, 4, 5, 6] * 300, dtype=np.int64)
     rng = np.random.default_rng(9)
-    for _ in range(5):
-        perm = rng.permutation(len(doc))
-        s1 = int(smic[doc % 7].sum())
-        s2 = int(smic[doc[perm] % 7].sum())
-        assert s1 == s2
+    # adversarial spread: surprisals spanning ~12 orders of magnitude
+    s_float = np.concatenate(
+        [rng.uniform(1e-9, 1e-8, 4000), rng.uniform(1.0, 20.0, 4000), np.full(2000, 1e3)]
+    )
+    rng.shuffle(s_float)
+
+    def running_sum(x):
+        acc = np.float64(0.0)
+        for v in x:
+            acc += v
+        return float(acc)
+
+    perm = rng.permutation(len(s_float))
+    f1, f2 = running_sum(s_float), running_sum(s_float[perm])
+    assert f1 != f2  # the float hazard is REAL on these magnitudes
+
+    smic = sql_round(s_float * 1e6).astype(np.int64)
+    i1 = int(np.int64(0) + smic.cumsum()[-1])
+    acc = np.int64(0)
+    for v in smic[perm]:
+        acc += v
+    assert int(acc) == i1 == int(smic.sum())
+
+
+def test_unigram_surprisal_engine_matches_naive_recompute():
+    """End-to-end kernel check (no Ray): the query's quantize-then-sum
+    pipeline over a tiny corpus equals a naive per-doc recompute through
+    the same pinned expressions, for shuffled doc orders."""
+    from geospatialtools_ray.numerics import sql_round
+
+    docs = {0: "a b b c", 1: "c c c", 2: "a", 3: "d d a b"}
+    toks = [(d, w) for d, t in docs.items() for w in t.split(" ") if w]
+    terms = sorted({w for _, w in toks})
+    tf = {w: sum(1 for _, x in toks if x == w) for w in terms}
+    total = float(sum(tf.values()))
+    smic = {w: int(sql_round(np.array([-np.log(tf[w] / total) * 1e6]))[0]) for w in terms}
+    expect = {}
+    for d, t in docs.items():
+        ws = [w for w in t.split(" ") if w]
+        ssum = sum(smic[w] for w in ws)
+        expect[d] = float(sql_round(np.array([ssum / len(ws)]))[0] / 1e6)
+    # engine-shaped vectorized path over a shuffled token order
+    rng = np.random.default_rng(4)
+    order = rng.permutation(len(toks))
+    dv = np.array([toks[i][0] for i in order])
+    sv = np.array([smic[toks[i][1]] for i in order], dtype=np.int64)
+    import pandas as pd
+
+    g = pd.DataFrame({"doc_id": dv, "s": sv}).groupby("doc_id").agg(
+        n=("s", "size"), ssum=("s", "sum")
+    )
+    got = sql_round(g["ssum"].to_numpy(np.float64) / g["n"].to_numpy(np.float64)) / 1e6
+    for d, v in zip(g.index, got):
+        assert expect[int(d)] == v
 
 
 def test_packed_key_global_rank_minus_offset_equals_per_group_rank():
