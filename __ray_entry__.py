@@ -337,6 +337,12 @@ _SQL_CHECKED: dict[str, tuple[Callable[[str], Any], str]] = {
     # expression); both fully cross-engine
     "docs_lang_quota_mix": (X.docs_lang_quota_mix, X.DOCS_LANG_QUOTA_MIX_SQL),
     "docs_term_pmi": (X.docs_term_pmi, X.DOCS_TERM_PMI_SQL),
+    # round 4 (cont.): PCA top direction via exact int64 Gram reduction +
+    # pinned integer power iterations (oracle unrolls bit-identical
+    # matvecs); changelog MERGE with pinned-hash DELETE tombstones (the
+    # Iceberg/Delta CDC-apply shape beside plain newest-wins compaction)
+    "embeddings_top_eigvec": (X.embeddings_top_eigvec, X.EMBEDDINGS_TOP_EIGVEC_SQL),
+    "events_apply_changelog": (X.events_apply_changelog, X.EVENTS_APPLY_CHANGELOG_SQL),
 }
 
 # rows-only checks (none left — every query has an oracle)

@@ -5536,3 +5536,141 @@ JOIN df db ON db.term = p.term_b
 CROSS JOIN n
 ORDER BY p.term_a, p.term_b
 """
+
+
+# ---------------------------------------------------------------------------
+# Top-eigenvector power iteration — the PCA/spectral direction of the
+# embedding covariance, computed at scale: the ONLY data-cardinality work
+# is the exact distributed Gram reduction (int64-quantized per-batch
+# X^T X partials + shuffle-free tree combine, the embeddings_gram_matrix
+# machinery with BOTH triangles); the pinned-count power iterations then
+# run on the d x d integer matrix (d = 64 — driver-sized by definition).
+# Every iteration is exact integer matvec + ONE pinned float renormalize
+# (divide by max|w|, round to int64 micro-units), so the DuckDB oracle
+# unrolls bit-identical iterations. Loud overflow guard with the rescale
+# path named.
+# ---------------------------------------------------------------------------
+
+POWER_ITERS = 3
+
+
+def embeddings_top_eigvec(sf_dir: str):
+    from .relational import tree_group_sum
+
+    ds = _read(sf_dir, "embeddings", ["embedding"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        emb = batch["embedding"].combine_chunks()
+        n = batch.num_rows
+        if n == 0:
+            return pa.table({"i": pa.array([], pa.int64()), "j": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.int64())})
+        X = np.asarray(emb.flatten(), dtype=np.float64).reshape(n, -1)
+        q = sql_round(X * 1000.0).astype(np.int64)
+        G = q.T @ q
+        iu, ju = np.indices(G.shape)
+        return pa.table(
+            {
+                "i": pa.array((iu.ravel() + 1).astype(np.int64)),
+                "j": pa.array((ju.ravel() + 1).astype(np.int64)),
+                "s": pa.array(G.ravel().astype(np.int64)),
+            }
+        )
+
+    gt = tree_group_sum(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["i", "j"], combine_batch=131072, value_cols=["s"],
+    )
+    empty = pd.DataFrame({"i": pd.Series([], dtype="int64"), "v": pd.Series([], dtype="int64")})
+    if gt.empty:
+        return empty
+    d = int(gt["i"].max())
+    G = np.zeros((d, d), dtype=np.int64)
+    G[gt["i"].to_numpy(dtype=np.int64) - 1, gt["j"].to_numpy(dtype=np.int64) - 1] = gt["s"].to_numpy(dtype=np.int64)
+    # matvec bound: |w| <= d * max|G| * max|v| with max|v| = 1e6
+    if int(np.abs(G).max()) * d * 1_000_000 >= (1 << 62):
+        raise ValueError(
+            "embeddings_top_eigvec integer matvec would overflow int64 at this "
+            "row count — rescale the Gram quantization (divide s by a pinned "
+            "power of 10 on BOTH engines) before iterating"
+        )
+    v = np.full(d, 1_000_000, dtype=np.int64)
+    for _ in range(POWER_ITERS):
+        w = G @ v  # exact int64 (guarded above)
+        m = float(np.abs(w).max())
+        if m == 0.0:
+            break
+        v = sql_round(w.astype(np.float64) / m * 1e6).astype(np.int64)
+    return pd.DataFrame({"i": np.arange(1, d + 1, dtype=np.int64), "v": v})
+
+
+EMBEDDINGS_TOP_EIGVEC_SQL = """
+WITH e AS (SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i
+           FROM embeddings),
+q AS (SELECT vec_id, i, CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT) AS qx FROM e),
+g AS (SELECT a.i AS i, b.i AS j, CAST(SUM(a.qx * b.qx) AS BIGINT) AS s
+      FROM q a JOIN q b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+v0 AS (SELECT DISTINCT i, CAST(1000000 AS BIGINT) AS v FROM g),
+w1 AS (SELECT g.i, CAST(SUM(g.s * p.v) AS BIGINT) AS w FROM g JOIN v0 p ON g.j = p.i GROUP BY g.i),
+v1 AS (SELECT i, CAST(round(CAST(w AS DOUBLE) / (SELECT MAX(ABS(w)) FROM w1) * 1000000, 0) AS BIGINT) AS v FROM w1),
+w2 AS (SELECT g.i, CAST(SUM(g.s * p.v) AS BIGINT) AS w FROM g JOIN v1 p ON g.j = p.i GROUP BY g.i),
+v2 AS (SELECT i, CAST(round(CAST(w AS DOUBLE) / (SELECT MAX(ABS(w)) FROM w2) * 1000000, 0) AS BIGINT) AS v FROM w2),
+w3 AS (SELECT g.i, CAST(SUM(g.s * p.v) AS BIGINT) AS w FROM g JOIN v2 p ON g.j = p.i GROUP BY g.i),
+v3 AS (SELECT i, CAST(round(CAST(w AS DOUBLE) / (SELECT MAX(ABS(w)) FROM w3) * 1000000, 0) AS BIGINT) AS v FROM w3)
+SELECT CAST(i AS BIGINT) AS i, v FROM v3 ORDER BY i
+"""
+
+
+# ---------------------------------------------------------------------------
+# Changelog apply with tombstones — the upsert/delete MERGE shape (Iceberg/
+# Delta-style CDC): the event stream is a change log over user keys where a
+# pinned ~10% of operations are DELETE tombstones; the final state is each
+# user's LAST operation's value, and a user whose last operation is a
+# delete is ABSENT from the result. Whole-user buckets (the CDC-compaction
+# machinery) + one vectorized keep-last + tombstone filter; op assignment
+# is a pinned hash evaluated identically in SQL.
+# ---------------------------------------------------------------------------
+
+def events_apply_changelog(sf_dir: str):
+    from ..stages.keyapply import bucketed_key_apply
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"user_id": pd.Series([], dtype="int64"),
+             "last_event_id": pd.Series([], dtype="int64"),
+             "last_value": pd.Series([], dtype="float64")}
+        )
+        if len(g) == 0:
+            return empty
+        g = g.copy()
+        g["ts_us"] = g["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        g = g.sort_values(["user_id", "ts_us", "event_id"], kind="stable")
+        last = g.drop_duplicates(["user_id"], keep="last")
+        eid = last["event_id"].to_numpy(dtype=np.int64)
+        is_del = ((eid.astype(np.uint64) * np.uint64(KNUTH_MULT)) % np.uint64(4294967296)) % np.uint64(10) == 0
+        last = last[~is_del]
+        return pd.DataFrame(
+            {"user_id": last["user_id"].astype("int64"),
+             "last_event_id": last["event_id"].astype("int64"),
+             "last_value": sql_round(last["value"].to_numpy() * 1000.0) / 1000.0}
+        )
+
+    df = bucketed_key_apply(ds, "user_id", per_bucket).to_pandas()
+    return df.sort_values("user_id").reset_index(drop=True)
+
+
+EVENTS_APPLY_CHANGELOG_SQL = f"""
+SELECT user_id,
+       CAST(event_id AS BIGINT) AS last_event_id,
+       CAST(round(value*1000) AS DOUBLE) / 1000.0 AS last_value
+FROM (
+  SELECT user_id, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+WHERE rn = 1
+  AND ((event_id * {KNUTH_MULT}) % 4294967296) % 10 <> 0
+ORDER BY user_id
+"""

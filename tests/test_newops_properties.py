@@ -344,3 +344,34 @@ def test_packed_key_global_rank_minus_offset_equals_per_group_rank():
     df["rk"] = df.sort_values(["g", "h", "d"]).groupby("g").cumcount() + 1
     exp = df.sort_index()["rk"].to_numpy()
     assert (within == exp).all()
+
+
+def test_integer_power_iteration_tracks_float_and_converges():
+    """The embeddings_top_eigvec iteration rule: exact int64 matvec + one
+    pinned max-norm float renormalize per round (a) stays within
+    quantization distance of the float power iteration, and (b) converges
+    toward the dominant eigenvector on a PSD Gram matrix."""
+    from geospatialtools_ray.numerics import sql_round
+
+    rng = np.random.default_rng(12)
+    X = rng.normal(size=(200, 16))
+    X[:, 0] += 3.0  # plant a dominant direction
+    q = sql_round(X * 1000.0)
+    G = (q.T @ q).astype(np.int64)
+    d = G.shape[0]
+    v = np.full(d, 1_000_000, dtype=np.int64)
+    vf = np.ones(d, dtype=np.float64)
+    evals, evecs = np.linalg.eigh(G.astype(np.float64))
+    top = evecs[:, -1]
+    coss = []
+    for _ in range(6):
+        w = G @ v
+        m = float(np.abs(w).max())
+        v = sql_round(w.astype(np.float64) / m * 1e6).astype(np.int64)
+        wf = G.astype(np.float64) @ vf
+        vf = wf / np.abs(wf).max()
+        cos_int_float = abs(np.dot(v, vf)) / (np.linalg.norm(v) * np.linalg.norm(vf))
+        assert cos_int_float > 0.999999
+        coss.append(abs(np.dot(v, top)) / (np.linalg.norm(v) * np.linalg.norm(top)))
+    assert coss[-1] > 0.999
+    assert coss[-1] >= coss[0]
