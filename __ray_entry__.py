@@ -343,6 +343,10 @@ _SQL_CHECKED: dict[str, tuple[Callable[[str], Any], str]] = {
     # Iceberg/Delta CDC-apply shape beside plain newest-wins compaction)
     "embeddings_top_eigvec": (X.embeddings_top_eigvec, X.EMBEDDINGS_TOP_EIGVEC_SQL),
     "events_apply_changelog": (X.events_apply_changelog, X.EVENTS_APPLY_CHANGELOG_SQL),
+    # round 4 (cont.): grouped exact median — per-group order statistic via
+    # the same packed-key two-phase rank scan (no per-group sort, no
+    # whole-group bucket)
+    "docs_lang_median_chars": (X.docs_lang_median_chars, X.DOCS_LANG_MEDIAN_CHARS_SQL),
 }
 
 # rows-only checks (none left — every query has an oracle)

@@ -5674,3 +5674,87 @@ WHERE rn = 1
   AND ((event_id * {KNUTH_MULT}) % 4294967296) % 10 <> 0
 ORDER BY user_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Grouped exact median — per-language median document length, the grouped
+# order-statistic the global-quantile and per-user-median queries don't
+# cover: the exact k-th element PER GROUP without a per-group sort or a
+# whole-group bucket. Same machinery as the quota mix: pack
+# (lang_idx | value | doc_id) -> ONE two-phase distributed rank scan ->
+# keep the row whose within-group rank equals (n_lang + 1) // 2 (lower
+# median, pinned). The oracle is the native ROW_NUMBER counterpart.
+# ---------------------------------------------------------------------------
+
+def docs_lang_median_chars(sf_dir: str):
+    import ray
+
+    from ..stages.scan import ordered_prefix_sum
+    from .relational import tree_group_sum
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def lang_partial(b: pa.Table) -> pa.Table:
+        out = b.to_pandas().groupby("lang", as_index=False).size().rename(columns={"size": "n"})
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    lt = tree_group_sum(ds.map_batches(lang_partial, batch_format="pyarrow"), ["lang"], value_cols=["n"])
+    empty = pd.DataFrame({"lang": pd.Series([], dtype=str), "median_chars": pd.Series([], dtype="int64")})
+    if lt.empty:
+        return empty
+    lt = lt.sort_values("lang").reset_index(drop=True)
+    if len(lt) >= 256:
+        raise ValueError("docs_lang_median_chars packs lang_idx into 8 bits — widen the key past 255 langs")
+    langs = lt["lang"].to_numpy()
+    n_l = lt["n"].to_numpy(dtype=np.int64)
+    offsets = np.concatenate([[0], np.cumsum(n_l)[:-1]])
+    target = (n_l + 1) // 2  # lower median rank, 1-based
+    mref = ray.put((langs, offsets, target))
+
+    def key(b: pa.Table) -> pa.Table:
+        did = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nc = b["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if (did >= (1 << 23)).any() or (did < 0).any() or (nc >= (1 << 24)).any() or (nc < 0).any():
+            raise ValueError(
+                "docs_lang_median_chars pack bounds: doc_id < 2^23 and n_chars < 2^24 "
+                "— widen to a 2-column rank key past those"
+            )
+        import ray as _ray
+
+        v, _, _ = _ray.get(mref)
+        li = np.searchsorted(v, b["lang"].to_numpy(zero_copy_only=False)).astype(np.int64)
+        k = (li << np.int64(47)) | (nc << np.int64(23)) | did
+        return pa.table({"k": pa.array(k), "one": pa.array(np.ones(len(k), dtype=np.int64))})
+
+    keyed = ds.map_batches(key, batch_format="pyarrow")
+    n = ds.count()
+    max_k = ((len(lt) - 1) << 47) | (((1 << 24) - 1) << 23) | ((1 << 23) - 1)
+    bw = max(max_k // max(n // 4096, 64), 1)
+    scanned = ordered_prefix_sum(keyed, "k", "one", bucket_width=bw)
+
+    def finish(b: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        v, off, tgt = _ray.get(mref)
+        k = b["k"].to_numpy(zero_copy_only=False)
+        li = (k >> np.int64(47)).astype(np.int64)
+        rank = b["cum"].to_numpy(zero_copy_only=False) - off[li]
+        keep = rank == tgt[li]
+        nc = ((k >> np.int64(23)) & np.int64((1 << 24) - 1))[keep]
+        return pa.table(
+            {"lang": pa.array(v[li[keep]], type=pa.string()),
+             "median_chars": pa.array(nc, type=pa.int64())}
+        )
+
+    out = scanned.map_batches(finish, batch_format="pyarrow").to_pandas()
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+DOCS_LANG_MEDIAN_CHARS_SQL = """
+WITH q AS (SELECT lang, (COUNT(*) + 1) // 2 AS tgt FROM documents GROUP BY lang),
+r AS (SELECT lang, n_chars, doc_id,
+        ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rk
+      FROM documents)
+SELECT r.lang, CAST(r.n_chars AS BIGINT) AS median_chars
+FROM r JOIN q USING (lang) WHERE rk = tgt ORDER BY r.lang
+"""
