@@ -347,6 +347,10 @@ _SQL_CHECKED: dict[str, tuple[Callable[[str], Any], str]] = {
     # the same packed-key two-phase rank scan (no per-group sort, no
     # whole-group bucket)
     "docs_lang_median_chars": (X.docs_lang_median_chars, X.DOCS_LANG_MEDIAN_CHARS_SQL),
+    # round 4 (cont.): BPE-training first step — corpus-wide within-word
+    # adjacent character-pair counts (flat byte buffer + bincount partials,
+    # 256^2-bounded combine); fully cross-engine
+    "docs_bpe_pair_counts": (X.docs_bpe_pair_counts, X.DOCS_BPE_PAIR_COUNTS_SQL),
 }
 
 # rows-only checks (none left — every query has an oracle)

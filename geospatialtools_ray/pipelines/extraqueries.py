@@ -5758,3 +5758,67 @@ r AS (SELECT lang, n_chars, doc_id,
 SELECT r.lang, CAST(r.n_chars AS BIGINT) AS median_chars
 FROM r JOIN q USING (lang) WHERE rk = tgt ORDER BY r.lang
 """
+
+
+# ---------------------------------------------------------------------------
+# BPE-style adjacent character-pair counts — the first step of byte-pair-
+# encoding tokenizer training: corpus-wide counts of every within-word
+# adjacent character pair. Per batch the word stream flattens to ONE ascii
+# byte buffer with NUL fences (no per-word Python), pair codes are
+# first*256+second filtered on the fences, and np.bincount collapses the
+# batch to <= 256^2 partial rows — finished by the shuffle-free tree
+# combine. ASCII-corpus assumption verified loudly (same contract as
+# docs_text_normalize). Oracle rebuilds pairs with substr over a numbers
+# table — fully cross-engine.
+# ---------------------------------------------------------------------------
+
+def docs_bpe_pair_counts(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    from .relational import tree_group_sum
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        t = _doc_terms(b, distinct=False)
+        empty = pd.DataFrame({"code": pd.Series([], dtype="int64"), "c": pd.Series([], dtype="int64")})
+        if t.empty:
+            return pa.Table.from_pandas(empty, preserve_index=False)
+        joined = "\x00".join(t["term"].tolist())
+        try:
+            buf = np.frombuffer(joined.encode("ascii"), dtype=np.uint8)
+        except UnicodeEncodeError as e:
+            raise ValueError(
+                "docs_bpe_pair_counts assumes an ascii corpus (the documents "
+                "table's contract); non-ascii input needs a byte-level variant"
+            ) from e
+        if len(buf) < 2:
+            return pa.Table.from_pandas(empty, preserve_index=False)
+        first, second = buf[:-1].astype(np.int64), buf[1:].astype(np.int64)
+        valid = (first != 0) & (second != 0)
+        codes = first[valid] * 256 + second[valid]
+        cnt = np.bincount(codes, minlength=65536)
+        nz = np.flatnonzero(cnt)
+        return pa.Table.from_pandas(
+            pd.DataFrame({"code": nz.astype(np.int64), "c": cnt[nz].astype(np.int64)}),
+            preserve_index=False,
+        )
+
+    out = tree_group_sum(
+        ds.map_batches(pair_partial, batch_format="pyarrow"), ["code"], value_cols=["c"]
+    )
+    if out.empty:
+        return pd.DataFrame({"pair": pd.Series([], dtype=str), "c": pd.Series([], dtype="int64")})
+    code = out["code"].to_numpy(dtype=np.int64)
+    out = pd.DataFrame(
+        {"pair": [chr(x >> 8) + chr(x & 255) for x in code], "c": out["c"].astype("int64")}
+    )
+    return out.sort_values("pair").reset_index(drop=True)
+
+
+DOCS_BPE_PAIR_COUNTS_SQL = """
+WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+w2 AS (SELECT word FROM w WHERE length(word) >= 2),
+mx AS (SELECT MAX(length(word)) AS m FROM w2),
+nums AS (SELECT unnest(range(1, (SELECT m FROM mx))) AS i),
+b AS (SELECT substr(word, CAST(i AS INTEGER), 2) AS pair
+      FROM w2 JOIN nums ON i <= length(word) - 1)
+SELECT pair, CAST(COUNT(*) AS BIGINT) AS c FROM b GROUP BY pair ORDER BY pair
+"""
