@@ -351,6 +351,10 @@ _SQL_CHECKED: dict[str, tuple[Callable[[str], Any], str]] = {
     # adjacent character-pair counts (flat byte buffer + bincount partials,
     # 256^2-bounded combine); fully cross-engine
     "docs_bpe_pair_counts": (X.docs_bpe_pair_counts, X.DOCS_BPE_PAIR_COUNTS_SQL),
+    # round 4 (cont.): train/test leakage audit — distinct word-5-gram
+    # overlap counts for every source pair (gram-bucket all-pairs over the
+    # distinct (gram, source) table; source^2-bounded combine)
+    "docs_source_overlap": (X.docs_source_overlap, X.DOCS_SOURCE_OVERLAP_SQL),
 }
 
 # rows-only checks (none left — every query has an oracle)

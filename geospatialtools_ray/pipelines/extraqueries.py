@@ -5822,3 +5822,88 @@ b AS (SELECT substr(word, CAST(i AS INTEGER), 2) AS pair
       FROM w2 JOIN nums ON i <= length(word) - 1)
 SELECT pair, CAST(COUNT(*) AS BIGINT) AS c FROM b GROUP BY pair ORDER BY pair
 """
+
+
+# ---------------------------------------------------------------------------
+# Cross-source n-gram overlap matrix — the train/test LEAKAGE AUDIT: for
+# every pair of corpus sources, how many distinct word-5-grams they share
+# (the decontamination operator's diagnostic sibling). Engine path:
+# batch-vectorized gram hashing (the shared sketch kernel convention:
+# whole-doc gram when a doc has < 5 words) -> global distinct
+# (gram, source) via one sorted combine -> whole-gram hash buckets where
+# each gram's <= n_sources rows expand to pairs via the shared run-length
+# all-pairs gather -> source^2-bounded tree combine. Sources never exceed
+# a few hundred, so only (gram, source) rows ever shuffle. Oracle
+# recomputes gram SETS from raw text in SQL (the docs_jaccard_pairs
+# convention: distinct-hash cardinality == distinct-string cardinality,
+# collision-free at 64 bits on these corpora).
+# ---------------------------------------------------------------------------
+
+def docs_source_overlap(sf_dir: str):
+    from ..stages.keyapply import bucketed_key_apply, key_run_starts, run_all_pairs
+    from ..stages.sketch import gram_hash_flat
+    from .relational import sorted_group_agg, tree_group_sum
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+
+    def gram_source(b: pa.Table) -> pa.Table:
+        g, go, _ = gram_hash_flat(b["text"], 5)
+        src = b["source"].to_numpy(zero_copy_only=False)
+        n_docs = len(go) - 1
+        rep = np.repeat(np.arange(n_docs), go[1:] - go[:-1])
+        df = pd.DataFrame({"gram": g.view(np.int64), "source": src[rep]}).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    gs = ds.map_batches(gram_source, batch_format="pyarrow")
+    distinct = sorted_group_agg(gs, ["gram", "source"], {"_n": "count"}).drop_columns(["_n"])
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"source_a": pd.Series([], dtype=str),
+                              "source_b": pd.Series([], dtype=str),
+                              "shared_grams": pd.Series([], dtype="int64")})
+        if len(g) < 2:
+            return empty
+        g = g.sort_values(["gram", "source"], kind="stable")
+        keys = g["gram"].to_numpy()
+        src = g["source"].to_numpy()
+        new = key_run_starts(keys)
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.append(starts, len(keys)))
+        ai, bi = run_all_pairs(starts, lens)
+        if len(ai) == 0:
+            return empty
+        out = (
+            pd.DataFrame({"source_a": src[ai], "source_b": src[bi]})
+            .groupby(["source_a", "source_b"], as_index=False).size()
+            .rename(columns={"size": "shared_grams"})
+        )
+        return out
+
+    partials = bucketed_key_apply(distinct, "gram", bucket_pairs, num_buckets=256)
+    out = tree_group_sum(partials, ["source_a", "source_b"], value_cols=["shared_grams"])
+    if out.empty:
+        return pd.DataFrame({"source_a": pd.Series([], dtype=str),
+                             "source_b": pd.Series([], dtype=str),
+                             "shared_grams": pd.Series([], dtype="int64")})
+    out["shared_grams"] = out["shared_grams"].astype("int64")
+    return out.sort_values(["source_a", "source_b"]).reset_index(drop=True)
+
+
+DOCS_SOURCE_OVERLAP_SQL = r"""
+WITH d AS (
+  SELECT source,
+         list_filter(regexp_split_to_array(text, '\s+'), w -> w <> '') AS ws
+  FROM documents
+),
+nd AS (SELECT source, ws, len(ws) AS nw FROM d),
+grams AS (
+  SELECT source,
+         coalesce(array_to_string(ws[CAST(i AS BIGINT):CAST(i + 4 AS BIGINT)], ' '), '') AS gram
+  FROM nd, unnest(range(1, greatest(nw - 4, 1) + 1)) t(i)
+),
+sets AS (SELECT DISTINCT source, gram FROM grams)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(COUNT(*) AS BIGINT) AS shared_grams
+FROM sets a JOIN sets b ON a.gram = b.gram AND a.source < b.source
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
