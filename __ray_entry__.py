@@ -355,6 +355,10 @@ _SQL_CHECKED: dict[str, tuple[Callable[[str], Any], str]] = {
     # overlap counts for every source pair (gram-bucket all-pairs over the
     # distinct (gram, source) table; source^2-bounded combine)
     "docs_source_overlap": (X.docs_source_overlap, X.DOCS_SOURCE_OVERLAP_SQL),
+    # round 4 (cont.): grouped top-k at KEY scale (per-user top-2 event
+    # types) and the gaps-and-islands longest consecutive-day streak
+    "events_user_top2_types": (X.events_user_top2_types, X.EVENTS_USER_TOP2_TYPES_SQL),
+    "events_user_longest_streak": (X.events_user_longest_streak, X.EVENTS_USER_LONGEST_STREAK_SQL),
 }
 
 # rows-only checks (none left — every query has an oracle)

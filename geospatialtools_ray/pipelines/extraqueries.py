@@ -5907,3 +5907,117 @@ SELECT a.source AS source_a, b.source AS source_b,
 FROM sets a JOIN sets b ON a.gram = b.gram AND a.source < b.source
 GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# Grouped top-k at KEY scale — each user's 2 most frequent event types
+# (ties by type asc). Unlike docs_top3_by_lang (a handful of groups), the
+# group axis here grows with the data: (user, type) counts reduce at
+# composite-key cardinality on the sorted combine, then whole-user hash
+# buckets rank vectorized (one lexsort + cumcount per bucket). Oracle =
+# ROW_NUMBER over COUNT(*).
+# ---------------------------------------------------------------------------
+
+def events_user_top2_types(sf_dir: str):
+    from ..stages.keyapply import bucketed_key_apply
+    from .relational import sorted_group_agg
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    counts = sorted_group_agg(ds, ["user_id", "event_type"], {"n": "count"})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"user_id": pd.Series([], dtype="int64"), "rk": pd.Series([], dtype="int64"),
+             "event_type": pd.Series([], dtype=str), "n": pd.Series([], dtype="int64")}
+        )
+        if len(g) == 0:
+            return empty
+        g = g.sort_values(["user_id", "n", "event_type"],
+                          ascending=[True, False, True], kind="stable").reset_index(drop=True)
+        rk = g.groupby("user_id").cumcount().to_numpy() + 1
+        keep = rk <= 2
+        out = g.loc[keep, ["user_id", "event_type", "n"]].copy()
+        out.insert(1, "rk", rk[keep].astype(np.int64))
+        return out.astype({"user_id": "int64", "n": "int64"})
+
+    df = bucketed_key_apply(counts, "user_id", per_bucket).to_pandas()
+    return df.sort_values(["user_id", "rk"]).reset_index(drop=True)
+
+
+EVENTS_USER_TOP2_TYPES_SQL = """
+WITH c AS (SELECT user_id, event_type, COUNT(*) AS n FROM events GROUP BY 1, 2),
+r AS (SELECT user_id, event_type, n,
+        ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY n DESC, event_type) AS rk
+      FROM c)
+SELECT user_id, CAST(rk AS BIGINT) AS rk, event_type, CAST(n AS BIGINT) AS n
+FROM r WHERE rk <= 2 ORDER BY user_id, rk
+"""
+
+
+# ---------------------------------------------------------------------------
+# Gaps-and-islands: each user's LONGEST consecutive-day activity streak —
+# the classic calendar-run shape (SQL solves it with the day - row_number
+# constant-per-island trick; the engine computes the same islands
+# vectorized over whole-user buckets on the distinct (user, day) table).
+# Day boundaries in integer epoch days (timestamps are UTC-us; no
+# calendar semantics beyond floor division).
+# ---------------------------------------------------------------------------
+
+def events_user_longest_streak(sf_dir: str):
+    from ..stages.keyapply import bucketed_key_apply
+    from .relational import sorted_group_agg
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def day_pairs(b: pa.Table) -> pa.Table:
+        days = (
+            b["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+            // 86_400_000_000
+        )
+        df = pd.DataFrame(
+            {"user_id": b["user_id"].to_numpy(zero_copy_only=False), "day": days}
+        ).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    distinct = sorted_group_agg(
+        ds.map_batches(day_pairs, batch_format="pyarrow"), ["user_id", "day"], {"_n": "count"}
+    ).drop_columns(["_n"])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"user_id": pd.Series([], dtype="int64"), "longest_streak": pd.Series([], dtype="int64")}
+        )
+        if len(g) == 0:
+            return empty
+        g = g.sort_values(["user_id", "day"], kind="stable").reset_index(drop=True)
+        u = g["user_id"].to_numpy()
+        d = g["day"].to_numpy(dtype=np.int64)
+        # island id = day - within-user row index (constant per island)
+        new_user = np.ones(len(g), dtype=bool)
+        new_user[1:] = u[1:] != u[:-1]
+        idx = np.arange(len(g)) - np.maximum.accumulate(np.where(new_user, np.arange(len(g)), 0))
+        island = d - idx
+        runs = (
+            pd.DataFrame({"user_id": u, "island": island})
+            .groupby(["user_id", "island"], as_index=False).size()
+        )
+        out = runs.groupby("user_id", as_index=False)["size"].max()
+        return out.rename(columns={"size": "longest_streak"}).astype(
+            {"user_id": "int64", "longest_streak": "int64"}
+        )
+
+    df = bucketed_key_apply(distinct, "user_id", per_bucket).to_pandas()
+    return df.sort_values("user_id").reset_index(drop=True)
+
+
+EVENTS_USER_LONGEST_STREAK_SQL = """
+WITH d AS (SELECT DISTINCT user_id,
+                  CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+           FROM events),
+r AS (SELECT user_id, day,
+        day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS island
+      FROM d),
+runs AS (SELECT user_id, island, COUNT(*) AS len FROM r GROUP BY 1, 2)
+SELECT user_id, CAST(MAX(len) AS BIGINT) AS longest_streak
+FROM runs GROUP BY user_id ORDER BY user_id
+"""
