@@ -375,3 +375,23 @@ def test_integer_power_iteration_tracks_float_and_converges():
         coss.append(abs(np.dot(v, top)) / (np.linalg.norm(v) * np.linalg.norm(top)))
     assert coss[-1] > 0.999
     assert coss[-1] >= coss[0]
+
+
+def test_islands_day_minus_rank_equals_brute_streaks():
+    """The gaps-and-islands identity: within a user's sorted distinct
+    days, day - within-user-index is constant exactly per consecutive
+    run, so max island size == the brute longest streak."""
+    rng = np.random.default_rng(21)
+    for _ in range(20):
+        days = np.unique(rng.integers(0, 60, size=rng.integers(1, 40)))
+        idx = np.arange(len(days))
+        island = days - idx
+        import pandas as pd
+
+        longest = pd.Series(island).value_counts().max()
+        # brute: walk runs
+        best = cur = 1
+        for i in range(1, len(days)):
+            cur = cur + 1 if days[i] == days[i - 1] + 1 else 1
+            best = max(best, cur)
+        assert int(longest) == best
