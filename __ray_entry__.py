@@ -359,6 +359,9 @@ _SQL_CHECKED: dict[str, tuple[Callable[[str], Any], str]] = {
     # types) and the gaps-and-islands longest consecutive-day streak
     "events_user_top2_types": (X.events_user_top2_types, X.EVENTS_USER_TOP2_TYPES_SQL),
     "events_user_longest_streak": (X.events_user_longest_streak, X.EVENTS_USER_LONGEST_STREAK_SQL),
+    # round 4 (cont.): corpus-curation funnel — cumulative survivors of the
+    # pinned length/token/ascii filters, one vectorized pass + 4-row combine
+    "docs_curation_funnel": (X.docs_curation_funnel, X.DOCS_CURATION_FUNNEL_SQL),
 }
 
 # rows-only checks (none left — every query has an oracle)

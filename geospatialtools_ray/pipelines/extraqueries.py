@@ -6021,3 +6021,70 @@ runs AS (SELECT user_id, island, COUNT(*) AS len FROM r GROUP BY 1, 2)
 SELECT user_id, CAST(MAX(len) AS BIGINT) AS longest_streak
 FROM runs GROUP BY user_id ORDER BY user_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Curation funnel — the standard corpus-cleaning report: how many docs
+# survive each successive pinned filter (raw -> min length -> min token
+# count -> ascii-only). One pass, vectorized cumulative masks per batch,
+# 4-row shuffle-free tree combine; every predicate is a pinned expression
+# evaluated identically in SQL.
+# ---------------------------------------------------------------------------
+
+FUNNEL_MIN_CHARS = 100
+FUNNEL_MIN_TOKENS = 15
+
+
+def docs_curation_funnel(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+    from .relational import tree_group_sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        nc = b["n_chars"].to_numpy(zero_copy_only=False)
+        s0 = np.ones(len(nc), dtype=bool)
+        s1 = s0 & (nc >= FUNNEL_MIN_CHARS)
+        # token count by the shared split convention, vectorized: non-empty
+        # tokens per doc via the exploded frame's cython groupby
+        t = _doc_terms(b, distinct=False)
+        cnt = t.groupby("doc_id").size()
+        did = b["doc_id"].to_numpy(zero_copy_only=False)
+        ntok = cnt.reindex(did, fill_value=0).to_numpy()
+        s2 = s1 & (ntok >= FUNNEL_MIN_TOKENS)
+        # ascii iff utf8 byte length == codepoint length (no per-row Python)
+        sarr = pc.cast(b["text"], pa.string())
+        is_ascii = pc.equal(
+            pc.binary_length(sarr.cast(pa.binary())), pc.utf8_length(sarr)
+        ).to_numpy(zero_copy_only=False)
+        s3 = s2 & is_ascii
+        out = pd.DataFrame(
+            {
+                "stage": ["0_raw", "1_min_chars", "2_min_tokens", "3_ascii"],
+                "n_surviving": [int(s0.sum()), int(s1.sum()), int(s2.sum()), int(s3.sum())],
+            }
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    out = tree_group_sum(ds.map_batches(partial, batch_format="pyarrow"), ["stage"], value_cols=["n_surviving"])
+    out["n_surviving"] = out["n_surviving"].astype("int64")
+    return out.sort_values("stage").reset_index(drop=True)
+
+
+DOCS_CURATION_FUNNEL_SQL = f"""
+WITH m AS (
+  SELECT n_chars >= {FUNNEL_MIN_CHARS} AS p1,
+         len(list_filter(string_split(text, ' '), w -> w <> '')) >= {FUNNEL_MIN_TOKENS} AS p2,
+         text = regexp_replace(text, '[^\\x00-\\x7F]', '', 'g') AS p3
+  FROM documents
+)
+SELECT stage, n_surviving FROM (
+  SELECT '0_raw' AS stage, CAST(COUNT(*) AS BIGINT) AS n_surviving FROM m
+  UNION ALL
+  SELECT '1_min_chars', CAST(SUM(CASE WHEN p1 THEN 1 ELSE 0 END) AS BIGINT) FROM m
+  UNION ALL
+  SELECT '2_min_tokens', CAST(SUM(CASE WHEN p1 AND p2 THEN 1 ELSE 0 END) AS BIGINT) FROM m
+  UNION ALL
+  SELECT '3_ascii', CAST(SUM(CASE WHEN p1 AND p2 AND p3 THEN 1 ELSE 0 END) AS BIGINT) FROM m
+) ORDER BY stage
+"""
