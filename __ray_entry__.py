@@ -47,7 +47,7 @@ def entry() -> Any:
     return joined
 
 
-_SQL_CHECKED: dict[str, tuple[Callable[[str], Any], str]] = {
+_REGISTRY: dict[str, tuple[Callable[[str], Any], str]] = {
     "q1_pricing_summary": (R.q1_pricing_summary, R.Q1_SQL),
     "q3_top_orders": (R.q3_top_orders, R.Q3_SQL),
     "q5_nation_revenue": (R.q5_region_revenue, R.Q5_SQL),
@@ -363,6 +363,74 @@ _SQL_CHECKED: dict[str, tuple[Callable[[str], Any], str]] = {
     # pinned length/token/ascii filters, one vectorized pass + 4-row combine
     "docs_curation_funnel": (X.docs_curation_funnel, X.DOCS_CURATION_FUNNEL_SQL),
 }
+
+# ---------------------------------------------------------------------------
+# Check-window ordering.  The driver's correctness run covers the FIRST 50
+# registry entries; rounds 1-4 always presented the same 50 long-soaked
+# queries, so 100 of the 150 oracle-checked queries never earned a driver
+# row (VERDICT r4 "What's missing" #3).  Re-rank so the external signal
+# lands on the least-externally-verified operators first:
+#   tier 0 — round-5 additions (never checked by anyone),
+#   tier 1 — round-4 additions with NO external row (driver or judge),
+#   tier 2 — round-4 additions the round-4 judge re-verified by hand,
+#   tier 3 — the 50 queries driver-green in CORRECTNESS_r01..r04.
+# Every query remains oracle-checked by the repo's own gate
+# (tools/check_correctness.py runs all 150) regardless of this order.
+_TIER0_ROUND5: list[str] = [
+]
+_TIER1_NEVER_CHECKED: list[str] = [
+    "docs_jaccard_pairs", "events_sliding_windows", "events_user_running_total",
+    "events_user_median_value", "events_user_rolling_mean", "docs_top3_by_lang",
+    "events_type_hour_pivot", "docs_hash_sample", "events_daily_distinct_users",
+    "events_props_bucket", "embeddings_label_centroid", "docs_term_df",
+    "events_corr_value_k", "docs_top_term_per_lang", "events_users_no_purchase",
+    "events_rollup_type_hour", "events_signup_funnel", "docs_sample_k",
+    "docs_decontaminate", "docs_chunk_windows", "docs_chunk_dedup",
+    "docs_shuffle_rank", "docs_dup_spans", "docs_frequent_ngrams",
+    "embed_semantic_dedup", "docs_repetition_stats", "events_props_redact",
+    "docs_stratified_sample", "geo_adaptive_cover", "docs_cover_join",
+    "q10_returned_items", "q18_large_orders", "q6_forecast_revenue",
+    "q14_promo_revenue", "q4_order_priority", "docs_inverted_index",
+    "embeddings_quantize", "events_cohort_retention", "events_user_value_delta",
+    "q13_customer_orders", "q22_idle_balance", "q7_nation_volume",
+    "q8_market_share", "q19_branded_revenue", "events_hll_registers",
+    "events_cms_registers", "docs_training_prep", "docs_radius_join",
+    "docs_weighted_sample", "docs_span_kind_stats", "docs_kind_transitions",
+    "embeddings_gram_matrix", "docs_media_decode_dedup", "docs_asset_components",
+    "events_type_trigrams", "docs_asset_triangles", "events_user_full_outer",
+    "events_session_overlap", "events_latest_per_user_type", "events_value_ntile",
+    "docs_jsonl_roundtrip", "docs_cell_pyramid", "ann_filtered_topk",
+    "docs_text_normalize", "events_quarantine_routing",
+    "docs_incremental_lang_totals", "raster_zonal_stats",
+    "events_user_trailing_1h", "docs_asset_hops", "docs_tfidf_top3",
+    "docs_unigram_surprisal", "docs_simhash_hamming_pairs", "docs_term_pmi",
+    "embeddings_top_eigvec", "events_apply_changelog", "docs_lang_median_chars",
+    "docs_bpe_pair_counts", "docs_source_overlap", "events_user_top2_types",
+]
+_TIER2_JUDGE_SAMPLED: list[str] = [
+    "events_shape_functions", "terrain_acc_pfdir", "terrain_assign_clusters",
+    "netcdf_roundtrip", "events_grads_dates", "grads_ctl_files",
+    "tiles_metadata", "events_asof_purchase", "events_order_window_join",
+    "events_value_quantiles", "docs_bm25_topk", "q17_small_qty_revenue",
+    "docs_pack_sequences", "docs_media_dedup", "docs_heavy_hitters",
+    "ann_pq_topk", "docs_asset_kcore", "docs_lang_quota_mix",
+    "events_user_longest_streak", "docs_curation_funnel",
+    "docs_asset_pagerank",
+]
+
+
+def _ordered_registry() -> dict[str, tuple[Callable[[str], Any], str]]:
+    priority = _TIER0_ROUND5 + _TIER1_NEVER_CHECKED + _TIER2_JUDGE_SAMPLED
+    missing = [k for k in priority if k not in _REGISTRY]
+    if missing:
+        raise KeyError(f"check-window priority names unknown queries: {missing}")
+    seen = set(priority)
+    out = {k: _REGISTRY[k] for k in priority}
+    out.update({k: v for k, v in _REGISTRY.items() if k not in seen})
+    return out
+
+
+_SQL_CHECKED = _ordered_registry()
 
 # rows-only checks (none left — every query has an oracle)
 _ROWS_ONLY: dict[str, Callable[[str], Any]] = {}

@@ -34,7 +34,7 @@ def group_value_counts(ds, group_col: str, value_col: str, quantize: float = 100
     from ..pipelines.relational import tree_group_sum
 
     def partial(b: pa.Table) -> pa.Table:
-        g = b[group_col].to_pandas().to_numpy()
+        g = b[group_col].to_numpy(zero_copy_only=False)
         qv = sql_round(b[value_col].to_numpy(zero_copy_only=False) * quantize).astype(np.int64)
         df = pd.DataFrame({group_col: g, "qv": qv, "n": 1})
         out = df.groupby([group_col, "qv"], as_index=False).sum()

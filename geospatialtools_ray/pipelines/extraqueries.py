@@ -5457,20 +5457,25 @@ def docs_term_pmi(sf_dir: str):
     import ray
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    from ..stages.keyapply import run_all_pairs
+    from ..stages.keyapply import bucketed_key_apply, run_all_pairs
     from .relational import tree_group_sum
 
     # tokenize ONCE: the distinct (doc_id, term) explode is materialized and
-    # feeds BOTH the pair partials and the doc-frequency partials (each
-    # downstream pass runs per block — batch_size=None — so a doc's rows
-    # stay whole, exactly as they left the tokenize batch)
+    # feeds BOTH the pair partials and the doc-frequency partials. Pair
+    # generation needs WHOLE docs, and Ray's output buffer may slice a large
+    # tokenize output across blocks at target_max_block_size (arbitrary row
+    # boundaries), so the pair pass routes through hash-buckets of doc_id —
+    # the shuffle guarantees doc-wholeness (same shape as
+    # docs_source_overlap's per-gram buckets). The df pass needs no
+    # wholeness: dt is already DISTINCT (doc_id, term), so per-term row
+    # counts are exact under any block split.
     dt = ds.map_batches(
         lambda b: pa.Table.from_pandas(_doc_terms(b, distinct=True), preserve_index=False),
         batch_format="pyarrow",
     ).materialize()
 
-    def pair_partial(b: pa.Table) -> pa.Table:
-        t = b.to_pandas().sort_values(["doc_id", "term"], kind="stable").reset_index(drop=True)
+    def pair_fn(t: pd.DataFrame) -> pd.DataFrame:
+        t = t.sort_values(["doc_id", "term"], kind="stable").reset_index(drop=True)
         terms = t["term"].to_numpy()
         doc = t["doc_id"].to_numpy()
         new = np.ones(len(t), dtype=bool)
@@ -5480,11 +5485,9 @@ def docs_term_pmi(sf_dir: str):
         ai, bi = run_all_pairs(starts, lens)
         if len(ai):
             pairs = pd.DataFrame({"term_a": terms[ai], "term_b": terms[bi]})
-            pc_ = pairs.groupby(["term_a", "term_b"], as_index=False).size().rename(columns={"size": "c_ab"})
-        else:
-            pc_ = pd.DataFrame({"term_a": pd.Series([], dtype=str), "term_b": pd.Series([], dtype=str),
-                                "c_ab": pd.Series([], dtype="int64")})
-        return pa.Table.from_pandas(pc_, preserve_index=False)
+            return pairs.groupby(["term_a", "term_b"], as_index=False).size().rename(columns={"size": "c_ab"})
+        return pd.DataFrame({"term_a": pd.Series([], dtype=str), "term_b": pd.Series([], dtype=str),
+                             "c_ab": pd.Series([], dtype="int64")})
 
     def df_partial(b: pa.Table) -> pa.Table:
         out = (
@@ -5493,7 +5496,7 @@ def docs_term_pmi(sf_dir: str):
         return pa.Table.from_pandas(out, preserve_index=False)
 
     pairs = tree_group_sum(
-        dt.map_batches(pair_partial, batch_size=None, batch_format="pyarrow"),
+        bucketed_key_apply(dt, "doc_id", pair_fn, num_buckets=64),
         ["term_a", "term_b"], value_cols=["c_ab"],
     )
     dftab = tree_group_sum(
@@ -5558,6 +5561,7 @@ def embeddings_top_eigvec(sf_dir: str):
     from .relational import tree_group_sum
 
     ds = _read(sf_dir, "embeddings", ["embedding"])
+    n_total = io.table_num_rows(io.table_path(sf_dir, "embeddings"))
 
     def partial(batch: pa.Table) -> pa.Table:
         emb = batch["embedding"].combine_chunks()
@@ -5567,6 +5571,19 @@ def embeddings_top_eigvec(sf_dir: str):
                              "s": pa.array([], pa.int64())})
         X = np.asarray(emb.flatten(), dtype=np.float64).reshape(n, -1)
         q = sql_round(X * 1000.0).astype(np.int64)
+        # PRE-accumulation bound: every |G[i,j]| over the WHOLE corpus is
+        # <= n_total * gmax^2 where gmax is the global max |qx|; the batch
+        # holding gmax trips this check, so a wrap can never happen inside
+        # q.T @ q or the tree combine (the later matvec guard reads the
+        # accumulated G and could not catch a wrap that already occurred)
+        maxq = int(np.abs(q).max()) if q.size else 0
+        if maxq and n_total * maxq * maxq >= (1 << 63):
+            raise ValueError(
+                "embeddings_top_eigvec Gram accumulation would overflow int64 "
+                f"at {n_total} rows with max|qx|={maxq} — rescale the "
+                "quantization (divide s by a pinned power of 10 on BOTH "
+                "engines) before accumulating"
+            )
         G = q.T @ q
         iu, ju = np.indices(G.shape)
         return pa.table(
@@ -5649,6 +5666,15 @@ def events_apply_changelog(sf_dir: str):
         g = g.sort_values(["user_id", "ts_us", "event_id"], kind="stable")
         last = g.drop_duplicates(["user_id"], keep="last")
         eid = last["event_id"].to_numpy(dtype=np.int64)
+        if (eid >= (1 << 32)).any() or (eid < 0).any():
+            # the uint64 wrap here silently diverges from the oracle's
+            # BIGINT event_id * KNUTH_MULT (which overflows loudly in
+            # DuckDB past ~2^31.7) — same id-bound rule as the quota-mix/
+            # median pack guards; widen to a 128-bit (hi,lo) split hash
+            # if ids ever exceed 32 bits
+            raise ValueError(
+                "events_apply_changelog tombstone hash requires 0 <= event_id < 2^32"
+            )
         is_del = ((eid.astype(np.uint64) * np.uint64(KNUTH_MULT)) % np.uint64(4294967296)) % np.uint64(10) == 0
         last = last[~is_del]
         return pd.DataFrame(
@@ -5791,6 +5817,16 @@ def docs_bpe_pair_counts(sf_dir: str):
             ) from e
         if len(buf) < 2:
             return pa.Table.from_pandas(empty, preserve_index=False)
+        # \x00 is the word fence: a term CONTAINING an embedded NUL (valid
+        # ascii, so it survives the encode guard) would silently split into
+        # two fenced words here while the SQL oracle's substr counts the
+        # pair across it — reject loudly instead of diverging
+        if int((buf == 0).sum()) != len(t) - 1:
+            raise ValueError(
+                "docs_bpe_pair_counts: a term contains an embedded NUL byte — "
+                "the \\x00 word fence would miscount; strip NULs upstream or "
+                "switch the fence to an out-of-band sentinel"
+            )
         first, second = buf[:-1].astype(np.int64), buf[1:].astype(np.int64)
         valid = (first != 0) & (second != 0)
         codes = first[valid] * 256 + second[valid]

@@ -686,6 +686,7 @@ def simhash_hamming_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     num_buckets: int = 256,
+    max_pairs_per_bucket: int | None = None,
 ):
     """EXACT SimHash near-dup pair join: every (id_a < id_b) pair whose
     64-bit simhashes differ in <= `max_hamming` bits, plus the distance.
@@ -753,6 +754,18 @@ def simhash_hamming_pairs(
         ai, bi = run_all_pairs(starts, lens)
         if len(ai) == 0:
             return empty
+        if max_pairs_per_bucket is not None and len(ai) > max_pairs_per_bucket:
+            # the operator's CONTRACT is every qualifying pair, which is
+            # output-quadratic at adversarial near-dup density — fail loudly
+            # (the asof stitch-cap convention) instead of OOMing a worker;
+            # the scale route for dedup itself is simhash band buckets ->
+            # min-label connected components (no pair materialization)
+            raise ValueError(
+                f"simhash_hamming_pairs: bucket generated {len(ai)} candidate "
+                f"pairs > max_pairs_per_bucket={max_pairs_per_bucket}; the "
+                "corpus is near-dup dense — use the bucket+connected-"
+                "components dedup path or raise the cap"
+            )
         ham = _popcount64(sh[ai].view(np.uint64) ^ sh[bi].view(np.uint64))
         keep = ham <= max_hamming
         if not keep.any():
