@@ -21,6 +21,7 @@ from typing import Any
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from geospatialtools_ray.pipelines import extraqueries as X
+from geospatialtools_ray.pipelines import geoqueries as G
 from geospatialtools_ray.pipelines import oracle_fixtures as OF
 from geospatialtools_ray.pipelines import relational as R
 from geospatialtools_ray.pipelines import terrainqueries as TQ
@@ -362,6 +363,15 @@ _REGISTRY: dict[str, tuple[Callable[[str], Any], str]] = {
     # round 4 (cont.): corpus-curation funnel — cumulative survivors of the
     # pinned length/token/ascii filters, one vectorized pass + 4-row combine
     "docs_curation_funnel": (X.docs_curation_funnel, X.DOCS_CURATION_FUNNEL_SQL),
+    # round 5: the CRS-reprojection family (gdal_tools.py:188 -t_srs
+    # semantics, functions/crs.py Snyder/mercator kernels) — corpus-side
+    # distributed reproject (fully cross-engine SQL), vector-side UTM
+    # reproject + kNN (numpy twin, the docs_knn_haversine precedent), and
+    # the -t_srs-at-index-build polygon join (fully cross-engine: SQL
+    # inverse-projects the staged mercator edge table)
+    "docs_webmercator_tiles": (G.docs_webmercator_tiles, G.DOCS_WEBMERC_TILES_SQL),
+    "stations_utm_reproject_knn": (G.stations_utm_reproject_knn, G.STATIONS_UTM_KNN_SQL),
+    "docs_reprojected_polygon_join": (G.docs_reprojected_polygon_join, G._reprojected_polygon_join_sql()),
 }
 
 # ---------------------------------------------------------------------------
@@ -377,6 +387,9 @@ _REGISTRY: dict[str, tuple[Callable[[str], Any], str]] = {
 # Every query remains oracle-checked by the repo's own gate
 # (tools/check_correctness.py runs all 150) regardless of this order.
 _TIER0_ROUND5: list[str] = [
+    "docs_webmercator_tiles",
+    "stations_utm_reproject_knn",
+    "docs_reprojected_polygon_join",
 ]
 _TIER1_NEVER_CHECKED: list[str] = [
     "docs_jaccard_pairs", "events_sliding_windows", "events_user_running_total",

@@ -1,0 +1,329 @@
+"""CRS-reprojection driver queries — the `-t_srs` seam the reference's
+only vector entry point exercises (`gdal_tools.py:188`:
+``ogr2ogr ... -t_srs proj4`` inside ``shapefile2raster``) re-expressed
+over the engine's pure-numpy projection kernels (functions/crs.py).
+
+Three queries, three verification strengths:
+
+- ``docs_webmercator_tiles``: the CORPUS side reprojects (distributed
+  ``map_batches`` over zero-copy Arrow, lonlat -> EPSG:3857) and bins
+  into 100 km web-mercator tiles.  Fully cross-engine: DuckDB recomputes
+  the forward spherical-mercator formula.  x = R*radians(lon) is a pure
+  product (bit-identical across engines); y's tan/ln can differ by ulps,
+  so the tile grid is OFFSET by half a tile — no deterministic input
+  lands a y within ~1e-8 m of a tile edge (doc lats sit on a 0.01-degree
+  grid whose mercator images are transcendental).
+- ``stations_utm_reproject_knn``: the VECTOR side reprojects (UTM zone
+  33N station coordinates -> lonlat, exactly where ogr2ogr runs in the
+  reference) and the corpus kNN-joins against the reprojected stations.
+  DuckDB's trig differs in ulps from numpy (the docs_knn_haversine
+  precedent), so the oracle is a staged single-process numpy twin of the
+  SAME IEEE expression tree, distances mm-rounded on both sides.
+- ``docs_reprojected_polygon_join``: the polygon layer arrives in
+  web-mercator METRES and ``PolygonIndex(src_crs="webmercator")``
+  reprojects every vertex at index build (the -t_srs placement); the
+  spatial join then runs in lonlat.  Fully cross-engine: the oracle
+  inverse-projects the staged mercator edge table IN SQL
+  (lon = degrees(x/R), lat = degrees(2*atan(exp(y/R)) - pi/2)) and
+  replays the same even-odd crossing expression (the raster_zonal_stats
+  oracle shape).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .. import io, oracles as O, synth, wkb
+from ..functions import crs
+from ..numerics import sql_round
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    return io.read_named(sf_dir, table, columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# 1. corpus-side distributed reproject -> 100 km mercator tile counts
+# ---------------------------------------------------------------------------
+
+MERC_TILE_M = 100_000.0
+_R = 6378137.0
+
+
+def docs_webmercator_tiles(sf_dir: str):
+    from .relational import tree_group_sum
+    from .textqueries import doc_lonlat
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def tiles(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)
+        lon, lat = doc_lonlat(did)
+        pts = pa.table({"lon": pa.array(lon), "lat": pa.array(lat)})
+        m = crs.reproject_batch(pts, "lonlat", "webmercator")
+        x = m["lon"].to_numpy(zero_copy_only=False)
+        y = m["lat"].to_numpy(zero_copy_only=False)
+        tx = np.floor((x + MERC_TILE_M / 2.0) / MERC_TILE_M).astype(np.int64)
+        ty = np.floor((y + MERC_TILE_M / 2.0) / MERC_TILE_M).astype(np.int64)
+        df = pd.DataFrame({"tx": tx, "ty": ty, "n": 1})
+        return pa.Table.from_pandas(
+            df.groupby(["tx", "ty"], as_index=False).sum(), preserve_index=False
+        )
+
+    out = tree_group_sum(
+        ds.map_batches(tiles, batch_format="pyarrow"), ["tx", "ty"], value_cols=["n"]
+    )
+    out = out.astype({"tx": "int64", "ty": "int64", "n": "int64"})
+    return out.sort_values(["tx", "ty"]).reset_index(drop=True)
+
+
+DOCS_WEBMERC_TILES_SQL = f"""
+WITH p AS (
+  SELECT (CAST((doc_id * 9973) % 36000 AS DOUBLE)/100.0 - 180.0) AS lon,
+         (CAST((doc_id * 9941) % 17000 AS DOUBLE)/100.0 - 85.0) AS lat
+  FROM documents
+),
+m AS (
+  SELECT {_R!r} * radians(lon) AS x,
+         {_R!r} * ln(tan(pi()/4.0 + radians(lat)/2.0)) AS y
+  FROM p
+)
+SELECT CAST(floor((x + {MERC_TILE_M / 2.0!r}) / {MERC_TILE_M!r}) AS BIGINT) AS tx,
+       CAST(floor((y + {MERC_TILE_M / 2.0!r}) / {MERC_TILE_M!r}) AS BIGINT) AS ty,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM m GROUP BY 1, 2 ORDER BY tx, ty
+"""
+
+
+# ---------------------------------------------------------------------------
+# 2. vector-side UTM reproject + kNN join (staged numpy twin oracle)
+# ---------------------------------------------------------------------------
+
+UTM_ZONE = 33
+
+
+def _utm_stations(nation_df: pd.DataFrame) -> pd.DataFrame:
+    """Deterministic station layer NATIVE to UTM zone 33N: eastings well
+    inside the zone's validity, northings ~4.5..67 degrees north."""
+    k = nation_df["n_nationkey"].to_numpy().astype(np.int64)
+    easting = 150000.0 + ((k * 104729) % 600000).astype(np.float64)
+    northing = 500000.0 + ((k * 95989) % 7000000).astype(np.float64)
+    return pd.DataFrame({"station_id": k, "easting": easting, "northing": northing})
+
+
+def _utm_station_lonlat(st: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
+    return crs.to_lonlat(
+        st["easting"].to_numpy(), st["northing"].to_numpy(), f"utm:{UTM_ZONE}"
+    )
+
+
+def stations_utm_reproject_knn(sf_dir: str):
+    import ray
+
+    from ..stages.knn import KNNBroadcast
+    from .textqueries import doc_lonlat
+
+    stage_stations_utm_knn(sf_dir)
+    nation = _read(sf_dir, "nation", ["n_nationkey"]).to_pandas()
+    st = _utm_stations(nation)
+    slon, slat = _utm_station_lonlat(st)
+    st_ref = ray.put(
+        {"station_id": st["station_id"].to_numpy(), "lon": slon, "lat": slat}
+    )
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def pts(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)
+        lon, lat = doc_lonlat(did)
+        return pa.table({"doc_id": batch["doc_id"], "lon": lon, "lat": lat})
+
+    out = (
+        ds.map_batches(pts, batch_format="pyarrow")
+        .map_batches(
+            KNNBroadcast,
+            fn_constructor_kwargs={"stations_ref": st_ref, "k": 1},
+            batch_format="pyarrow",
+            concurrency=(1, 4),
+        )
+        .select_columns(["doc_id", "station_id", "station_dist"])
+        .to_pandas()
+    )
+    out["station_dist"] = out["station_dist"].round(3)
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def stage_stations_utm_knn(sf_dir: str) -> str:
+    """Single-process numpy twin: same UTM inverse, same haversine, same
+    (distance, station_id) tie rule, mm rounding — fully vectorized."""
+    from ..stages.knn import haversine_m
+    from .textqueries import doc_lonlat
+
+    nat = io.read_table_arrow(
+        io.table_path(sf_dir, "nation"), columns=["n_nationkey"]
+    ).to_pandas()
+    st = _utm_stations(nat)
+    skey = st["station_id"].to_numpy()
+    slon, slat = _utm_station_lonlat(st)
+    df = io.read_table_arrow(io.table_path(sf_dir, "documents"), columns=["doc_id"]).to_pandas()
+    did = df["doc_id"].astype("int64").to_numpy()
+    lon, lat = doc_lonlat(did)
+    d = haversine_m(lon[:, None], lat[:, None], slon[None, :], slat[None, :])
+    # stations are in ascending station_id order, so argmin's first-hit
+    # convention equals the (distance, station_id) lexsort for k=1
+    j = np.argmin(d, axis=1)
+    out = pd.DataFrame(
+        {
+            "doc_id": did,
+            "station_id": skey[j].astype(np.int64),
+            "station_dist": np.round(d[np.arange(len(did)), j], 3),
+        }
+    ).sort_values("doc_id").reset_index(drop=True)
+    return O.stage_fixture("stations_utm_knn", out)
+
+
+STATIONS_UTM_KNN_SQL = O.fixture_sql("stations_utm_knn", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# 3. mercator polygon layer -> PolygonIndex(src_crs=...) -> spatial join
+#    (fully cross-engine: SQL inverse-projects the staged edge table)
+# ---------------------------------------------------------------------------
+
+CRSJOIN_NPOLY = 120
+
+
+def _mercator_layer(n_poly: int) -> tuple[dict, pd.DataFrame, pd.DataFrame]:
+    """Forward-project the deterministic synth polygon layer into
+    web-mercator metres: the layer handed to the engine (WKB in metres)
+    and the edge/attribute tables staged for the SQL oracle. The lonlat
+    scaffold layer is discarded — BOTH engines work from the metre WKB."""
+    layer = synth.make_polygons(n_poly, cover_res=6)
+    wkbs, e_poly, ex0, ey0, ex1, ey1 = [], [], [], [], [], []
+    for pid, buf in zip(layer["poly_id"], layer["geom_wkb"]):
+        rings_m = []
+        for ring in wkb.parse_polygon(buf):
+            # inflate 15x around the centroid: the synth layer's regional
+            # (~0.03-0.28 deg) polygons are calibrated for corpora >= sf0.01;
+            # this query must also produce rows over the 500-doc sf0.001
+            # table, and the inflation is part of the deterministic layer
+            # definition (both engines read the SAME staged metre edges)
+            c = ring.mean(axis=0)
+            ring = c + (ring - c) * 15.0
+            ring[:, 1] = np.clip(ring[:, 1], -89.0, 89.0)  # keep mercator finite
+            mx, my = crs.lonlat_to_webmercator(ring[:, 0], ring[:, 1])
+            rings_m.append(np.column_stack([mx, my]))
+            r = np.column_stack([mx, my])
+            if not np.array_equal(r[0], r[-1]):
+                r = np.vstack([r, r[:1]])
+            e_poly.append(np.full(len(r) - 1, pid, dtype=np.int64))
+            ex0.append(r[:-1, 0]); ey0.append(r[:-1, 1])
+            ex1.append(r[1:, 0]); ey1.append(r[1:, 1])
+        wkbs.append(wkb.polygon_wkb(rings_m))
+    merc_layer = {
+        "poly_id": layer["poly_id"],
+        "geom_wkb": wkbs,
+        # bboxes in metres are recomputed into lonlat by the index build
+        "bbox": [wkb.polygon_bbox(b) for b in wkbs],
+        "field_value": layer["field_value"],
+    }
+    edges = pd.DataFrame(
+        {
+            "poly_id": np.concatenate(e_poly),
+            "x0": np.concatenate(ex0), "y0": np.concatenate(ey0),
+            "x1": np.concatenate(ex1), "y1": np.concatenate(ey1),
+        }
+    )
+    attrs = pd.DataFrame(
+        {
+            "poly_id": np.asarray(layer["poly_id"], dtype=np.int64),
+            "field_value": np.asarray(layer["field_value"], dtype=np.float64),
+        }
+    )
+    return merc_layer, edges, attrs
+
+
+def docs_reprojected_polygon_join(sf_dir: str):
+    import ray
+
+    from ..stages.spatial_join import PolygonIndex, SpatialJoin
+    from .textqueries import doc_lonlat
+
+    merc_layer, edges, attrs = _mercator_layer(CRSJOIN_NPOLY)
+    O.stage_fixture("crs_poly_edges", edges)
+    O.stage_fixture("crs_poly_attrs", attrs)
+    idx_ref = ray.put(PolygonIndex.from_synth(merc_layer, cover_res=6, src_crs="webmercator"))
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def pts(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)
+        lon, lat = doc_lonlat(did)
+        return pa.table({"doc_id": batch["doc_id"], "lon": lon, "lat": lat})
+
+    out = (
+        ds.map_batches(pts, batch_format="pyarrow")
+        .map_batches(
+            SpatialJoin,
+            fn_constructor_kwargs={"index_ref": idx_ref},
+            batch_format="pyarrow",
+            concurrency=(1, 4),
+        )
+        .select_columns(["doc_id", "poly_id", "field_value"])
+        .to_pandas()
+    )
+    if out.empty:
+        return pd.DataFrame(
+            {"doc_id": pd.Series([], dtype="int64"),
+             "poly_id": pd.Series([], dtype="int64"),
+             "field_value": pd.Series([], dtype="float64")}
+        )
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["field_value"] = sql_round(out["field_value"].to_numpy() * 1000.0) / 1000.0
+    return out.sort_values(["doc_id", "poly_id"]).reset_index(drop=True)
+
+
+def _reprojected_polygon_join_sql() -> str:
+    return f"""
+WITH p AS (
+  SELECT doc_id,
+         (CAST((doc_id * 9973) % 36000 AS DOUBLE)/100.0 - 180.0) AS lon,
+         (CAST((doc_id * 9941) % 17000 AS DOUBLE)/100.0 - 85.0) AS lat
+  FROM documents
+),
+e AS (
+  SELECT poly_id,
+         degrees(x0 / {_R!r}) AS ex0,
+         degrees(2.0*atan(exp(y0 / {_R!r})) - pi()/2.0) AS ey0,
+         degrees(x1 / {_R!r}) AS ex1,
+         degrees(2.0*atan(exp(y1 / {_R!r})) - pi()/2.0) AS ey1
+  FROM read_parquet('{O.fixture_path("crs_poly_edges")}')
+),
+bb AS (
+  SELECT poly_id,
+         MIN(LEAST(ex0, ex1)) AS b0, MIN(LEAST(ey0, ey1)) AS b1,
+         MAX(GREATEST(ex0, ex1)) AS b2, MAX(GREATEST(ey0, ey1)) AS b3
+  FROM e GROUP BY 1
+),
+cand AS (
+  SELECT p.doc_id, p.lon, p.lat, bb.poly_id
+  FROM p JOIN bb
+    ON p.lon >= bb.b0 AND p.lon <= bb.b2 AND p.lat >= bb.b1 AND p.lat <= bb.b3
+),
+hits AS (
+  SELECT c.doc_id, c.poly_id,
+         COUNT(*) FILTER (
+           WHERE ((e.ey0 <= c.lat) <> (e.ey1 <= c.lat))
+             AND c.lon < e.ex0 + (c.lat - e.ey0) * (e.ex1 - e.ex0) / (e.ey1 - e.ey0)
+         ) AS k
+  FROM cand c JOIN e USING (poly_id)
+  GROUP BY 1, 2
+)
+SELECT CAST(h.doc_id AS BIGINT) AS doc_id,
+       CAST(h.poly_id AS BIGINT) AS poly_id,
+       CAST(round(a.field_value * 1000) AS DOUBLE) / 1000.0 AS field_value
+FROM hits h JOIN read_parquet('{O.fixture_path("crs_poly_attrs")}') a USING (poly_id)
+WHERE h.k % 2 = 1
+ORDER BY doc_id, poly_id
+"""

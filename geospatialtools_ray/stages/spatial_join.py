@@ -53,12 +53,38 @@ class PolygonIndex:
     key shared with the dataset partitioning (the spatial-join equi-join key
     of SURVEY.md section 2.4)."""
 
-    def __init__(self, poly_ids, wkbs, bboxes, field_values, cover_res: int):
+    def __init__(self, poly_ids, wkbs, bboxes, field_values, cover_res: int,
+                 src_crs: str = "lonlat"):
         self.cover_res = cover_res
         self.poly_ids = np.asarray(poly_ids, dtype=np.int64)
         self.field_values = np.asarray(field_values, dtype=np.float64)
         self.bboxes = np.asarray(bboxes, dtype=np.float64).reshape(len(self.poly_ids), 4)
         self.rings = [wkb.parse_polygon(b) for b in wkbs]
+        if src_crs not in ("lonlat", "epsg:4326", "wgs84"):
+            # the reference reprojects the vector layer BEFORE rasterizing
+            # (gdal_tools.py:188: `ogr2ogr ... -t_srs proj4`); the engine
+            # equivalent is a one-time vertex transform at index build —
+            # O(total vertices) on the SMALL broadcast side, never per batch
+            from ..functions import crs as _crs
+
+            self.rings = [
+                [np.column_stack(_crs.to_lonlat(r[:, 0], r[:, 1], src_crs)) for r in rings]
+                for rings in self.rings
+            ]
+            self.bboxes = np.array(
+                [
+                    [
+                        min(r[:, 0].min() for r in rings),
+                        min(r[:, 1].min() for r in rings),
+                        max(r[:, 0].max() for r in rings),
+                        max(r[:, 1].max() for r in rings),
+                    ]
+                    if rings
+                    else [0.0, 0.0, 0.0, 0.0]
+                    for rings in self.rings
+                ],
+                dtype=np.float64,
+            ).reshape(len(self.poly_ids), 4)
         # internal bucket resolution matched to polygon size: with buckets
         # at the JOIN resolution (cover_res, ~2.8 deg at 6) and ~0.3 deg
         # polygons, hotspot buckets held 341 polygons and a 45k-point batch
@@ -103,8 +129,9 @@ class PolygonIndex:
         self.ey1 = np.concatenate(ey1) if ey1 else np.empty(0)
 
     @classmethod
-    def from_synth(cls, layer: dict, cover_res: int) -> "PolygonIndex":
-        return cls(layer["poly_id"], layer["geom_wkb"], layer["bbox"], layer["field_value"], cover_res)
+    def from_synth(cls, layer: dict, cover_res: int, src_crs: str = "lonlat") -> "PolygonIndex":
+        return cls(layer["poly_id"], layer["geom_wkb"], layer["bbox"], layer["field_value"],
+                   cover_res, src_crs=src_crs)
 
     def query(self, lon: np.ndarray, lat: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """All (point_index, polygon_index) containment pairs for a point
