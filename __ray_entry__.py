@@ -372,6 +372,9 @@ _REGISTRY: dict[str, tuple[Callable[[str], Any], str]] = {
     "docs_webmercator_tiles": (G.docs_webmercator_tiles, G.DOCS_WEBMERC_TILES_SQL),
     "stations_utm_reproject_knn": (G.stations_utm_reproject_knn, G.STATIONS_UTM_KNN_SQL),
     "docs_reprojected_polygon_join": (G.docs_reprojected_polygon_join, G._reprojected_polygon_join_sql()),
+    # round 5: exact substring dedup (Lee et al. 2022 ExactSubstr) — fully
+    # cross-engine gaps-and-islands oracle over corpus-duplicated L-windows
+    "docs_dup_substring_spans": (X.docs_dup_substring_spans, X.DOCS_DUP_SUBSTRING_SPANS_SQL),
 }
 
 # ---------------------------------------------------------------------------
@@ -390,6 +393,7 @@ _TIER0_ROUND5: list[str] = [
     "docs_webmercator_tiles",
     "stations_utm_reproject_knn",
     "docs_reprojected_polygon_join",
+    "docs_dup_substring_spans",
 ]
 _TIER1_NEVER_CHECKED: list[str] = [
     "docs_jaccard_pairs", "events_sliding_windows", "events_user_running_total",

@@ -6124,3 +6124,61 @@ SELECT stage, n_surviving FROM (
   SELECT '3_ascii', CAST(SUM(CASE WHEN p1 AND p2 AND p3 THEN 1 ELSE 0 END) AS BIGINT) FROM m
 ) ORDER BY stage
 """
+
+
+# ---------------------------------------------------------------------------
+# Exact substring dedup (round 5) — the ExactSubstr criterion of Lee et
+# al. 2022: per-document maximal spans in which EVERY length-L character
+# window occurs >= 2 times in the whole corpus (any such span is a union
+# of corpus-repeated substrings of length >= L; removing them is the
+# suffix-array dedup's removal set). Engine: stages/dedup.py
+# dup_substring_spans — window explode (one sliding_window_view per
+# batch) -> whole-gram buckets (exact string grouping, keep count >= 2)
+# -> whole-doc buckets (one vectorized gaps-and-islands merge). Fully
+# cross-engine oracle: DuckDB re-derives the same windows with substr,
+# the same >= 2 filter, and the same island merge as a LAG window.
+# ---------------------------------------------------------------------------
+
+DUP_SUBSTR_L = 20
+
+
+def docs_dup_substring_spans(sf_dir: str):
+    from ..stages.dedup import dup_substring_spans
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = dup_substring_spans(ds, min_len=DUP_SUBSTR_L).to_pandas()
+    if out.empty:
+        return pd.DataFrame(
+            {"doc_id": pd.Series([], dtype="int64"),
+             "start": pd.Series([], dtype="int64"),
+             "span_len": pd.Series([], dtype="int64")}
+        )
+    out = out.astype({"doc_id": "int64", "start": "int64", "span_len": "int64"})
+    return out.sort_values(["doc_id", "start"]).reset_index(drop=True)
+
+
+DOCS_DUP_SUBSTRING_SPANS_SQL = f"""
+WITH pos AS (
+  SELECT doc_id, text, unnest(range(1, length(text) - {DUP_SUBSTR_L} + 2)) AS p
+  FROM documents WHERE length(text) >= {DUP_SUBSTR_L}
+),
+w AS (SELECT doc_id, CAST(p AS BIGINT) AS p, substr(text, CAST(p AS INTEGER), {DUP_SUBSTR_L}) AS gram FROM pos),
+dup AS (SELECT gram FROM w GROUP BY gram HAVING COUNT(*) >= 2),
+hits AS (SELECT doc_id, p FROM w JOIN dup USING (gram)),
+isl AS (
+  SELECT doc_id, p,
+         CASE WHEN p - LAG(p) OVER (PARTITION BY doc_id ORDER BY p) <= {DUP_SUBSTR_L}
+              THEN 0 ELSE 1 END AS brk
+  FROM hits
+),
+grp AS (
+  SELECT doc_id, p,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY p
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+  FROM isl
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(MIN(p) AS BIGINT) AS start,
+       CAST(MAX(p) - MIN(p) + {DUP_SUBSTR_L} AS BIGINT) AS span_len
+FROM grp GROUP BY doc_id, g ORDER BY doc_id, start
+"""

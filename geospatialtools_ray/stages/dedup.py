@@ -778,3 +778,181 @@ def simhash_hamming_pairs(
     # a pair found in k matching bands appears k times with the SAME
     # distance — distinct via one packed-key combine (min == the value)
     return sorted_group_agg(pairs, "pk", {"hamming": "min"})
+
+
+# ---------------------------------------------------------------------------
+# Exact substring dedup (Lee et al. 2022, "Deduplicating Training Data
+# Makes Language Models Better" — the ExactSubstr criterion): a character
+# position is "duplicated" iff it is covered by some length-L window whose
+# text occurs >= 2 times in the whole corpus; the removable spans are the
+# per-document maximal unions of covered windows (every such span is a
+# union of corpus-repeated substrings of length >= L). The reference
+# implementation builds one giant suffix array; this engine computes the
+# identical answer with two linear shuffles.
+# ---------------------------------------------------------------------------
+
+def _doc_windows(texts: list[str], ids: np.ndarray, L: int):
+    """All length-L character windows of a batch, vectorized: one uint8
+    buffer with \\x01 fences + a single sliding_window_view; returns
+    (gram_bytes, doc_id, pos) with pos 1-based (SQL substr convention).
+    Requires ascii text (the documents contract, checked)."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    joined = "\x01".join(texts)
+    try:
+        buf = np.frombuffer(joined.encode("ascii"), dtype=np.uint8)
+    except UnicodeEncodeError as e:
+        raise ValueError(
+            "dup_substring_spans assumes an ascii corpus; non-ascii input "
+            "needs a byte-offset variant"
+        ) from e
+    if len(buf) < L:
+        return np.empty(0, dtype=f"S{L}"), np.empty(0, np.int64), np.empty(0, np.int64)
+    win = sliding_window_view(buf, L)
+    # fence bookkeeping: windows containing \x01 cross a document boundary
+    fences = np.flatnonzero(buf == 1)
+    doc_of = np.cumsum(buf == 1)  # doc index per char (fences land on next doc — always invalid windows)
+    starts = np.concatenate([[0], fences + 1])                # char offset of each doc
+    valid = np.ones(len(win), dtype=bool)
+    for off in range(L):
+        lim = len(win)
+        f = fences[fences - off < lim]
+        valid[np.maximum(f - off, 0)] = False
+    w0 = np.flatnonzero(valid)
+    grams = np.ascontiguousarray(win[w0]).view(f"S{L}").ravel()
+    di = doc_of[w0]
+    pos = w0 - starts[di] + 1
+    return grams, ids[di], pos
+
+
+def _window_hash128(grams: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Two independent salted u64 hashes per fixed-width gram (the 128-bit
+    scale payload): one 8-byte-chunk mix per stream, vectorized."""
+    from ..hashing import splitmix64
+
+    if len(grams) == 0:
+        return np.empty(0, np.uint64), np.empty(0, np.uint64)
+    L = grams.dtype.itemsize
+    pad = (-L) % 8
+    raw = np.frombuffer(grams.tobytes() + b"\x00" * 0, dtype=np.uint8).reshape(len(grams), L)
+    if pad:
+        raw = np.concatenate([raw, np.zeros((len(grams), pad), dtype=np.uint8)], axis=1)
+    words = np.ascontiguousarray(raw).view(np.uint64)  # (n, ceil(L/8))
+    outs = []
+    with np.errstate(over="ignore"):
+        for salt in (np.uint64(0x9E3779B97F4A7C15), np.uint64(0xC2B2AE3D27D4EB4F)):
+            acc = np.full(len(grams), salt, dtype=np.uint64)
+            for c in range(words.shape[1]):
+                acc = splitmix64(acc + words[:, c])
+            outs.append(acc)
+    return outs[0], outs[1]
+
+
+def dup_substring_spans(ds, min_len: int = 20, text_col: str = "text",
+                        id_col: str = "doc_id", num_buckets: int = 256,
+                        payload: str = "gram"):
+    """Per-document maximal duplicated spans: (doc_id, start, span_len),
+    start 1-based. Shape: window explode (map_batches, one
+    sliding_window_view per batch) -> whole-GRAM hash buckets (count per
+    gram key, keep count >= 2) -> whole-DOC buckets (sort positions,
+    islands split where the gap exceeds L, one cumsum — no per-doc
+    Python). Both shuffles are linear in total corpus characters.
+
+    payload="gram" ships the L-byte window text and groups on the exact
+    string — zero collision hazard, equal to the SQL oracle byte-for-byte.
+    payload="hash128" is the 100 TB path: 16 bytes/window through the
+    shuffle regardless of L, grouping on two independent salted u64
+    hashes (collision probability ~n^2/2^128 — astronomically below one
+    false duplicate even at 10^12 windows, but not certificate-exact;
+    use "gram" when the oracle demands byte equality)."""
+    if payload not in ("gram", "hash128"):
+        raise ValueError(f"payload must be 'gram' or 'hash128', got {payload!r}")
+    from .keyapply import bucketed_key_apply
+
+    use_hash = payload == "hash128"
+
+    def explode(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = b[text_col].to_pylist()
+        grams, di, pos = _doc_windows(texts, ids, min_len)
+        if use_hash:
+            h1, h2 = _window_hash128(grams)
+            return pa.table(
+                {
+                    "h1": pa.array(h1.view(np.int64), type=pa.int64()),
+                    "h2": pa.array(h2.view(np.int64), type=pa.int64()),
+                    id_col: pa.array(di, type=pa.int64()),
+                    "pos": pa.array(pos, type=pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "gram": pa.array(grams.astype("O"), type=pa.binary()),
+                id_col: pa.array(di, type=pa.int64()),
+                "pos": pa.array(pos, type=pa.int64()),
+            }
+        )
+
+    windows = ds.map_batches(explode, batch_format="pyarrow")
+
+    def keep_dup(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                                 "pos": pd.Series([], dtype="int64")})
+        if use_hash:
+            a1 = g["h1"].to_numpy()
+            a2 = g["h2"].to_numpy()
+            order = np.lexsort((a2, a1))
+            g = g.iloc[order]
+            a1, a2 = a1[order], a2[order]
+            new = np.ones(len(g), dtype=bool)
+            new[1:] = (a1[1:] != a1[:-1]) | (a2[1:] != a2[:-1])
+        else:
+            g = g.sort_values("gram", kind="stable")
+            gr = g["gram"].to_numpy()
+            new = np.ones(len(g), dtype=bool)
+            new[1:] = gr[1:] != gr[:-1]
+        run_id = np.cumsum(new) - 1
+        run_sizes = np.bincount(run_id)
+        keep = run_sizes[run_id] >= 2
+        return pd.DataFrame({id_col: g[id_col].to_numpy()[keep],
+                             "pos": g["pos"].to_numpy()[keep]})
+
+    hits = bucketed_key_apply(windows, "h1" if use_hash else "gram", keep_dup,
+                              num_buckets=num_buckets)
+
+    L = min_len
+
+    def islands(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                              "start": pd.Series([], dtype="int64"),
+                              "span_len": pd.Series([], dtype="int64")})
+        if len(g) == 0:
+            return empty
+        g = g.sort_values([id_col, "pos"], kind="stable")
+        d = g[id_col].to_numpy()
+        p = g["pos"].to_numpy()
+        brk = np.ones(len(g), dtype=bool)
+        brk[1:] = (d[1:] != d[:-1]) | (p[1:] - p[:-1] > L)
+        isl = np.cumsum(brk) - 1
+        starts = p[brk]
+        last = np.zeros(isl.max() + 1, dtype=np.int64)
+        np.maximum.at(last, isl, p)
+        return pd.DataFrame({id_col: d[brk], "start": starts,
+                             "span_len": last - starts + L})
+
+    return bucketed_key_apply(hits, id_col, islands, num_buckets=num_buckets)
+
+
+def remove_dup_substrings(text: str, spans: list[tuple[int, int]]) -> str:
+    """Cut the (1-based start, span_len) spans out of one document's text —
+    the removal step applied after dup_substring_spans (keep-first policies
+    decide WHICH occurrences to cut; this helper does the surgery)."""
+    out, cur = [], 0
+    for start, span_len in sorted(spans):
+        s0 = start - 1
+        if s0 > cur:
+            out.append(text[cur:s0])
+        cur = max(cur, s0 + span_len)
+    out.append(text[cur:])
+    return "".join(out)

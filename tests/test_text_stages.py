@@ -585,3 +585,109 @@ def test_pq_topk_recall_and_batch_invariance(ray_session):
         p = set(outs[0][outs[0]["query_id"] == qi]["vec_id"])
         hits += len(e & p)
     assert hits / 15 >= 0.8, hits
+
+
+# ---------------------------------------------------------------------------
+# exact substring dedup (round 5)
+# ---------------------------------------------------------------------------
+
+def test_doc_windows_fences_and_positions():
+    import numpy as np
+
+    from geospatialtools_ray.stages.dedup import _doc_windows
+
+    texts = ["abcdefg", "", "xxabc"]
+    ids = np.array([10, 11, 12], dtype=np.int64)
+    grams, di, pos = _doc_windows(texts, ids, 3)
+    got = sorted(zip(di.tolist(), pos.tolist(), [g.decode() for g in grams]))
+    want = sorted(
+        [(10, i + 1, "abcdefg"[i:i + 3]) for i in range(5)]
+        + [(12, i + 1, "xxabc"[i:i + 3]) for i in range(3)]
+    )
+    assert got == want  # no window crosses a doc boundary; 1-based pos
+
+
+def test_doc_windows_short_first_doc():
+    import numpy as np
+
+    from geospatialtools_ray.stages.dedup import _doc_windows
+
+    grams, di, pos = _doc_windows(["ab", "abcd"], np.array([1, 2], dtype=np.int64), 3)
+    assert di.tolist() == [2, 2] and pos.tolist() == [1, 2]
+    assert [g.decode() for g in grams] == ["abc", "bcd"]
+
+
+def test_dup_substring_spans_small(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from geospatialtools_ray.stages.dedup import dup_substring_spans
+
+    rep = "THE-REPEATED-PAYLOAD-BLOCK"  # 26 chars
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(4, dtype=np.int64),
+            "text": [
+                # doc-unique delimiters around rep: shared windows are the
+                # ones fully inside rep, nothing straddles the boundary
+                "aaaQ" + rep + "Qtail-one-unique",
+                "bbbbbbZ" + rep + "Zother-unique-tail",
+                "no duplicated content here at all, unique text",
+                rep + rep,  # doubled: one long covered span
+            ],
+        }
+    )
+    ds = rd.from_pandas(docs, override_num_blocks=2)
+    out = dup_substring_spans(ds, min_len=10, num_buckets=8).to_pandas()
+    out = out.sort_values(["doc_id", "start"]).reset_index(drop=True)
+    # doc 0: rep starts at 1-based 5, doc 1: at 8; doc 3 covered fully
+    by_doc = {int(r.doc_id): (int(r.start), int(r.span_len)) for r in out.itertuples()}
+    assert by_doc[0] == (5, len(rep))
+    assert by_doc[1] == (8, len(rep))
+    assert len(out) == 3
+    assert 2 not in by_doc
+    assert by_doc[3] == (1, 2 * len(rep))
+    # Lee-et-al removal-set semantics: every CHAR POSITION of a reported
+    # span is covered by some corpus-duplicated 10-window (the span is a
+    # union of duplicated substrings, not itself one duplicated substring —
+    # rep+rep's junction windows are unique but fully covered)
+    corpus = "\x01".join(docs["text"])
+    for r in out.itertuples():
+        t = docs.loc[docs.doc_id == r.doc_id, "text"].iloc[0]
+        covered = set()
+        for i in range(len(t) - 10 + 1):
+            if corpus.count(t[i:i + 10]) >= 2:
+                covered.update(range(i, i + 10))
+        span_pos = set(range(r.start - 1, r.start - 1 + r.span_len))
+        assert span_pos <= covered
+        # maximality: the chars just outside the span are NOT covered
+        assert (r.start - 2) not in covered
+        assert (r.start - 1 + r.span_len) not in covered
+
+
+def test_remove_dup_substrings():
+    from geospatialtools_ray.stages.dedup import remove_dup_substrings
+
+    assert remove_dup_substrings("abcdefghij", [(3, 4)]) == "abghij"
+    assert remove_dup_substrings("abcdefghij", [(1, 2), (9, 2)]) == "cdefgh"
+    assert remove_dup_substrings("abcdef", [(2, 3), (4, 2)]) == "af"  # overlap merge
+    assert remove_dup_substrings("abc", []) == "abc"
+
+
+def test_dup_substring_spans_hash128_equals_gram(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from geospatialtools_ray import io
+    from geospatialtools_ray.stages.dedup import dup_substring_spans
+
+    ds = io.read_named("/root/testdata/sf0.001", "documents", columns=["doc_id", "text"])
+    a = dup_substring_spans(ds, min_len=20, num_buckets=16).to_pandas()
+    b = dup_substring_spans(ds, min_len=20, num_buckets=16, payload="hash128").to_pandas()
+    key = ["doc_id", "start", "span_len"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a[key], b[key])
+    assert len(a) > 100
