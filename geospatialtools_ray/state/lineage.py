@@ -67,10 +67,17 @@ def part_writer(out_dir: str):
     return write_group
 
 
-def write_partitioned(ds, out_dir: str, *, resume: bool = True):
+def write_partitioned(ds, out_dir: str, *, resume: bool = True,
+                      pin_before_shuffle: bool = False):
     """ds must carry a string `part_key` column. Returns the stats Dataset
     (one row per written partition). Skips completed partitions (anti-join
-    against the lineage manifest, broadcast as a set — no shuffle)."""
+    against the lineage manifest, broadcast as a set — no shuffle).
+
+    pin_before_shuffle=True materializes the upstream before the groupby —
+    a SMALL-OUTPUT-ONLY optimization (feeding the sort from the live map
+    stream degraded its map phase to a single task: measured 15.4 -> 9.3 s
+    at 32 CPUs on the sf0.1 bench) that pins the whole dataset in the
+    object store; at scale leave it False and let the shuffle stream."""
     done = completed_parts(out_dir) if resume else set()
     if done:
         import ray
@@ -86,10 +93,9 @@ def write_partitioned(ds, out_dir: str, *, resume: bool = True):
             return batch.filter(pa.array(keep))
 
         ds = ds.map_batches(drop_done, batch_format="pyarrow")
-    # materialize before the all-to-all: feeding the sort directly from the
-    # live map stream degrades its map phase to a single task (measured
-    # 15.4s -> 9.3s at 32 CPUs on the sf0.1 bench)
-    return ds.materialize().groupby("part_key").map_groups(part_writer(out_dir), batch_format="pandas")
+    if pin_before_shuffle:
+        ds = ds.materialize()
+    return ds.groupby("part_key").map_groups(part_writer(out_dir), batch_format="pandas")
 
 
 MAX_SALTS = 1024
@@ -165,14 +171,27 @@ def write_partitioned_fragments(
     os.makedirs(os.path.join(out_dir, "_lineage"), exist_ok=True)
     if wave is None:
         done = completed_parts(out_dir) if resume else set()
-        # clear stale dirs from interrupted runs
-        for name in os.listdir(out_dir):
-            if name.startswith("part-") and os.path.isdir(os.path.join(out_dir, name)):
-                key = name[len("part-") :]
-                if not key.isdigit() or int(key) not in done:
+        # Per-FRAGMENT mid-run durability (round-5): an interrupted run
+        # loses only its in-flight .tmp files. Committed fragments are kept
+        # — their names are content hashes of a deterministic plan's
+        # batches, so the rerun SKIPS re-encoding them (frag_write's
+        # exists-check) and rewrites nothing; fragments orphaned by a plan
+        # change are pruned at partition-commit time against the fresh
+        # manifest, so directory-scanning readers (which must only read
+        # partitions with a lineage record anyway) never double-count.
+        if not resume:
+            for name in os.listdir(out_dir):
+                if name.startswith("part-") and os.path.isdir(os.path.join(out_dir, name)):
                     import shutil
 
                     shutil.rmtree(os.path.join(out_dir, name), ignore_errors=True)
+        else:
+            for name in os.listdir(out_dir):
+                pdir = os.path.join(out_dir, name)
+                if name.startswith("part-") and os.path.isdir(pdir):
+                    for f in os.listdir(pdir):
+                        if f.endswith(".tmp"):
+                            os.unlink(os.path.join(pdir, f))
     else:
         done = set()  # partitions stay open across waves
     done_ref = ray.put(np.asarray(sorted(done), dtype=np.uint64))
@@ -220,14 +239,19 @@ def write_partitioned_fragments(
                 pdir = os.path.join(out_dir, f"part-{key}")
                 os.makedirs(pdir, exist_ok=True)
                 fname = f"{frag_prefix}{batch_tag}.{io.table_ext()}"
-                tmp = os.path.join(pdir, fname + ".tmp")
-                # stats/dictionary off: fragment files are engine-internal
-                # intermediates; plain encoding halves the write CPU.
-                # compression="zstd" trades (scalable) CPU for (shared,
-                # non-scalable) disk bandwidth — the right default when all
-                # writers share one device, as in the single-node bench
-                io.write_fragment(sub, tmp, **enc_kwargs)
-                io.commit_fragment(tmp, os.path.join(pdir, fname))
+                final = os.path.join(pdir, fname)
+                if not os.path.exists(final):
+                    # the name is a content hash: an already-committed
+                    # fragment from an interrupted run is byte-identical —
+                    # skip the encode+write, keep the manifest row
+                    tmp = final + ".tmp"
+                    # stats/dictionary off: fragment files are engine-internal
+                    # intermediates; plain encoding halves the write CPU.
+                    # compression="zstd" trades (scalable) CPU for (shared,
+                    # non-scalable) disk bandwidth — the right default when all
+                    # writers share one device, as in the single-node bench
+                    io.write_fragment(sub, tmp, **enc_kwargs)
+                    io.commit_fragment(tmp, final)
                 out_part.append(key)
                 out_rows.append(len(sub))
                 out_file.append(fname)
@@ -284,6 +308,17 @@ def write_partitioned_fragments(
                 "n_fragments": int(len(grp)),
                 "files": sorted(grp["file"].tolist()),
             }
+            # orphan prune: fragments surviving from an interrupted run
+            # whose batches re-hashed differently under this run's plan are
+            # stale — delete everything the fresh manifest doesn't list
+            # BEFORE the commit record lands, so the committed partition
+            # dir exactly matches its lineage file set
+            pdir = os.path.join(out_dir, f"part-{int(key)}")
+            if os.path.isdir(pdir):
+                keep_files = set(rec["files"])
+                for f in os.listdir(pdir):
+                    if f not in keep_files:
+                        os.unlink(os.path.join(pdir, f))
             ltmp = os.path.join(out_dir, "_lineage", f"{int(key)}.json.tmp")
             with open(ltmp, "w") as f:
                 json.dump(rec, f)
