@@ -665,7 +665,8 @@ ORDER BY rev DESC, c.c_custkey
 """
 
 
-def sorted_group_agg(ds, key, ops: dict[str, str]):
+def sorted_group_agg(ds, key, ops: dict[str, str], *, approx_rows: int | None = None,
+                     small_cutoff: int = 262_144):
     """Distributed group-aggregate that stays fast at ANY key cardinality
     (measured 5x over Ray's sort-based ``groupby().aggregate`` at 1.8M rows
     -> 100k keys, and the gap grows when keys are nearly unique, because
@@ -689,6 +690,14 @@ def sorted_group_agg(ds, key, ops: dict[str, str]):
     columns keep the input names (count -> the given name). Tiny-cardinality
     aggregates should keep using tree_group_sum (no shuffle at all);
     this is the large-cardinality sibling.
+
+    ``approx_rows``: caller-known input size hint (e.g. parquet metadata
+    via io.table_num_rows). At or below ``small_cutoff`` rows the sort's
+    ~1 s fixed shuffle cost dominates the aggregate (the only bench query
+    that regressed when exact_dedup moved here), so the small path runs
+    the same per-block combine WITHOUT the sort and finishes on the
+    driver — bounded by approx_rows, which the hint guarantees is small.
+    The hint changes the plan only, never the result.
     """
     import ray
     import ray.data as rd
@@ -745,6 +754,13 @@ def sorted_group_agg(ds, key, ops: dict[str, str]):
                 df[c] = 1
         g = df.groupby(keys, as_index=False).agg(**{c: (c, pd_ops[c]) for c in cols})
         return pa.Table.from_pandas(g, preserve_index=False)
+
+    if approx_rows is not None and approx_rows <= small_cutoff:
+        partials = ds.map_batches(comb, batch_size=None, batch_format="pyarrow").to_pandas()
+        if len(partials) == 0:
+            return rd.from_arrow(empty_out)
+        fin = partials.groupby(keys, as_index=False).agg(**{c: (c, pd_ops[c]) for c in cols})
+        return rd.from_arrow(pa.Table.from_pandas(fin[keys + cols], preserve_index=False))
 
     combined = ds.sort(keys).map_batches(comb, batch_size=None, batch_format="pyarrow").materialize()
 

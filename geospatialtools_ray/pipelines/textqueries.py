@@ -87,9 +87,12 @@ def docs_exact_dedup(sf_dir: str):
         return pa.table({"doc_id": batch["doc_id"], "h": pa.array(h, type=pa.uint64())})
 
     # per-hash reduce via sorted_group_agg: ~n_docs distinct keys, the
-    # regime where Ray's per-group-Python aggregate finalize dominates
+    # regime where Ray's per-group-Python aggregate finalize dominates;
+    # the metadata row count lets tiny corpora skip the sort's fixed cost
     agg = sorted_group_agg(
-        ds.map_batches(add_hash, batch_format="pyarrow"), "h", {"doc_id": "min", "dup_count": "count"}
+        ds.map_batches(add_hash, batch_format="pyarrow"), "h",
+        {"doc_id": "min", "dup_count": "count"},
+        approx_rows=io.table_num_rows(io.table_path(sf_dir, "documents")),
     )
     df = agg.to_pandas().sort_values("doc_id").reset_index(drop=True)
     return pd.DataFrame({"keep_id": df["doc_id"].astype("int64"), "dup_count": df["dup_count"].astype("int64")})

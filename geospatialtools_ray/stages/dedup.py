@@ -46,11 +46,14 @@ def jaccard_ngrams(a: str, b: str, k: int = 5) -> float:
     return len(sa & sb) / max(len(sa | sb), 1)
 
 
-def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
+def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
+                approx_rows: int | None = None):
     """Hash-partitioned exact dedup: keep the min-id doc per content hash.
     Shuffles only (hash, id) pairs. The per-hash reduce goes through
     sorted_group_agg — the content-hash key space is ~n_docs, where Ray's
-    per-group-Python aggregate finalize is the bottleneck."""
+    per-group-Python aggregate finalize is the bottleneck. Pass
+    ``approx_rows`` (parquet-metadata row count) so tiny corpora skip the
+    sort's fixed cost (sorted_group_agg's size dispatch)."""
     from ..pipelines.relational import sorted_group_agg
 
     def add_hash(batch: pa.Table) -> pa.Table:
@@ -58,7 +61,8 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
         return pa.table({id_col: batch[id_col], "content_hash": pa.array(h, type=pa.uint64())})
 
     hashed = ds.map_batches(add_hash, batch_format="pyarrow")
-    out = sorted_group_agg(hashed, "content_hash", {id_col: "min", "dup_count": "count"})
+    out = sorted_group_agg(hashed, "content_hash", {id_col: "min", "dup_count": "count"},
+                           approx_rows=approx_rows)
     return out.map_batches(
         lambda b: pa.table(
             {
