@@ -113,35 +113,47 @@ def write_table(ds, path: str, **kw) -> None:
     ds.write_parquet(path, **kw)
 
 
-def write_fragment(tbl, path: str, **kw) -> None:
-    """One in-memory Arrow table -> one storage fragment (the resumable
-    sink's atomic unit). Callers write to a tmp path and promote it with
-    ``commit_fragment`` — parquet fragments are single FILES, lance
-    fragments are DIRECTORIES, and only that helper knows the difference."""
-    if _backend == "lance":
+class ParquetFragmentFormat:
+    """Picklable fragment backend: one fragment = one parquet FILE.
+
+    Fragment formats are captured ONCE on the driver (``fragment_format()``)
+    and shipped to write tasks through the closure — a Ray worker process
+    re-imports this module and re-reads GRAFT_IO_BACKEND from ITS
+    environment, so relying on worker-side module state would silently
+    ignore a driver-side ``set_backend`` (caught by the fake-backend
+    conformance test)."""
+
+    ext = "parquet"
+
+    def write(self, tbl, path: str, **kw) -> None:
+        import pyarrow.parquet as pq
+
+        pq.write_table(tbl, path, **kw)
+
+    def commit(self, tmp: str, final: str) -> None:
+        # atomic, overwrite-safe: a retry rewrites the identical bytes
+        os.replace(tmp, final)
+
+
+class LanceFragmentFormat:
+    """One fragment = one lance DIRECTORY (lance.write_dataset's unit)."""
+
+    ext = "lance"
+
+    def write(self, tbl, path: str, **kw) -> None:
         _require_lance()
-        import lance  # pragma: no cover - no lance in sandbox
+        import lance
 
         # parquet-encoder knobs don't apply to the lance writer — drop
         # them (shared _PQ_ONLY list) rather than crash
         lance.write_dataset(tbl, path, **{k: v for k, v in kw.items() if k not in _PQ_ONLY})
-        return
-    import pyarrow.parquet as pq
 
-    pq.write_table(tbl, path, **kw)
-
-
-def commit_fragment(tmp: str, final: str) -> None:
-    """Atomically promote a fragment from its tmp path to its final name.
-
-    parquet: one file, ``os.replace`` (atomic, overwrite-safe — a retry
-    rewrites the identical bytes). lance: ``lance.write_dataset`` produces
-    a DIRECTORY, and directory rename is atomic only when the destination
-    is absent; fragment names are content-deterministic (state/lineage.py),
-    so an already-committed destination wins and the tmp copy is dropped.
-    This keeps the sink's tmp+rename contract consistent across backends
-    (ADVICE r3: previously lance directories landed under .parquet names)."""
-    if _backend == "lance" and os.path.isdir(tmp):  # pragma: no cover - no lance in sandbox
+    def commit(self, tmp: str, final: str) -> None:
+        # directory rename is atomic only when the destination is absent;
+        # fragment names are content-deterministic (state/lineage.py), so
+        # an already-committed destination wins and the tmp copy is
+        # dropped (ADVICE r3: previously lance directories landed under
+        # .parquet names)
         import shutil
 
         if os.path.exists(final):
@@ -159,5 +171,26 @@ def commit_fragment(tmp: str, final: str) -> None:
                 shutil.rmtree(tmp, ignore_errors=True)
                 return
             raise
+
+
+def fragment_format():
+    """The active backend's fragment format — capture on the DRIVER and
+    pass into write tasks (see ParquetFragmentFormat docstring)."""
+    return LanceFragmentFormat() if _backend == "lance" else ParquetFragmentFormat()
+
+
+def write_fragment(tbl, path: str, **kw) -> None:
+    """One in-memory Arrow table -> one storage fragment (the resumable
+    sink's atomic unit) in the CURRENT PROCESS's active backend. Callers
+    inside Ray tasks should use a driver-captured ``fragment_format()``
+    instead."""
+    fragment_format().write(tbl, path, **kw)
+
+
+def commit_fragment(tmp: str, final: str) -> None:
+    """Atomically promote a fragment from its tmp path to its final name
+    (current process's active backend; see write_fragment)."""
+    if _backend == "lance" and os.path.isdir(tmp):
+        LanceFragmentFormat().commit(tmp, final)
         return
     os.replace(tmp, final)

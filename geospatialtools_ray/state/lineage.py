@@ -27,6 +27,17 @@ import pyarrow as pa
 from .. import io
 
 
+def _rm_any(path: str) -> None:
+    """Remove a fragment at `path` whatever its shape: parquet fragments
+    are FILES, lance fragments are DIRECTORIES (io.commit_fragment)."""
+    import shutil
+
+    if os.path.isdir(path):
+        shutil.rmtree(path, ignore_errors=True)
+    else:
+        os.unlink(path)
+
+
 def completed_parts(out_dir: str) -> set[int]:
     ldir = os.path.join(out_dir, "_lineage")
     if not os.path.isdir(ldir):
@@ -43,15 +54,16 @@ def part_writer(out_dir: str):
     partition atomically + its lineage record, emitting a one-row stats
     table (so the pipeline stays a Dataset end-to-end)."""
     os.makedirs(os.path.join(out_dir, "_lineage"), exist_ok=True)
+    fmt = io.fragment_format()  # driver-captured: workers must not re-resolve
 
     def write_group(g: pd.DataFrame) -> pd.DataFrame:
         t0 = time.monotonic()
         key = str(int(g["part_key"].iloc[0]))
-        path = os.path.join(out_dir, f"part-{key}.{io.table_ext()}")
+        path = os.path.join(out_dir, f"part-{key}.{fmt.ext}")
         tmp = path + ".tmp"
         tbl = pa.Table.from_pandas(g.drop(columns=["part_key"]), preserve_index=False)
-        io.write_fragment(tbl, tmp)
-        io.commit_fragment(tmp, path)  # atomic: readers never see partials
+        fmt.write(tbl, tmp)
+        fmt.commit(tmp, path)  # atomic: readers never see partials
         rec = {
             "partition": key,
             "rows_out": len(g),
@@ -127,7 +139,7 @@ def clean_wave_fragments(out_dir: str, wave: int) -> int:
         if name.startswith("part-") and os.path.isdir(pdir):
             for f in os.listdir(pdir):
                 if f.startswith(pref):
-                    os.unlink(os.path.join(pdir, f))
+                    _rm_any(os.path.join(pdir, f))
                     n += 1
     return n
 
@@ -191,11 +203,12 @@ def write_partitioned_fragments(
                 if name.startswith("part-") and os.path.isdir(pdir):
                     for f in os.listdir(pdir):
                         if f.endswith(".tmp"):
-                            os.unlink(os.path.join(pdir, f))
+                            _rm_any(os.path.join(pdir, f))
     else:
         done = set()  # partitions stay open across waves
     done_ref = ray.put(np.asarray(sorted(done), dtype=np.uint64))
     frag_prefix = "frag-" if wave is None else f"frag-w{wave}-"
+    fmt = io.fragment_format()  # driver-captured: workers must not re-resolve
     # parquet encode knobs, overridable per column via `encode` (e.g.
     # {"use_dictionary": ["cell"], "use_byte_stream_split": ["lon", "lat"]}):
     # the sink is the headline's main disk-byte producer, so the encoding
@@ -238,7 +251,7 @@ def write_partitioned_fragments(
                 sub = batch.take(pa.array(order[s:e])).drop_columns(["part_key"])
                 pdir = os.path.join(out_dir, f"part-{key}")
                 os.makedirs(pdir, exist_ok=True)
-                fname = f"{frag_prefix}{batch_tag}.{io.table_ext()}"
+                fname = f"{frag_prefix}{batch_tag}.{fmt.ext}"
                 final = os.path.join(pdir, fname)
                 if not os.path.exists(final):
                     # the name is a content hash: an already-committed
@@ -250,8 +263,8 @@ def write_partitioned_fragments(
                     # compression="zstd" trades (scalable) CPU for (shared,
                     # non-scalable) disk bandwidth — the right default when all
                     # writers share one device, as in the single-node bench
-                    io.write_fragment(sub, tmp, **enc_kwargs)
-                    io.commit_fragment(tmp, final)
+                    fmt.write(sub, tmp, **enc_kwargs)
+                    fmt.commit(tmp, final)
                 out_part.append(key)
                 out_rows.append(len(sub))
                 out_file.append(fname)
@@ -318,7 +331,7 @@ def write_partitioned_fragments(
                 keep_files = set(rec["files"])
                 for f in os.listdir(pdir):
                     if f not in keep_files:
-                        os.unlink(os.path.join(pdir, f))
+                        _rm_any(os.path.join(pdir, f))
             ltmp = os.path.join(out_dir, "_lineage", f"{int(key)}.json.tmp")
             with open(ltmp, "w") as f:
                 json.dump(rec, f)

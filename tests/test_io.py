@@ -90,3 +90,117 @@ def test_fragment_write_is_parquet_on_default_backend(tmp_path):
     import pyarrow.parquet as pq
 
     assert pq.read_table(p)["a"].to_pylist() == [1, 2, 3]
+
+
+def test_fake_lance_backend_sink_conformance(ray_session, tmp_path, monkeypatch):
+    """CI-style conformance drive of the FULL sink contract through the
+    io.py seam with a minimal fake `lance` module (VERDICT r4 ask 7): the
+    lance wheel is absent in this sandbox, so the directory-fragment
+    semantics (write_dataset -> DIRECTORY, atomic dir promote, lost-race
+    drop, tmp/orphan cleanup on directories, table_ext naming,
+    completed_parts) would otherwise rot unexercised."""
+    import os
+    import sys
+    import types
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from geospatialtools_ray.state import lineage
+
+    fake = types.ModuleType("lance")
+
+    class _FakeDataset:
+        def __init__(self, path):
+            self._p = os.path.join(path, "data.parquet")
+
+        def to_table(self, columns=None):
+            return pq.read_table(self._p, columns=columns)
+
+        def count_rows(self):
+            return pq.read_metadata(self._p).num_rows
+
+    def write_dataset(tbl, path, **kw):
+        assert not any(k in kw for k in ("write_statistics", "use_dictionary",
+                                         "compression", "use_byte_stream_split")), \
+            "parquet-only encoder knobs must not reach the lance writer"
+        os.makedirs(path, exist_ok=True)
+        pq.write_table(tbl, os.path.join(path, "data.parquet"))
+
+    fake.write_dataset = write_dataset
+    fake.dataset = _FakeDataset
+    monkeypatch.setitem(sys.modules, "lance", fake)
+    io.set_backend("lance")
+    assert io.table_ext() == "lance"
+
+    # fragment unit: write -> atomic dir promote; lost race drops the tmp
+    t = pa.table({"x": pa.array([1, 2, 3], type=pa.int64())})
+    tmp = str(tmp_path / "frag.lance.tmp")
+    final = str(tmp_path / "frag.lance")
+    io.write_fragment(t, tmp, write_statistics=False, use_dictionary=False,
+                      compression="snappy")
+    io.commit_fragment(tmp, final)
+    assert os.path.isdir(final) and not os.path.exists(tmp)
+    io.write_fragment(t, tmp)
+    io.commit_fragment(tmp, final)  # destination exists: benign lost race
+    assert os.path.isdir(final) and not os.path.exists(tmp)
+    assert _FakeDataset(final).count_rows() == 3
+
+    # full fragment sink + per-fragment resume semantics on DIRECTORY
+    # fragments (tmp wipe, skip-if-committed, orphan prune, lineage).
+    # Ray workers re-import io and re-resolve GRAFT_IO_BACKEND from THEIR
+    # environment, so the sink must use the driver-captured
+    # fragment_format() — monkeypatch that seam with a picklable fake
+    # (cloudpickle ships test-module classes by value to the workers).
+    class _FakeLanceFormat:
+        ext = "lance"
+
+        def write(self, tbl, path, **kw):
+            # the sink passes parquet encoder knobs; a non-parquet format
+            # filters them itself (LanceFragmentFormat drops _PQ_ONLY)
+            os.makedirs(path, exist_ok=True)
+            pq.write_table(tbl, os.path.join(path, "data.parquet"))
+
+        def commit(self, tmp, final):
+            import shutil
+
+            if os.path.exists(final):
+                shutil.rmtree(tmp, ignore_errors=True)
+                return
+            os.replace(tmp, final)
+
+    monkeypatch.setattr(io, "fragment_format", lambda: _FakeLanceFormat())
+
+    def make_ds():
+        df = pd.DataFrame(
+            {"part_key": np.repeat(np.arange(3, dtype=np.uint64), 40),
+             "v": np.arange(120, dtype=np.int64)}
+        )
+        return rd.from_pandas(df, override_num_blocks=4)
+
+    out_dir = str(tmp_path / "sink")
+    s1 = lineage.write_partitioned_fragments(make_ds(), out_dir, resume=False)
+    assert int(s1["rows_out"].sum()) == 120
+    done = lineage.completed_parts(out_dir)
+    assert done == {0, 1, 2}
+
+    # simulate a mid-run kill: lineage gone, one orphan dir + one torn tmp dir
+    for f in os.listdir(os.path.join(out_dir, "_lineage")):
+        os.unlink(os.path.join(out_dir, "_lineage", f))
+    pdir = os.path.join(out_dir, "part-1")
+    os.makedirs(os.path.join(pdir, "frag-orphan.lance"))
+    os.makedirs(os.path.join(pdir, "frag-torn.lance.tmp"))
+    s2 = lineage.write_partitioned_fragments(make_ds(), out_dir, resume=True)
+    assert int(s2["rows_out"].sum()) == 120
+    assert not os.path.exists(os.path.join(pdir, "frag-torn.lance.tmp"))
+    assert not os.path.exists(os.path.join(pdir, "frag-orphan.lance"))
+    # read every committed fragment back through the fake backend and
+    # reconcile with lineage
+    total = 0
+    for rec in lineage.read_lineage(out_dir):
+        d = os.path.join(out_dir, f"part-{rec['partition']}")
+        assert sorted(os.listdir(d)) == rec["files"]
+        for f in rec["files"]:
+            assert f.endswith(".lance")
+            total += _FakeDataset(os.path.join(d, f)).count_rows()
+    assert total == 120
