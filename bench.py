@@ -93,6 +93,10 @@ def run_headline(corpus_path: str, n_docs: int) -> dict:
     stats = flagship.run(
         docs, out_dir=out_dir, n_polygons=N_POLYGONS, resume=False, salt_map=salts, sink="fragments",
         key_mode=os.environ.get("BENCH_KEY_MODE", "u64"), index_ref=idx_ref,
+        # BENCH_NARROW=1: f32 coords + u32 cell/part-key + i32/f32 join
+        # payload through the whole fan-out (the round-5 DRAM-bound
+        # ablation — see BASELINE.md scaling section)
+        narrow=bool(os.environ.get("BENCH_NARROW")),
     )
     dt = time.monotonic() - t0
     return {"sec": dt, "docs_per_sec": n_docs / dt, "join_rows": int(stats["rows_out"].sum())}

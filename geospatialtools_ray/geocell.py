@@ -199,3 +199,31 @@ def cover_rect_adaptive(
     if not out_cells:
         return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int8)
     return np.concatenate(out_cells), np.concatenate(out_kinds)
+
+
+def cell_of_compact(lon, lat, res: int) -> np.ndarray:
+    """u32 row-major cell index (iy * nx + ix) at `res` — the narrow-bytes
+    shuffle variant of `cell_of` (4 bytes/row instead of the packed u64;
+    the resolution travels in the caller's head, not the value). Fits u32
+    for every res <= 14 (nx*ny = 2^(2res+1))."""
+    nx, ny = ncells(res)
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    ix = np.atleast_1d(np.floor((lon + 180.0) / 360.0 * nx).astype(np.int64))
+    iy = np.atleast_1d(np.floor((lat + 90.0) / 180.0 * ny).astype(np.int64))
+    np.clip(ix, 0, nx - 1, out=ix)
+    np.clip(iy, 0, ny - 1, out=iy)
+    return (iy * nx + ix).astype(np.uint32)
+
+
+def compact_parent(cells: np.ndarray, res: int, part_res: int):
+    """(packed_parent_u64, compact_parent_u32) of compact u32 cells: the
+    packed form keys the salt map (estimate_salts emits packed parents),
+    the compact form builds the narrow u32 partition key."""
+    nx, _ = ncells(res)
+    iy = cells.astype(np.int64) // nx
+    ix = cells.astype(np.int64) % nx
+    shift = res - part_res
+    piy, pix = iy >> shift, ix >> shift
+    nxp, _ = ncells(part_res)
+    return pack(part_res, piy, pix), (piy * nxp + pix).astype(np.uint32)

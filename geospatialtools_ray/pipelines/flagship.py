@@ -53,13 +53,17 @@ def polygon_index_ref(n_polygons: int, cover_res: int = DEFAULT_RES):
     return ray.put(PolygonIndex.from_synth(layer, cover_res))
 
 
-def geo_points(docs_ds, res: int = DEFAULT_RES, key_mode: str = "string"):
+def geo_points(docs_ds, res: int = DEFAULT_RES, key_mode: str = "string",
+               narrow: bool = False):
     """key_mode="u64" ships an 8-byte packed doc key through the join
     instead of the string id (see spans.doc_key_u64) — the scale default
-    for the bench; "string" preserves the raw id column."""
+    for the bench; "string" preserves the raw id column. narrow=True is
+    the ablation/scale variant: f32 coords + u32 compact cell (~1 m
+    coordinate quantization; see explode_geo_points)."""
     return docs_ds.map_batches(
-        explode_geo_points, fn_kwargs={"key_mode": key_mode}, batch_format="pyarrow"
-    ).map_batches(lambda b: attach_cell(b, res), batch_format="pyarrow")
+        explode_geo_points, fn_kwargs={"key_mode": key_mode, "f32_coords": narrow},
+        batch_format="pyarrow",
+    ).map_batches(lambda b: attach_cell(b, res, compact=narrow), batch_format="pyarrow")
 
 
 def estimate_salts(
@@ -188,6 +192,7 @@ def run(
     wave: int | None = None,
     encode: dict | None = None,
     index_ref=None,
+    narrow: bool = False,
 ):
     """Returns a per-partition stats DataFrame (small); the bulk join output
     lands under out_dir as partitioned parquet + lineage records.
@@ -202,13 +207,13 @@ def run(
     # (the salt pre-pass needs the same index, and run_waves calls run()
     # once per wave) — each build+put is ~0.3 s of driver time
     idx_ref = index_ref if index_ref is not None else polygon_index_ref(n_polygons, cover_res=res)
-    pts = geo_points(docs_ds, res, key_mode=key_mode)
+    pts = geo_points(docs_ds, res, key_mode=key_mode, narrow=narrow)
     # stateless tasks + per-process index cache: elastic across every CPU
     # with no actor-pool startup tax (index fetched from the object store
     # once per worker process)
     joined = pts.map_batches(
         join_batch,
-        fn_kwargs={"index_ref": idx_ref},
+        fn_kwargs={"index_ref": idx_ref, "narrow": narrow},
         batch_format="pyarrow",
     )
 
@@ -217,7 +222,13 @@ def run(
     def add_key(batch: pa.Table) -> pa.Table:
         smap = ray.get(salt_ref)
         cells = batch["cell"].to_numpy(zero_copy_only=False)
-        parents = geocell.parent(cells, part_res)
+        if narrow:
+            # compact u32 cells: packed parent for the salt-map lookup,
+            # compact parent for the u32 part key (part_res cell count is
+            # tiny, so compact_parent * MAX_SALTS + salt fits u32)
+            parents, cparents = geocell.compact_parent(cells, res, part_res)
+        else:
+            parents = geocell.parent(cells, part_res)
         if smap:
             # vectorized lookup: resolve the salt count once per DISTINCT
             # parent cell, then broadcast via inverse indices
@@ -233,7 +244,12 @@ def run(
 
                 doc_h = text_hash_u64(batch["doc_id"])
             salts = (doc_h % np.maximum(nsalt, 1)).astype(np.int64)
-            return lineage.add_part_key(batch, parents, np.where(nsalt > 1, salts, 0))
+            salts = np.where(nsalt > 1, salts, 0)
+            if narrow:
+                return lineage.add_part_key(batch, cparents, salts, u32=True)
+            return lineage.add_part_key(batch, parents, salts)
+        if narrow:
+            return lineage.add_part_key(batch, cparents, u32=True)
         return lineage.add_part_key(batch, parents)
 
     keyed = joined.map_batches(add_key, batch_format="pyarrow")

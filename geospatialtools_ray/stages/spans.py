@@ -48,7 +48,8 @@ def doc_key_u64(doc_id: pa.Array) -> pa.Array:
     return pa.array(out, type=pa.uint64())
 
 
-def explode_geo_points(batch: pa.Table, key_mode: str = "string") -> pa.Table:
+def explode_geo_points(batch: pa.Table, key_mode: str = "string",
+                       f32_coords: bool = False) -> pa.Table:
     """docs batch -> one row per geo span: (doc_id, span_ord, lon, lat).
 
     Fully vectorized: Arrow list-flatten + regex extract; no Python row
@@ -84,6 +85,13 @@ def explode_geo_points(batch: pa.Table, key_mode: str = "string") -> pa.Table:
     m = pc.extract_regex(geo_text, _POINT_RE)
     lon = pc.struct_field(m, "lon").cast(pa.float64())
     lat = pc.struct_field(m, "lat").cast(pa.float64())
+    if f32_coords:
+        # narrow-bytes shuffle variant: f32 coordinates (~1e-5 deg = ~1 m
+        # quantization) halve the fan-out's coordinate traffic; containment
+        # near polygon edges can flip within that metre — a documented
+        # precision/bandwidth trade, not the correctness default
+        lon = lon.cast(pa.float32())
+        lat = lat.cast(pa.float32())
     keys = key_src.take(pa.array(parent.to_numpy(zero_copy_only=False)[geo_idx]))
     out = pa.table(
         {
@@ -100,10 +108,15 @@ def explode_geo_points(batch: pa.Table, key_mode: str = "string") -> pa.Table:
     return out
 
 
-def attach_cell(batch: pa.Table, res: int, lon_col: str = "lon", lat_col: str = "lat") -> pa.Table:
-    """Tile assignment: add the geocell partition key (uint64)."""
+def attach_cell(batch: pa.Table, res: int, lon_col: str = "lon", lat_col: str = "lat",
+                compact: bool = False) -> pa.Table:
+    """Tile assignment: add the geocell partition key (uint64 packed, or
+    uint32 row-major when `compact` — the narrow-bytes shuffle variant)."""
     lon = batch[lon_col].to_numpy(zero_copy_only=False)
     lat = batch[lat_col].to_numpy(zero_copy_only=False)
+    if compact:
+        cells = geocell.cell_of_compact(lon, lat, res)
+        return batch.append_column("cell", pa.array(cells, type=pa.uint32()))
     cells = geocell.cell_of(lon, lat, res)
     return batch.append_column("cell", pa.array(cells, type=pa.uint64()))
 

@@ -204,7 +204,8 @@ class SpatialJoin:
         return _join_table(self.index, self.mode, batch)
 
 
-def _join_table(index: PolygonIndex, mode: str, batch: pa.Table) -> pa.Table:
+def _join_table(index: PolygonIndex, mode: str, batch: pa.Table,
+                narrow: bool = False) -> pa.Table:
     lon = batch["lon"].to_numpy(zero_copy_only=False)
     lat = batch["lat"].to_numpy(zero_copy_only=False)
     pt_idx, poly_pos = index.query(lon, lat)
@@ -218,6 +219,19 @@ def _join_table(index: PolygonIndex, mode: str, batch: pa.Table) -> pa.Table:
     order = np.lexsort((index.poly_ids[poly_pos], pt_idx))
     pt_idx, poly_pos = pt_idx[order], poly_pos[order]
     out = batch.take(pa.array(pt_idx))
+    if narrow:
+        # narrow-bytes fan-out: i32 ids + f32 attribute through the
+        # post-join stages (the join multiplies rows, so these columns
+        # dominate downstream traffic); loud guard on the id width
+        ids = index.poly_ids[poly_pos]
+        if len(ids) and ids.max() >= (1 << 31):
+            raise ValueError("narrow join output needs poly_id < 2^31")
+        out = out.append_column("poly_id", pa.array(ids.astype(np.int32), type=pa.int32()))
+        out = out.append_column(
+            "field_value",
+            pa.array(index.field_values[poly_pos].astype(np.float32), type=pa.float32()),
+        )
+        return out
     out = out.append_column("poly_id", pa.array(index.poly_ids[poly_pos], type=pa.int64()))
     out = out.append_column(
         "field_value", pa.array(index.field_values[poly_pos], type=pa.float64())
@@ -246,9 +260,10 @@ def _cached_index(index_ref):
     return index_ref
 
 
-def join_batch(batch: pa.Table, *, index_ref, mode: str = "inner") -> pa.Table:
+def join_batch(batch: pa.Table, *, index_ref, mode: str = "inner",
+               narrow: bool = False) -> pa.Table:
     """Stateless-task twin of SpatialJoin (same semantics)."""
-    return _join_table(_cached_index(index_ref), mode, batch)
+    return _join_table(_cached_index(index_ref), mode, batch, narrow=narrow)
 
 
 def burn_batch(index: PolygonIndex, lon: np.ndarray, lat: np.ndarray) -> np.ndarray:

@@ -113,10 +113,20 @@ def write_partitioned(ds, out_dir: str, *, resume: bool = True,
 MAX_SALTS = 1024
 
 
-def add_part_key(batch: pa.Table, cells: np.ndarray, salts: np.ndarray | None = None) -> pa.Table:
+def add_part_key(batch: pa.Table, cells: np.ndarray, salts: np.ndarray | None = None,
+                 u32: bool = False) -> pa.Table:
     """Attach the numeric partition key column: cell * MAX_SALTS + salt.
     Kept integer in the hot path (stringifying 64-bit keys per row costs
-    more than the join itself); the writer renders names once per group."""
+    more than the join itself); the writer renders names once per group.
+    u32=True packs compact parent cells into a 4-byte key (narrow-bytes
+    shuffle variant; loud guard on the range)."""
+    if u32:
+        keys = cells.astype(np.uint64) * np.uint64(MAX_SALTS)
+        if salts is not None:
+            keys = keys + salts.astype(np.uint64)
+        if len(keys) and keys.max() >= (1 << 32):
+            raise ValueError("u32 part key overflow — use the packed u64 key")
+        return batch.append_column("part_key", pa.array(keys.astype(np.uint32), type=pa.uint32()))
     with np.errstate(over="ignore"):
         keys = cells.astype(np.uint64) * np.uint64(MAX_SALTS)
         if salts is not None:
