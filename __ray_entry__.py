@@ -21,6 +21,10 @@ from typing import Any
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from geospatialtools_ray.pipelines import extraqueries as X
+from geospatialtools_ray.pipelines import graphqueries as GQ
+from geospatialtools_ray.pipelines import hygienequeries as HQ
+from geospatialtools_ray.pipelines import retrievalqueries as RQ
+from geospatialtools_ray.pipelines import windowqueries as W
 from geospatialtools_ray.pipelines import geoqueries as G
 from geospatialtools_ray.pipelines import oracle_fixtures as OF
 from geospatialtools_ray.pipelines import relational as R
@@ -64,7 +68,7 @@ _REGISTRY: dict[str, tuple[Callable[[str], Any], str]] = {
     "ann_topk_cosine": (T.ann_topk_cosine, T.ANN_TOPK_SQL),
     "embed_neardup_pairs": (T.embed_neardup_pairs, T.EMBED_NEARDUP_SQL),
     "soil_pedotransfer": (T.soil_pedotransfer, T.SOIL_PEDOTRANSFER_SQL),
-    "events_time_average": (X.events_time_average, X.EVENTS_TIME_AVERAGE_SQL),
+    "events_time_average": (W.events_time_average, W.EVENTS_TIME_AVERAGE_SQL),
     "events_sessionize": (X.events_sessionize, X.EVENTS_SESSIONIZE_SQL),
     # round 2: previously rows-only — now checked against single-process
     # oracle fixtures staged by the query callables themselves
@@ -129,21 +133,21 @@ _REGISTRY: dict[str, tuple[Callable[[str], Any], str]] = {
     # sets FROM RAW TEXT in DuckDB; GrADS ctl writers with data-derived
     # tdef; ragged-grid tile metadata + payload checksums — all three
     # pure-SQL cross-engine oracles
-    "docs_jaccard_pairs": (X.docs_jaccard_pairs, X.DOCS_JACCARD_PAIRS_SQL),
+    "docs_jaccard_pairs": (HQ.docs_jaccard_pairs, HQ.DOCS_JACCARD_PAIRS_SQL),
     "grads_ctl_files": (X.grads_ctl_files, X.GRADS_CTL_FILES_SQL),
     "tiles_metadata": (TQ.tiles_metadata, TQ.TILES_METADATA_SQL),
     # round 4 (cont.): distributed as-of join (stages/asof.py) vs DuckDB's
     # NATIVE ASOF JOIN — cross-engine, no staged twin
-    "events_asof_purchase": (X.events_asof_purchase, X.EVENTS_ASOF_PURCHASE_SQL),
+    "events_asof_purchase": (W.events_asof_purchase, W.EVENTS_ASOF_PURCHASE_SQL),
     # round 4 (cont.): distributed bucketed range join (stages/rangejoin.py)
     # vs a plain DuckDB inequality join — cross-engine, no staged twin
-    "events_order_window_join": (X.events_order_window_join, X.EVENTS_ORDER_WINDOW_SQL),
+    "events_order_window_join": (W.events_order_window_join, W.EVENTS_ORDER_WINDOW_SQL),
     # round 4 (cont.): sliding/hopping window aggregate (4 overlapping
     # windows per event) vs a pure-SQL unnest-explode oracle
-    "events_sliding_windows": (X.events_sliding_windows, X.EVENTS_SLIDING_WINDOWS_SQL),
+    "events_sliding_windows": (W.events_sliding_windows, W.EVENTS_SLIDING_WINDOWS_SQL),
     # round 4 (cont.): exact distributed quantiles (value-histogram + tree
     # combine, pinned ceil(q*n) rank rule) vs a windowed-cumsum SQL oracle
-    "events_value_quantiles": (X.events_value_quantiles, X.EVENTS_VALUE_QUANTILES_SQL),
+    "events_value_quantiles": (W.events_value_quantiles, W.EVENTS_VALUE_QUANTILES_SQL),
     # round 4 (cont.): the five classic warehouse shapes, each in its
     # scale-correct distributed form — per-key window prefix-sum (one
     # shuffle on the key, ordered cumsum inside user-sized groups),
@@ -151,54 +155,54 @@ _REGISTRY: dict[str, tuple[Callable[[str], Any], str]] = {
     # pivot/crosstab (wide partials tree-combined), deterministic hash
     # sampling (pure per-batch filter, engine-reproducible), and exact
     # count-distinct (batch-local dedupe -> pair-bounded shuffle)
-    "events_user_running_total": (X.events_user_running_total, X.EVENTS_USER_RUNNING_TOTAL_SQL),
+    "events_user_running_total": (W.events_user_running_total, W.EVENTS_USER_RUNNING_TOTAL_SQL),
     # holistic per-key stat (exact median needs whole-key locality) and the
     # bounded-frame rolling window — both on bucketed_key_apply
-    "events_user_median_value": (X.events_user_median_value, X.EVENTS_USER_MEDIAN_SQL),
-    "events_user_rolling_mean": (X.events_user_rolling_mean, X.EVENTS_USER_ROLLING_MEAN_SQL),
-    "docs_top3_by_lang": (X.docs_top3_by_lang, X.DOCS_TOP3_BY_LANG_SQL),
-    "events_type_hour_pivot": (X.events_type_hour_pivot, X.EVENTS_TYPE_HOUR_PIVOT_SQL),
-    "docs_hash_sample": (X.docs_hash_sample, X.DOCS_HASH_SAMPLE_SQL),
-    "events_daily_distinct_users": (X.events_daily_distinct_users, X.EVENTS_DAILY_DISTINCT_USERS_SQL),
+    "events_user_median_value": (W.events_user_median_value, W.EVENTS_USER_MEDIAN_SQL),
+    "events_user_rolling_mean": (W.events_user_rolling_mean, W.EVENTS_USER_ROLLING_MEAN_SQL),
+    "docs_top3_by_lang": (RQ.docs_top3_by_lang, RQ.DOCS_TOP3_BY_LANG_SQL),
+    "events_type_hour_pivot": (W.events_type_hour_pivot, W.EVENTS_TYPE_HOUR_PIVOT_SQL),
+    "docs_hash_sample": (HQ.docs_hash_sample, HQ.DOCS_HASH_SAMPLE_SQL),
+    "events_daily_distinct_users": (W.events_daily_distinct_users, W.EVENTS_DAILY_DISTINCT_USERS_SQL),
     # round 4 (cont.): semi-structured + text/embedding analytics — JSON
     # field extraction (one compiled regex per batch, same pinned pattern
     # in DuckDB), exact per-label embedding centroids (1e-6 quantized
     # component sums in long format), and the TF-IDF base table (split+
     # explode; df partials sum because a doc lives in exactly one batch)
-    "events_props_bucket": (X.events_props_bucket, X.EVENTS_PROPS_BUCKET_SQL),
-    "embeddings_label_centroid": (X.embeddings_label_centroid, X.EMBEDDINGS_LABEL_CENTROID_SQL),
-    "docs_term_df": (X.docs_term_df, X.DOCS_TERM_DF_SQL),
+    "events_props_bucket": (W.events_props_bucket, W.EVENTS_PROPS_BUCKET_SQL),
+    "embeddings_label_centroid": (RQ.embeddings_label_centroid, RQ.EMBEDDINGS_LABEL_CENTROID_SQL),
+    "docs_term_df": (RQ.docs_term_df, RQ.DOCS_TERM_DF_SQL),
     # round 4 (cont.): exact distributed Pearson correlation — integer
     # co-moment sums tree-combined, ONE pinned IEEE expression both sides
-    "events_corr_value_k": (X.events_corr_value_k, X.EVENTS_CORR_VALUE_K_SQL),
+    "events_corr_value_k": (W.events_corr_value_k, W.EVENTS_CORR_VALUE_K_SQL),
     # round 4 (cont.): per-group argmax/mode (vocabulary-bounded counts +
     # pinned tie rule), anti-join via HAVING-zero (user-cardinality-bounded
     # shuffle), and rollup/grouping-sets (finest level distributed, coarser
     # levels derived exactly from its integer partials)
-    "docs_top_term_per_lang": (X.docs_top_term_per_lang, X.DOCS_TOP_TERM_PER_LANG_SQL),
-    "events_users_no_purchase": (X.events_users_no_purchase, X.EVENTS_USERS_NO_PURCHASE_SQL),
-    "events_rollup_type_hour": (X.events_rollup_type_hour, X.EVENTS_ROLLUP_TYPE_HOUR_SQL),
+    "docs_top_term_per_lang": (RQ.docs_top_term_per_lang, RQ.DOCS_TOP_TERM_PER_LANG_SQL),
+    "events_users_no_purchase": (W.events_users_no_purchase, W.EVENTS_USERS_NO_PURCHASE_SQL),
+    "events_rollup_type_hour": (W.events_rollup_type_hour, W.EVENTS_ROLLUP_TYPE_HOUR_SQL),
     # round 4 (cont.): conversion funnel (first signup -> purchase within
     # 7 days by signup day) — per-user logic in user-sized groups, per-day
     # rollup tree-combined, ONE pinned IEEE rate both sides
-    "events_signup_funnel": (X.events_signup_funnel, X.EVENTS_SIGNUP_FUNNEL_SQL),
+    "events_signup_funnel": (W.events_signup_funnel, W.EVENTS_SIGNUP_FUNNEL_SQL),
     # round 4 (cont.): exact-size uniform sample — k smallest pinned-hash
     # values via batch-local top-k + combine, oracle = ORDER BY hash LIMIT k
-    "docs_sample_k": (X.docs_sample_k, X.DOCS_SAMPLE_K_SQL),
+    "docs_sample_k": (HQ.docs_sample_k, HQ.DOCS_SAMPLE_K_SQL),
     # round 4 (cont.): LLM-training-data hygiene family — broadcast-set
     # decontamination, token-window chunking, Gopher repetition stats,
     # regex redaction, per-group quota sampling (cross-engine oracles:
     # DuckDB recomputes from the raw tables, no staged twins)
-    "docs_decontaminate": (X.docs_decontaminate, X.DOCS_DECONTAMINATE_SQL),
-    "docs_chunk_windows": (X.docs_chunk_windows, X.DOCS_CHUNK_WINDOWS_SQL),
-    "docs_chunk_dedup": (X.docs_chunk_dedup, X.DOCS_CHUNK_DEDUP_SQL),
-    "docs_shuffle_rank": (X.docs_shuffle_rank, X.DOCS_SHUFFLE_RANK_SQL),
-    "docs_dup_spans": (X.docs_dup_spans, X.DOCS_DUP_SPANS_SQL),
-    "docs_frequent_ngrams": (X.docs_frequent_ngrams, X.DOCS_FREQUENT_NGRAMS_SQL),
+    "docs_decontaminate": (HQ.docs_decontaminate, HQ.DOCS_DECONTAMINATE_SQL),
+    "docs_chunk_windows": (HQ.docs_chunk_windows, HQ.DOCS_CHUNK_WINDOWS_SQL),
+    "docs_chunk_dedup": (HQ.docs_chunk_dedup, HQ.DOCS_CHUNK_DEDUP_SQL),
+    "docs_shuffle_rank": (HQ.docs_shuffle_rank, HQ.DOCS_SHUFFLE_RANK_SQL),
+    "docs_dup_spans": (HQ.docs_dup_spans, HQ.DOCS_DUP_SPANS_SQL),
+    "docs_frequent_ngrams": (RQ.docs_frequent_ngrams, RQ.DOCS_FREQUENT_NGRAMS_SQL),
     "embed_semantic_dedup": (T.embed_semantic_dedup, T.EMBED_SEMANTIC_DEDUP_SQL),
-    "docs_repetition_stats": (X.docs_repetition_stats, X.DOCS_REPETITION_STATS_SQL),
-    "events_props_redact": (X.events_props_redact, X.EVENTS_PROPS_REDACT_SQL),
-    "docs_stratified_sample": (X.docs_stratified_sample, X.DOCS_STRATIFIED_SAMPLE_SQL),
+    "docs_repetition_stats": (HQ.docs_repetition_stats, HQ.DOCS_REPETITION_STATS_SQL),
+    "events_props_redact": (W.events_props_redact, W.EVENTS_PROPS_REDACT_SQL),
+    "docs_stratified_sample": (HQ.docs_stratified_sample, HQ.DOCS_STRATIFIED_SAMPLE_SQL),
     # round 4 (cont.): S2-RegionCoverer-style adaptive multi-res cell cover
     # (pure-SQL oracle rebuilds the cover from the declarative rule) and the
     # cover-accelerated point-in-polygon join (oracle = plain containment —
@@ -222,13 +226,13 @@ _REGISTRY: dict[str, tuple[Callable[[str], Any], str]] = {
     # q7: bi-national volume rollup (nations^2 x years tree combine)
     # retrieval family: bigram posting lists (bucketed whole-gram build)
     # and BM25 top-k scoring (shuffle-free corpus stats + batch-local top-k)
-    "docs_inverted_index": (X.docs_inverted_index, X.DOCS_INVERTED_INDEX_SQL),
-    "docs_bm25_topk": (X.docs_bm25_topk, X.DOCS_BM25_SQL),
+    "docs_inverted_index": (RQ.docs_inverted_index, RQ.DOCS_INVERTED_INDEX_SQL),
+    "docs_bm25_topk": (RQ.docs_bm25_topk, RQ.DOCS_BM25_SQL),
     # embedding int8 quantization (per-dim min/max tree + pinned code expr),
     # cohort retention matrix, per-user LAG delta (window family)
-    "embeddings_quantize": (X.embeddings_quantize, X.EMBEDDINGS_QUANTIZE_SQL),
-    "events_cohort_retention": (X.events_cohort_retention, X.EVENTS_COHORT_SQL),
-    "events_user_value_delta": (X.events_user_value_delta, X.EVENTS_USER_DELTA_SQL),
+    "embeddings_quantize": (RQ.embeddings_quantize, RQ.EMBEDDINGS_QUANTIZE_SQL),
+    "events_cohort_retention": (W.events_cohort_retention, W.EVENTS_COHORT_SQL),
+    "events_user_value_delta": (W.events_user_value_delta, W.EVENTS_USER_DELTA_SQL),
     "q13_customer_orders": (R.q13_customer_orders_dist, R.Q13_SQL),
     "q17_small_qty_revenue": (R.q17_small_qty_revenue, R.Q17_SQL),
     "q22_idle_balance": (R.q22_idle_balance, R.Q22_SQL),
@@ -237,69 +241,69 @@ _REGISTRY: dict[str, tuple[Callable[[str], Any], str]] = {
     # q19: disjunctive fact x dimension predicate, measured part probe
     "q8_market_share": (R.q8_market_share, R.Q8_SQL),
     "q19_branded_revenue": (R.q19_branded_revenue, R.Q19_SQL),
-    "events_hll_registers": (X.events_hll_registers, X.EVENTS_HLL_SQL),
-    "events_cms_registers": (X.events_cms_registers, X.EVENTS_CMS_SQL),
-    "docs_training_prep": (X.docs_training_prep, X.DOCS_TRAINING_PREP_SQL),
+    "events_hll_registers": (W.events_hll_registers, W.EVENTS_HLL_SQL),
+    "events_cms_registers": (W.events_cms_registers, W.EVENTS_CMS_SQL),
+    "docs_training_prep": (HQ.docs_training_prep, HQ.DOCS_TRAINING_PREP_SQL),
     "docs_radius_join": (T.docs_radius_join, T.DOCS_RADIUS_JOIN_SQL),
-    "docs_weighted_sample": (X.docs_weighted_sample, X.DOCS_WEIGHTED_SAMPLE_SQL),
+    "docs_weighted_sample": (HQ.docs_weighted_sample, HQ.DOCS_WEIGHTED_SAMPLE_SQL),
     # round 4 (cont.): sequence packing via the two-phase distributed scan
     # (per-bucket sums -> tiny driver prefix -> one groupby(bucket) local
     # cumsum); oracle = SUM() OVER (ORDER BY doc_id) window cumsum
-    "docs_pack_sequences": (X.docs_pack_sequences, X.DOCS_PACK_SEQUENCES_SQL),
+    "docs_pack_sequences": (HQ.docs_pack_sequences, HQ.DOCS_PACK_SEQUENCES_SQL),
     # round 4 (cont.): interleaved-span analytics — asset-level media dedup
     # (the decode-each-asset-once keep-list), per-kind span rollup, and
     # ORDER-SENSITIVE kind-transition counts; all three oracles recompute
     # from the raw list<struct> spans parquet with UNNEST (cross-engine)
-    "docs_media_dedup": (X.docs_media_dedup, X._media_dedup_sql()),
-    "docs_span_kind_stats": (X.docs_span_kind_stats, X._span_kind_stats_sql()),
-    "docs_kind_transitions": (X.docs_kind_transitions, X._kind_transitions_sql()),
+    "docs_media_dedup": (GQ.docs_media_dedup, GQ._media_dedup_sql()),
+    "docs_span_kind_stats": (GQ.docs_span_kind_stats, GQ._span_kind_stats_sql()),
+    "docs_kind_transitions": (GQ.docs_kind_transitions, GQ._kind_transitions_sql()),
     # round 4 (cont.): exact distributed Gram matrix (X^T X, the PCA/
     # covariance reduction) — 1e-3-quantized int64 BLAS partials, tree
     # combine; oracle = UNNEST self-join on generate_subscripts
-    "embeddings_gram_matrix": (X.embeddings_gram_matrix, X.EMBEDDINGS_GRAM_SQL),
+    "embeddings_gram_matrix": (GQ.embeddings_gram_matrix, GQ.EMBEDDINGS_GRAM_SQL),
     # round 4 (cont.): the decode-once multimodal composition — distinct
     # assets -> actor-pool decode -> hash-join features back to every
     # referencing span; twin decodes at every occurrence (the work dedup
     # avoids), equality proves the composition lossless
-    "docs_media_decode_dedup": (X.docs_media_decode_dedup, X._media_decode_dedup_sql()),
+    "docs_media_decode_dedup": (GQ.docs_media_decode_dedup, GQ._media_decode_dedup_sql()),
     # round 4 (cont.): asset-linked document clustering — star-reduced
     # doc<->asset edges into the distributed min-label CC; oracle closes
     # the same shared-asset graph with a RECURSIVE CTE (full-value check)
-    "docs_asset_components": (X.docs_asset_components, X._asset_components_sql()),
+    "docs_asset_components": (GQ.docs_asset_components, GQ._asset_components_sql()),
     # round 4 (cont.): deterministic integer PageRank over the doc<->asset
     # bipartite graph (3 iterations, pinned int64 micro-unit arithmetic);
     # oracle unrolls the SAME iterations in SQL — exact, no float hazard
-    "docs_asset_pagerank": (X.docs_asset_pagerank, X._asset_pagerank_sql()),
+    "docs_asset_pagerank": (GQ.docs_asset_pagerank, GQ._asset_pagerank_sql()),
     # round 4 (cont.): per-user event-sequence trigrams (path analysis) and
     # degree-ordered distributed triangle counting over the shared-asset
     # doc graph (wedge join + packed-key membership join)
-    "events_type_trigrams": (X.events_type_trigrams, X.EVENTS_TYPE_TRIGRAMS_SQL),
-    "docs_asset_triangles": (X.docs_asset_triangles, X._asset_triangles_sql()),
+    "events_type_trigrams": (W.events_type_trigrams, W.EVENTS_TYPE_TRIGRAMS_SQL),
+    "docs_asset_triangles": (GQ.docs_asset_triangles, GQ._asset_triangles_sql()),
     # round 4 (cont.): FULL OUTER join shape (the last missing join type)
     # and the interval-OVERLAP join (interval x interval, bucket cover +
     # anchor-bucket exactly-once rule) over padded user sessions
-    "events_user_full_outer": (X.events_user_full_outer, X.EVENTS_USER_FULL_OUTER_SQL),
-    "events_session_overlap": (X.events_session_overlap, X.EVENTS_SESSION_OVERLAP_SQL),
+    "events_user_full_outer": (W.events_user_full_outer, W.EVENTS_USER_FULL_OUTER_SQL),
+    "events_session_overlap": (W.events_session_overlap, W.EVENTS_SESSION_OVERLAP_SQL),
     # round 4 (cont.): CDC compaction (newest record per key) and the
     # global NTILE window via the two-phase distributed scan
-    "events_latest_per_user_type": (X.events_latest_per_user_type, X.EVENTS_LATEST_SQL),
-    "events_value_ntile": (X.events_value_ntile, X.EVENTS_VALUE_NTILE_SQL),
+    "events_latest_per_user_type": (W.events_latest_per_user_type, W.EVENTS_LATEST_SQL),
+    "events_value_ntile": (W.events_value_ntile, W.EVENTS_VALUE_NTILE_SQL),
     # round 4 (cont.): lossless JSONL ingest/egress round-trip (per-lang
     # rollup + doc_id checksum vs the original parquet) and the map-tile
     # geocell pyramid (each coarser level derived from the previous level's
     # integer partials, never re-scanning the corpus)
-    "docs_jsonl_roundtrip": (X.docs_jsonl_roundtrip, X.DOCS_JSONL_ROUNDTRIP_SQL),
+    "docs_jsonl_roundtrip": (HQ.docs_jsonl_roundtrip, HQ.DOCS_JSONL_ROUNDTRIP_SQL),
     "docs_cell_pyramid": (X.docs_cell_pyramid, X._cell_pyramid_sql()),
     # round 4 (cont.): filtered vector search (label predicate pushed into
     # the parquet scan, q6's lever applied to ANN) and pinned-regex text
     # normalization with the normalized text as a result column
     "ann_filtered_topk": (X.ann_filtered_topk, X.ANN_FILTERED_TOPK_SQL),
-    "docs_text_normalize": (X.docs_text_normalize, X.DOCS_TEXT_NORMALIZE_SQL),
+    "docs_text_normalize": (HQ.docs_text_normalize, HQ.DOCS_TEXT_NORMALIZE_SQL),
     # round 4 (cont.): dead-letter-queue routing (deterministic corruption
     # -> quarantine row beside the valid-path rollup) and the incremental
     # snapshot-delta aggregation identity (base + new-docs delta == full)
-    "events_quarantine_routing": (X.events_quarantine_routing, X.EVENTS_QUARANTINE_SQL),
-    "docs_incremental_lang_totals": (X.docs_incremental_lang_totals, X.DOCS_INCREMENTAL_SQL),
+    "events_quarantine_routing": (W.events_quarantine_routing, W.EVENTS_QUARANTINE_SQL),
+    "docs_incremental_lang_totals": (HQ.docs_incremental_lang_totals, HQ.DOCS_INCREMENTAL_SQL),
     # round 4 (cont.): raster zonal statistics with the first fully-SQL
     # point-in-polygon oracle (the engine's even-odd crossing expression
     # mirrored over a staged closed-edge table — no twin)
@@ -307,62 +311,62 @@ _REGISTRY: dict[str, tuple[Callable[[str], Any], str]] = {
     # round 4 (cont.): RANGE-frame window (time-based trailing sum with the
     # SQL peer-group rule) — completes the window family beside ROWS frame,
     # cumulative, LAG, median, NTILE
-    "events_user_trailing_1h": (X.events_user_trailing_1h, X.EVENTS_TRAILING_1H_SQL),
+    "events_user_trailing_1h": (W.events_user_trailing_1h, W.EVENTS_TRAILING_1H_SQL),
     # round 4 (cont.): heavy hitters — mergeable Misra-Gries summaries
     # tree-combined (bounded state, no term-cardinality shuffle) + exact
     # candidate recount, provably equal to the plain groupby-HAVING oracle
-    "docs_heavy_hitters": (X.docs_heavy_hitters, X.DOCS_HEAVY_HITTERS_SQL),
+    "docs_heavy_hitters": (RQ.docs_heavy_hitters, RQ.DOCS_HEAVY_HITTERS_SQL),
     # round 4 (cont.): product-quantization ANN — codebook compression +
     # ADC LUT scan + exact re-rank; oracle = shared-kernel twin fixture
-    "ann_pq_topk": (X.ann_pq_topk, OF.ANN_PQ_TOPK_SQL),
+    "ann_pq_topk": (RQ.ann_pq_topk, OF.ANN_PQ_TOPK_SQL),
     # round 4 (cont.): k-core decomposition — parallel peel with bounded
     # per-round joins, completing the graph family; twin-fixture oracle
-    "docs_asset_kcore": (X.docs_asset_kcore, OF.DOCS_ASSET_KCORE_SQL),
+    "docs_asset_kcore": (GQ.docs_asset_kcore, OF.DOCS_ASSET_KCORE_SQL),
     # round 4 (cont.): multi-source BFS hop distance (pinned-round min
     # relaxation; the oracle unrolls the identical iterations — fully
     # cross-engine) — completes the graph family's traversal shape
-    "docs_asset_hops": (X.docs_asset_hops, X._asset_hops_sql()),
+    "docs_asset_hops": (GQ.docs_asset_hops, GQ._asset_hops_sql()),
     # round 4 (cont.): TF-IDF top-3 terms per doc (broadcast idf table,
     # pinned score expression) and the corpus-LM mean-token-surprisal
     # quality filter (int64 micro-nat sums — order-free at any
     # parallelism); both fully cross-engine from raw text
-    "docs_tfidf_top3": (X.docs_tfidf_top3, X.DOCS_TFIDF_TOP3_SQL),
-    "docs_unigram_surprisal": (X.docs_unigram_surprisal, X.DOCS_UNIGRAM_SURPRISAL_SQL),
+    "docs_tfidf_top3": (RQ.docs_tfidf_top3, RQ.DOCS_TFIDF_TOP3_SQL),
+    "docs_unigram_surprisal": (RQ.docs_unigram_surprisal, RQ.DOCS_UNIGRAM_SURPRISAL_SQL),
     # round 4 (cont.): exact SimHash Hamming<=3 pair join — pigeonhole
     # band candidates + XOR popcount verify; oracle = fully-SQL quadratic
     # bit_count(xor(...)) self-join over the staged twin sketches
-    "docs_simhash_hamming_pairs": (X.docs_simhash_hamming_pairs, OF.DOCS_SIMHASH_HAMMING_SQL),
+    "docs_simhash_hamming_pairs": (HQ.docs_simhash_hamming_pairs, OF.DOCS_SIMHASH_HAMMING_SQL),
     # round 4 (cont.): data-mix quota sampling (exact per-lang rank via the
     # packed-key two-phase distributed scan — no whole-lang bucket) and PMI
     # collocations (vocab^2-bounded pair partials + pinned micro-nat
     # expression); both fully cross-engine
-    "docs_lang_quota_mix": (X.docs_lang_quota_mix, X.DOCS_LANG_QUOTA_MIX_SQL),
-    "docs_term_pmi": (X.docs_term_pmi, X.DOCS_TERM_PMI_SQL),
+    "docs_lang_quota_mix": (HQ.docs_lang_quota_mix, HQ.DOCS_LANG_QUOTA_MIX_SQL),
+    "docs_term_pmi": (RQ.docs_term_pmi, RQ.DOCS_TERM_PMI_SQL),
     # round 4 (cont.): PCA top direction via exact int64 Gram reduction +
     # pinned integer power iterations (oracle unrolls bit-identical
     # matvecs); changelog MERGE with pinned-hash DELETE tombstones (the
     # Iceberg/Delta CDC-apply shape beside plain newest-wins compaction)
-    "embeddings_top_eigvec": (X.embeddings_top_eigvec, X.EMBEDDINGS_TOP_EIGVEC_SQL),
-    "events_apply_changelog": (X.events_apply_changelog, X.EVENTS_APPLY_CHANGELOG_SQL),
+    "embeddings_top_eigvec": (RQ.embeddings_top_eigvec, RQ.EMBEDDINGS_TOP_EIGVEC_SQL),
+    "events_apply_changelog": (W.events_apply_changelog, W.EVENTS_APPLY_CHANGELOG_SQL),
     # round 4 (cont.): grouped exact median — per-group order statistic via
     # the same packed-key two-phase rank scan (no per-group sort, no
     # whole-group bucket)
-    "docs_lang_median_chars": (X.docs_lang_median_chars, X.DOCS_LANG_MEDIAN_CHARS_SQL),
+    "docs_lang_median_chars": (HQ.docs_lang_median_chars, HQ.DOCS_LANG_MEDIAN_CHARS_SQL),
     # round 4 (cont.): BPE-training first step — corpus-wide within-word
     # adjacent character-pair counts (flat byte buffer + bincount partials,
     # 256^2-bounded combine); fully cross-engine
-    "docs_bpe_pair_counts": (X.docs_bpe_pair_counts, X.DOCS_BPE_PAIR_COUNTS_SQL),
+    "docs_bpe_pair_counts": (RQ.docs_bpe_pair_counts, RQ.DOCS_BPE_PAIR_COUNTS_SQL),
     # round 4 (cont.): train/test leakage audit — distinct word-5-gram
     # overlap counts for every source pair (gram-bucket all-pairs over the
     # distinct (gram, source) table; source^2-bounded combine)
-    "docs_source_overlap": (X.docs_source_overlap, X.DOCS_SOURCE_OVERLAP_SQL),
+    "docs_source_overlap": (RQ.docs_source_overlap, RQ.DOCS_SOURCE_OVERLAP_SQL),
     # round 4 (cont.): grouped top-k at KEY scale (per-user top-2 event
     # types) and the gaps-and-islands longest consecutive-day streak
-    "events_user_top2_types": (X.events_user_top2_types, X.EVENTS_USER_TOP2_TYPES_SQL),
-    "events_user_longest_streak": (X.events_user_longest_streak, X.EVENTS_USER_LONGEST_STREAK_SQL),
+    "events_user_top2_types": (W.events_user_top2_types, W.EVENTS_USER_TOP2_TYPES_SQL),
+    "events_user_longest_streak": (W.events_user_longest_streak, W.EVENTS_USER_LONGEST_STREAK_SQL),
     # round 4 (cont.): corpus-curation funnel — cumulative survivors of the
     # pinned length/token/ascii filters, one vectorized pass + 4-row combine
-    "docs_curation_funnel": (X.docs_curation_funnel, X.DOCS_CURATION_FUNNEL_SQL),
+    "docs_curation_funnel": (HQ.docs_curation_funnel, HQ.DOCS_CURATION_FUNNEL_SQL),
     # round 5: the CRS-reprojection family (gdal_tools.py:188 -t_srs
     # semantics, functions/crs.py Snyder/mercator kernels) — corpus-side
     # distributed reproject (fully cross-engine SQL), vector-side UTM
@@ -374,7 +378,7 @@ _REGISTRY: dict[str, tuple[Callable[[str], Any], str]] = {
     "docs_reprojected_polygon_join": (G.docs_reprojected_polygon_join, G._reprojected_polygon_join_sql()),
     # round 5: exact substring dedup (Lee et al. 2022 ExactSubstr) — fully
     # cross-engine gaps-and-islands oracle over corpus-duplicated L-windows
-    "docs_dup_substring_spans": (X.docs_dup_substring_spans, X.DOCS_DUP_SUBSTRING_SPANS_SQL),
+    "docs_dup_substring_spans": (HQ.docs_dup_substring_spans, HQ.DOCS_DUP_SUBSTRING_SPANS_SQL),
 }
 
 # ---------------------------------------------------------------------------

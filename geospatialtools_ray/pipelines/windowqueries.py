@@ -1,0 +1,1814 @@
+"""Event-stream window / warehouse-shape driver queries (split from
+extraqueries.py, round 5 — registry hygiene, VERDICT r4 ask 8): windows
+(ROWS/RANGE/sliding/tumbling-sibling shapes, LAG, NTILE, median), sessions,
+funnels, CDC compaction/changelog, sketches (HLL/CMS), pivots/rollups and
+the other per-user/event-time families. No behavior change — every def
+moved verbatim; the oracle-gate re-ran green after the split."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..numerics import sql_round
+
+from .. import io
+from .qcommon import KNUTH_MULT, _read
+
+
+# ---------------------------------------------------------------------------
+# time_average over per-user event series (reference upscaling_tools.f90:
+# 1-13 truncating block mean; engine functions/timeavg.py). Integer
+# quantization keeps the SQL oracle bit-exact.
+# ---------------------------------------------------------------------------
+
+NT_OUT = 4
+
+
+def events_time_average(sf_dir: str):
+    from ..functions.timeavg import time_average_values
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+    from ..stages.keyapply import bucketed_key_apply, key_run_starts
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # whole users per hash bucket; per-user chunk means computed for
+        # ALL users at once via one cumsum + an (n_users, NT_OUT) gather
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable").reset_index(drop=True)
+        v = sql_round(g["value"].to_numpy() * 1000.0).astype(np.int64)
+        u = g["user_id"].to_numpy()
+        starts = np.flatnonzero(key_run_starts(u))
+        counts = np.diff(np.append(starts, len(g)))
+        keep = counts >= NT_OUT
+        rec = {"user_id": pd.Series(u[starts[keep]], dtype="int64"),
+               "nt_in": pd.Series(counts[keep], dtype="int64")}
+        if keep.any():
+            s, dt = starts[keep], counts[keep] // NT_OUT
+            cs = np.concatenate([[0], np.cumsum(v)])
+            ks = np.arange(NT_OUT)
+            sums = cs[s[:, None] + (ks[None, :] + 1) * dt[:, None]] - cs[s[:, None] + ks[None, :] * dt[:, None]]
+            avgs = sums.astype(np.float64) / (dt[:, None].astype(np.float64) * 1000.0)
+        else:
+            avgs = np.empty((0, NT_OUT))
+        for k in range(NT_OUT):
+            rec[f"avg_{k + 1}"] = pd.Series(avgs[:, k], dtype="float64")
+        return pd.DataFrame(rec)
+
+    out = bucketed_key_apply(ds, "user_id", per_bucket).to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+EVENTS_TIME_AVERAGE_SQL = f"""
+WITH s AS (
+  SELECT user_id, list(CAST(round(value*1000) AS BIGINT) ORDER BY ts, event_id) AS l
+  FROM events GROUP BY user_id
+), d AS (
+  SELECT user_id, l, len(l) AS nt_in, CAST(floor(len(l)/{NT_OUT}.0) AS BIGINT) AS dt
+  FROM s WHERE len(l) >= {NT_OUT}
+)
+SELECT user_id, CAST(nt_in AS BIGINT) AS nt_in,
+       CAST(list_sum(l[1 : dt]) AS DOUBLE)/(CAST(dt AS DOUBLE)*1000.0) AS avg_1,
+       CAST(list_sum(l[dt+1 : 2*dt]) AS DOUBLE)/(CAST(dt AS DOUBLE)*1000.0) AS avg_2,
+       CAST(list_sum(l[2*dt+1 : 3*dt]) AS DOUBLE)/(CAST(dt AS DOUBLE)*1000.0) AS avg_3,
+       CAST(list_sum(l[3*dt+1 : 4*dt]) AS DOUBLE)/(CAST(dt AS DOUBLE)*1000.0) AS avg_4
+FROM d ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# As-of join on the driver hash channel (stages/asof.py; oracle = DuckDB's
+# native ASOF JOIN — genuinely cross-engine, no staged twin). The corpus
+# has unique (user_id, ts) pairs, so the engines' duplicate-time tie rules
+# cannot diverge here; the engine's own rule is pinned by
+# test_asof_join_duplicate_time_tie_rule.
+# ---------------------------------------------------------------------------
+
+def events_asof_purchase(sf_dir: str):
+    """For every click event, the same user's most recent purchase at or
+    before the click: distributed as-of join (side-tag map_batches +
+    per-user sorted merge in groupby().map_groups — builder-brief custom
+    operator, pattern (a))."""
+    import pyarrow.compute as pc
+
+    from ..stages.asof import asof_join
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type", "value"])
+
+    def side(kind):
+        def f(b: pa.Table) -> pa.Table:
+            return b.filter(pc.equal(b["event_type"], kind)).drop_columns(["event_type"])
+
+        return f
+
+    clicks = ev.map_batches(side("click"), batch_format="pyarrow").drop_columns(["value"])
+    buys = ev.map_batches(side("purchase"), batch_format="pyarrow").map_batches(
+        lambda b: b.rename_columns(["purchase_event", "ts", "user_id", "purchase_value"]),
+        batch_format="pyarrow",
+    )
+    out = asof_join(
+        clicks, buys, "user_id", "ts", ["event_id"], ["purchase_event", "purchase_value"],
+        right_time_col="ts", direction="backward", join="inner",
+    )
+    # right_cols ride the union as float64 — restore the id's int64 after
+    # the inner join (no nulls) so the dtype matches the SQL side
+    df = out.to_pandas().sort_values("event_id").reset_index(drop=True)
+    return pd.DataFrame(
+        {
+            "user_id": df["user_id"].astype("int64"),
+            "ts": df["ts"].astype("datetime64[us]"),
+            "event_id": df["event_id"].astype("int64"),
+            "purchase_event": df["purchase_event"].astype("int64"),
+            "purchase_value": df["purchase_value"].astype("float64"),
+        }
+    )
+
+
+EVENTS_ASOF_PURCHASE_SQL = """
+SELECT l.user_id, l.ts, l.event_id,
+       r.event_id AS purchase_event, r.value AS purchase_value
+FROM (SELECT * FROM events WHERE event_type = 'click') l
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+ORDER BY l.event_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Range (interval) join on the driver hash channel (stages/rangejoin.py;
+# oracle = a plain DuckDB inequality join — cross-engine, no staged twin).
+# Every click event is matched to the same user's signup events whose
+# 12-hour post-signup window contains the click: lo <= ts < hi with hi
+# exclusive, all in exact epoch-microsecond int64 arithmetic on both
+# engines.
+# ---------------------------------------------------------------------------
+
+_RJ_12H_US = 12 * 3600 * 1_000_000
+
+
+def events_order_window_join(sf_dir: str):
+    """Distributed bucketed interval join (1-D geocell-cover analogue:
+    intervals exploded to width-w buckets, points to one bucket, composite
+    (key, bucket) hash join + exact filter — each pair meets exactly once,
+    no dedup)."""
+    import pyarrow.compute as pc
+
+    from ..stages.rangejoin import range_join
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    clicks = ev.map_batches(
+        lambda b: b.filter(pc.equal(b["event_type"], "click")).drop_columns(["event_type"]),
+        batch_format="pyarrow",
+    )
+
+    def mk_iv(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b["event_type"], "signup"))
+        lo = b["ts"].cast(pa.int64())
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "lo": lo,
+                "hi": pc.add(lo, _RJ_12H_US),
+                "signup_event": b["event_id"],
+            }
+        )
+
+    iv = ev.map_batches(mk_iv, batch_format="pyarrow")
+    out = range_join(
+        clicks, iv, "user_id", "ts", "lo", "hi", bucket_width=_RJ_12H_US,
+        point_cols=["event_id"], interval_cols=["signup_event"],
+    )
+    df = out.to_pandas().sort_values(["event_id", "signup_event"]).reset_index(drop=True)
+    return pd.DataFrame(
+        {
+            "user_id": df["user_id"].astype("int64"),
+            "event_id": df["event_id"].astype("int64"),
+            "signup_event": df["signup_event"].astype("int64"),
+            "mins_since_signup": ((df["t_i"] - df["lo_i"]) // 60_000_000).astype("int64"),
+        }
+    )
+
+
+EVENTS_ORDER_WINDOW_SQL = """
+SELECT c.user_id, c.event_id, s.event_id AS signup_event,
+       CAST(FLOOR((epoch_us(c.ts) - epoch_us(s.ts)) / 60000000) AS BIGINT)
+         AS mins_since_signup
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+  ON s.user_id = c.user_id
+ AND epoch_us(c.ts) >= epoch_us(s.ts)
+ AND epoch_us(c.ts) < epoch_us(s.ts) + 43200000000
+ORDER BY c.event_id, signup_event
+"""
+
+
+# ---------------------------------------------------------------------------
+# Sliding (hopping) window aggregate — the overlapping-window companion of
+# events_tumbling_hourly (pipelines/relational.py). Window size 2 h, hop
+# 30 min: size/hop = 4, so every event belongs to exactly 4 windows. The
+# engine explodes each event to its 4 window keys in map_batches, partial-
+# aggregates per (event_type, window_start) inside the batch, and finishes
+# with the shuffle-free tree combine. window_start stays epoch-microsecond
+# int64 on BOTH engines (no timestamp round-trip to diverge on).
+# ---------------------------------------------------------------------------
+
+_SW_HOP_US = 30 * 60 * 1_000_000
+_SW_WINDOWS = 4  # size = 4 hops = 2 h
+
+
+def events_sliding_windows(sf_dir: str):
+    from .relational import tree_group_sum
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        v = sql_round(b["value"].to_numpy(zero_copy_only=False) * 1000.0).astype(np.int64)
+        et = b["event_type"].to_pandas().to_numpy()
+        base = t // _SW_HOP_US  # newest window containing t starts here
+        n = len(t)
+        j = np.tile(np.arange(_SW_WINDOWS, dtype=np.int64), n)
+        starts = (np.repeat(base, _SW_WINDOWS) - j) * _SW_HOP_US
+        df = pd.DataFrame(
+            {
+                "event_type": np.repeat(et, _SW_WINDOWS),
+                "window_start_us": starts,
+                "n_events": 1,
+                "sum_v": np.repeat(v, _SW_WINDOWS),
+            }
+        )
+        g = df.groupby(["event_type", "window_start_us"], as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    df = (
+        tree_group_sum(ds.map_batches(partial, batch_format="pyarrow"), ["event_type", "window_start_us"])
+        .sort_values(["event_type", "window_start_us"])
+        .reset_index(drop=True)
+    )
+    return pd.DataFrame(
+        {
+            "event_type": df["event_type"],
+            "window_start_us": df["window_start_us"].astype("int64"),
+            "n_events": df["n_events"].astype("int64"),
+            "sum_value": df["sum_v"].astype("float64") / 1000.0,
+        }
+    )
+
+
+EVENTS_SLIDING_WINDOWS_SQL = """
+SELECT event_type,
+       (epoch_us(ts) // 1800000000 - j) * 1800000000 AS window_start_us,
+       COUNT(*) AS n_events,
+       CAST(CAST(SUM(CAST(round(value*1000) AS BIGINT)) AS BIGINT) AS DOUBLE)/1000.0 AS sum_value
+FROM events, unnest([0, 1, 2, 3]) t(j)
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact distributed quantiles on the driver hash channel
+# (functions/quantiles.py; oracle = the SAME pinned rank rule as a
+# windowed-cumsum in SQL — deliberately NOT quantile_disc, whose
+# interpolation rule would be trusted rather than pinned). Both engines
+# compute ceil(q*n) in identical IEEE double arithmetic.
+# ---------------------------------------------------------------------------
+
+def events_value_quantiles(sf_dir: str):
+    from ..functions.quantiles import exact_quantiles
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    df = exact_quantiles(ds, "event_type", "value", [0.25, 0.5, 0.9])
+    return df.astype({"n": "int64", "q25": "int64", "q50": "int64", "q90": "int64"})
+
+
+EVENTS_VALUE_QUANTILES_SQL = """
+WITH q AS (SELECT event_type, CAST(round(value*1000) AS BIGINT) AS qv FROM events),
+c AS (SELECT event_type, qv, COUNT(*) AS n FROM q GROUP BY 1, 2),
+w AS (SELECT event_type, qv,
+             SUM(n) OVER (PARTITION BY event_type ORDER BY qv) AS cum,
+             SUM(n) OVER (PARTITION BY event_type) AS tot
+      FROM c)
+SELECT event_type, CAST(MAX(tot) AS BIGINT) AS n,
+       CAST(MIN(CASE WHEN cum >= CEIL(0.25 * tot) THEN qv END) AS BIGINT) AS q25,
+       CAST(MIN(CASE WHEN cum >= CEIL(0.5 * tot) THEN qv END) AS BIGINT) AS q50,
+       CAST(MIN(CASE WHEN cum >= CEIL(0.9 * tot) THEN qv END) AS BIGINT) AS q90
+FROM w GROUP BY event_type ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Per-key ordered running total (the distributed window-function shape):
+# shuffle once on the partition key, order + prefix-sum INSIDE each group
+# (groups are user-sized, never the whole table), emit per-event rows.
+# Oracle: SUM() OVER (PARTITION BY ... ORDER BY ...) on the same quantized
+# values — exact int math on both engines, any merge order.
+# ---------------------------------------------------------------------------
+
+def events_user_running_total(sf_dir: str):
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+
+    from ..stages.keyapply import bucketed_key_apply, key_run_starts, run_start_index
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # segmented cumsum over ALL users in the bucket: one global cumsum,
+        # re-based at each user's first row
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable").reset_index(drop=True)
+        v = sql_round(g["value"].to_numpy() * 1000.0).astype(np.int64)
+        u = g["user_id"].to_numpy()
+        cs = np.cumsum(v)
+        start = run_start_index(key_run_starts(u))
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].astype("int64"),
+                "user_id": pd.Series(u, dtype="int64"),
+                "cum_v": cs - (cs[start] - v[start]),
+            }
+        )
+
+    return bucketed_key_apply(ds, "user_id", per_bucket)
+
+
+EVENTS_USER_RUNNING_TOTAL_SQL = """
+WITH t AS (
+  SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS us,
+         CAST(round(value*1000) AS BIGINT) AS v
+  FROM events
+)
+SELECT event_id, user_id,
+       CAST(SUM(v) OVER (PARTITION BY user_id ORDER BY us, event_id
+                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_v
+FROM t ORDER BY user_id, event_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Per-user exact MEDIAN — a holistic per-key statistic (not decomposable
+# into mergeable partials like sum/min/max), so it NEEDS whole-key locality:
+# bucketed_key_apply gives that with a bounded group count. Quantized int
+# values make the even-count midpoint (a+b)/2 exact in float64 on both
+# engines (ints < 2^52; .5 halves exactly representable).
+# ---------------------------------------------------------------------------
+
+def events_user_median_value(sf_dir: str):
+    ds = _read(sf_dir, "events", ["user_id", "value"])
+    from ..stages.keyapply import bucketed_key_apply
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        v = sql_round(g["value"].to_numpy() * 1000.0).astype(np.int64)
+        out = (
+            pd.DataFrame({"user_id": g["user_id"].to_numpy().astype(np.int64), "v": v})
+            .groupby("user_id", as_index=False)["v"]
+            .median()
+        )
+        return pd.DataFrame({"user_id": out["user_id"].astype("int64"), "med_v": out["v"].astype("float64")})
+
+    df = bucketed_key_apply(ds, "user_id", per_bucket).to_pandas()
+    return df.sort_values("user_id").reset_index(drop=True)
+
+
+EVENTS_USER_MEDIAN_SQL = """
+SELECT user_id,
+       CAST(median(CAST(round(value*1000) AS BIGINT)) AS DOUBLE) AS med_v
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Per-user rolling mean over a bounded frame (ROWS BETWEEN 3 PRECEDING AND
+# CURRENT ROW) — the sliding-window-frame shape missing from the window
+# family (running total = unbounded frame; tumbling/sliding = time-bucket
+# windows). Vectorized for ALL users at once: one cumsum, per-row frame
+# start clamped to the user's run start. The division is the ONE pinned
+# IEEE op on both engines (exact int sum / exact int count).
+# ---------------------------------------------------------------------------
+
+ROLL_PRECEDING = 3
+
+
+def events_user_rolling_mean(sf_dir: str):
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+    from ..stages.keyapply import bucketed_key_apply, key_run_starts, run_start_index
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable").reset_index(drop=True)
+        v = sql_round(g["value"].to_numpy() * 1000.0).astype(np.int64)
+        u = g["user_id"].to_numpy()
+        n = len(g)
+        cs = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(v)])
+        idx = np.arange(n)
+        start = run_start_index(key_run_starts(u))
+        lo = np.maximum(idx - ROLL_PRECEDING, start)
+        cnt = idx + 1 - lo
+        roll = (cs[idx + 1] - cs[lo]).astype(np.float64) / cnt.astype(np.float64)
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].astype("int64"),
+                "user_id": pd.Series(u, dtype="int64"),
+                "roll_mean": roll,
+            }
+        )
+
+    return bucketed_key_apply(ds, "user_id", per_bucket)
+
+
+EVENTS_USER_ROLLING_MEAN_SQL = f"""
+WITH t AS (
+  SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS us,
+         CAST(round(value*1000) AS BIGINT) AS v
+  FROM events
+)
+SELECT event_id, user_id,
+       CAST(SUM(v) OVER w AS DOUBLE) / CAST(COUNT(v) OVER w AS DOUBLE) AS roll_mean
+FROM t
+WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+             ROWS BETWEEN {ROLL_PRECEDING} PRECEDING AND CURRENT ROW)
+ORDER BY user_id, event_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Distributed pivot / crosstab: per-batch crosstab partials (one row per
+# hour with one count column per pinned event type), tree-combined — the
+# wide table never exceeds 24 x (len(types)+2) anywhere.
+# ---------------------------------------------------------------------------
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def events_type_hour_pivot(sf_dir: str):
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+    from .relational import tree_group_sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        us = b["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        hour = (us.astype("int64") // 3_600_000_000) % 24
+        df = pd.DataFrame({"hour": hour.astype(np.int64), "et": b["event_type"].to_pandas()})
+        g = df.groupby(["hour", "et"]).size().unstack(fill_value=0)
+        out = pd.DataFrame({"hour": g.index.to_numpy(dtype=np.int64)})
+        for t in EVENT_TYPES:
+            out[f"n_{t}"] = g[t].to_numpy(dtype=np.int64) if t in g else np.int64(0)
+        out["n_total"] = g.sum(axis=1).to_numpy(dtype=np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    df = tree_group_sum(ds.map_batches(partial, batch_format="pyarrow"), ["hour"],
+                        value_cols=[f"n_{t}" for t in EVENT_TYPES] + ["n_total"])
+    return df.sort_values("hour").reset_index(drop=True).astype("int64")
+
+
+EVENTS_TYPE_HOUR_PIVOT_SQL = """
+SELECT CAST(hour(ts) AS BIGINT) AS hour,
+       COUNT(*) FILTER (WHERE event_type = 'click')    AS n_click,
+       COUNT(*) FILTER (WHERE event_type = 'error')    AS n_error,
+       COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+       COUNT(*) FILTER (WHERE event_type = 'signup')   AS n_signup,
+       COUNT(*) FILTER (WHERE event_type = 'view')     AS n_view,
+       COUNT(*)                                        AS n_total
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact distributed count-distinct: per-batch local dedupe (cuts the
+# exchange to unique pairs per batch), ONE shuffle on the (day, user)
+# pair bounded by |days| x |users| — not row count — then a shuffle-free
+# tree combine for the per-day counts.
+# ---------------------------------------------------------------------------
+
+def events_daily_distinct_users(sf_dir: str):
+    ds = _read(sf_dir, "events", ["ts", "user_id"])
+    from .relational import tree_group_sum
+
+    def pairs(b: pa.Table) -> pa.Table:
+        d = b["ts"].to_numpy(zero_copy_only=False).astype("datetime64[D]")
+        df = pd.DataFrame(
+            {"day": np.datetime_as_string(d, unit="D"), "user_id": b["user_id"].to_numpy(zero_copy_only=False)}
+        ).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    distinct = ds.map_batches(pairs, batch_format="pyarrow").groupby(["day", "user_id"]).count()
+
+    def ones(b: pa.Table) -> pa.Table:
+        return pa.table({"day": b["day"], "n_users": pa.array(np.ones(b.num_rows, dtype=np.int64))})
+
+    df = tree_group_sum(distinct.map_batches(ones, batch_format="pyarrow"), ["day"], value_cols=["n_users"])
+    return df.sort_values("day").reset_index(drop=True).astype({"n_users": "int64"})
+
+
+EVENTS_DAILY_DISTINCT_USERS_SQL = """
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Semi-structured field extraction: pull an int field out of a JSON props
+# column with ONE compiled vectorized regex per batch (no per-row json.loads
+# in the hot path), bucket it, and tree-combine the tiny aggregate. The
+# oracle extracts with the SAME pinned pattern via DuckDB regexp_extract,
+# so both engines parse identically (incl. missing-field rows -> dropped).
+# ---------------------------------------------------------------------------
+
+PROPS_K_PATTERN = r'"k":\s*(\d+)'
+
+
+def events_props_bucket(sf_dir: str):
+    import re
+
+    ds = _read(sf_dir, "events", ["props", "value"])
+    from .relational import tree_group_sum
+
+    rx = re.compile(PROPS_K_PATTERN)
+
+    def partial(b: pa.Table) -> pa.Table:
+        s = b["props"].to_pandas()
+        k = s.str.extract(rx, expand=False)
+        ok = k.notna().to_numpy()
+        kv = k[ok].to_numpy(dtype=np.int64)
+        v = sql_round(b["value"].to_numpy(zero_copy_only=False)[ok] * 1000.0).astype(np.int64)
+        df = pd.DataFrame({"k_bucket": kv % 10, "n": 1, "sum_v": v})
+        return pa.Table.from_pandas(df.groupby("k_bucket", as_index=False).sum(), preserve_index=False)
+
+    df = tree_group_sum(ds.map_batches(partial, batch_format="pyarrow"), ["k_bucket"], value_cols=["n", "sum_v"])
+    df = df.sort_values("k_bucket").reset_index(drop=True)
+    out = pd.DataFrame({"k_bucket": df["k_bucket"].astype("int64"), "n": df["n"].astype("int64")})
+    out["sum_value"] = df["sum_v"].astype("float64") / 1000.0
+    return out
+
+
+EVENTS_PROPS_BUCKET_SQL = r"""
+WITH t AS (
+  SELECT CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) % 10 AS k_bucket,
+         CAST(round(value*1000) AS BIGINT) AS v
+  FROM events
+  WHERE regexp_extract(props, '"k":\s*(\d+)', 1) <> ''
+)
+SELECT k_bucket, COUNT(*) AS n, CAST(CAST(SUM(v) AS BIGINT) AS DOUBLE)/1000.0 AS sum_value
+FROM t GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact distributed Pearson correlation: the five co-moment sums
+# (Sx, Sy, Sxy, Sxx, Syy) over integer-quantized values are exact in any
+# combine order, tree-combined without a shuffle; the final r is ONE
+# pinned IEEE float64 expression evaluated identically in both engines and
+# rounded to 6 dp via the shared sql_round convention. Overflow: per-row
+# sxx = x^2 reaches ~1.1e11 on this corpus (value <= ~328 -> x <= 327,530),
+# which would wrap int64 at only ~8.6e7 rows, so sxy/sxx ship as (hi, lo)
+# divmod-1e9 partials (the q1/q5 pattern) and reconstruct through EXACT
+# Python ints -> one float conversion — the same value DuckDB gets from
+# CAST(HUGEINT_sum AS DOUBLE). Remaining plain-int64 bounds: sx ~2.8e13
+# rows, syy ~9.4e14 rows, hi-sums ~8.6e16 rows — all past 10^12.
+# ---------------------------------------------------------------------------
+
+def events_corr_value_k(sf_dir: str):
+    import re
+
+    ds = _read(sf_dir, "events", ["event_type", "value", "props"])
+    from .relational import tree_group_sum
+
+    rx = re.compile(PROPS_K_PATTERN)
+
+    def partial(b: pa.Table) -> pa.Table:
+        et = b["event_type"].to_pandas()
+        k = b["props"].to_pandas().str.extract(rx, expand=False)
+        ok = k.notna().to_numpy()
+        x = sql_round(b["value"].to_numpy(zero_copy_only=False)[ok] * 1000.0).astype(np.int64)
+        y = k[ok].to_numpy(dtype=np.int64)
+        df = pd.DataFrame(
+            {
+                "event_type": et[ok].to_numpy(),
+                "n": 1,
+                "sx": x,
+                "sy": y,
+                "sxy": x * y,
+                "sxx": x * x,
+                "syy": y * y,
+            }
+        )
+        g = df.groupby("event_type", as_index=False).sum()
+        g["sxy_hi"], g["sxy_lo"] = divmod(g.pop("sxy"), 1_000_000_000)
+        g["sxx_hi"], g["sxx_lo"] = divmod(g.pop("sxx"), 1_000_000_000)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    df = tree_group_sum(ds.map_batches(partial, batch_format="pyarrow"), ["event_type"],
+                        value_cols=["n", "sx", "sy", "syy", "sxy_hi", "sxy_lo", "sxx_hi", "sxx_lo"])
+    df = df.sort_values("event_type").reset_index(drop=True)
+    n = df["n"].astype("float64").to_numpy()
+    sx = df["sx"].astype("float64").to_numpy()
+    sy = df["sy"].astype("float64").to_numpy()
+    # exact big-int reconstruction, then ONE float conversion (== DuckDB's
+    # CAST(HUGEINT AS DOUBLE))
+    sxy = np.asarray(
+        [float(int(h) * 1_000_000_000 + int(l)) for h, l in zip(df["sxy_hi"], df["sxy_lo"])]
+    )
+    sxx = np.asarray(
+        [float(int(h) * 1_000_000_000 + int(l)) for h, l in zip(df["sxx_hi"], df["sxx_lo"])]
+    )
+    syy = df["syy"].astype("float64").to_numpy()
+    r = (n * sxy - sx * sy) / (np.sqrt(n * sxx - sx * sx) * np.sqrt(n * syy - sy * sy))
+    return pd.DataFrame(
+        {
+            "event_type": df["event_type"],
+            "n": df["n"].astype("int64"),
+            "corr_vk": sql_round(r * 1_000_000.0) / 1_000_000.0,
+        }
+    )
+
+
+EVENTS_CORR_VALUE_K_SQL = r"""
+WITH t AS (
+  SELECT event_type,
+         CAST(round(value*1000) AS BIGINT) AS x,
+         CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) AS y
+  FROM events
+  WHERE regexp_extract(props, '"k":\s*(\d+)', 1) <> ''
+), s AS (
+  -- sxy/sxx stay HUGEINT (no BIGINT cast): the engine ships them as
+  -- (hi, lo) split partials through the same overflow regime
+  SELECT event_type, COUNT(*) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         SUM(x*y) AS sxy, SUM(x*x) AS sxx,
+         CAST(SUM(y*y) AS BIGINT) AS syy
+  FROM t GROUP BY event_type
+)
+SELECT event_type, n,
+       round((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+             / (sqrt(CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+                * sqrt(CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))), 6) AS corr_vk
+FROM s ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Anti-join / HAVING-zero shape: users with events but no BIG purchase
+# (value > 150 -- chosen so the result is non-trivial at every scale
+# factor: 8/15 users at sf0.001, 83/150 at sf0.01). One shuffle bounded
+# by USER cardinality (per-batch partial max of a qualifying flag), not
+# row count; the float threshold compares the SAME raw double on both
+# engines.
+# ---------------------------------------------------------------------------
+
+def events_users_no_purchase(sf_dir: str, value_thr: float = 150.0):
+    from ray.data.aggregate import Max
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        big = (b["event_type"].to_pandas() == "purchase").to_numpy() & (
+            b["value"].to_numpy(zero_copy_only=False) > value_thr
+        )
+        df = pd.DataFrame(
+            {
+                "user_id": b["user_id"].to_numpy(zero_copy_only=False),
+                "p": big.astype(np.int64),
+            }
+        )
+        return pa.Table.from_pandas(df.groupby("user_id", as_index=False).max(), preserve_index=False)
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").groupby("user_id").aggregate(Max("p", alias_name="p"))
+    df = agg.to_pandas()
+    out = df[df["p"] == 0][["user_id"]].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+EVENTS_USERS_NO_PURCHASE_SQL = """
+SELECT user_id FROM events
+GROUP BY user_id
+HAVING COUNT(*) FILTER (WHERE event_type = 'purchase' AND value > 150) = 0
+ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Rollup / grouping sets: the FINEST level (event_type, hour) is the only
+# distributed aggregate (tree-combined, 24 x types rows); the coarser
+# levels are derived from it on the driver — exact because the partials
+# are exact ints. Sentinels: hour = -1 / event_type = 'ALL' for subtotals.
+# ---------------------------------------------------------------------------
+
+def events_rollup_type_hour(sf_dir: str):
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+    from .relational import tree_group_sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        us = b["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        hour = (us.astype("int64") // 3_600_000_000) % 24
+        v = sql_round(b["value"].to_numpy(zero_copy_only=False) * 1000.0).astype(np.int64)
+        df = pd.DataFrame(
+            {"event_type": b["event_type"].to_pandas(), "hour": hour.astype(np.int64), "n": 1, "sv": v}
+        )
+        return pa.Table.from_pandas(df.groupby(["event_type", "hour"], as_index=False).sum(), preserve_index=False)
+
+    fine = tree_group_sum(ds.map_batches(partial, batch_format="pyarrow"), ["event_type", "hour"], value_cols=["n", "sv"])
+    by_type = fine.groupby("event_type", as_index=False)[["n", "sv"]].sum()
+    by_type["hour"] = -1
+    total = pd.DataFrame({"event_type": ["ALL"], "hour": [-1], "n": [fine["n"].sum()], "sv": [fine["sv"].sum()]})
+    allv = pd.concat([fine, by_type, total], ignore_index=True)
+    out = pd.DataFrame(
+        {
+            "event_type": allv["event_type"],
+            "hour": allv["hour"].astype("int64"),
+            "n": allv["n"].astype("int64"),
+            "sum_value": allv["sv"].astype("float64") / 1000.0,
+        }
+    )
+    return out.sort_values(["event_type", "hour"]).reset_index(drop=True)
+
+
+EVENTS_ROLLUP_TYPE_HOUR_SQL = """
+WITH t AS (
+  SELECT event_type, CAST(hour(ts) AS BIGINT) AS hour,
+         CAST(round(value*1000) AS BIGINT) AS v
+  FROM events
+)
+SELECT COALESCE(event_type, 'ALL') AS event_type,
+       COALESCE(hour, -1) AS hour,
+       COUNT(*) AS n,
+       CAST(CAST(SUM(v) AS BIGINT) AS DOUBLE)/1000.0 AS sum_value
+FROM t
+GROUP BY GROUPING SETS ((event_type, hour), (event_type), ())
+ORDER BY event_type, hour
+"""
+
+
+# ---------------------------------------------------------------------------
+# Conversion funnel: first signup -> purchase within 7 days, aggregated by
+# signup day. Per-user logic runs inside user-sized groups (one shuffle on
+# the key); the per-day rollup is tree-combined. The rate is ONE pinned
+# IEEE division rounded to 6 dp on both engines.
+# ---------------------------------------------------------------------------
+
+FUNNEL_WINDOW_US = 7 * 86400 * 1_000_000
+
+
+def events_signup_funnel(sf_dir: str):
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+    from .relational import tree_group_sum
+
+    from ..stages.keyapply import bucketed_key_apply
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # whole users per hash bucket: per-user first signup via a cython
+        # groupby-min, conversion via a merge of the bucket's purchases
+        # against those signups, then a per-day pre-aggregate
+        et = g["event_type"].to_numpy()
+        us = g["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        u = g["user_id"].to_numpy()
+        empty = pd.DataFrame({"day": pd.Series([], dtype=str), "n_users": pd.Series([], dtype=np.int64),
+                              "n_converted": pd.Series([], dtype=np.int64)})
+        sm = et == "signup"
+        if not sm.any():
+            return empty
+        m = pd.DataFrame({"u": u[sm], "s": us[sm]}).groupby("u", as_index=False)["s"].min()
+        pm = et == "purchase"
+        p = pd.DataFrame({"u": u[pm], "t": us[pm]}).merge(m, on="u")
+        conv_u = p.loc[(p["t"] >= p["s"]) & (p["t"] < p["s"] + FUNNEL_WINDOW_US), "u"].unique()
+        m["c"] = m["u"].isin(conv_u).astype(np.int64)
+        m["day"] = np.datetime_as_string(m["s"].to_numpy().astype("datetime64[us]").astype("datetime64[D]"), unit="D")
+        out = m.groupby("day", as_index=False).agg(n_users=("c", "size"), n_converted=("c", "sum"))
+        return out[["day", "n_users", "n_converted"]].astype({"n_users": np.int64, "n_converted": np.int64})
+
+    per = bucketed_key_apply(ds, "user_id", per_bucket)
+    df = tree_group_sum(per, ["day"], value_cols=["n_users", "n_converted"])
+    df = df.sort_values("day").reset_index(drop=True)
+    out = pd.DataFrame(
+        {
+            "day": df["day"],
+            "n_users": df["n_users"].astype("int64"),
+            "n_converted": df["n_converted"].astype("int64"),
+        }
+    )
+    # pinned 6-dp rounding (sql_round == DuckDB round(x,6), verified incl.
+    # exactly-representable ratio ties like 5/128) — np.round's half-even
+    # would diverge exactly there
+    out["conv_rate"] = (
+        sql_round(out["n_converted"].to_numpy(dtype=np.float64) / out["n_users"].to_numpy(dtype=np.float64) * 1_000_000.0)
+        / 1_000_000.0
+    )
+    return out
+
+
+EVENTS_SIGNUP_FUNNEL_SQL = f"""
+WITH fs AS (
+  SELECT user_id, MIN(CAST(epoch_us(ts) AS BIGINT)) AS s_us
+  FROM events WHERE event_type = 'signup' GROUP BY 1
+), conv AS (
+  SELECT f.user_id, f.s_us,
+         MAX(CASE WHEN e.event_type = 'purchase'
+                   AND CAST(epoch_us(e.ts) AS BIGINT) >= f.s_us
+                   AND CAST(epoch_us(e.ts) AS BIGINT) < f.s_us + {FUNNEL_WINDOW_US}
+                  THEN 1 ELSE 0 END) AS c
+  FROM fs f JOIN events e ON f.user_id = e.user_id
+  GROUP BY 1, 2
+)
+SELECT strftime(make_timestamp(s_us), '%Y-%m-%d') AS day,
+       COUNT(*) AS n_users,
+       CAST(SUM(c) AS BIGINT) AS n_converted,
+       round(CAST(CAST(SUM(c) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS conv_rate
+FROM conv GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Sensitive-field redaction: mask high values of the props "k" field with
+# ONE compiled vectorized regex per batch (count, then constant-replace —
+# no backrefs, so Python re and DuckDB's RE2 substitute identically).
+# Pure per-batch map; the redacted strings themselves go through the value
+# hash, so the oracle checks content, not just counts.
+# ---------------------------------------------------------------------------
+
+REDACT_PATTERN = r": [5-9][0-9]\}"
+REDACT_REPL = ": -1}"
+
+
+def events_props_redact(sf_dir: str):
+    import re
+
+    ds = _read(sf_dir, "events", ["event_id", "props"])
+    rx = re.compile(REDACT_PATTERN)
+
+    def redact(b: pa.Table) -> pa.Table:
+        s = b["props"].to_pandas()
+        n = s.str.count(rx).astype(np.int64)
+        red = s.str.replace(rx, REDACT_REPL, regex=True)
+        return pa.table(
+            {
+                "event_id": b["event_id"],
+                "props_redacted": pa.array(red, type=pa.string()),
+                "n_redacted": pa.array(n.to_numpy()),
+            }
+        )
+
+    return ds.map_batches(redact, batch_format="pyarrow")
+
+
+EVENTS_PROPS_REDACT_SQL = rf"""
+SELECT event_id,
+       regexp_replace(props, '{REDACT_PATTERN}', '{REDACT_REPL}', 'g') AS props_redacted,
+       CAST(len(regexp_extract_all(props, '{REDACT_PATTERN}')) AS BIGINT) AS n_redacted
+FROM events ORDER BY event_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog register table (Flajolet et al. 2007): the mergeable
+# count-distinct sketch a 100 TB pipeline uses when the exact pair shuffle
+# (events_daily_distinct_users) is too wide. The sketch is DETERMINISTIC
+# here — the pinned 32-bit Knuth hash, bucket = top HLL_B bits, rho =
+# leading zeros of the low HLL_W bits + 1 — so the DuckDB oracle rebuilds
+# the EXACT register values in pure SQL (length(bin(w)) is the integer
+# bit-length; no float log2, no approximation in the check). Registers
+# max-combine associatively: per-batch partials collapse each batch to
+# <= 2^HLL_B rows, two shuffle-free map_batches max-levels bound the
+# driver collect exactly like tree_group_sum. Same documented bound as
+# docs_hash_sample: exact SQL mirroring needs user_id < 2^31.
+# The cardinality ESTIMATE from these registers is asserted against the
+# exact count in tests/test_warehouse_queries.py (rel. err << 1.04/sqrt(m)
+# would be luck; < 5% is the bar there).
+# ---------------------------------------------------------------------------
+
+HLL_B = 12  # 2^12 = 4096 registers
+HLL_W = 20  # rho window: low 20 bits of the 32-bit hash
+
+
+def events_hll_registers(sf_dir: str):
+    ds = _read(sf_dir, "events", ["user_id"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (uid * np.uint64(KNUTH_MULT)) & np.uint64(0xFFFFFFFF)
+        bucket = (h >> np.uint64(HLL_W)).astype(np.int64)
+        w = (h & np.uint64((1 << HLL_W) - 1)).astype(np.int64)
+        # exact integer bit-length via frexp (every w < 2^53 is an exact
+        # double, and frexp's exponent IS the bit count — no log2 rounding)
+        _, e = np.frexp(w.astype(np.float64))
+        rho = np.where(w > 0, HLL_W + 1 - e, HLL_W + 1).astype(np.int64)
+        df = pd.DataFrame({"bucket": bucket, "max_rho": rho}).groupby("bucket", as_index=False).max()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def combine(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("bucket", as_index=False).max()
+
+    lvl = ds.map_batches(partial, batch_format="pyarrow")
+    lvl = lvl.map_batches(combine, batch_format="pandas", batch_size=4096)
+    lvl = lvl.map_batches(combine, batch_format="pandas", batch_size=4096)
+    df = lvl.to_pandas()
+    if df.empty:
+        return df.reindex(columns=["bucket", "max_rho"])
+    out = df.groupby("bucket", as_index=False).max().astype({"bucket": "int64", "max_rho": "int64"})
+    return out.sort_values("bucket").reset_index(drop=True)
+
+
+def hll_estimate(registers: "pd.DataFrame", b: int = HLL_B) -> float:
+    """Standard HLL estimator over an events_hll_registers result (missing
+    buckets are zero registers). Used by the accuracy test, not the gate."""
+    m = 1 << b
+    reg = np.zeros(m, dtype=np.int64)
+    if len(registers):
+        reg[registers["bucket"].to_numpy(dtype=np.int64)] = registers["max_rho"].to_numpy(dtype=np.int64)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-reg.astype(np.float64)))
+    zeros = int(np.count_nonzero(reg == 0))
+    if est <= 2.5 * m and zeros > 0:
+        est = m * np.log(m / zeros)
+    return float(est)
+
+
+EVENTS_HLL_SQL = f"""
+WITH h AS (
+  SELECT ((user_id * {KNUTH_MULT}) % 4294967296) AS hv FROM events
+)
+SELECT CAST((hv >> {HLL_W}) AS BIGINT) AS bucket,
+       CAST(MAX(CASE WHEN (hv % {1 << HLL_W}) = 0 THEN {HLL_W + 1}
+                     ELSE {HLL_W + 1} - length(bin(hv % {1 << HLL_W})) END) AS BIGINT) AS max_rho
+FROM h GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch registers (Cormode & Muthukrishnan 2005): the mergeable
+# FREQUENCY sketch beside events_hll_registers' cardinality sketch. d=3
+# pinned affine hashes over the pinned 32-bit space, w=1024 buckets per
+# row; registers are per-(row,bucket) COUNTS, so partials sum exactly in
+# any order and the finish is the same shuffle-free tree combine as every
+# tiny-cardinality aggregate here (3072 groups). The DuckDB oracle
+# rebuilds the registers with the SAME three hash expressions (UNION ALL),
+# so the gate checks every register value, not an estimate. The CMS
+# guarantee (point estimate >= true count, overshoot <= eps*N w.h.p.) is
+# asserted in tests/test_warehouse_queries.py. Same documented bound as
+# docs_hash_sample: exact SQL mirroring needs user_id < 2^31.
+# ---------------------------------------------------------------------------
+
+CMS_W = 1024
+CMS_ROWS = ((2654435761, 0), (2246822519, 12345), (3266489917, 67890))  # (mult, add)
+
+
+def events_cms_registers(sf_dir: str):
+    ds = _read(sf_dir, "events", ["user_id"])
+    from .relational import tree_group_sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        rows, buckets, counts = [], [], []
+        for i, (a, c) in enumerate(CMS_ROWS):
+            h = ((uid * np.uint64(a) + np.uint64(c)) & np.uint64(0xFFFFFFFF)) % np.uint64(CMS_W)
+            cnt = np.bincount(h.astype(np.int64), minlength=CMS_W)
+            nz = np.nonzero(cnt)[0]
+            rows.append(np.full(len(nz), i, dtype=np.int64))
+            buckets.append(nz.astype(np.int64))
+            counts.append(cnt[nz].astype(np.int64))
+        return pa.table(
+            {
+                "row": pa.array(np.concatenate(rows)),
+                "bucket": pa.array(np.concatenate(buckets)),
+                "count": pa.array(np.concatenate(counts)),
+            }
+        )
+
+    df = tree_group_sum(ds.map_batches(partial, batch_format="pyarrow"), ["row", "bucket"], value_cols=["count"])
+    df = df.astype({"row": "int64", "bucket": "int64", "count": "int64"})
+    return df.sort_values(["row", "bucket"]).reset_index(drop=True)
+
+
+def cms_point_estimate(registers: "pd.DataFrame", key: int) -> int:
+    """min over rows of the key's register — the CMS point query (test
+    helper, not part of the gate)."""
+    est = None
+    for i, (a, c) in enumerate(CMS_ROWS):
+        b = int(((key * a + c) % (1 << 32)) % CMS_W)
+        hit = registers[(registers["row"] == i) & (registers["bucket"] == b)]
+        v = int(hit["count"].iloc[0]) if len(hit) else 0
+        est = v if est is None else min(est, v)
+    return int(est)
+
+
+EVENTS_CMS_SQL = " UNION ALL ".join(
+    f"""
+SELECT {i} AS row,
+       ((user_id * {a} + {c}) % 4294967296) % {CMS_W} AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS count
+FROM events GROUP BY 2"""
+    for i, (a, c) in enumerate(CMS_ROWS)
+)
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention: the signup-week x activity-week matrix every growth
+# dashboard runs. Weeks are integer epoch-microsecond divisions (pinned
+# 604800000000 us/week — no calendar/timezone semantics to diverge on).
+# Per-user first week = sorted_group_agg min at user cardinality; distinct
+# (user, week) activity pairs = batch-local unique + composite-key
+# sorted_group_agg (pair-cardinality-bounded shuffle, the
+# events_daily_distinct_users pattern); the cohort x offset rollup is tiny
+# and shuffle-free.
+# ---------------------------------------------------------------------------
+
+WEEK_US = 604_800_000_000
+
+
+def events_cohort_retention(sf_dir: str):
+    from .joins import hash_join
+    from .relational import sorted_group_agg, tree_group_sum
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def weeks(b: pa.Table) -> pd.DataFrame:
+        us = b["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        return pd.DataFrame({
+            "user_id": b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+            "week": us // WEEK_US,
+        })
+
+    def first_partial(b: pa.Table) -> pa.Table:
+        g = weeks(b).groupby("user_id", as_index=False)["week"].min()
+        return pa.Table.from_pandas(g.rename(columns={"week": "cohort_week"}), preserve_index=False)
+
+    first = sorted_group_agg(ds.map_batches(first_partial, batch_format="pyarrow"),
+                             "user_id", {"cohort_week": "min"})
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        g = weeks(b).drop_duplicates()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    pairs = sorted_group_agg(ds.map_batches(pair_partial, batch_format="pyarrow"),
+                             ["user_id", "week"], {"n": "count"})
+    joined = hash_join(pairs, first, on="user_id")
+
+    def rollup(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        df["week_offset"] = (df["week"] - df["cohort_week"]).astype(np.int64)
+        g = df.groupby(["cohort_week", "week_offset"], as_index=False).agg(n_users=("user_id", "size"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = tree_group_sum(joined.map_batches(rollup, batch_format="pyarrow"),
+                         ["cohort_week", "week_offset"], value_cols=["n_users"])
+    out = out.astype({"cohort_week": "int64", "week_offset": "int64", "n_users": "int64"})
+    return out.sort_values(["cohort_week", "week_offset"]).reset_index(drop=True)
+
+
+EVENTS_COHORT_SQL = f"""
+WITH wk AS (
+  -- FLOOR division pinned for any sign: numpy // floors, DuckDB //
+  -- truncates toward zero, so a pre-1970 (negative epoch) timestamp
+  -- would land one week apart; subtracting the canonical non-negative
+  -- remainder first makes the quotient exact integer floor on both
+  SELECT user_id,
+         (epoch_us(ts) - ((epoch_us(ts) % {WEEK_US} + {WEEK_US}) % {WEEK_US})) // {WEEK_US} AS week
+  FROM events
+), fw AS (
+  SELECT user_id, MIN(week) AS cohort_week FROM wk GROUP BY user_id
+), uw AS (SELECT DISTINCT user_id, week FROM wk)
+SELECT CAST(f.cohort_week AS BIGINT) AS cohort_week,
+       CAST(u.week - f.cohort_week AS BIGINT) AS week_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM uw u JOIN fw f ON f.user_id = u.user_id
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Per-user LAG delta (the window-function family's last missing member
+# beside running total / rolling mean / median): value - lag(value) over
+# (ts, event_id) order within each user. One shuffle on a hash BUCKET of
+# the key (bucketed_key_apply); the kernel sorts the bucket once and
+# differences whole user runs vectorized (run-first rows drop — they have
+# no predecessor). Values integer-quantized at 1e-3 so deltas are exact.
+# ---------------------------------------------------------------------------
+
+
+def events_user_value_delta(sf_dir: str):
+    from ..stages.keyapply import bucketed_key_apply, key_run_starts
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
+                                 "user_id": pd.Series([], dtype="int64"),
+                                 "delta": pd.Series([], dtype="float64")})
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        v = sql_round(g["value"].to_numpy(dtype=np.float64) * 1000.0).astype(np.int64)
+        new = key_run_starts(g["user_id"].to_numpy())
+        d = np.empty(len(v), dtype=np.int64)
+        d[1:] = v[1:] - v[:-1]
+        keep = ~new
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy()[keep],
+            "user_id": g["user_id"].to_numpy()[keep],
+            "delta": d[keep].astype(np.float64) / 1000.0,
+        })
+
+    out = bucketed_key_apply(ds, "user_id", kernel, num_buckets=256).to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+EVENTS_USER_DELTA_SQL = """
+SELECT event_id, user_id,
+       CAST(v - lv AS DOUBLE)/1000.0 AS delta
+FROM (
+  SELECT event_id, user_id,
+         CAST(round(value*1000) AS BIGINT) AS v,
+         LAG(CAST(round(value*1000) AS BIGINT))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS lv
+  FROM events
+)
+WHERE lv IS NOT NULL ORDER BY event_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Per-user event-sequence trigrams — the path/funnel-analysis shape: counts
+# of consecutive (type, type, type) transitions within each user's ordered
+# stream, corpus-wide. Whole-user locality via bucketed_key_apply (ordering
+# is per user; a user never splits across buckets), trigram space is
+# |types|^3-bounded so the finish is the shuffle-free tree combine.
+# ---------------------------------------------------------------------------
+
+def events_type_trigrams(sf_dir: str):
+    from ..stages.keyapply import bucketed_key_apply
+    from .relational import tree_group_sum
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "event_type"])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"t1": pd.Series([], dtype=str), "t2": pd.Series([], dtype=str),
+             "t3": pd.Series([], dtype=str), "n": pd.Series([], dtype="int64")}
+        )
+        if len(g) < 3:
+            return empty
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable").reset_index(drop=True)
+        u = g["user_id"].to_numpy()
+        t = g["event_type"].to_numpy()
+        same = u[:-1] == u[1:]
+        ok = same[:-1] & same[1:]
+        if not ok.any():
+            return empty
+        i = np.flatnonzero(ok)
+        df = pd.DataFrame({"t1": t[i], "t2": t[i + 1], "t3": t[i + 2]})
+        out = df.groupby(["t1", "t2", "t3"], as_index=False).size().rename(columns={"size": "n"})
+        return out.astype({"n": "int64"})
+
+    parts = bucketed_key_apply(ds, "user_id", per_bucket)
+    out = tree_group_sum(parts, ["t1", "t2", "t3"], value_cols=["n"]).astype({"n": "int64"})
+    return out.sort_values(["t1", "t2", "t3"]).reset_index(drop=True)
+
+
+EVENTS_TYPE_TRIGRAMS_SQL = """
+WITH o AS (
+  SELECT event_type AS t1,
+         LEAD(event_type, 1) OVER w AS t2,
+         LEAD(event_type, 2) OVER w AS t3
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT t1, t2, t3, CAST(COUNT(*) AS BIGINT) AS n
+FROM o WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# FULL OUTER join shape — the one join type not yet on the gate: per-user
+# high-value purchase rollup vs per-user high-value error rollup, where each
+# side has users the other lacks (threshold chosen so both unmatched sides
+# are non-empty at every sf). Both sides aggregate at USER cardinality via
+# the sorted combine; the full-outer hash join coalesces the key across
+# sides (Ray emits one key column), and missing-side aggregates pin to 0.
+# ---------------------------------------------------------------------------
+
+FULL_OUTER_VALUE_MIN = 100.0
+
+
+def events_user_full_outer(sf_dir: str):
+    import pyarrow.compute as pc
+
+    from .joins import hash_join
+    from .relational import sorted_group_agg
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "value"])
+
+    def side(batch: pa.Table, etype: str, ncol: str, vcol: str | None) -> pa.Table:
+        mask = pc.and_(pc.equal(batch["event_type"], etype),
+                       pc.greater(batch["value"], FULL_OUTER_VALUE_MIN))
+        t = batch.filter(mask)
+        cols = {"user_id": t["user_id"]}
+        if vcol is not None:
+            v = sql_round(t["value"].to_numpy(zero_copy_only=False) * 1000.0).astype(np.int64)
+            cols[vcol] = pa.array(v)
+        return pa.table(cols)
+
+    left = sorted_group_agg(
+        ds.map_batches(lambda b: side(b, "purchase", "n_purch", "purch_v"), batch_format="pyarrow"),
+        "user_id", {"n_purch": "count", "purch_v": "sum"},
+    )
+    right = sorted_group_agg(
+        ds.map_batches(lambda b: side(b, "error", "n_err", None), batch_format="pyarrow"),
+        "user_id", {"n_err": "count"},
+    )
+    # a provably-empty join side crashes Ray's hash-shuffle finalize (see
+    # hash_join); a corpus where one threshold filters everything away must
+    # degrade to the other side with zero-pinned missing aggregates
+    left = left.materialize()
+    right = right.materialize()
+
+    def finish(b: pa.Table) -> pa.Table:
+        z = pa.scalar(0, pa.int64())
+
+        def col(name):
+            if name in b.column_names:
+                return pc.coalesce(b[name].cast(pa.int64()), z)
+            return pa.array(np.zeros(b.num_rows, dtype=np.int64))
+
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "n_purch": col("n_purch"),
+                "purch_v": col("purch_v"),
+                "n_err": col("n_err"),
+            }
+        )
+
+    empty_out = pd.DataFrame(
+        {"user_id": pd.Series([], dtype="int64"), "n_purch": pd.Series([], dtype="int64"),
+         "purch_v": pd.Series([], dtype="int64"), "n_err": pd.Series([], dtype="int64")}
+    )
+    if left.count() == 0 and right.count() == 0:
+        df = empty_out
+    else:
+        if left.count() == 0:
+            joined = right
+        elif right.count() == 0:
+            joined = left
+        else:
+            joined = hash_join(left, right, on="user_id", join_type="full_outer", num_partitions=4)
+        df = joined.map_batches(finish, batch_format="pyarrow").to_pandas()
+    df["purch_v"] = df["purch_v"].astype("float64") / 1000.0
+    df = df.astype({"user_id": "int64", "n_purch": "int64", "n_err": "int64"})
+    return df.sort_values("user_id").reset_index(drop=True)[
+        ["user_id", "n_purch", "purch_v", "n_err"]
+    ]
+
+
+EVENTS_USER_FULL_OUTER_SQL = f"""
+WITH l AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_purch,
+         CAST(SUM(CAST(round(value*1000) AS BIGINT)) AS BIGINT) AS pv
+  FROM events WHERE event_type = 'purchase' AND value > {FULL_OUTER_VALUE_MIN}
+  GROUP BY user_id
+),
+r AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_err
+  FROM events WHERE event_type = 'error' AND value > {FULL_OUTER_VALUE_MIN}
+  GROUP BY user_id
+)
+SELECT COALESCE(l.user_id, r.user_id) AS user_id,
+       COALESCE(l.n_purch, 0) AS n_purch,
+       CAST(COALESCE(l.pv, 0) AS DOUBLE) / 1000.0 AS purch_v,
+       COALESCE(r.n_err, 0) AS n_err
+FROM l FULL OUTER JOIN r ON l.user_id = r.user_id
+ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Interval-OVERLAP join (interval x interval — the operator range_join's
+# point-in-interval shape cannot express): co-present user sessions. Each
+# padded session interval [lo, hi) explodes to the width-W buckets it
+# covers; a candidate pair meets wherever both cover a bucket, and the
+# ANCHOR-BUCKET rule (count the pair only in the bucket containing
+# max(lo_a, lo_b) — covered by both sides of every true overlap) makes each
+# pair meet exactly ONCE, no dedup shuffle. Partitioning assumption: W is
+# chosen so per-bucket session counts stay bounded (hot buckets would route
+# through the salted join). Oracle: window-function sessionize + the plain
+# quadratic inequality join — cross-engine.
+# ---------------------------------------------------------------------------
+
+SESSION_GAP_US = 1_800_000_000          # 30 min, the sessionize convention
+SESSION_PAD_US = 1_800_000_000          # ±30 min co-presence padding
+OVERLAP_BUCKET_US = 21_600_000_000      # 6 h cover buckets
+
+
+def events_session_overlap(sf_dir: str):
+    import pyarrow.compute as pc
+
+    from ..stages.keyapply import bucketed_key_apply, key_run_starts
+    from .joins import hash_join
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def intervals(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({c: pd.Series([], dtype="int64")
+                              for c in ("user_id", "sid", "lo", "hi")})
+        if len(g) == 0:
+            return empty
+        g = g.sort_values(["user_id", "ts"], kind="stable").reset_index(drop=True)
+        us = g["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        u = g["user_id"].to_numpy()
+        new_user = key_run_starts(u)
+        brk = new_user.copy()
+        brk[1:] |= (us[1:] - us[:-1]) > SESSION_GAP_US
+        sid_global = np.cumsum(brk) - 1          # global session ordinal
+        # per-user 0-based session id (matches the SQL SUM(brk) window - 1)
+        first_sid = np.zeros(len(g), dtype=np.int64)
+        starts = np.flatnonzero(new_user)
+        first_sid = np.repeat(sid_global[starts], np.diff(np.append(starts, len(g))))
+        sid = sid_global - first_sid
+        df = pd.DataFrame({"user_id": u, "sid": sid, "us": us})
+        out = df.groupby(["user_id", "sid"], as_index=False).agg(lo=("us", "min"), hi=("us", "max"))
+        out["lo"] = out["lo"] - SESSION_PAD_US
+        out["hi"] = out["hi"] + SESSION_PAD_US
+        return out.astype({"user_id": "int64", "sid": "int64", "lo": "int64", "hi": "int64"})
+
+    iv = bucketed_key_apply(ds, "user_id", intervals).materialize()
+    if iv.count() == 0:
+        # empty events table: no sessions, no pairs (an empty self-join
+        # side would crash the hash shuffle)
+        return pd.DataFrame({c: pd.Series([], dtype="int64")
+                             for c in ("user_a", "sid_a", "user_b", "sid_b", "overlap_us")})
+
+    W = OVERLAP_BUCKET_US
+
+    def explode(b: pa.Table) -> pa.Table:
+        lo = b["lo"].to_numpy(zero_copy_only=False)
+        hi = b["hi"].to_numpy(zero_copy_only=False)
+        nb = ((hi - 1) // W - lo // W + 1).astype(np.int64)
+        idx = np.repeat(np.arange(len(lo)), nb)
+        total = int(nb.sum())
+        run0 = np.repeat(np.cumsum(nb) - nb, nb)  # start offset of each row's run
+        off = np.arange(total, dtype=np.int64) - run0
+        bucket = (lo // W)[idx] + off
+        t = b.take(pa.array(idx))
+        return t.append_column("bucket", pa.array(bucket.astype(np.int64)))
+
+    ex = iv.map_batches(explode, batch_format="pyarrow").materialize()
+    exb = ex.map_batches(
+        lambda b: b.rename_columns(["user_b", "sid_b", "lo_b", "hi_b", "bucket"]),
+        batch_format="pyarrow",
+    )
+    cand = hash_join(ex, exb, on="bucket", num_partitions=8)
+
+    def filt(b: pa.Table) -> pa.Table:
+        lo_a = b["lo"].to_numpy(zero_copy_only=False)
+        hi_a = b["hi"].to_numpy(zero_copy_only=False)
+        lo_b = b["lo_b"].to_numpy(zero_copy_only=False)
+        hi_b = b["hi_b"].to_numpy(zero_copy_only=False)
+        bucket = b["bucket"].to_numpy(zero_copy_only=False)
+        anchor = np.maximum(lo_a, lo_b) // W
+        ok = (
+            (b["user_id"].to_numpy(zero_copy_only=False) < b["user_b"].to_numpy(zero_copy_only=False))
+            & (lo_a < hi_b) & (lo_b < hi_a) & (anchor == bucket)
+        )
+        t = b.filter(pa.array(ok))
+        ov = (np.minimum(t["hi"].to_numpy(zero_copy_only=False), t["hi_b"].to_numpy(zero_copy_only=False))
+              - np.maximum(t["lo"].to_numpy(zero_copy_only=False), t["lo_b"].to_numpy(zero_copy_only=False)))
+        return pa.table(
+            {
+                "user_a": t["user_id"].cast(pa.int64()),
+                "sid_a": t["sid"].cast(pa.int64()),
+                "user_b": t["user_b"].cast(pa.int64()),
+                "sid_b": t["sid_b"].cast(pa.int64()),
+                "overlap_us": pa.array(ov.astype(np.int64)),
+            }
+        )
+
+    df = cand.map_batches(filt, batch_format="pyarrow").to_pandas()
+    return df.sort_values(["user_a", "sid_a", "user_b", "sid_b"]).reset_index(drop=True).astype(
+        {c: "int64" for c in df.columns}
+    )
+
+
+EVENTS_SESSION_OVERLAP_SQL = f"""
+WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+o AS (SELECT user_id, us, LAG(us) OVER (PARTITION BY user_id ORDER BY us) AS prev FROM e),
+s AS (SELECT user_id, us,
+             CASE WHEN prev IS NULL OR us - prev > {SESSION_GAP_US} THEN 1 ELSE 0 END AS brk
+      FROM o),
+sess AS (SELECT user_id, SUM(brk) OVER (PARTITION BY user_id ORDER BY us) - 1 AS sid, us FROM s),
+iv AS (SELECT user_id, sid, MIN(us) - {SESSION_PAD_US} AS lo, MAX(us) + {SESSION_PAD_US} AS hi
+       FROM sess GROUP BY 1, 2)
+SELECT a.user_id AS user_a, CAST(a.sid AS BIGINT) AS sid_a,
+       b.user_id AS user_b, CAST(b.sid AS BIGINT) AS sid_b,
+       CAST(LEAST(a.hi, b.hi) - GREATEST(a.lo, b.lo) AS BIGINT) AS overlap_us
+FROM iv a JOIN iv b ON a.lo < b.hi AND b.lo < a.hi AND a.user_id < b.user_id
+ORDER BY user_a, sid_a, user_b, sid_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# CDC-style compaction: latest event per (user, type) — the upsert/merge
+# shape every 100-TB change-log pipeline needs (keep the newest record per
+# key, drop superseded versions). Whole-user locality via bucketed_key_apply
+# (the composite key's first component is the bucket key, so every
+# (user, type) group is bucket-local); the kernel is one vectorized sort +
+# keep-last. Oracle: ROW_NUMBER() OVER (... ORDER BY ts DESC, event_id
+# DESC) = 1 — the pinned newest-wins tie rule on both engines.
+# ---------------------------------------------------------------------------
+
+def events_latest_per_user_type(sf_dir: str):
+    from ..stages.keyapply import bucketed_key_apply
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "event_id", "ts", "value"])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "user_id": pd.Series([], dtype="int64"),
+                "event_type": pd.Series([], dtype=str),
+                "last_event_id": pd.Series([], dtype="int64"),
+                "last_ts_us": pd.Series([], dtype="int64"),
+                "last_value": pd.Series([], dtype="float64"),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        g = g.copy()
+        g["ts_us"] = g["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        g = g.sort_values(["user_id", "event_type", "ts_us", "event_id"], kind="stable")
+        last = g.drop_duplicates(["user_id", "event_type"], keep="last")
+        return pd.DataFrame(
+            {
+                "user_id": last["user_id"].astype("int64"),
+                "event_type": last["event_type"],
+                "last_event_id": last["event_id"].astype("int64"),
+                "last_ts_us": last["ts_us"].astype("int64"),
+                "last_value": sql_round(last["value"].to_numpy() * 1000.0) / 1000.0,
+            }
+        )
+
+    df = bucketed_key_apply(ds, "user_id", per_bucket).to_pandas()
+    return df.sort_values(["user_id", "event_type"]).reset_index(drop=True)
+
+
+EVENTS_LATEST_SQL = """
+SELECT user_id, event_type,
+       CAST(event_id AS BIGINT) AS last_event_id,
+       CAST(epoch_us(ts) AS BIGINT) AS last_ts_us,
+       CAST(round(value*1000) AS DOUBLE) / 1000.0 AS last_value
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+WHERE rn = 1 ORDER BY user_id, event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Distributed NTILE: every event's decile by (value, event_id) order — the
+# global-rank window function at table cardinality. Rank comes from the
+# two-phase distributed scan over a packed unique key (quantized value in
+# the high bits, event_id tiebreak in the low 40 — documented bound shared
+# with the other packed keys); the decile then applies SQL's exact NTILE
+# fill rule (first n%k buckets get the extra row), so the oracle is the
+# native NTILE(10) window itself — cross-engine on the real SQL semantics.
+# ---------------------------------------------------------------------------
+
+NTILE_K = 10
+
+
+def events_value_ntile(sf_dir: str):
+    from ..stages.scan import ordered_prefix_sum
+
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+    n = ds.count()  # parquet metadata count
+
+    def key(b: pa.Table) -> pa.Table:
+        eid = b["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if (eid >= (1 << 40)).any() or (eid < 0).any():
+            raise ValueError("events_value_ntile: event_id exceeds the 40-bit pack bound")
+        qv = sql_round(b["value"].to_numpy(zero_copy_only=False) * 1000.0).astype(np.int64)
+        k = (qv << np.int64(40)) | eid
+        return pa.table({"k": pa.array(k), "one": pa.array(np.ones(len(k), dtype=np.int64))})
+
+    bw = max((int(ds.max("value") * 1000.0) + 2 << 40) // max(n // 4096, 64), 1)
+    scanned = ordered_prefix_sum(ds.map_batches(key, batch_format="pyarrow"), "k", "one", bucket_width=bw)
+
+    q, rem = divmod(n, NTILE_K)
+
+    def finish(b: pa.Table) -> pa.Table:
+        k = b["k"].to_numpy(zero_copy_only=False)
+        r = b["cum"].to_numpy(zero_copy_only=False)  # 1-based rank
+        cut = rem * (q + 1)
+        tile = np.where(r <= cut, (r - 1) // (q + 1) + 1, rem + (r - 1 - cut) // max(q, 1) + 1)
+        return pa.table(
+            {
+                "event_id": pa.array(k & np.int64((1 << 40) - 1), type=pa.int64()),
+                "tile": pa.array(tile.astype(np.int64)),
+            }
+        )
+
+    df = scanned.map_batches(finish, batch_format="pyarrow").to_pandas()
+    return df.sort_values("event_id").reset_index(drop=True)
+
+
+EVENTS_VALUE_NTILE_SQL = f"""
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       CAST(NTILE({NTILE_K}) OVER (ORDER BY CAST(round(value*1000) AS BIGINT), event_id) AS BIGINT) AS tile
+FROM events ORDER BY event_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Dead-letter-queue (quarantine) routing — production ETL never drops
+# malformed rows silently: they route to a quarantine partition with a
+# reason, and the valid path proceeds. A deterministic ~5% of props payloads
+# is corrupted by the pinned Knuth-hash rule on BOTH engines; validity is
+# one compiled full-match regex per batch. Output: per-k_bucket rollup of
+# the valid path plus the k_bucket = -1 quarantine row — one table, so the
+# hash covers routing AND the downstream aggregate together.
+# ---------------------------------------------------------------------------
+
+QUARANTINE_PCT = 5
+PROPS_VALID_RE = r'\{"k": -?[0-9]+\}'
+
+
+def events_quarantine_routing(sf_dir: str):
+    import re
+
+    from .relational import tree_group_sum
+
+    ds = _read(sf_dir, "events", ["event_id", "props", "value"])
+    rx_valid = re.compile(PROPS_VALID_RE + r"\Z")
+    rx_k = re.compile(r'"k": (-?[0-9]+)')
+
+    def partial(b: pa.Table) -> pa.Table:
+        eid = b["event_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        corrupt = ((eid * np.uint64(KNUTH_MULT)) & np.uint64(0xFFFFFFFF)) % np.uint64(100) < QUARANTINE_PCT
+        s = b["props"].to_pandas()
+        s = s.where(~corrupt, s + "x")  # the deterministic corruption
+        ok = s.str.fullmatch(rx_valid.pattern).to_numpy()
+        v = sql_round(b["value"].to_numpy(zero_copy_only=False) * 1000.0).astype(np.int64)
+        k = np.full(len(s), -1, dtype=np.int64)
+        kv = s[ok].str.extract(rx_k, expand=False)
+        k[ok] = kv.to_numpy(dtype=np.int64) % 10
+        df = pd.DataFrame({"k_bucket": k, "n": 1, "sum_v": v})
+        return pa.Table.from_pandas(df.groupby("k_bucket", as_index=False).sum(), preserve_index=False)
+
+    df = tree_group_sum(ds.map_batches(partial, batch_format="pyarrow"),
+                        ["k_bucket"], value_cols=["n", "sum_v"])
+    out = pd.DataFrame({"k_bucket": df["k_bucket"].astype("int64"), "n": df["n"].astype("int64")})
+    out["sum_value"] = df["sum_v"].astype("float64") / 1000.0
+    return out.sort_values("k_bucket").reset_index(drop=True)
+
+
+EVENTS_QUARANTINE_SQL = f"""
+WITH t AS (
+  SELECT CASE WHEN ((event_id * {KNUTH_MULT}) % 4294967296) % 100 < {QUARANTINE_PCT}
+              THEN props || 'x' ELSE props END AS p,
+         CAST(round(value*1000) AS BIGINT) AS v
+  FROM events
+),
+r AS (
+  SELECT CASE WHEN regexp_full_match(p, '{PROPS_VALID_RE}')
+              THEN CAST(regexp_extract(p, '"k": (-?[0-9]+)', 1) AS BIGINT) % 10
+              ELSE -1 END AS k_bucket,
+         v
+  FROM t
+)
+SELECT CAST(k_bucket AS BIGINT) AS k_bucket, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(v) AS DOUBLE) / 1000.0 AS sum_value
+FROM r GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# RANGE-frame window — trailing 1-hour sum per user: the time-based frame
+# (RANGE BETWEEN x PRECEDING AND CURRENT ROW) is semantically different
+# from the ROWS frame the rolling mean covers — the frame holds every row
+# whose timestamp falls in the window INCLUDING later-ordered peers at the
+# exact same timestamp (SQL peer-group rule, pinned on both engines via a
+# searchsorted right bound). Whole-user locality via bucketed_key_apply;
+# the trailing sum is one cumsum + two searchsorted gathers per user run.
+# ---------------------------------------------------------------------------
+
+TRAIL_WINDOW_US = 3_600_000_000  # 1 h
+
+
+def events_user_trailing_1h(sf_dir: str):
+    from ..stages.keyapply import bucketed_key_apply, key_run_starts
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"event_id": pd.Series([], dtype="int64"), "user_id": pd.Series([], dtype="int64"),
+             "trail_v": pd.Series([], dtype="float64")}
+        )
+        if len(g) == 0:
+            return empty
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable").reset_index(drop=True)
+        us = g["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        u = g["user_id"].to_numpy()
+        v = sql_round(g["value"].to_numpy() * 1000.0).astype(np.int64)
+        cs = np.concatenate([[0], np.cumsum(v)])
+        starts = np.flatnonzero(key_run_starts(u))
+        ends = np.append(starts[1:], len(g))
+        out_v = np.empty(len(g), dtype=np.int64)
+        for s, e in zip(starts, ends):  # per USER run — vectorized inside
+            ts_run = us[s:e]
+            lo = s + np.searchsorted(ts_run, ts_run - TRAIL_WINDOW_US, side="left")
+            hi = s + np.searchsorted(ts_run, ts_run, side="right")  # peer-inclusive
+            out_v[s:e] = cs[hi] - cs[lo]
+        return pd.DataFrame(
+            {"event_id": g["event_id"].astype("int64"), "user_id": pd.Series(u, dtype="int64"),
+             "trail_v": out_v.astype(np.float64) / 1000.0}
+        )
+
+    df = bucketed_key_apply(ds, "user_id", per_bucket).to_pandas()
+    return df.sort_values("event_id").reset_index(drop=True)
+
+
+EVENTS_TRAILING_1H_SQL = f"""
+SELECT event_id, user_id,
+       CAST(SUM(v) OVER (PARTITION BY user_id ORDER BY us
+                         RANGE BETWEEN {TRAIL_WINDOW_US} PRECEDING AND CURRENT ROW)
+            AS DOUBLE) / 1000.0 AS trail_v
+FROM (
+  SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS us,
+         CAST(round(value*1000) AS BIGINT) AS v
+  FROM events
+)
+ORDER BY event_id
+"""
+
+# ---------------------------------------------------------------------------
+# Changelog apply with tombstones — the upsert/delete MERGE shape (Iceberg/
+# Delta-style CDC): the event stream is a change log over user keys where a
+# pinned ~10% of operations are DELETE tombstones; the final state is each
+# user's LAST operation's value, and a user whose last operation is a
+# delete is ABSENT from the result. Whole-user buckets (the CDC-compaction
+# machinery) + one vectorized keep-last + tombstone filter; op assignment
+# is a pinned hash evaluated identically in SQL.
+# ---------------------------------------------------------------------------
+
+def events_apply_changelog(sf_dir: str):
+    from ..stages.keyapply import bucketed_key_apply
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"user_id": pd.Series([], dtype="int64"),
+             "last_event_id": pd.Series([], dtype="int64"),
+             "last_value": pd.Series([], dtype="float64")}
+        )
+        if len(g) == 0:
+            return empty
+        g = g.copy()
+        g["ts_us"] = g["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        g = g.sort_values(["user_id", "ts_us", "event_id"], kind="stable")
+        last = g.drop_duplicates(["user_id"], keep="last")
+        eid = last["event_id"].to_numpy(dtype=np.int64)
+        if (eid >= (1 << 32)).any() or (eid < 0).any():
+            # the uint64 wrap here silently diverges from the oracle's
+            # BIGINT event_id * KNUTH_MULT (which overflows loudly in
+            # DuckDB past ~2^31.7) — same id-bound rule as the quota-mix/
+            # median pack guards; widen to a 128-bit (hi,lo) split hash
+            # if ids ever exceed 32 bits
+            raise ValueError(
+                "events_apply_changelog tombstone hash requires 0 <= event_id < 2^32"
+            )
+        is_del = ((eid.astype(np.uint64) * np.uint64(KNUTH_MULT)) % np.uint64(4294967296)) % np.uint64(10) == 0
+        last = last[~is_del]
+        return pd.DataFrame(
+            {"user_id": last["user_id"].astype("int64"),
+             "last_event_id": last["event_id"].astype("int64"),
+             "last_value": sql_round(last["value"].to_numpy() * 1000.0) / 1000.0}
+        )
+
+    df = bucketed_key_apply(ds, "user_id", per_bucket).to_pandas()
+    return df.sort_values("user_id").reset_index(drop=True)
+
+
+EVENTS_APPLY_CHANGELOG_SQL = f"""
+SELECT user_id,
+       CAST(event_id AS BIGINT) AS last_event_id,
+       CAST(round(value*1000) AS DOUBLE) / 1000.0 AS last_value
+FROM (
+  SELECT user_id, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+WHERE rn = 1
+  AND ((event_id * {KNUTH_MULT}) % 4294967296) % 10 <> 0
+ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Grouped top-k at KEY scale — each user's 2 most frequent event types
+# (ties by type asc). Unlike docs_top3_by_lang (a handful of groups), the
+# group axis here grows with the data: (user, type) counts reduce at
+# composite-key cardinality on the sorted combine, then whole-user hash
+# buckets rank vectorized (one lexsort + cumcount per bucket). Oracle =
+# ROW_NUMBER over COUNT(*).
+# ---------------------------------------------------------------------------
+
+def events_user_top2_types(sf_dir: str):
+    from ..stages.keyapply import bucketed_key_apply
+    from .relational import sorted_group_agg
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    counts = sorted_group_agg(ds, ["user_id", "event_type"], {"n": "count"})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"user_id": pd.Series([], dtype="int64"), "rk": pd.Series([], dtype="int64"),
+             "event_type": pd.Series([], dtype=str), "n": pd.Series([], dtype="int64")}
+        )
+        if len(g) == 0:
+            return empty
+        g = g.sort_values(["user_id", "n", "event_type"],
+                          ascending=[True, False, True], kind="stable").reset_index(drop=True)
+        rk = g.groupby("user_id").cumcount().to_numpy() + 1
+        keep = rk <= 2
+        out = g.loc[keep, ["user_id", "event_type", "n"]].copy()
+        out.insert(1, "rk", rk[keep].astype(np.int64))
+        return out.astype({"user_id": "int64", "n": "int64"})
+
+    df = bucketed_key_apply(counts, "user_id", per_bucket).to_pandas()
+    return df.sort_values(["user_id", "rk"]).reset_index(drop=True)
+
+
+EVENTS_USER_TOP2_TYPES_SQL = """
+WITH c AS (SELECT user_id, event_type, COUNT(*) AS n FROM events GROUP BY 1, 2),
+r AS (SELECT user_id, event_type, n,
+        ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY n DESC, event_type) AS rk
+      FROM c)
+SELECT user_id, CAST(rk AS BIGINT) AS rk, event_type, CAST(n AS BIGINT) AS n
+FROM r WHERE rk <= 2 ORDER BY user_id, rk
+"""
+
+
+# ---------------------------------------------------------------------------
+# Gaps-and-islands: each user's LONGEST consecutive-day activity streak —
+# the classic calendar-run shape (SQL solves it with the day - row_number
+# constant-per-island trick; the engine computes the same islands
+# vectorized over whole-user buckets on the distinct (user, day) table).
+# Day boundaries in integer epoch days (timestamps are UTC-us; no
+# calendar semantics beyond floor division).
+# ---------------------------------------------------------------------------
+
+def events_user_longest_streak(sf_dir: str):
+    from ..stages.keyapply import bucketed_key_apply
+    from .relational import sorted_group_agg
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def day_pairs(b: pa.Table) -> pa.Table:
+        days = (
+            b["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+            // 86_400_000_000
+        )
+        df = pd.DataFrame(
+            {"user_id": b["user_id"].to_numpy(zero_copy_only=False), "day": days}
+        ).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    distinct = sorted_group_agg(
+        ds.map_batches(day_pairs, batch_format="pyarrow"), ["user_id", "day"], {"_n": "count"}
+    ).drop_columns(["_n"])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"user_id": pd.Series([], dtype="int64"), "longest_streak": pd.Series([], dtype="int64")}
+        )
+        if len(g) == 0:
+            return empty
+        g = g.sort_values(["user_id", "day"], kind="stable").reset_index(drop=True)
+        u = g["user_id"].to_numpy()
+        d = g["day"].to_numpy(dtype=np.int64)
+        # island id = day - within-user row index (constant per island)
+        new_user = np.ones(len(g), dtype=bool)
+        new_user[1:] = u[1:] != u[:-1]
+        idx = np.arange(len(g)) - np.maximum.accumulate(np.where(new_user, np.arange(len(g)), 0))
+        island = d - idx
+        runs = (
+            pd.DataFrame({"user_id": u, "island": island})
+            .groupby(["user_id", "island"], as_index=False).size()
+        )
+        out = runs.groupby("user_id", as_index=False)["size"].max()
+        return out.rename(columns={"size": "longest_streak"}).astype(
+            {"user_id": "int64", "longest_streak": "int64"}
+        )
+
+    df = bucketed_key_apply(distinct, "user_id", per_bucket).to_pandas()
+    return df.sort_values("user_id").reset_index(drop=True)
+
+
+EVENTS_USER_LONGEST_STREAK_SQL = """
+WITH d AS (SELECT DISTINCT user_id,
+                  CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+           FROM events),
+r AS (SELECT user_id, day,
+        day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS island
+      FROM d),
+runs AS (SELECT user_id, island, COUNT(*) AS len FROM r GROUP BY 1, 2)
+SELECT user_id, CAST(MAX(len) AS BIGINT) AS longest_streak
+FROM runs GROUP BY user_id ORDER BY user_id
+"""
+
+

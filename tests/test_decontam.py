@@ -143,7 +143,7 @@ def _chunks_py(text: str, W: int) -> list[tuple[int, int, str]]:
 
 
 def test_chunk_windows_boundaries(ray_session, tmp_path):
-    from geospatialtools_ray.pipelines.extraqueries import CHUNK_TOKENS, docs_chunk_windows
+    from geospatialtools_ray.pipelines.hygienequeries import CHUNK_TOKENS, docs_chunk_windows
 
     W = CHUNK_TOKENS
     texts = [

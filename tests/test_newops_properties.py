@@ -75,7 +75,7 @@ def test_misra_gries_merge_preserves_heavy_hitter_guarantee():
     subtracted d satisfies (K+1)*d <= mass present at that merge."""
     import pandas as pd
 
-    from geospatialtools_ray.pipelines.extraqueries import HH_K, _mg_combine, _mg_truncate
+    from geospatialtools_ray.pipelines.retrievalqueries import HH_K, _mg_combine, _mg_truncate
 
     rng = np.random.default_rng(7)
     for trial in range(8):

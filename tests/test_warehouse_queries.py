@@ -1,5 +1,5 @@
 """DuckDB parity for the round-4 warehouse/analytics query shapes
-(pipelines/extraqueries.py): window prefix-sum, grouped top-k, pivot,
+(pipelines/windowqueries.py et al., split round 5): window prefix-sum, grouped top-k, pivot,
 deterministic hash sample, exact count-distinct, JSON field extraction,
 embedding centroids, term document-frequency, exact quantiles.
 
@@ -145,7 +145,7 @@ def test_chunk_rule_null_and_empty_docs_match_oracle(ray_session):
     guard on the COALESCE handling in the oracles."""
     import ray.data as rd
 
-    from geospatialtools_ray.pipelines import extraqueries as X
+    from geospatialtools_ray.pipelines import hygienequeries as X
     from geospatialtools_ray.stages.dedup import chunk_exact_dedup
     from geospatialtools_ray.stages.text import chunk_windows_df
 
@@ -205,7 +205,7 @@ def test_decontaminate_empty_docs_match_oracle(ray_session, tmp_path):
     con = duckdb.connect()
     con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')")
 
-    from geospatialtools_ray.pipelines import extraqueries as X
+    from geospatialtools_ray.pipelines import hygienequeries as X
 
     eng = X.docs_decontaminate(sf)
     ora = con.execute(X.DOCS_DECONTAMINATE_SQL).df()
@@ -225,7 +225,7 @@ def test_hll_estimate_accuracy(entry, oracle_con):
     """The register table is hash-checked against the SQL twin above; this
     pins the other half of the contract — the ESTIMATE those registers
     produce tracks the exact distinct count (m=4096 -> sigma ~1.6%)."""
-    from geospatialtools_ray.pipelines.extraqueries import hll_estimate
+    from geospatialtools_ray.pipelines.windowqueries import hll_estimate
 
     regs = entry.queries()["events_hll_registers"](SF)
     exact = oracle_con.execute("SELECT COUNT(DISTINCT user_id) FROM events").fetchone()[0]
@@ -254,7 +254,7 @@ def test_cms_point_query_guarantee(entry, oracle_con):
     """CMS contract: every point estimate >= the true count (never under),
     and the overshoot on the heaviest keys stays within eps*N (w=1024 ->
     eps ~ 2.7e-3 per the e/w bound)."""
-    from geospatialtools_ray.pipelines.extraqueries import cms_point_estimate
+    from geospatialtools_ray.pipelines.windowqueries import cms_point_estimate
 
     regs = entry.queries()["events_cms_registers"](SF)
     truth = oracle_con.execute(
@@ -367,7 +367,7 @@ def test_inverted_index_degenerate_docs(ray_session, tmp_path):
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    from geospatialtools_ray.pipelines import extraqueries as X
+    from geospatialtools_ray.pipelines import retrievalqueries as X
 
     pq.write_table(
         pa.table({
@@ -538,7 +538,7 @@ def test_degenerate_corpora_match_oracle(entry, tmp_path):
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    from geospatialtools_ray.pipelines import extraqueries as X
+    from geospatialtools_ray.pipelines import retrievalqueries as X
     from geospatialtools_ray.pipelines import relational as R
 
     sf = str(tmp_path)
