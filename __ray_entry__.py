@@ -379,6 +379,9 @@ _REGISTRY: dict[str, tuple[Callable[[str], Any], str]] = {
     # round 5: exact substring dedup (Lee et al. 2022 ExactSubstr) — fully
     # cross-engine gaps-and-islands oracle over corpus-duplicated L-windows
     "docs_dup_substring_spans": (HQ.docs_dup_substring_spans, HQ.DOCS_DUP_SUBSTRING_SPANS_SQL),
+    # round 5: per-point UTM zone assignment (gdal's auto-zone floor rule,
+    # pure-integer oracle — fully cross-engine)
+    "docs_utm_zones": (G.docs_utm_zones, G.DOCS_UTM_ZONES_SQL),
 }
 
 # ---------------------------------------------------------------------------
@@ -398,6 +401,7 @@ _TIER0_ROUND5: list[str] = [
     "stations_utm_reproject_knn",
     "docs_reprojected_polygon_join",
     "docs_dup_substring_spans",
+    "docs_utm_zones",
 ]
 _TIER1_NEVER_CHECKED: list[str] = [
     "docs_jaccard_pairs", "events_sliding_windows", "events_user_running_total",

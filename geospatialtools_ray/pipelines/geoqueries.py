@@ -327,3 +327,47 @@ FROM hits h JOIN read_parquet('{O.fixture_path("crs_poly_attrs")}') a USING (pol
 WHERE h.k % 2 = 1
 ORDER BY doc_id, poly_id
 """
+
+
+# ---------------------------------------------------------------------------
+# 4. per-point UTM zone assignment — the zone picker a multi-zone corpus
+#    needs before lonlat_to_utm (gdal's utm auto-zone rule, no Norway
+#    exceptions). Pure integer arithmetic mirrored exactly in SQL: fully
+#    cross-engine, no float hazard.
+# ---------------------------------------------------------------------------
+
+def docs_utm_zones(sf_dir: str):
+    from .relational import tree_group_sum
+    from .textqueries import doc_lonlat
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def zones(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)
+        lon, lat = doc_lonlat(did)
+        # vectorized twin of crs.utm_zone_of (same floor/mod rule)
+        zone = (np.floor((lon + 180.0) / 6.0).astype(np.int64) % 60) + 1
+        south = (lat < 0.0).astype(np.int64)
+        df = pd.DataFrame({"zone": zone, "south": south, "n": 1})
+        return pa.Table.from_pandas(
+            df.groupby(["zone", "south"], as_index=False).sum(), preserve_index=False
+        )
+
+    out = tree_group_sum(
+        ds.map_batches(zones, batch_format="pyarrow"), ["zone", "south"], value_cols=["n"]
+    )
+    out = out.astype({"zone": "int64", "south": "int64", "n": "int64"})
+    return out.sort_values(["zone", "south"]).reset_index(drop=True)
+
+
+DOCS_UTM_ZONES_SQL = """
+WITH p AS (
+  SELECT (CAST((doc_id * 9973) % 36000 AS DOUBLE)/100.0 - 180.0) AS lon,
+         (CAST((doc_id * 9941) % 17000 AS DOUBLE)/100.0 - 85.0) AS lat
+  FROM documents
+)
+SELECT CAST(CAST(floor((lon + 180.0) / 6.0) AS BIGINT) % 60 + 1 AS BIGINT) AS zone,
+       CAST(CASE WHEN lat < 0.0 THEN 1 ELSE 0 END AS BIGINT) AS south,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM p GROUP BY 1, 2 ORDER BY zone, south
+"""

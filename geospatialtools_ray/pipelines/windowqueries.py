@@ -1289,6 +1289,9 @@ ORDER BY user_id
 SESSION_GAP_US = 1_800_000_000          # 30 min, the sessionize convention
 SESSION_PAD_US = 1_800_000_000          # ±30 min co-presence padding
 OVERLAP_BUCKET_US = 21_600_000_000      # 6 h cover buckets
+# loud OOM guard on per-batch candidate pairs (None = uncapped, the gate
+# default; production sets a worker-heap-sized cap — simhash convention)
+SESSION_OVERLAP_PAIR_CAP: int | None = None
 
 
 def events_session_overlap(sf_dir: str):
@@ -1351,6 +1354,16 @@ def events_session_overlap(sf_dir: str):
     cand = hash_join(ex, exb, on="bucket", num_partitions=8)
 
     def filt(b: pa.Table) -> pa.Table:
+        if SESSION_OVERLAP_PAIR_CAP is not None and b.num_rows > SESSION_OVERLAP_PAIR_CAP:
+            # the operator's contract is EVERY overlapping session pair —
+            # output-quadratic at adversarial session density. Fail loudly
+            # (the simhash/asof cap convention) instead of OOMing a
+            # worker; aggregate overlap statistics per bucket if the pair
+            # set itself is not needed.
+            raise ValueError(
+                f"events_session_overlap: {b.num_rows} candidate pairs in one "
+                f"batch > SESSION_OVERLAP_PAIR_CAP={SESSION_OVERLAP_PAIR_CAP}"
+            )
         lo_a = b["lo"].to_numpy(zero_copy_only=False)
         hi_a = b["hi"].to_numpy(zero_copy_only=False)
         lo_b = b["lo_b"].to_numpy(zero_copy_only=False)
