@@ -382,6 +382,12 @@ _REGISTRY: dict[str, tuple[Callable[[str], Any], str]] = {
     # round 5: per-point UTM zone assignment (gdal's auto-zone floor rule,
     # pure-integer oracle — fully cross-engine)
     "docs_utm_zones": (G.docs_utm_zones, G.DOCS_UTM_ZONES_SQL),
+    # round 5: distributed raster reprojection (the gdalwarp twin —
+    # inverse-project dst cell centers + nearest-cell sample, boundary-safe
+    # cross-engine oracle) and Bing quadkey tile addressing (bit-interleave
+    # mirrored digit-by-digit in SQL)
+    "raster_warp_webmercator": (G.raster_warp_webmercator, G.RASTER_WARP_SQL),
+    "docs_quadkeys": (G.docs_quadkeys, G._quadkey_sql()),
 }
 
 # ---------------------------------------------------------------------------
@@ -402,6 +408,8 @@ _TIER0_ROUND5: list[str] = [
     "docs_reprojected_polygon_join",
     "docs_dup_substring_spans",
     "docs_utm_zones",
+    "raster_warp_webmercator",
+    "docs_quadkeys",
 ]
 _TIER1_NEVER_CHECKED: list[str] = [
     "docs_jaccard_pairs", "events_sliding_windows", "events_user_running_total",

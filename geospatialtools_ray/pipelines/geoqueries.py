@@ -371,3 +371,140 @@ SELECT CAST(CAST(floor((lon + 180.0) / 6.0) AS BIGINT) % 60 + 1 AS BIGINT) AS zo
        CAST(COUNT(*) AS BIGINT) AS n
 FROM p GROUP BY 1, 2 ORDER BY zone, south
 """
+
+
+# ---------------------------------------------------------------------------
+# 5. distributed raster reprojection — the gdalwarp twin (stages/warp.py):
+#    a 1-degree lonlat source grid (value a pure function of (iy, ix))
+#    warped onto a web-mercator destination grid by nearest-cell sampling
+#    (the reference's extract_point_data rule composed with the inverse
+#    CRS transform). FULLY cross-engine: DuckDB regenerates the dst grid,
+#    inverse-projects with the same expressions, applies the same
+#    round()-based nearest-index rule, and recomputes the source value.
+#    Boundary safety: dst cell centers are exact binary floats whose
+#    inverse-mercator images are transcendental — never an exact integer
+#    longitude/latitude, so the round() half-boundary is never hit and
+#    numpy-vs-DuckDB ulp differences cannot flip an index.
+# ---------------------------------------------------------------------------
+
+WARP_SRC_NX, WARP_SRC_NY = 360, 180
+WARP_SRC_GT = (-180.0, 1.0, 0.0, 90.0, 0.0, -1.0)
+WARP_DST = {
+    "crs": "webmercator",
+    "x0": -10_000_000.0, "resx": 78_271.515625,
+    "y0": 10_000_000.0, "resy": -104_166.65625,
+    "nx": 256, "ny": 192,
+}
+
+
+def _warp_src_grid() -> np.ndarray:
+    iy, ix = np.indices((WARP_SRC_NY, WARP_SRC_NX))
+    return ((iy * 13 + ix * 7) % 97).astype(np.float64)
+
+
+def raster_warp_webmercator(sf_dir: str):
+    from ..stages.warp import warp_nearest
+
+    out = warp_nearest(_warp_src_grid(), WARP_SRC_GT, "lonlat", WARP_DST).to_pandas()
+    out["v"] = out["value"].astype("int64")
+    out = out.drop(columns=["value"]).astype({"iy": "int64", "ix": "int64"})
+    return out.sort_values(["iy", "ix"]).reset_index(drop=True)
+
+
+RASTER_WARP_SQL = f"""
+WITH g AS (
+  SELECT CAST(a.iy AS BIGINT) AS iy, CAST(b.ix AS BIGINT) AS ix
+  FROM range({WARP_DST["ny"]}) a(iy) CROSS JOIN range({WARP_DST["nx"]}) b(ix)
+),
+pts AS (
+  SELECT iy, ix,
+         {WARP_DST["x0"]!r} + (ix + 0.5) * {WARP_DST["resx"]!r} AS mx,
+         {WARP_DST["y0"]!r} + (iy + 0.5) * {WARP_DST["resy"]!r} AS my
+  FROM g
+),
+ll AS (
+  SELECT iy, ix,
+         degrees(mx / {_R!r}) AS lon,
+         degrees(2.0*atan(exp(my / {_R!r})) - pi()/2.0) AS lat
+  FROM pts
+),
+idx AS (
+  SELECT iy, ix,
+         CAST(round((lon - ({WARP_SRC_GT[0]!r} + {WARP_SRC_GT[1]!r}/2.0)) / {WARP_SRC_GT[1]!r}) AS BIGINT) AS ilon,
+         CAST(round((lat - ({WARP_SRC_GT[3]!r} + {WARP_SRC_GT[5]!r}/2.0)) / {WARP_SRC_GT[5]!r}) AS BIGINT) AS ilat
+  FROM ll
+)
+SELECT iy, ix, CAST((ilat * 13 + ilon * 7) % 97 AS BIGINT) AS v
+FROM idx ORDER BY iy, ix
+"""
+
+
+# ---------------------------------------------------------------------------
+# 6. quadkey encoding — the Bing-maps tile-address string (level 8):
+#    interleave the web-mercator tile x/y bits into a base-4 string.
+#    Pure integer bit arithmetic after the mercator forward, mirrored
+#    digit-by-digit in SQL; counts per quadkey keep the output bounded.
+# ---------------------------------------------------------------------------
+
+QUADKEY_LEVEL = 8
+
+
+def docs_quadkeys(sf_dir: str):
+    from .relational import tree_group_sum
+    from .textqueries import doc_lonlat
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    n = 1 << QUADKEY_LEVEL
+
+    def qk(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)
+        lon, lat = doc_lonlat(did)
+        # standard slippy/Bing tile math (clip to the web-mercator square)
+        latc = np.clip(lat, -85.05112878, 85.05112878)
+        tx = np.floor((lon + 180.0) / 360.0 * n).astype(np.int64)
+        s = np.sin(np.radians(latc))
+        ty = np.floor((0.5 - np.log((1.0 + s) / (1.0 - s)) / (4.0 * np.pi)) * n).astype(np.int64)
+        np.clip(tx, 0, n - 1, out=tx)
+        np.clip(ty, 0, n - 1, out=ty)
+        digits = []
+        for i in range(QUADKEY_LEVEL - 1, -1, -1):
+            d = (((ty >> i) & 1) << 1) | ((tx >> i) & 1)
+            digits.append(d.astype(np.uint8) + ord("0"))
+        buf = np.stack(digits, axis=1).astype(np.uint8)
+        keys = buf.tobytes().decode("ascii")
+        keys = [keys[i * QUADKEY_LEVEL:(i + 1) * QUADKEY_LEVEL] for i in range(len(did))]
+        df = pd.DataFrame({"quadkey": keys, "n": 1})
+        return pa.Table.from_pandas(
+            df.groupby("quadkey", as_index=False).sum(), preserve_index=False
+        )
+
+    out = tree_group_sum(
+        ds.map_batches(qk, batch_format="pyarrow"), ["quadkey"], value_cols=["n"]
+    )
+    out = out.astype({"quadkey": "str", "n": "int64"})
+    return out.sort_values("quadkey").reset_index(drop=True)
+
+
+def _quadkey_sql() -> str:
+    n = 1 << QUADKEY_LEVEL
+    digit_exprs = " || ".join(
+        f"CAST(((ty // {1 << i}) % 2) * 2 + ((tx // {1 << i}) % 2) AS VARCHAR)"
+        for i in range(QUADKEY_LEVEL - 1, -1, -1)
+    )
+    return f"""
+WITH p AS (
+  SELECT (CAST((doc_id * 9973) % 36000 AS DOUBLE)/100.0 - 180.0) AS lon,
+         (CAST((doc_id * 9941) % 17000 AS DOUBLE)/100.0 - 85.0) AS lat
+  FROM documents
+),
+c AS (
+  SELECT lon, LEAST(GREATEST(lat, -85.05112878), 85.05112878) AS latc FROM p
+),
+t AS (
+  SELECT CAST(LEAST(GREATEST(floor((lon + 180.0) / 360.0 * {n}), 0), {n - 1}) AS BIGINT) AS tx,
+         CAST(LEAST(GREATEST(floor((0.5 - ln((1.0 + sin(radians(latc))) / (1.0 - sin(radians(latc)))) / (4.0 * pi())) * {n}), 0), {n - 1}) AS BIGINT) AS ty
+  FROM c
+)
+SELECT {digit_exprs} AS quadkey, CAST(COUNT(*) AS BIGINT) AS n
+FROM t GROUP BY 1 ORDER BY quadkey
+"""

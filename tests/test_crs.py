@@ -131,3 +131,38 @@ def test_polygon_index_src_crs_matches_lonlat_build():
     a = sorted(zip(p_ll[0].tolist(), idx_ll.poly_ids[p_ll[1]].tolist()))
     b = sorted(zip(p_m[0].tolist(), idx_m.poly_ids[p_m[1]].tolist()))
     assert a == b and len(a) > 100
+
+
+def test_warp_identity_lonlat(ray_session):
+    """Warping a lonlat grid onto ITSELF (same CRS, same cells) is the
+    identity — every dst cell samples its own src cell."""
+    import pandas as pd
+
+    from geospatialtools_ray.stages.warp import warp_nearest
+
+    ny, nx = 24, 48
+    iy, ix = np.indices((ny, nx))
+    grid = ((iy * 5 + ix * 3) % 31).astype(np.float64)
+    gt = (-180.0, 360.0 / nx, 0.0, 90.0, 0.0, -180.0 / ny)
+    spec = {"crs": "lonlat", "x0": -180.0, "resx": 360.0 / nx,
+            "y0": 90.0, "resy": -180.0 / ny, "nx": nx, "ny": ny}
+    out = warp_nearest(grid, gt, "lonlat", spec).to_pandas()
+    out = out.sort_values(["iy", "ix"]).reset_index(drop=True)
+    assert len(out) == ny * nx
+    assert (out["value"].to_numpy().reshape(ny, nx) == grid).all()
+
+
+def test_warp_out_of_coverage_is_undef(ray_session):
+    """dst cells whose source coords fall outside the grid -> undef (the
+    reference's out-of-bounds rule, gdal_tools.py:29-30)."""
+    from geospatialtools_ray.stages.warp import warp_nearest
+
+    grid = np.ones((10, 10))
+    gt = (0.0, 1.0, 0.0, 10.0, 0.0, -1.0)  # covers lon 0..10, lat 0..10
+    spec = {"crs": "lonlat", "x0": -5.0, "resx": 1.0, "y0": 10.0, "resy": -1.0,
+            "nx": 20, "ny": 10}
+    out = warp_nearest(grid, gt, "lonlat", spec, undef=np.nan).to_pandas()
+    inside = out[(out["ix"] >= 5) & (out["ix"] < 15)]
+    outside = out[out["ix"] < 5]
+    assert (inside["value"] == 1.0).all()
+    assert outside["value"].isna().all()
