@@ -388,6 +388,10 @@ _REGISTRY: dict[str, tuple[Callable[[str], Any], str]] = {
     # mirrored digit-by-digit in SQL)
     "raster_warp_webmercator": (G.raster_warp_webmercator, G.RASTER_WARP_SQL),
     "docs_quadkeys": (G.docs_quadkeys, G._quadkey_sql()),
+    # round 5: bilinear resampling variant (staged same-kernel twin) and
+    # corpus-scale multi-zone forward UTM projection (twin, mm-rounded)
+    "raster_warp_bilinear": (G.raster_warp_bilinear, G.RASTER_WARP_BILINEAR_SQL),
+    "docs_utm_project": (G.docs_utm_project, G.DOCS_UTM_PROJECT_SQL),
 }
 
 # ---------------------------------------------------------------------------
@@ -410,6 +414,8 @@ _TIER0_ROUND5: list[str] = [
     "docs_utm_zones",
     "raster_warp_webmercator",
     "docs_quadkeys",
+    "raster_warp_bilinear",
+    "docs_utm_project",
 ]
 _TIER1_NEVER_CHECKED: list[str] = [
     "docs_jaccard_pairs", "events_sliding_windows", "events_user_running_total",

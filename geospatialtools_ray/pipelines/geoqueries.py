@@ -508,3 +508,91 @@ t AS (
 SELECT {digit_exprs} AS quadkey, CAST(COUNT(*) AS BIGINT) AS n
 FROM t GROUP BY 1 ORDER BY quadkey
 """
+
+
+def raster_warp_bilinear(sf_dir: str):
+    """Bilinear-resampling variant of the warp (gdalwarp -r bilinear).
+    Float weights make a fully-SQL mirror ulp-hazardous, so the oracle is
+    the staged single-process twin of the SAME kernel (the knn-haversine
+    convention): distributed == single-process is the check."""
+    from ..stages.warp import warp_nearest
+
+    stage_raster_warp_bilinear(sf_dir)
+    out = warp_nearest(_warp_src_grid(), WARP_SRC_GT, "lonlat", WARP_DST,
+                       mode="bilinear").to_pandas()
+    out["v_micro"] = sql_round(out["value"].to_numpy() * 1e6).astype(np.int64)
+    out = out.drop(columns=["value"]).astype({"iy": "int64", "ix": "int64"})
+    return out.sort_values(["iy", "ix"]).reset_index(drop=True)
+
+
+def stage_raster_warp_bilinear(sf_dir: str) -> str:
+    from ..stages.warp import bilinear_sample
+
+    s = WARP_DST
+    iy, ix = np.indices((s["ny"], s["nx"]))
+    iy, ix = iy.ravel(), ix.ravel()
+    dx = s["x0"] + (ix + 0.5) * s["resx"]
+    dy = s["y0"] + (iy + 0.5) * s["resy"]
+    lon, lat = crs.transform(dx, dy, s["crs"], "lonlat")
+    v = bilinear_sample(lon, lat, _warp_src_grid(), WARP_SRC_GT)
+    out = pd.DataFrame(
+        {"iy": iy.astype(np.int64), "ix": ix.astype(np.int64),
+         "v_micro": sql_round(v * 1e6).astype(np.int64)}
+    ).sort_values(["iy", "ix"]).reset_index(drop=True)
+    return O.stage_fixture("raster_warp_bilinear", out)
+
+
+RASTER_WARP_BILINEAR_SQL = O.fixture_sql("raster_warp_bilinear", "iy, ix")
+
+
+# ---------------------------------------------------------------------------
+# 7. corpus-scale forward UTM projection — every point projected into ITS
+#    OWN auto-picked zone (the multi-zone composition of docs_utm_zones +
+#    lonlat_to_utm), distributed per batch by grouping points on zone and
+#    running the vectorized Snyder forward once per present zone. Twin
+#    oracle (trig), mm-rounded.
+# ---------------------------------------------------------------------------
+
+def _utm_project_points(did: np.ndarray) -> pd.DataFrame:
+    from .textqueries import doc_lonlat
+
+    lon, lat = doc_lonlat(did)
+    zone = (np.floor((lon + 180.0) / 6.0).astype(np.int64) % 60) + 1
+    south = lat < 0.0
+    e = np.empty(len(did))
+    n = np.empty(len(did))
+    for z in np.unique(zone):
+        for s in (False, True):
+            m = (zone == z) & (south == s)
+            if m.any():
+                e[m], n[m] = crs.lonlat_to_utm(lon[m], lat[m], int(z), south=s)
+    return pd.DataFrame(
+        {"doc_id": did.astype(np.int64), "zone": zone,
+         "south": south.astype(np.int64),
+         "easting_mm": sql_round(e * 1000.0).astype(np.int64),
+         "northing_mm": sql_round(n * 1000.0).astype(np.int64)}
+    )
+
+
+def docs_utm_project(sf_dir: str):
+    stage_docs_utm_project(sf_dir)
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def proj(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.Table.from_pandas(_utm_project_points(did), preserve_index=False)
+
+    out = ds.map_batches(proj, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True).astype(
+        {c: "int64" for c in out.columns}
+    )
+
+
+def stage_docs_utm_project(sf_dir: str) -> str:
+    df = io.read_table_arrow(io.table_path(sf_dir, "documents"), columns=["doc_id"]).to_pandas()
+    did = df["doc_id"].astype("int64").to_numpy()
+    out = _utm_project_points(did).sort_values("doc_id").reset_index(drop=True)
+    return O.stage_fixture("docs_utm_project", out)
+
+
+DOCS_UTM_PROJECT_SQL = O.fixture_sql("docs_utm_project", "doc_id")

@@ -34,12 +34,42 @@ from ..functions import crs as _crs
 from .knn import nearest_cell_sample
 
 
+def bilinear_sample(lon, lat, grid: np.ndarray, gt, undef: float = np.nan) -> np.ndarray:
+    """Bilinear interpolation at cell-CENTER anchors (gdalwarp -r bilinear
+    semantics): sample coordinates between the four surrounding cell
+    centers blend with the fractional distances; points beyond the
+    outermost center ring clamp to the edge cell pair (so the valid
+    footprint matches nearest's), fully outside -> undef."""
+    gt = np.asarray(gt, dtype=np.float64)
+    ny, nx = grid.shape
+    fx = (lon - (gt[0] + gt[1] / 2.0)) / gt[1]
+    fy = (lat - (gt[3] + gt[5] / 2.0)) / gt[5]
+    ok = (fx >= -0.5) & (fx <= nx - 0.5) & (fy >= -0.5) & (fy <= ny - 0.5)
+    x0 = np.clip(np.floor(fx).astype(np.int64), 0, nx - 1)
+    y0 = np.clip(np.floor(fy).astype(np.int64), 0, ny - 1)
+    x1 = np.minimum(x0 + 1, nx - 1)
+    y1 = np.minimum(y0 + 1, ny - 1)
+    wx = np.clip(fx - x0, 0.0, 1.0)
+    wy = np.clip(fy - y0, 0.0, 1.0)
+    v = (
+        grid[y0, x0] * (1.0 - wx) * (1.0 - wy)
+        + grid[y0, x1] * wx * (1.0 - wy)
+        + grid[y1, x0] * (1.0 - wx) * wy
+        + grid[y1, x1] * wx * wy
+    )
+    out = np.full(len(lon), undef, dtype=np.float64)
+    out[ok] = v[ok]
+    return out
+
+
 class WarpNearest:
     """Actor/task callable: batches of dst row indices -> (iy, ix, value)
     rows. Construct with a ray.ObjectRef of (src_grid, src_gt) or the
-    plain pair for tests."""
+    plain pair for tests. mode: 'nearest' (default, the reference's
+    sampling rule) or 'bilinear'."""
 
-    def __init__(self, src_ref, dst_spec: dict, src_crs: str, undef: float = np.nan):
+    def __init__(self, src_ref, dst_spec: dict, src_crs: str, undef: float = np.nan,
+                 mode: str = "nearest"):
         import ray
 
         src = ray.get(src_ref) if hasattr(src_ref, "hex") else src_ref
@@ -47,6 +77,9 @@ class WarpNearest:
         self.spec = dst_spec
         self.src_crs = src_crs
         self.undef = undef
+        if mode not in ("nearest", "bilinear"):
+            raise ValueError(f"mode must be 'nearest' or 'bilinear', got {mode!r}")
+        self.mode = mode
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         iy = batch["id"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -58,7 +91,10 @@ class WarpNearest:
         dx = s["x0"] + (ix + 0.5) * s["resx"]
         dy = s["y0"] + (ry + 0.5) * s["resy"]
         lon, lat = _crs.transform(dx, dy, s["crs"], self.src_crs)
-        v = nearest_cell_sample(lon, lat, self.grid, self.gt, undef=self.undef)
+        if self.mode == "bilinear":
+            v = bilinear_sample(lon, lat, self.grid, self.gt, undef=self.undef)
+        else:
+            v = nearest_cell_sample(lon, lat, self.grid, self.gt, undef=self.undef)
         return pa.table(
             {
                 "iy": pa.array(ry, type=pa.int64()),
@@ -69,7 +105,7 @@ class WarpNearest:
 
 
 def warp_nearest(src_grid: np.ndarray, src_gt, src_crs: str, dst_spec: dict,
-                 undef: float = np.nan, concurrency=(1, 8)):
+                 undef: float = np.nan, concurrency=(1, 8), mode: str = "nearest"):
     """Dataset of (iy, ix, value) covering the destination grid."""
     import ray
     import ray.data as rd
@@ -79,7 +115,7 @@ def warp_nearest(src_grid: np.ndarray, src_gt, src_crs: str, dst_spec: dict,
     return rd.range(ny, override_num_blocks=max(min(ny // 16, 64), 1)).map_batches(
         WarpNearest,
         fn_constructor_kwargs={"src_ref": src_ref, "dst_spec": dst_spec, "src_crs": src_crs,
-                               "undef": undef},
+                               "undef": undef, "mode": mode},
         batch_format="pyarrow",
         concurrency=concurrency,
     )

@@ -166,3 +166,30 @@ def test_warp_out_of_coverage_is_undef(ray_session):
     outside = out[out["ix"] < 5]
     assert (inside["value"] == 1.0).all()
     assert outside["value"].isna().all()
+
+
+def test_bilinear_sample_exact_on_linear_field():
+    """Bilinear interpolation reproduces a linear field exactly in the
+    interior, and equals the cell value exactly at cell centers."""
+    from geospatialtools_ray.stages.warp import bilinear_sample
+
+    ny, nx = 20, 30
+    iy, ix = np.indices((ny, nx))
+    grid = (2.0 * ix + 3.0 * iy + 1.0).astype(np.float64)  # linear in x,y
+    gt = (0.0, 1.0, 0.0, float(ny), 0.0, -1.0)
+    rng = np.random.default_rng(3)
+    lon = rng.uniform(1.0, nx - 1.0, 5000)   # stay inside the center ring
+    lat = rng.uniform(1.0, ny - 1.0, 5000)
+    v = bilinear_sample(lon, lat, grid, gt)
+    fx = lon - 0.5
+    fy = (lat - (gt[3] + gt[5] / 2.0)) / gt[5]
+    want = 2.0 * fx + 3.0 * fy + 1.0
+    assert np.abs(v - want).max() < 1e-9
+    # exactly at centers: the cell's own value
+    cx = (np.arange(nx) + 0.5)[5:10]
+    cy = gt[3] + (np.arange(ny) + 0.5)[4:9] * gt[5]
+    vc = bilinear_sample(cx, cy, grid, gt)
+    assert np.array_equal(vc, grid[4:9, 5:10].diagonal())
+    # fully outside -> undef
+    out = bilinear_sample(np.array([-5.0]), np.array([2.0]), grid, gt)
+    assert np.isnan(out[0])
