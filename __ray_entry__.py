@@ -392,6 +392,10 @@ _REGISTRY: dict[str, tuple[Callable[[str], Any], str]] = {
     # corpus-scale multi-zone forward UTM projection (twin, mm-rounded)
     "raster_warp_bilinear": (G.raster_warp_bilinear, G.RASTER_WARP_BILINEAR_SQL),
     "docs_utm_project": (G.docs_utm_project, G.DOCS_UTM_PROJECT_SQL),
+    # round 5: perplexity-bucketed data mix — surprisal LM -> exact integer
+    # quintiles (pinned (k*n+4)//5 rank rule) -> docs/tokens per bucket in
+    # ONE corpus scan (value-keyed partials); fully cross-engine
+    "docs_surprisal_mix": (HQ.docs_surprisal_mix, HQ.DOCS_SURPRISAL_MIX_SQL),
 }
 
 # ---------------------------------------------------------------------------
@@ -416,6 +420,7 @@ _TIER0_ROUND5: list[str] = [
     "docs_quadkeys",
     "raster_warp_bilinear",
     "docs_utm_project",
+    "docs_surprisal_mix",
 ]
 _TIER1_NEVER_CHECKED: list[str] = [
     "docs_jaccard_pairs", "events_sliding_windows", "events_user_running_total",

@@ -1189,3 +1189,116 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(MAX(p) - MIN(p) + {DUP_SUBSTR_L} AS BIGINT) AS span_len
 FROM grp GROUP BY doc_id, g ORDER BY doc_id, start
 """
+
+
+# ---------------------------------------------------------------------------
+# Perplexity-bucketed data mix (round 5) — the CCNet/quality-mixing report:
+# score every doc by mean unigram surprisal (int64 micro-nats, the
+# docs_unigram_surprisal LM), split the corpus into exact QUINTILES with a
+# pinned integer rank rule, and report docs/tokens per bucket. ONE corpus
+# scan: per-batch partials keyed by the integer score value
+# (distinct-value-bounded, far below doc cardinality), thresholds from the
+# driver-side cumsum, buckets aggregated from the SAME value table — no
+# second pass, no per-doc driver collect. Fully cross-engine.
+# ---------------------------------------------------------------------------
+
+def docs_surprisal_mix(sf_dir: str):
+    import ray
+
+    from .relational import tree_group_sum
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def tf_partial(b: pa.Table) -> pa.Table:
+        out = (
+            _doc_terms(b, distinct=False)
+            .groupby("term", as_index=False).size().rename(columns={"size": "tf"})
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    tftab = tree_group_sum(
+        ds.map_batches(tf_partial, batch_format="pyarrow"), ["term"], value_cols=["tf"]
+    )
+    empty = pd.DataFrame(
+        {"bucket": pd.Series([], dtype="int64"), "n_docs": pd.Series([], dtype="int64"),
+         "sum_tokens": pd.Series([], dtype="int64")}
+    )
+    if tftab.empty:
+        return empty
+    tftab = tftab.sort_values("term").reset_index(drop=True)
+    total = float(tftab["tf"].sum())
+    vocab = tftab["term"].to_numpy()
+    smic = sql_round(
+        -np.log(tftab["tf"].to_numpy(dtype=np.float64) / total) * 1e6
+    ).astype(np.int64)
+    lm_ref = ray.put((vocab, smic))
+
+    def value_partial(b: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        v, sm = _ray.get(lm_ref)
+        t = _doc_terms(b, distinct=False)
+        emptyp = pd.DataFrame(
+            {"v": pd.Series([], dtype="int64"), "n_docs": pd.Series([], dtype="int64"),
+             "sum_tokens": pd.Series([], dtype="int64")}
+        )
+        if t.empty:
+            return pa.Table.from_pandas(emptyp, preserve_index=False)
+        t["s"] = sm[np.searchsorted(v, t["term"].to_numpy())]
+        g = t.groupby("doc_id").agg(n_tokens=("s", "size"), ssum=("s", "sum")).reset_index()
+        g["v"] = sql_round(
+            g["ssum"].to_numpy(dtype=np.float64) / g["n_tokens"].to_numpy(dtype=np.float64)
+        ).astype(np.int64)
+        out = g.groupby("v", as_index=False).agg(
+            n_docs=("doc_id", "size"), sum_tokens=("n_tokens", "sum")
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    vt = tree_group_sum(
+        ds.map_batches(value_partial, batch_format="pyarrow"), ["v"],
+        value_cols=["n_docs", "sum_tokens"],
+    )
+    if vt.empty:
+        return empty
+    vt = vt.sort_values("v").reset_index(drop=True)
+    n = int(vt["n_docs"].sum())
+    cum = vt["n_docs"].cumsum().to_numpy()
+    vals = vt["v"].to_numpy()
+    # pinned INTEGER rank rule: threshold k at rank ceil(k*n/5) = (k*n+4)//5
+    ths = [vals[np.searchsorted(cum, (k * n + 4) // 5)] for k in (1, 2, 3, 4)]
+    bucket = np.zeros(len(vt), dtype=np.int64)
+    for t_ in ths:
+        bucket += (vals > t_).astype(np.int64)
+    vt["bucket"] = bucket
+    out = vt.groupby("bucket", as_index=False).agg(
+        n_docs=("n_docs", "sum"), sum_tokens=("sum_tokens", "sum")
+    )
+    return out.astype({"bucket": "int64", "n_docs": "int64", "sum_tokens": "int64"}).sort_values(
+        "bucket"
+    ).reset_index(drop=True)
+
+
+DOCS_SURPRISAL_MIX_SQL = """
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+t AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+tf AS (SELECT term, COUNT(*) AS tf FROM t GROUP BY term),
+tot AS (SELECT CAST(SUM(tf) AS DOUBLE) AS total FROM tf),
+lm AS (SELECT term,
+         CAST(round(-LN(CAST(tf AS DOUBLE) / tot.total) * 1000000, 0) AS BIGINT) AS s
+       FROM tf CROSS JOIN tot),
+d AS (SELECT t.doc_id, COUNT(*) AS n_tokens,
+        CAST(round(CAST(SUM(lm.s) AS DOUBLE) / COUNT(*), 0) AS BIGINT) AS v
+      FROM t JOIN lm USING (term) GROUP BY t.doc_id),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d),
+th AS (SELECT
+  (SELECT v FROM d ORDER BY v LIMIT 1 OFFSET (SELECT (1*n + 4)//5 FROM nn) - 1) AS t1,
+  (SELECT v FROM d ORDER BY v LIMIT 1 OFFSET (SELECT (2*n + 4)//5 FROM nn) - 1) AS t2,
+  (SELECT v FROM d ORDER BY v LIMIT 1 OFFSET (SELECT (3*n + 4)//5 FROM nn) - 1) AS t3,
+  (SELECT v FROM d ORDER BY v LIMIT 1 OFFSET (SELECT (4*n + 4)//5 FROM nn) - 1) AS t4)
+SELECT CAST((CASE WHEN v > t1 THEN 1 ELSE 0 END) + (CASE WHEN v > t2 THEN 1 ELSE 0 END)
+          + (CASE WHEN v > t3 THEN 1 ELSE 0 END) + (CASE WHEN v > t4 THEN 1 ELSE 0 END) AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+FROM d CROSS JOIN th
+GROUP BY 1 ORDER BY bucket
+"""
