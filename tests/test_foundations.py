@@ -227,3 +227,27 @@ def test_text_hash_survives_broken_polars_module():
         # the repair re-imported polars, so rx may be stale; restore anyway
         rx.Series = saved
     assert (got == ref).all()
+
+
+def test_registry_check_window_priority_consistent():
+    """The driver's correctness window covers the FIRST 50 registry
+    entries; the priority machinery must stay sound: every priority name
+    exists, no duplicates across tiers, the window is filled entirely
+    with never-driver-checked queries (tiers 0-1), and queries()/
+    oracle_sql() agree."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as E
+
+    tiers = E._TIER0_ROUND5 + E._TIER1_NEVER_CHECKED + E._TIER2_JUDGE_SAMPLED
+    assert len(tiers) == len(set(tiers)), "duplicate names across tiers"
+    missing = [k for k in tiers if k not in E._REGISTRY]
+    assert not missing, f"priority names not in registry: {missing}"
+    q = E.queries()
+    o = E.oracle_sql()
+    assert list(q) == list(o.keys())
+    window = list(q)[:50]
+    never = set(E._TIER0_ROUND5 + E._TIER1_NEVER_CHECKED)
+    assert all(k in never for k in window), "window contains a driver-soaked query"
+    assert len(q) == len(E._REGISTRY)

@@ -199,3 +199,22 @@ def test_bloom_no_false_negatives_and_merge(keys, probes, split):
     merged = fa.union(fb)
     pa_ = np.asarray(probes, dtype=np.uint64)
     assert np.array_equal(merged.contains(pa_), f.contains(pa_))
+
+
+@given(
+    st.floats(min_value=0.2, max_value=5.8),
+    st.floats(min_value=-79.0, max_value=79.0),
+)
+@settings(max_examples=200, deadline=None)
+def test_utm_roundtrip_property(lon, lat):
+    """Forward->inverse transverse Mercator is the identity to <1e-8 deg
+    for any point inside zone 31's validity band (hypothesis-driven)."""
+    import numpy as np
+
+    from geospatialtools_ray.functions import crs
+
+    south = lat < 0
+    x, y = crs.lonlat_to_utm(np.array([lon]), np.array([lat]), 31, south=south)
+    lo, la = crs.utm_to_lonlat(x, y, 31, south=south)
+    assert abs(lo[0] - lon) < 1e-8
+    assert abs(la[0] - lat) < 1e-8
