@@ -396,6 +396,9 @@ _REGISTRY: dict[str, tuple[Callable[[str], Any], str]] = {
     # quintiles (pinned (k*n+4)//5 rank rule) -> docs/tokens per bucket in
     # ONE corpus scan (value-keyed partials); fully cross-engine
     "docs_surprisal_mix": (HQ.docs_surprisal_mix, HQ.DOCS_SURPRISAL_MIX_SQL),
+    # round 5: the ExactSubstr REMOVAL outcome — per-doc removed/kept
+    # character counts over the duplicated-span islands (cross-engine)
+    "docs_dedup_removal_report": (HQ.docs_dedup_removal_report, HQ.DOCS_DEDUP_REMOVAL_SQL),
 }
 
 # ---------------------------------------------------------------------------
@@ -421,6 +424,7 @@ _TIER0_ROUND5: list[str] = [
     "raster_warp_bilinear",
     "docs_utm_project",
     "docs_surprisal_mix",
+    "docs_dedup_removal_report",
 ]
 _TIER1_NEVER_CHECKED: list[str] = [
     "docs_jaccard_pairs", "events_sliding_windows", "events_user_running_total",

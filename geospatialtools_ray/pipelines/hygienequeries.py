@@ -1302,3 +1302,80 @@ SELECT CAST((CASE WHEN v > t1 THEN 1 ELSE 0 END) + (CASE WHEN v > t2 THEN 1 ELSE
 FROM d CROSS JOIN th
 GROUP BY 1 ORDER BY bucket
 """
+
+
+# ---------------------------------------------------------------------------
+# ExactSubstr REMOVAL step (round 5) — the per-doc outcome of cutting every
+# duplicated span found by docs_dup_substring_spans: kept-character count
+# per affected doc (spans are disjoint maximal islands by construction, so
+# removal size is just their length sum). Oracle = the same islands CTE
+# joined back to document lengths — fully cross-engine.
+# ---------------------------------------------------------------------------
+
+def docs_dedup_removal_report(sf_dir: str):
+    from ..stages.dedup import dup_substring_spans
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    spans = dup_substring_spans(ds, min_len=DUP_SUBSTR_L)
+
+    def roll(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        out = df.groupby("doc_id", as_index=False).agg(
+            n_spans=("span_len", "size"), removed=("span_len", "sum")
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    from .relational import sorted_group_agg
+
+    per_doc = spans.map_batches(roll, batch_format="pyarrow")
+    agg = sorted_group_agg(
+        per_doc, "doc_id", {"n_spans": "sum", "removed": "sum"},
+        approx_rows=io.table_num_rows(io.table_path(sf_dir, "documents")),
+    ).to_pandas()
+    if agg.empty:
+        return pd.DataFrame(
+            {"doc_id": pd.Series([], dtype="int64"), "n_spans": pd.Series([], dtype="int64"),
+             "removed": pd.Series([], dtype="int64"), "kept": pd.Series([], dtype="int64")}
+        )
+    lens = _read(sf_dir, "documents", ["doc_id", "n_chars"]).to_pandas()
+    out = agg.merge(lens, on="doc_id")
+    out["kept"] = out["n_chars"] - out["removed"]
+    out = out.drop(columns=["n_chars"]).astype({c: "int64" for c in
+                                                ("doc_id", "n_spans", "removed", "kept")})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+DOCS_DEDUP_REMOVAL_SQL = f"""
+WITH pos AS (
+  SELECT doc_id, text, unnest(range(1, length(text) - {DUP_SUBSTR_L} + 2)) AS p
+  FROM documents WHERE length(text) >= {DUP_SUBSTR_L}
+),
+w AS (SELECT doc_id, CAST(p AS BIGINT) AS p, substr(text, CAST(p AS INTEGER), {DUP_SUBSTR_L}) AS gram FROM pos),
+dup AS (SELECT gram FROM w GROUP BY gram HAVING COUNT(*) >= 2),
+hits AS (SELECT doc_id, p FROM w JOIN dup USING (gram)),
+isl AS (
+  SELECT doc_id, p,
+         CASE WHEN p - LAG(p) OVER (PARTITION BY doc_id ORDER BY p) <= {DUP_SUBSTR_L}
+              THEN 0 ELSE 1 END AS brk
+  FROM hits
+),
+grp AS (
+  SELECT doc_id, p,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY p
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+  FROM isl
+),
+spans AS (
+  SELECT doc_id, MAX(p) - MIN(p) + {DUP_SUBSTR_L} AS span_len
+  FROM grp GROUP BY doc_id, g
+),
+agg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+         CAST(SUM(span_len) AS BIGINT) AS removed
+  FROM spans GROUP BY doc_id
+)
+SELECT a.doc_id, a.n_spans, a.removed,
+       CAST(d.n_chars - a.removed AS BIGINT) AS kept
+FROM agg a JOIN documents d USING (doc_id)
+ORDER BY a.doc_id
+"""
