@@ -399,6 +399,10 @@ _REGISTRY: dict[str, tuple[Callable[[str], Any], str]] = {
     # round 5: the ExactSubstr REMOVAL outcome — per-doc removed/kept
     # character counts over the duplicated-span islands (cross-engine)
     "docs_dedup_removal_report": (HQ.docs_dedup_removal_report, HQ.DOCS_DEDUP_REMOVAL_SQL),
+    # round 5: vector polygon areas (planar shoelace over the forward-
+    # projected mercator layer; SQL replays the projection + cross-product
+    # sum over the staged lonlat edge table — cross-engine, hectare quantum)
+    "polygons_mercator_area": (G.polygons_mercator_area, G._polygons_area_sql()),
 }
 
 # ---------------------------------------------------------------------------
@@ -425,6 +429,7 @@ _TIER0_ROUND5: list[str] = [
     "docs_utm_project",
     "docs_surprisal_mix",
     "docs_dedup_removal_report",
+    "polygons_mercator_area",
 ]
 _TIER1_NEVER_CHECKED: list[str] = [
     "docs_jaccard_pairs", "events_sliding_windows", "events_user_running_total",

@@ -596,3 +596,76 @@ def stage_docs_utm_project(sf_dir: str) -> str:
 
 
 DOCS_UTM_PROJECT_SQL = O.fixture_sql("docs_utm_project", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# 8. polygon areas — planar shoelace over the forward-projected layer
+#    (web-mercator metres), the vector-side sibling of grid_cell_areas
+#    (the reference computes areas only for raster cells,
+#    terrain_tools.py; real vector layers need polygon areas for density
+#    normalization). Distributed per polygon batch; the oracle
+#    forward-projects the staged LONLAT closed-edge table in SQL and sums
+#    the same cross products. Output quantized to hectares: the fp
+#    summation-order slack (~0.2 m^2 at these magnitudes) is 4 orders
+#    below the quantum, so engine/oracle can never disagree.
+# ---------------------------------------------------------------------------
+
+AREA_NPOLY = 150
+
+
+def polygons_mercator_area(sf_dir: str):
+    import ray.data as rd
+
+    layer = synth.make_polygons(AREA_NPOLY, cover_res=6)
+    e_poly, ex0, ey0, ex1, ey1 = [], [], [], [], []
+    rows = []
+    for pid, buf in zip(layer["poly_id"], layer["geom_wkb"]):
+        rows.append({"poly_id": int(pid), "geom_wkb": buf})
+        for ring in wkb.parse_polygon(buf):
+            r = ring if np.array_equal(ring[0], ring[-1]) else np.vstack([ring, ring[:1]])
+            e_poly.append(np.full(len(r) - 1, pid, dtype=np.int64))
+            ex0.append(r[:-1, 0]); ey0.append(r[:-1, 1])
+            ex1.append(r[1:, 0]); ey1.append(r[1:, 1])
+    O.stage_fixture(
+        "area_poly_edges",
+        pd.DataFrame({"poly_id": np.concatenate(e_poly),
+                      "x0": np.concatenate(ex0), "y0": np.concatenate(ey0),
+                      "x1": np.concatenate(ex1), "y1": np.concatenate(ey1)}),
+    )
+
+    def area_batch(b: pa.Table) -> pa.Table:
+        pids, areas = [], []
+        for pid, buf in zip(b["poly_id"].to_pylist(), b["geom_wkb"].to_pylist()):
+            a = 0.0
+            for ring in wkb.parse_polygon(buf):
+                r = ring if np.array_equal(ring[0], ring[-1]) else np.vstack([ring, ring[:1]])
+                mx, my = crs.lonlat_to_webmercator(r[:, 0], r[:, 1])
+                a += float(np.sum(mx[:-1] * my[1:] - mx[1:] * my[:-1]))
+            pids.append(pid)
+            areas.append(abs(a) / 2.0)
+        return pa.table(
+            {"poly_id": pa.array(pids, type=pa.int64()),
+             "area_ha": pa.array(sql_round(np.asarray(areas) / 1e4).astype(np.int64))}
+        )
+
+    ds = rd.from_pandas(pd.DataFrame(rows), override_num_blocks=8)
+    out = ds.map_batches(area_batch, batch_format="pyarrow").to_pandas()
+    return out.sort_values("poly_id").reset_index(drop=True).astype(
+        {"poly_id": "int64", "area_ha": "int64"}
+    )
+
+
+def _polygons_area_sql() -> str:
+    return f"""
+WITH e AS (
+  SELECT poly_id,
+         {_R!r} * radians(x0) AS mx0,
+         {_R!r} * ln(tan(pi()/4.0 + radians(y0)/2.0)) AS my0,
+         {_R!r} * radians(x1) AS mx1,
+         {_R!r} * ln(tan(pi()/4.0 + radians(y1)/2.0)) AS my1
+  FROM read_parquet('{O.fixture_path("area_poly_edges")}')
+)
+SELECT CAST(poly_id AS BIGINT) AS poly_id,
+       CAST(round(abs(SUM(mx0 * my1 - mx1 * my0)) / 2.0 / 10000.0, 0) AS BIGINT) AS area_ha
+FROM e GROUP BY 1 ORDER BY poly_id
+"""
