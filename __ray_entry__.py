@@ -403,6 +403,10 @@ _REGISTRY: dict[str, tuple[Callable[[str], Any], str]] = {
     # projected mercator layer; SQL replays the projection + cross-product
     # sum over the staged lonlat edge table — cross-engine, hectare quantum)
     "polygons_mercator_area": (G.polygons_mercator_area, G._polygons_area_sql()),
+    # round 5: the BPE TRAINER (first 3 merges over the vocabulary-bounded
+    # word table; pinned argmax + leftmost-non-overlapping replace; oracle
+    # unrolls the identical iterations — fully cross-engine)
+    "docs_bpe_train": (RQ.docs_bpe_train, RQ._bpe_train_sql()),
 }
 
 # ---------------------------------------------------------------------------
@@ -430,6 +434,7 @@ _TIER0_ROUND5: list[str] = [
     "docs_surprisal_mix",
     "docs_dedup_removal_report",
     "polygons_mercator_area",
+    "docs_bpe_train",
 ]
 _TIER1_NEVER_CHECKED: list[str] = [
     "docs_jaccard_pairs", "events_sliding_windows", "events_user_running_total",

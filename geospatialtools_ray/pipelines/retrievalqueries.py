@@ -1211,3 +1211,104 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# BPE TRAINER (round 5) — the full first-N-merges tokenizer training loop
+# (Sennrich et al. 2016), not just the single pair-count step
+# (docs_bpe_pair_counts). Scale shape: ONE corpus scan builds the
+# (word, freq) table (vocabulary-bounded — the classic BPE-training
+# optimization: all further work is corpus-size-INDEPENDENT); each merge
+# iteration then runs on that small table: freq-weighted symbol-pair
+# counts (vectorized utf-32 buffer + weighted bincount), pinned argmax
+# (count desc, pair asc — numeric code order == lexicographic order),
+# and a literal leftmost-non-overlapping replace introducing the new
+# symbol chr(128+k) (python str.replace == SQL REPLACE semantics).
+# Oracle: DuckDB unrolls the SAME three iterations over its own word
+# table. Output = the learned merge table.
+# ---------------------------------------------------------------------------
+
+BPE_MERGES = 3
+
+
+def _bpe_pair_argmax(words: np.ndarray, freqs: np.ndarray) -> tuple[str, int]:
+    joined = "\x00".join(words.tolist())
+    buf = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+    if (buf >= 65536).any():
+        raise ValueError("bpe trainer packs symbol pairs into 2x16 bits — "
+                         "codepoints past U+FFFF need a wider pack")
+    wid = np.cumsum(buf == 0)
+    first = buf[:-1].astype(np.int64)
+    second = buf[1:].astype(np.int64)
+    valid = (first != 0) & (second != 0)
+    codes = first[valid] * 65536 + second[valid]
+    w = freqs[wid[:-1][valid]].astype(np.float64)
+    uniq, inv = np.unique(codes, return_inverse=True)
+    cnt = np.bincount(inv, weights=w).astype(np.int64)
+    # pinned tie rule: count desc, then pair ASC — code numeric order IS
+    # (c1, c2) lexicographic order, which is UTF-8 string order
+    best = np.lexsort((uniq, -cnt))[0]
+    code = int(uniq[best])
+    return chr(code >> 16) + chr(code & 0xFFFF), int(cnt[best])
+
+
+def docs_bpe_train(sf_dir: str):
+    from .relational import tree_group_sum
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def word_partial(b: pa.Table) -> pa.Table:
+        out = (
+            _doc_terms(b, distinct=False)
+            .groupby("term", as_index=False).size().rename(columns={"size": "freq"})
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    wt = tree_group_sum(
+        ds.map_batches(word_partial, batch_format="pyarrow"), ["term"], value_cols=["freq"]
+    )
+    empty = pd.DataFrame(
+        {"merge_rank": pd.Series([], dtype="int64"), "pair": pd.Series([], dtype=str),
+         "c": pd.Series([], dtype="int64")}
+    )
+    if wt.empty:
+        return empty
+    words = wt["term"].to_numpy()
+    if any("\x00" in w for w in words.tolist()):
+        raise ValueError("bpe trainer uses \\x00 as the word fence — corpus "
+                         "words must not contain NUL")
+    freqs = wt["freq"].to_numpy(dtype=np.int64)
+    rows = []
+    for k in range(1, BPE_MERGES + 1):
+        pair, c = _bpe_pair_argmax(words, freqs)
+        rows.append({"merge_rank": k, "pair": pair, "c": c})
+        sym = chr(128 + k)
+        words = np.asarray([w.replace(pair, sym) for w in words.tolist()], dtype=object)
+    return pd.DataFrame(rows).astype({"merge_rank": "int64", "pair": "str", "c": "int64"})
+
+
+def _bpe_train_sql() -> str:
+    # unroll BPE_MERGES iterations; each: pair counts over the word table
+    # (freq-weighted, codepoint substr), pinned argmax, literal REPLACE
+    its = []
+    prev = "w0"
+    sel = []
+    for k in range(1, BPE_MERGES + 1):
+        its.append(f"""
+n{k} AS (SELECT word, freq, unnest(range(1, length(word))) AS i FROM {prev} WHERE length(word) >= 2),
+p{k} AS (SELECT substr(word, CAST(i AS INTEGER), 2) AS pair, CAST(SUM(freq) AS BIGINT) AS c
+        FROM n{k} GROUP BY 1),
+b{k} AS (SELECT pair, c FROM p{k} ORDER BY c DESC, pair LIMIT 1),
+w{k} AS (SELECT REPLACE(word, (SELECT pair FROM b{k}), chr({128 + k})) AS word, freq FROM {prev})""")
+        sel.append(f"SELECT {k} AS merge_rank, (SELECT pair FROM b{k}) AS pair, (SELECT c FROM b{k}) AS c")
+        prev = f"w{k}"
+    return (
+        "WITH w0 AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM "
+        "(SELECT unnest(string_split(text, ' ')) AS word FROM documents) "
+        "WHERE word <> '' GROUP BY word)," + ",".join(its) + "\n"
+        + "\nUNION ALL\n".join(
+            f"SELECT CAST({k} AS BIGINT) AS merge_rank, (SELECT pair FROM b{k}) AS pair, (SELECT c FROM b{k}) AS c"
+            for k in range(1, BPE_MERGES + 1)
+        )
+        + "\nORDER BY merge_rank"
+    )

@@ -691,3 +691,32 @@ def test_dup_substring_spans_hash128_equals_gram(ray_session):
     b = b.sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(a[key], b[key])
     assert len(a) > 100
+
+
+def test_bpe_trainer_hand_example(ray_session):
+    """3 merges on a tiny corpus match the hand-derived Sennrich loop
+    (freq-weighted pair counts on the word table, leftmost replace)."""
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+
+    import tempfile, os
+    from geospatialtools_ray.pipelines.retrievalqueries import docs_bpe_train
+
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(
+            pa.table({"doc_id": pa.array([1, 2], type=pa.int64()),
+                      "text": ["low low low lower", "lowest low newer new"]}),
+            os.path.join(d, "documents.parquet"),
+        )
+        out = docs_bpe_train(d)
+    # word freqs: low x4, lower x1, lowest x1, newer x1, new x1
+    # pairs: 'lo' 6, 'ow' 6, 'we' 3, 'er' 2, 'ne' 2, 'es' 1, 'st' 1, 'ew' 2 ...
+    # merge 1: count 6 tie between 'lo' and 'ow' -> 'lo' (pair asc)
+    assert out.iloc[0]["pair"] == "lo" and out.iloc[0]["c"] == 6
+    # after merge 1 (L='lo'): words Lw x4, Lwer, Lwest, newer, new
+    # pairs: 'Lw' 6 -> but 'L' = chr(129) > ascii, count 6 wins
+    assert out.iloc[1]["pair"] == chr(129) + "w" and out.iloc[1]["c"] == 6
+    # after merge 2 (M=chr(130)='Lw'): M x4, Mer, Mest, newer, new
+    # pairs: 'ne' 2, 'ew' 2, 'er' 2 (Mer + newer), 'Me' 2, 'es' 1, 'st' 1, 'we' 1
+    # tie at 2 -> pair asc: 'er' < 'ew' < 'ne' < 'Me'(129+) -> 'er'
+    assert out.iloc[2]["pair"] == "er" and out.iloc[2]["c"] == 2
