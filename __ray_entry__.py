@@ -407,6 +407,10 @@ _REGISTRY: dict[str, tuple[Callable[[str], Any], str]] = {
     # word table; pinned argmax + leftmost-non-overlapping replace; oracle
     # unrolls the identical iterations — fully cross-engine)
     "docs_bpe_train": (RQ.docs_bpe_train, RQ._bpe_train_sql()),
+    # round 5: BPE APPLY — tokenize with the learned merges (broadcast merge
+    # list, chained literal replaces), per-lang BPE vs whitespace token
+    # rollup; oracle inlines the same REPLACE chain — fully cross-engine
+    "docs_bpe_tokenize": (RQ.docs_bpe_tokenize, RQ._bpe_tokenize_sql()),
 }
 
 # ---------------------------------------------------------------------------
@@ -435,6 +439,7 @@ _TIER0_ROUND5: list[str] = [
     "docs_dedup_removal_report",
     "polygons_mercator_area",
     "docs_bpe_train",
+    "docs_bpe_tokenize",
 ]
 _TIER1_NEVER_CHECKED: list[str] = [
     "docs_jaccard_pairs", "events_sliding_windows", "events_user_running_total",

@@ -1312,3 +1312,76 @@ w{k} AS (SELECT REPLACE(word, (SELECT pair FROM b{k}), chr({128 + k})) AS word, 
         )
         + "\nORDER BY merge_rank"
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE APPLY (round 5) — tokenize the corpus with the merges learned by
+# docs_bpe_train: broadcast the (ordered) merge list, apply it per batch
+# as a chain of literal leftmost replaces over the doc text (word-fenced
+# by spaces, so merges never cross words), and report per-lang BPE token
+# counts beside the whitespace word counts (the compression the merges
+# bought). Oracle: the same three REPLACEs inline over raw text — token
+# count per word = its post-merge codepoint length, whole-doc BPE tokens
+# = post-merge length of the space-joined text minus the space count.
+# ---------------------------------------------------------------------------
+
+def docs_bpe_tokenize(sf_dir: str):
+    import ray
+
+    from .relational import tree_group_sum
+
+    merges = docs_bpe_train(sf_dir)  # tiny (BPE_MERGES rows), driver-side
+    pairs = merges["pair"].tolist()
+    merges_ref = ray.put(pairs)
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        ps = _ray.get(merges_ref)
+        t = b.to_pandas()
+        merged = t["text"]
+        for k, p_ in enumerate(ps, start=1):
+            merged = merged.str.replace(p_, chr(128 + k), regex=False)
+        # BPE tokens per doc = symbols in the merged text excluding spaces
+        n_sym = merged.str.len() - merged.str.count(" ")
+        words = t["text"].str.split().str.len()
+        out = pd.DataFrame(
+            {"lang": t["lang"], "n_docs": 1, "bpe_tokens": n_sym.astype("int64"),
+             "ws_tokens": words.fillna(0).astype("int64")}
+        )
+        return pa.Table.from_pandas(
+            out.groupby("lang", as_index=False).sum(), preserve_index=False
+        )
+
+    out = tree_group_sum(
+        ds.map_batches(partial, batch_format="pyarrow"), ["lang"],
+        value_cols=["n_docs", "bpe_tokens", "ws_tokens"],
+    )
+    out = out.astype({"lang": "str", "n_docs": "int64", "bpe_tokens": "int64",
+                      "ws_tokens": "int64"})
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+def _bpe_tokenize_sql() -> str:
+    base = _bpe_train_sql()
+    # reuse the trainer CTE chain to get b1..b3, then apply the same
+    # replaces to every document's full text (merges contain no spaces, so
+    # full-text replace == per-word replace)
+    with_block = base.split("\nSELECT CAST(1 AS BIGINT)")[0]
+    rep = "d.text"
+    for k in range(1, BPE_MERGES + 1):
+        rep = f"REPLACE({rep}, (SELECT pair FROM b{k}), chr({128 + k}))"
+    return f"""{with_block},
+docs_t AS (
+  SELECT d.lang,
+         -- merges never touch spaces, so space count carries over
+         length({rep}) - (length(d.text) - length(REPLACE(d.text, ' ', ''))) AS bpe_tokens,
+         (SELECT COUNT(*) FROM unnest(string_split(d.text, ' ')) AS u(w) WHERE w <> '') AS ws_tokens
+  FROM documents d
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(bpe_tokens) AS BIGINT) AS bpe_tokens,
+       CAST(SUM(ws_tokens) AS BIGINT) AS ws_tokens
+FROM docs_t GROUP BY lang ORDER BY lang
+"""
