@@ -411,6 +411,9 @@ _REGISTRY: dict[str, tuple[Callable[[str], Any], str]] = {
     # list, chained literal replaces), per-lang BPE vs whitespace token
     # rollup; oracle inlines the same REPLACE chain — fully cross-engine
     "docs_bpe_tokenize": (RQ.docs_bpe_tokenize, RQ._bpe_tokenize_sql()),
+    # round 5: per-day HLL distinct users (grouped cardinality sketch; the
+    # dyadic 2^-rho sum is order-free exact — fully cross-engine)
+    "events_daily_hll_users": (W.events_daily_hll_users, W._daily_hll_sql()),
 }
 
 # ---------------------------------------------------------------------------
@@ -440,6 +443,7 @@ _TIER0_ROUND5: list[str] = [
     "polygons_mercator_area",
     "docs_bpe_train",
     "docs_bpe_tokenize",
+    "events_daily_hll_users",
 ]
 _TIER1_NEVER_CHECKED: list[str] = [
     "docs_jaccard_pairs", "events_sliding_windows", "events_user_running_total",

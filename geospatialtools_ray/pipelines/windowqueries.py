@@ -1825,3 +1825,90 @@ FROM runs GROUP BY user_id ORDER BY user_id
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# Per-day HLL distinct users (round 5) — the GROUPED cardinality sketch
+# beside the global events_hll_registers: registers per (day, bucket) via
+# max-combine partials, then ONE pinned estimator expression per day.
+# The 2^-rho sum is a sum of dyadic rationals spanning < 53 bits, so it
+# is EXACT in float64 under any summation order on both engines; the
+# only transcendental (ln in the linear-counting branch) lands ~1e-13
+# relative before a whole-number round. Fully cross-engine.
+# ---------------------------------------------------------------------------
+
+def events_daily_hll_users(sf_dir: str):
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        day = (
+            b["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype("int64")
+            // 86_400_000_000
+        )
+        h = (uid * np.uint64(KNUTH_MULT)) & np.uint64(0xFFFFFFFF)
+        bucket = (h >> np.uint64(HLL_W)).astype(np.int64)
+        w = (h & np.uint64((1 << HLL_W) - 1)).astype(np.int64)
+        _, e = np.frexp(w.astype(np.float64))
+        rho = np.where(w > 0, HLL_W + 1 - e, HLL_W + 1).astype(np.int64)
+        df = (
+            pd.DataFrame({"day": day, "bucket": bucket, "max_rho": rho})
+            .groupby(["day", "bucket"], as_index=False).max()
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def combine(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby(["day", "bucket"], as_index=False).max()
+
+    lvl = ds.map_batches(partial, batch_format="pyarrow")
+    lvl = lvl.map_batches(combine, batch_format="pandas", batch_size=8192)
+    lvl = lvl.map_batches(combine, batch_format="pandas", batch_size=8192)
+    df = lvl.to_pandas()
+    empty = pd.DataFrame({"day": pd.Series([], dtype="int64"),
+                          "n_users_est": pd.Series([], dtype="int64")})
+    if df.empty:
+        return empty
+    df = df.groupby(["day", "bucket"], as_index=False).max()
+    m = 1 << HLL_B
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    rows = []
+    for day, g in df.groupby("day"):
+        present = len(g)
+        sum_exp = float(np.sum(np.exp2(-g["max_rho"].to_numpy(dtype=np.float64)))) + (m - present)
+        zeros = m - present
+        est = alpha * m * m / sum_exp
+        if est <= 2.5 * m and zeros > 0:
+            est = m * np.log(m / zeros)
+        rows.append({"day": int(day), "n_users_est": int(np.round(est))})
+    return pd.DataFrame(rows).astype({"day": "int64", "n_users_est": "int64"}).sort_values(
+        "day"
+    ).reset_index(drop=True)
+
+
+def _daily_hll_sql() -> str:
+    m = 1 << HLL_B
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    return f"""
+WITH h AS (
+  SELECT epoch_us(ts) // 86400000000 AS day,
+         ((user_id * {KNUTH_MULT}) % 4294967296) AS hv
+  FROM events
+),
+reg AS (
+  SELECT day, CAST((hv >> {HLL_W}) AS BIGINT) AS bucket,
+         CAST(MAX(CASE WHEN (hv % {1 << HLL_W}) = 0 THEN {HLL_W + 1}
+                       ELSE {HLL_W + 1} - length(bin(hv % {1 << HLL_W})) END) AS BIGINT) AS max_rho
+  FROM h GROUP BY 1, 2
+),
+agg AS (
+  SELECT day,
+         SUM(power(2.0, -max_rho)) + ({m} - COUNT(*)) AS sum_exp,
+         {m} - COUNT(*) AS zeros
+  FROM reg GROUP BY day
+)
+SELECT CAST(day AS BIGINT) AS day,
+       CAST(round(CASE WHEN (CAST({alpha!r} AS DOUBLE) * {m} * {m} / sum_exp) <= {2.5 * m!r} AND zeros > 0
+                       THEN {m} * ln(CAST({m} AS DOUBLE) / zeros)
+                       ELSE CAST({alpha!r} AS DOUBLE) * {m} * {m} / sum_exp END, 0) AS BIGINT) AS n_users_est
+FROM agg ORDER BY day
+"""
